@@ -1,0 +1,340 @@
+"""Anomaly-detector kernels (pure NumPy).
+
+The reference's detector kernels delegate to stumpy / sklearn / pyod /
+scipy, none of which exist in this environment — so the algorithms are
+implemented here from their public definitions:
+
+* ``median_method_scores`` — exact semantics of
+  ``anomaly_detection/MedianMethod.py:82-107`` (nan-padded neighborhood,
+  nanmean / population nanstd, nan_to_num).
+* ``matrix_profile`` — STOMP (Zhu et al., ICDM 2016): z-normalized
+  Euclidean self-join / AB-join matrix profile, stumpy-compatible trivial
+  exclusion zone ``ceil(w/4)`` (``MatrixProfileDetector.py:116-178``).
+* ``kmeans_fit`` / ``kmeans_score`` — seeded k-means++ + Lloyd; score is the
+  L2 distance to the assigned centroid (``KMeansAnomalyDetector.py:84-98``).
+* ``iforest_fit`` / ``iforest_score`` — Isolation Forest (Liu et al., ICDM
+  2008) with the standard 2^ceil(log2(psi)) depth cap and average-path-length
+  normalization (``IsolationForest.py:7-58`` wraps pyod's equivalent).
+* ``minmax_rescale`` — ``BaseDetector.predict_proba`` semantics
+  (``BaseDetector.py:140-186``).
+* ``exceed_confidence`` — ExCeeD (Perini et al. 2020) Bayesian confidence,
+  with an in-house regularized-incomplete-beta for binom.cdf
+  (``BaseDetector.py:188-287``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+# ------------------------------------------------------------ MedianMethod
+
+def median_method_scores(
+    x: np.ndarray,
+    neighborhood_size_before: int,
+    neighborhood_size_after: Optional[int] = None,
+) -> np.ndarray:
+    """|x_t - nanmean(nbhd)| / nanstd_pop(nbhd), nbhd = [t-b, t+a], NaN -> 0."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    b = neighborhood_size_before
+    a = b if neighborhood_size_after is None else neighborhood_size_after
+    padded = np.concatenate([np.full(b, np.nan), x, np.full(a, np.nan)])
+    wins = np.lib.stride_tricks.sliding_window_view(padded, b + a + 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        scores = np.abs(x - np.nanmean(wins, axis=1)) / np.nanstd(wins, axis=1)
+    return np.nan_to_num(scores, nan=0.0)
+
+
+# ----------------------------------------------------------- MatrixProfile
+
+def _sliding_mean_std(x: np.ndarray, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    csum = np.concatenate([[0.0], np.cumsum(x)])
+    csq = np.concatenate([[0.0], np.cumsum(x * x)])
+    cnt = float(w)
+    mu = (csum[w:] - csum[:-w]) / cnt
+    var = (csq[w:] - csq[:-w]) / cnt - mu * mu
+    return mu, np.sqrt(np.maximum(var, 0.0))
+
+
+def matrix_profile(
+    x: np.ndarray, w: int, x_ref: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """STOMP matrix profile of ``x`` (self-join) or AB-join of ``x`` against
+    ``x_ref`` (novelty mode). Returns the per-window profile (length
+    ``len(x) - w + 1``) of z-normalized Euclidean nearest-neighbor
+    distances."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    self_join = x_ref is None
+    y = x if self_join else np.asarray(x_ref, dtype=np.float64).reshape(-1)
+
+    n_q = x.shape[0] - w + 1  # query windows (rows)
+    n_r = y.shape[0] - w + 1  # reference windows (cols)
+    mu_q, sig_q = _sliding_mean_std(x, w)
+    mu_r, sig_r = _sliding_mean_std(y, w)
+
+    # first row of sliding dot products via correlation (O(n log n))
+    nfft = 1 << int(np.ceil(np.log2(x.shape[0] + y.shape[0])))
+    fy = np.fft.rfft(y, nfft)
+    fq = np.fft.rfft(x[:w][::-1], nfft)
+    qt = np.fft.irfft(fy * fq, nfft)[w - 1 : w - 1 + n_r]
+
+    excl = int(np.ceil(w / 4)) if self_join else -1
+    profile = np.empty(n_q)
+
+    qt_first_col = None
+    if self_join:
+        qt_first_col = qt.copy()  # QT[0, :] == QT[:, 0] by symmetry
+    else:
+        fx = np.fft.rfft(x, nfft)
+        fr = np.fft.rfft(y[:w][::-1], nfft)
+        qt_first_col = np.fft.irfft(fx * fr, nfft)[w - 1 : w - 1 + n_q]
+
+    eps = 1e-14
+    for i in range(n_q):
+        if i > 0:
+            qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
+            qt[0] = qt_first_col[i]
+        denom = w * sig_q[i] * sig_r
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (qt - w * mu_q[i] * mu_r) / np.where(denom < eps, np.nan, denom)
+        # constant windows: distance 0 vs constant, sqrt(w) vs non-constant
+        d2 = 2.0 * w * (1.0 - np.clip(corr, -1.0, 1.0))
+        if sig_q[i] < eps:
+            d2 = np.where(sig_r < eps, 0.0, w)
+        else:
+            d2 = np.where(sig_r < eps, w, d2)
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        if self_join:
+            lo, hi = max(0, i - excl), min(n_r, i + excl + 1)
+            dist[lo:hi] = np.inf
+        profile[i] = dist.min() if np.isfinite(dist).any() else 0.0
+    return profile
+
+
+# ----------------------------------------------------------------- KMeans
+
+def kmeans_fit(
+    X: np.ndarray, k: int, seed: int = 42, n_iter: int = 100, tol: float = 1e-6
+) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations; returns (k, d) centroids."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = X.shape[0]
+    k = min(k, n)
+    centers = np.empty((k, X.shape[1]))
+    centers[0] = X[rng.integers(n)]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centers[j:] = X[rng.integers(n, size=k - j)]
+            break
+        centers[j] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - centers[j]) ** 2).sum(axis=1))
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new_centers = centers.copy()
+        for j in range(k):
+            sel = assign == j
+            if sel.any():
+                new_centers[j] = X[sel].mean(axis=0)
+        if np.abs(new_centers - centers).max() < tol:
+            centers = new_centers
+            break
+        centers = new_centers
+    return centers
+
+
+def kmeans_score(X: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """L2 distance to the nearest centroid (per window)."""
+    X = np.asarray(X, dtype=np.float64)
+    d = np.sqrt(((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2))
+    return d.min(axis=1)
+
+
+# --------------------------------------------------------- IsolationForest
+
+def _iforest_build(X: np.ndarray, idx: np.ndarray, depth: int, max_depth: int,
+                   rng: np.random.Generator, nodes: list) -> int:
+    node_id = len(nodes)
+    if depth >= max_depth or idx.shape[0] <= 1:
+        nodes.append((-1, 0.0, -1, -1, idx.shape[0]))
+        return node_id
+    sub = X[idx]
+    lo, hi = sub.min(axis=0), sub.max(axis=0)
+    usable = np.flatnonzero(hi > lo)
+    if usable.shape[0] == 0:
+        nodes.append((-1, 0.0, -1, -1, idx.shape[0]))
+        return node_id
+    f = int(rng.choice(usable))
+    split = rng.uniform(lo[f], hi[f])
+    nodes.append(None)  # placeholder
+    left = _iforest_build(X, idx[sub[:, f] < split], depth + 1, max_depth, rng, nodes)
+    right = _iforest_build(X, idx[sub[:, f] >= split], depth + 1, max_depth, rng, nodes)
+    nodes[node_id] = (f, float(split), left, right, idx.shape[0])
+    return node_id
+
+
+def _avg_path_length(n):
+    n = np.asarray(n, dtype=np.float64)
+    out = np.zeros_like(n)
+    big = n > 2
+    out[big] = 2.0 * (np.log(n[big] - 1) + np.euler_gamma) - 2.0 * (n[big] - 1) / n[big]
+    out[n == 2] = 1.0
+    return out
+
+
+def iforest_fit(X: np.ndarray, n_trees: int = 100, subsample: int = 256,
+                seed: int = 42) -> list:
+    """Fit an isolation forest; returns a list of node-table trees."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    psi = min(subsample, X.shape[0])
+    max_depth = int(np.ceil(np.log2(max(psi, 2))))
+    trees = []
+    for _ in range(n_trees):
+        samp = rng.choice(X.shape[0], size=psi, replace=False)
+        nodes: list = []
+        _iforest_build(X, samp, 0, max_depth, rng, nodes)
+        trees.append(nodes)
+    return trees
+
+
+def iforest_score(X: np.ndarray, trees: list, subsample: int = 256) -> np.ndarray:
+    """Anomaly score 2^(-E[h]/c(psi)); higher = more anomalous."""
+    X = np.asarray(X, dtype=np.float64)
+    depths = np.zeros(X.shape[0])
+    for nodes in trees:
+        node = np.zeros(X.shape[0], dtype=np.int64)
+        depth = np.zeros(X.shape[0])
+        active = np.ones(X.shape[0], dtype=bool)
+        while active.any():
+            cur = node[active]
+            feats = np.array([nodes[c][0] for c in cur])
+            leaf = feats < 0
+            ai = np.flatnonzero(active)
+            if leaf.any():
+                leaf_idx = ai[leaf]
+                sizes = np.array([nodes[c][4] for c in cur[leaf]], dtype=np.float64)
+                depth[leaf_idx] += _avg_path_length(sizes)
+                active[leaf_idx] = False
+            go = ai[~leaf]
+            if go.shape[0]:
+                cur_go = node[go]
+                splits = np.array([nodes[c][1] for c in cur_go])
+                fgo = np.array([nodes[c][0] for c in cur_go])
+                lefts = np.array([nodes[c][2] for c in cur_go])
+                rights = np.array([nodes[c][3] for c in cur_go])
+                vals = X[go, fgo]
+                node[go] = np.where(vals < splits, lefts, rights)
+                depth[go] += 1
+        depths += depth
+    mean_depth = depths / len(trees)
+    c = _avg_path_length(np.array([float(subsample)]))[0]
+    return 2.0 ** (-mean_depth / max(c, 1e-12))
+
+
+# ----------------------------------------------------- proba & confidence
+
+def minmax_rescale(scores: np.ndarray) -> np.ndarray:
+    """predict_proba semantics (BaseDetector.py:140-186): min-max rescale;
+    constant scores pass through iff already within [0, 1], else error."""
+    s = np.asarray(scores, dtype=np.float64)
+    mn, mx = s.min(), s.max()
+    if mn == mx:
+        if 0.0 <= mn <= 1.0:
+            return s.copy()
+        raise ValueError("Constant anomaly scores outside [0, 1] cannot be rescaled")
+    return (s - mn) / (mx - mn)
+
+
+def _betacf(a: float, b: float, x: float, max_iter: int = 200, eps: float = 3e-12) -> float:
+    """Continued fraction for the incomplete beta (Numerical Recipes style)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_iter + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    import math
+
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def binom_cdf(k: np.ndarray, n: int, p: float) -> np.ndarray:
+    """P(X <= k) for X ~ Binomial(n, p) via the incomplete beta."""
+    k = np.asarray(k)
+    out = np.empty(k.shape, dtype=np.float64)
+    flat = k.reshape(-1)
+    of = out.reshape(-1)
+    for i, ki in enumerate(flat):
+        ki = int(np.floor(ki))
+        if ki < 0:
+            of[i] = 0.0
+        elif ki >= n:
+            of[i] = 1.0
+        else:
+            of[i] = betainc_reg(n - ki, ki + 1, 1.0 - p)
+    return out
+
+
+def exceed_confidence(
+    train_scores: np.ndarray, test_scores: np.ndarray, contamination: float
+) -> np.ndarray:
+    """ExCeeD confidence (BaseDetector.predict_confidence semantics):
+    posterior outlier probability from the train-score ECDF, binomial tail
+    at the contamination threshold, flipped for predicted-normal points."""
+    train = np.asarray(train_scores, dtype=np.float64)
+    test = np.asarray(test_scores, dtype=np.float64)
+    n = train.shape[0]
+    # P(score <= s) with add-one smoothing (ExCeeD eq. 4)
+    counts = np.searchsorted(np.sort(train), test, side="right")
+    p = (1.0 + counts) / (2.0 + n)
+    conf = 1.0 - binom_cdf(np.floor(n * contamination) - 1, n, 1 - p)
+    cutoff = np.quantile(test, 1.0 - contamination)
+    predicted_anomaly = test >= cutoff
+    return np.where(predicted_anomaly, conf, 1.0 - conf)

@@ -1,0 +1,290 @@
+"""Sliding-window kernels (vectorized NumPy).
+
+Semantics match the reference implementation
+(``/root/reference/dtaianomaly/anomaly_detection/windowing_utils.py:11-399``)
+but the code is new and vectorized: the reference builds windows with a
+Python list comprehension and walks the reverse mapping with an O(n) pointer
+loop; here both are index arithmetic + prefix sums so the same kernel is fast
+enough to run inside an Arrow UDF over millions of series.
+
+Key semantic quirks reproduced exactly:
+
+* ``sliding_window`` window starts are ``range(0, n - w, stride)`` — the end
+  is *exclusive* even when ``(n - w) % stride == 0`` — plus one final
+  irregular window covering ``X[n-w:]``. (reference: windowing_utils.py:32-36)
+* ``reverse_sliding_window`` treats window ``i`` as if it started at
+  ``i * stride`` (including the irregular tail window) and averages all
+  windows covering each observation; the last ``w`` observations average
+  over *all remaining* windows. (reference: windowing_utils.py:76-99)
+* window-size selection (``fft`` / ``acf`` / ``mwf`` / ``suss``) follows the
+  public window-size-selection algorithms (Ermshaus et al. 2023) exactly as
+  the reference parameterizes them (windowing_utils.py:130-399).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Union
+
+import numpy as np
+
+VALID_AUTO_WINDOW_SIZES = ("fft", "acf", "mwf", "suss")
+
+
+def window_starts(n: int, window_size: int, stride: int) -> np.ndarray:
+    """Start offsets of every window, the irregular tail window last."""
+    if window_size > n:
+        raise ValueError(f"window_size {window_size} > series length {n}")
+    regular = np.arange(0, n - window_size, stride, dtype=np.int64)
+    return np.concatenate([regular, [n - window_size]])
+
+
+def num_windows(n: int, window_size: int, stride: int) -> int:
+    """len(range(0, n-w, stride)) regular windows + the tail window."""
+    if n - window_size <= 0:
+        return 1
+    return -((n - window_size) // -stride) + 1
+
+
+def sliding_window(X: np.ndarray, window_size: int, stride: int) -> np.ndarray:
+    """2-D window matrix, one flattened window per row.
+
+    Multivariate input is flattened time-major / attribute-minor (the
+    reference's ``X[t:t+w].ravel()``).
+    """
+    X = np.asarray(X)
+    starts = window_starts(X.shape[0], window_size, stride)
+    idx = starts[:, None] + np.arange(window_size)[None, :]
+    wins = X[idx]  # (n_win, w) or (n_win, w, d)
+    return wins.reshape(wins.shape[0], -1)
+
+
+def reverse_sliding_window(
+    per_window_scores: np.ndarray,
+    window_size: int,
+    stride: int,
+    length_time_series: int,
+) -> np.ndarray:
+    """Per-window scores -> per-observation scores (mean of covering windows).
+
+    Window ``i`` is treated as covering positions ``[i*stride, i*stride + w)``
+    — including the appended tail window — and each observation past
+    ``n - w`` averages every window from its first covering one to the end.
+    """
+    scores = np.asarray(per_window_scores, dtype=np.float64)
+    n = length_time_series
+    w, s = window_size, stride
+    n_win = scores.shape[0]
+
+    t = np.arange(n, dtype=np.int64)
+    # first covering window: smallest i with i*s + w > t
+    a = np.where(t >= w, (t - w) // s + 1, 0)
+    a = np.minimum(a, n_win)  # defensive clip
+    # one-past-last covering window: count of i with i*s <= t, capped; in the
+    # tail region every remaining window contributes
+    b = np.where(t < n - w, t // s + 1, n_win)
+    b = np.minimum(b, n_win)
+
+    csum = np.concatenate([[0.0], np.cumsum(scores)])
+    cnt = (b - a).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = (csum[b] - csum[a]) / cnt
+    return out
+
+
+def check_is_valid_window_size(window_size: Union[int, str]) -> None:
+    """Raise ValueError unless strictly-positive int or an auto-mode name."""
+    if isinstance(window_size, bool):
+        raise ValueError("The window size can not be a boolean value!")
+    if isinstance(window_size, int):
+        if window_size <= 0:
+            raise ValueError("An integer window size should be strictly positive.")
+    elif window_size not in VALID_AUTO_WINDOW_SIZES:
+        raise ValueError(f"Invalid window_size given: '{window_size}'.")
+
+
+def compute_window_size(
+    X: np.ndarray,
+    window_size: Union[int, str],
+    lower_bound: int = 10,
+    relative_lower_bound: float = 0.0,
+    upper_bound: int = 1000,
+    relative_upper_bound: float = 1.0,
+    threshold: float = 0.89,
+    default_window_size: Optional[int] = None,
+) -> int:
+    """Window-size selection dispatch (reference windowing_utils.py:130-257)."""
+    check_is_valid_window_size(window_size)
+    X = np.asarray(X)
+    if isinstance(window_size, int):
+        return window_size
+    if X.ndim > 1 and X.shape[1] > 1:
+        raise ValueError(
+            "It only makes sense to compute the window size in univariate time series."
+        )
+    x = np.asarray(X, dtype=np.float64).reshape(-1)
+
+    lb = max(lower_bound, int(relative_lower_bound * x.shape[0]))
+    ub = min(upper_bound, int(relative_upper_bound * x.shape[0]))
+
+    computed = -1
+    if not (0 <= lb < ub <= x.shape[0]):
+        computed = -1
+    elif window_size == "fft":
+        computed = dominant_fourier_frequency(x, lb, ub)
+    elif window_size == "acf":
+        computed = highest_autocorrelation(x, lb, ub)
+    elif window_size == "mwf":
+        computed = multi_window_finder(x, lb, ub)
+    elif window_size == "suss":
+        computed = suss(x, lb, threshold)
+
+    if computed == -1:
+        if default_window_size is None:
+            raise ValueError(
+                f"Could not compute a window size using '{window_size}' "
+                f"(bounds [{lb}, {ub}], series shape {X.shape})."
+            )
+        return default_window_size
+    return int(computed)
+
+
+def dominant_fourier_frequency(x: np.ndarray, lower_bound: int, upper_bound: int) -> int:
+    """w = int(1/f) of the largest-magnitude positive in-bounds Fourier coef."""
+    coefs = np.fft.fft(x)
+    freqs = np.fft.fftfreq(x.shape[0], 1.0)
+    pos = (freqs > 0) & (coefs != 0)
+    if not pos.any():
+        return -1
+    cand_w = (1.0 / freqs[pos]).astype(np.int64)
+    mags = np.abs(coefs[pos])
+    in_bounds = (cand_w >= lower_bound) & (cand_w <= upper_bound)
+    if not in_bounds.any():
+        return -1
+    cand_w, mags = cand_w[in_bounds], mags[in_bounds]
+    return int(cand_w[np.argmax(mags)])
+
+
+def acf(x: np.ndarray, nlags: int) -> np.ndarray:
+    """FFT-based autocorrelation, statsmodels ``acf(x, fft=True)`` semantics:
+    demean, biased autocovariance via the convolution theorem, normalized by
+    lag-0."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    xd = x - x.mean()
+    # next fast length >= 2n (power of two is fine without scipy)
+    nfft = 1 << int(math.ceil(math.log2(2 * n)))
+    f = np.fft.rfft(xd, nfft)
+    acov = np.fft.irfft(f * np.conjugate(f), nfft)[: nlags + 1] / n
+    if acov[0] == 0:
+        return np.full(nlags + 1, np.nan)
+    return acov / acov[0]
+
+
+def find_peaks_simple(values: np.ndarray) -> np.ndarray:
+    """Local maxima with scipy.signal.find_peaks default semantics:
+    a sample strictly greater than both neighbors; flat peaks report the
+    midpoint ``(left_edge + right_edge) // 2``."""
+    v = np.asarray(values, dtype=np.float64)
+    peaks = []
+    i, n = 1, v.shape[0]
+    while i < n - 1:
+        if v[i] > v[i - 1]:
+            # scan over a possible plateau
+            j = i
+            while j < n - 1 and v[j + 1] == v[i]:
+                j += 1
+            if j < n - 1 and v[j + 1] < v[i]:
+                peaks.append((i + j) // 2)
+            i = j + 1
+        else:
+            i += 1
+    return np.asarray(peaks, dtype=np.int64)
+
+
+def highest_autocorrelation(x: np.ndarray, lower_bound: int, upper_bound: int) -> int:
+    """Lag of the highest in-bounds ACF peak (bounds: lb <= lag < ub)."""
+    values = acf(x, nlags=int(x.shape[0] / 2))
+    peaks = find_peaks_simple(values)
+    peaks = peaks[(peaks >= lower_bound) & (peaks < upper_bound)]
+    if peaks.shape[0] == 0:
+        return -1
+    return int(peaks[np.argmax(values[peaks])])
+
+
+def multi_window_finder(x: np.ndarray, lower_bound: int, upper_bound: int) -> int:
+    """Multi-Window-Finder (Imani & Keogh 2021): log moving-average residual
+    per candidate w, average of the first three local minima / their rank."""
+    x = np.asarray(x, dtype=np.float64)
+    csum = np.concatenate([[0.0], np.cumsum(x)])
+    sizes = np.arange(lower_bound, upper_bound, dtype=np.int64)
+    if sizes.shape[0] == 0:
+        return -1
+    # all moving means truncated to the shortest (largest-w) length
+    shortest = x.shape[0] - sizes[-1] + 1
+    residuals = np.empty(sizes.shape[0])
+    for k, w in enumerate(sizes):
+        mm = (csum[w:] - csum[:-w]) / w
+        mm = mm[:shortest]
+        residuals[k] = np.log(np.abs(mm - mm.mean()).sum())
+    local_min = (np.diff(np.sign(np.diff(residuals))) > 0).nonzero()[0] + 1
+    if local_min.shape[0] == 0:
+        return -1
+    if local_min.shape[0] < 3:
+        return int(sizes[local_min[0]])
+    return int(np.mean([sizes[local_min[i]] / (i + 1) for i in range(3)]))
+
+
+def suss(x: np.ndarray, lower_bound: int, threshold: float) -> int:
+    """Summary-Statistics-Subsequence window size (Ermshaus et al., ClaSP).
+
+    Min-max normalize, then exponential + binary search for the smallest w
+    whose windowed (mean, std, range) stats are within ``threshold`` of the
+    global stats; returns ``2 * lbound``.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if x.max() > x.min():
+        x = (x - x.min()) / (x.max() - x.min())
+
+    g_mean, g_std = x.mean(), x.std()
+    g_range = x.max() - x.min()
+
+    def score(w: int) -> float:
+        wins = np.lib.stride_tricks.sliding_window_view(x, w)
+        d_mean = wins.mean(axis=1) - g_mean
+        d_std = wins.std(axis=1) - g_std
+        d_rng = (wins.max(axis=1) - wins.min(axis=1)) - g_range
+        dist = np.sqrt(d_mean**2 + d_std**2 + d_rng**2) / math.sqrt(w)
+        return float(dist.mean())
+
+    s_max = score(1)
+    s_min = score(x.shape[0] - 1)
+    if s_min == s_max:
+        return -1
+
+    def norm_score(w: int) -> float:
+        return 1 - (score(w) - s_min) / (s_max - s_min)
+
+    exp = 0
+    while True:
+        w = 2**exp
+        if w < lower_bound:
+            exp += 1
+            continue
+        if norm_score(w) > threshold:
+            break
+        exp += 1
+
+    lo = max(lower_bound, 2 ** (exp - 1))
+    hi = min(2**exp + 1, x.shape[0] - 1)
+    while lo <= hi:
+        w = int((lo + hi) / 2)
+        sc = norm_score(w)
+        if sc < threshold:
+            lo = w + 1
+        elif sc > threshold:
+            hi = w - 1
+        else:
+            lo = w
+            break
+    return 2 * lo

@@ -1,0 +1,157 @@
+"""Golden tests for the windowing kernels.
+
+Inputs and expected values reproduce the reference's own unit tests
+(/root/reference/tests/anomaly_detection/test_windowing_utils.py) so the
+engine's window semantics byte-match the reference, including the irregular
+tail window and its reverse mapping.
+"""
+
+import numpy as np
+import pytest
+
+from dtaianomaly_spark.kernels import windowing as W
+from tests.conftest import make_demonstration_time_series
+
+
+class TestSlidingWindow:
+    def test_stride1_odd_w(self):
+        wins = W.sliding_window(np.arange(10), 3, 1)
+        assert wins.shape == (8, 3)
+        assert np.array_equal(wins[0], [0, 1, 2])
+        assert np.array_equal(wins[7], [7, 8, 9])
+
+    def test_stride1_even_w(self):
+        wins = W.sliding_window(np.arange(10), 4, 1)
+        assert wins.shape == (7, 4)
+        assert np.array_equal(wins[6], [6, 7, 8, 9])
+
+    def test_nice_fit(self):
+        wins = W.sliding_window(np.arange(11), 3, 2)
+        assert wins.shape == (5, 3)
+        assert np.array_equal(wins, [[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8], [8, 9, 10]])
+
+    def test_not_nice_fit(self):
+        wins = W.sliding_window(np.arange(10), 3, 2)
+        assert wins.shape == (5, 3)
+        # tail window overlaps irregularly
+        assert np.array_equal(wins, [[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8], [7, 8, 9]])
+
+    def test_large_stride(self):
+        wins = W.sliding_window(np.arange(20), 6, 4)
+        assert wins.shape == (5, 6)
+        assert np.array_equal(wins[3], [12, 13, 14, 15, 16, 17])
+        assert np.array_equal(wins[4], [14, 15, 16, 17, 18, 19])
+
+    def test_multivariate_interleave(self):
+        x = np.array([np.arange(10), np.arange(10) * 10]).T
+        wins = W.sliding_window(x, 3, 1)
+        assert wins.shape == (8, 6)
+        assert np.array_equal(wins[0], [0, 0, 1, 10, 2, 20])
+        assert np.array_equal(wins[7], [7, 70, 8, 80, 9, 90])
+
+    def test_multivariate_not_nice_fit(self):
+        x = np.array([np.arange(10), np.arange(10) * 10]).T
+        wins = W.sliding_window(x, 3, 2)
+        assert np.array_equal(wins[4], [7, 70, 8, 80, 9, 90])
+
+    def test_num_windows_matches(self):
+        for n, w, s in [(10, 3, 1), (10, 4, 1), (11, 3, 2), (10, 3, 2), (20, 6, 4),
+                        (10, 1, 1), (15, 3, 3), (10, 10, 1), (100, 7, 13)]:
+            assert W.num_windows(n, w, s) == W.sliding_window(np.arange(n), w, s).shape[0]
+
+
+class TestReverseSlidingWindow:
+    def test_window_size_1(self):
+        out = W.reverse_sliding_window(np.arange(10), 1, 1, 10)
+        assert np.array_equal(out, np.arange(10))
+
+    def test_stride_1(self):
+        out = W.reverse_sliding_window(np.arange(8), 3, 1, 10)
+        assert np.array_equal(out, [0, 0.5, 1, 2, 3, 4, 5, 6, 6.5, 7])
+
+    def test_stride_1_bigger_numbers(self):
+        out = W.reverse_sliding_window(2 ** np.arange(8), 3, 1, 10)
+        expected = [1, 1.5, 7 / 3, 14 / 3, 28 / 3, 56 / 3, 112 / 3, 224 / 3, 96, 128]
+        assert out == pytest.approx(expected)
+
+    def test_nice_fit(self):
+        out = W.reverse_sliding_window(np.arange(5), 3, 2, 11)
+        assert np.array_equal(out, [0, 0, 0.5, 1, 1.5, 2, 2.5, 3, 3.5, 4, 4])
+
+    def test_not_nice_fit(self):
+        out = W.reverse_sliding_window(np.arange(5), 3, 2, 10)
+        assert np.array_equal(out, [0, 0, 0.5, 1, 1.5, 2, 2.5, 3.5, 3.5, 4])
+
+    def test_non_overlapping(self):
+        out = W.reverse_sliding_window(np.arange(5), 3, 3, 15)
+        assert np.array_equal(out, np.repeat(np.arange(5), 3))
+
+
+class TestCheckIsValidWindowSize:
+    def test_valid(self):
+        for i in range(1, 100):
+            W.check_is_valid_window_size(i)
+        for s in ["fft", "acf", "mwf", "suss"]:
+            W.check_is_valid_window_size(s)
+
+    @pytest.mark.parametrize("bad", [-10, -1, 0, "nope", 1.0, True, False])
+    def test_invalid(self, bad):
+        with pytest.raises(ValueError):
+            W.check_is_valid_window_size(bad)
+
+
+class TestComputeWindowSize:
+    def test_integer_passthrough(self):
+        for i in range(1, 100):
+            assert W.compute_window_size(np.array([1, 2, 3]), i) == i
+
+    def test_multivariate_int_ok_auto_fails(self):
+        X = np.random.default_rng(0).normal(size=(500, 3))
+        assert W.compute_window_size(X, 16) == 16
+        with pytest.raises(ValueError):
+            W.compute_window_size(X, "fft")
+
+    @pytest.mark.parametrize("nb_periods", [5, 10])
+    def test_fft_simple(self, nb_periods):
+        X = np.sin(np.linspace(0, nb_periods * 2 * np.pi, 5000))
+        assert W.compute_window_size(X, "fft") == 5000 / nb_periods
+
+    @pytest.mark.parametrize("period_size", [25, 42])
+    @pytest.mark.parametrize("nb_periods", [5, 10])
+    def test_acf_simple(self, period_size, nb_periods):
+        rng = np.random.default_rng(42)
+        X = np.tile(rng.uniform(size=period_size), nb_periods)
+        assert W.compute_window_size(X, "acf") == period_size
+
+    def test_mwf_three_periods(self):
+        X = np.sin(np.linspace(0, 1.5 * 2 * np.pi, 500))
+        assert W.compute_window_size(X, "mwf", upper_bound=500) == pytest.approx(500 // 3, abs=5)
+
+    def test_suss_exact_threshold(self):
+        X, _ = make_demonstration_time_series()
+        assert W.compute_window_size(X, "suss", threshold=0.9437091537824681) == 104
+
+    @pytest.mark.parametrize("mode", ["fft", "acf", "mwf", "suss"])
+    def test_demonstration_series(self, mode):
+        X, _ = make_demonstration_time_series()
+        assert W.compute_window_size(X, mode, threshold=0.95) == pytest.approx(1400 / 12.5, abs=10)
+
+    @pytest.mark.parametrize("mode", ["fft", "acf", "mwf", "suss"])
+    def test_flat_series(self, mode):
+        flat = np.ones(1000)
+        with pytest.raises(ValueError):
+            W.compute_window_size(flat, mode)
+        assert W.compute_window_size(flat, mode, default_window_size=16) == 16
+
+    @pytest.mark.parametrize("mode", ["fft", "acf", "mwf", "suss"])
+    def test_invalid_bounds_default(self, mode, univariate_time_series):
+        x = univariate_time_series
+        assert (
+            W.compute_window_size(
+                x, mode,
+                lower_bound=x.shape[0] // 2,
+                upper_bound=x.shape[0] // 3,
+                default_window_size=16,
+            )
+            == 16
+        )
