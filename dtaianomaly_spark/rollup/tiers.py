@@ -1,0 +1,216 @@
+"""Tiered continuous aggregates: raw -> 1m -> 1h.
+
+Position index = time tick. Retention tiers are hierarchical tumbling
+buckets so higher tiers compose *exactly* from lower-tier partials
+(partial+final aggregation — the integer sums/counts/min/max/first/last
+re-aggregate without float error):
+
+    raw  bucket = 16 ticks       (the reference's windowed-stat window,
+                                  cf. sliding_window w=16/stride=16)
+    1m   bucket = 60 raw  = 960 ticks
+    1h   bucket = 60 x 1m = 57 600 ticks
+
+Two physical strategies, same semantics:
+
+* :func:`rollup_tiers_map` — the 100-TB path. Each series is one row
+  (``tokens array<int>``), so all three tiers are computed inside one
+  Arrow ``mapInPandas`` pass: **zero shuffle**, map-only, embarrassingly
+  parallel across executors; the kernel is the same NumPy code the pytest
+  oracle runs (kernels/stats.py).
+
+* :func:`rollup_relational` — pure DataFrame ops over the exploded long
+  form: ``groupBy(doc_id, pos div bucket)`` hash aggregate (Catalyst gives
+  partial+final map-side combine). Used by the DuckDB-oracle correctness
+  queries and wherever the data already lives in long form.
+
+Float stats (mean, population std) derive from the exact integer partials
+with ONE formula shared by the kernel, the Spark SQL expression and the
+DuckDB oracle — identical IEEE-754 operation sequence, hence byte-equal:
+
+    mean = sum / count
+    std  = sqrt(max(sumsq / count - mean * mean, 0))
+
+The reference's windowed aggregates these tiers must match are the
+per-window stats its detectors consume (e.g. SUSS local stats,
+windowing_utils.py:340-346; MedianMethod neighborhoods,
+MedianMethod.py:99-106), reproduced by kernels/stats.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from dtaianomaly_spark.kernels import stats as K
+
+RAW_BUCKET_TICKS = 16
+M1_FACTOR = 60   # raw buckets per 1m bucket
+H1_FACTOR = 60   # 1m buckets per 1h bucket
+
+TIERS = ("raw", "1m", "1h")
+TIER_TICKS = {
+    "raw": RAW_BUCKET_TICKS,
+    "1m": RAW_BUCKET_TICKS * M1_FACTOR,
+    "1h": RAW_BUCKET_TICKS * M1_FACTOR * H1_FACTOR,
+}
+
+ROLLUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("tier", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("sum", LongType(), False),
+        StructField("sumsq", LongType(), False),
+        StructField("min", LongType(), True),
+        StructField("max", LongType(), True),
+        StructField("first", LongType(), True),
+        StructField("last", LongType(), True),
+        StructField("mean", DoubleType(), True),
+        StructField("std", DoubleType(), True),
+    ]
+)
+
+
+def rollup_series(tokens: np.ndarray) -> dict:
+    """All-tier rollup of one series via the shared kernels; the pytest
+    oracle calls exactly this."""
+    raw = K.tumbling_stats(tokens, RAW_BUCKET_TICKS)
+    n_raw = raw["count"].shape[0]
+    n_1m = -(n_raw // -M1_FACTOR) if n_raw else 0
+    m1 = K.merge_stats(raw, np.arange(n_raw) // M1_FACTOR, n_1m)
+    n_1h = -(n_1m // -H1_FACTOR) if n_1m else 0
+    h1 = K.merge_stats(m1, np.arange(n_1m) // H1_FACTOR, n_1h)
+    return {"raw": raw, "1m": m1, "1h": h1}
+
+
+def _tier_frame(doc_id: str, tier: str, st: dict) -> pd.DataFrame:
+    mean, std = K.derive_mean_std(st["count"], st["sum"], st["sumsq"])
+    n = st["count"].shape[0]
+    return pd.DataFrame(
+        {
+            "doc_id": np.repeat(doc_id, n),
+            "tier": np.repeat(tier, n),
+            "bucket": np.arange(n, dtype=np.int64),
+            "cnt": st["count"],
+            "sum": st["sum"],
+            "sumsq": st["sumsq"],
+            "min": st["min"],
+            "max": st["max"],
+            "first": st["first"],
+            "last": st["last"],
+            "mean": mean,
+            "std": std,
+        }
+    )
+
+
+def rollup_tiers_map(corpus: DataFrame, tiers=TIERS) -> DataFrame:
+    """Zero-shuffle all-tier rollup: one Arrow pass over per-row token
+    arrays. Scales linearly with executors — no wide dependency anywhere."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                stats = rollup_series(np.asarray(tokens, dtype=np.int64))
+                for tier in tiers:
+                    out.append(_tier_frame(doc_id, tier, stats[tier]))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return corpus.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, ROLLUP_SCHEMA)
+
+
+DERIVE_MEAN_SQL = "CAST(sum AS DOUBLE) / cnt"
+DERIVE_STD_SQL = (
+    "sqrt(greatest(CAST(sumsq AS DOUBLE) / cnt "
+    "- (CAST(sum AS DOUBLE) / cnt) * (CAST(sum AS DOUBLE) / cnt), 0.0))"
+)
+
+
+def rollup_relational(long_form: DataFrame, bucket_ticks: int, tier: str) -> DataFrame:
+    """Hash-aggregate rollup over long form (doc_id, pos, value). Catalyst
+    plans partial+final aggregation; integer partials keep it exact."""
+    by_bucket = (
+        long_form
+        .withColumn("bucket", (F.col("pos") / bucket_ticks).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min_by("value", "pos").alias("first"),
+            F.max_by("value", "pos").alias("last"),
+        )
+    )
+    return by_bucket.select(
+        "doc_id",
+        F.lit(tier).alias("tier"),
+        "bucket", "cnt", "sum", "sumsq", "min", "max", "first", "last",
+        F.expr(DERIVE_MEAN_SQL).alias("mean"),
+        F.expr(DERIVE_STD_SQL).alias("std"),
+    )
+
+
+def compose_tier(lower: DataFrame, factor: int, tier: str) -> DataFrame:
+    """Exact partial+final composition of a higher tier from a lower one
+    (relational form of kernels.stats.merge_stats)."""
+    comp = (
+        lower
+        .withColumn("parent", (F.col("bucket") / factor).cast("long"))
+        .groupBy("doc_id", "parent")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.sum("sumsq").alias("sumsq"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", "bucket").alias("first"),
+            F.max_by("last", "bucket").alias("last"),
+        )
+        .withColumnRenamed("parent", "bucket")
+    )
+    return comp.select(
+        "doc_id",
+        F.lit(tier).alias("tier"),
+        "bucket", "cnt", "sum", "sumsq", "min", "max", "first", "last",
+        F.expr(DERIVE_MEAN_SQL).alias("mean"),
+        F.expr(DERIVE_STD_SQL).alias("std"),
+    )
+
+
+def gap_fill(rollup: DataFrame, series_n: DataFrame, bucket_ticks: int) -> DataFrame:
+    """Left-join the expected bucket grid (0 .. ceil(n/bucket)-1 per series)
+    against observed buckets; missing buckets materialize with cnt = 0 and
+    NULL stats. ``series_n`` is (doc_id, n). The grid side is generated with
+    sequence()+explode — no data shuffle beyond the join itself, and the
+    join key (doc_id, bucket) is co-partitioned with the rollup output."""
+    grid = series_n.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("n") / bucket_ticks).cast("long") - 1)
+        ).alias("bucket"),
+    )
+    return (
+        grid.join(rollup, ["doc_id", "bucket"], "left")
+        .select(
+            "doc_id",
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.coalesce(F.col("sum"), F.lit(0)).alias("sum"),
+            F.coalesce(F.col("sumsq"), F.lit(0)).alias("sumsq"),
+            "min", "max", "first", "last", "mean", "std",
+        )
+    )
