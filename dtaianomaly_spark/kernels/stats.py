@@ -103,6 +103,56 @@ def merge_stats(parts: Dict[str, np.ndarray], group_ids: np.ndarray, n_groups: i
     }
 
 
+def contiguous_stats(values: np.ndarray, starts: np.ndarray) -> Dict[str, np.ndarray]:
+    """Stats over *contiguous, non-empty* bucket ranges: bucket ``k`` spans
+    ``values[starts[k] : starts[k+1]]`` (last bucket runs to the end).
+
+    This is the hot-path variant of :func:`bucket_stats` for dense tumbling
+    windows (the map rollup): ``np.add.reduceat`` keeps accumulation in
+    **exact int64** (no float64 round-trip, valid beyond 2**53) and touches
+    each value once per statistic. Requires every bucket non-empty — true
+    for tumbling buckets over dense position grids."""
+    v = np.ascontiguousarray(values)
+    if v.dtype.kind not in "iu":
+        v = v.astype(np.int64)
+    s = np.asarray(starts, dtype=np.intp)
+    n = v.shape[0]
+    ends = np.empty_like(s)
+    ends[:-1] = s[1:]
+    ends[-1] = n
+    # dtype=int64 makes reduceat *accumulate* in int64 while *reading* the
+    # native (int32) buffer — exact sums at half the memory traffic
+    sq = np.multiply(v, v, dtype=np.int64)
+    return {
+        "count": (ends - s).astype(np.int64),
+        "sum": np.add.reduceat(v, s, dtype=np.int64),
+        "sumsq": np.add.reduceat(sq, s),
+        "min": np.minimum.reduceat(v, s).astype(np.int64),
+        "max": np.maximum.reduceat(v, s).astype(np.int64),
+        "first": v[s].astype(np.int64),
+        "last": v[ends - 1].astype(np.int64),
+    }
+
+
+def merge_contiguous(parts: Dict[str, np.ndarray], starts: np.ndarray) -> Dict[str, np.ndarray]:
+    """Compose contiguous non-empty lower-tier partials into a higher tier
+    (exact-int64 counterpart of :func:`merge_stats` for the dense path)."""
+    s = np.asarray(starts, dtype=np.intp)
+    n = parts["count"].shape[0]
+    ends = np.empty_like(s)
+    ends[:-1] = s[1:]
+    ends[-1] = n
+    return {
+        "count": np.add.reduceat(parts["count"], s),
+        "sum": np.add.reduceat(parts["sum"], s),
+        "sumsq": np.add.reduceat(parts["sumsq"], s),
+        "min": np.minimum.reduceat(parts["min"], s),
+        "max": np.maximum.reduceat(parts["max"], s),
+        "first": parts["first"][s],
+        "last": parts["last"][ends - 1],
+    }
+
+
 def derive_mean_std(count: np.ndarray, total: np.ndarray, sumsq: np.ndarray):
     """The one shared float derivation: mean and population std from exact
     integer partials. Empty buckets -> NaN."""

@@ -145,12 +145,24 @@ def token_value_expr(doc_id="doc_id", pos="pos"):
 
 
 def documents_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n) — the derived series length per document."""
+    """(doc_id, n) — the derived series length per document.
+
+    The documents parquet is small (one file ⇒ one input split), but
+    everything derived from it — sequence()+explode to ~1k positions per
+    doc, the Arrow rollup kernel — multiplies the work by 3 orders of
+    magnitude. Repartitioning the *tiny* series frame up-front costs a
+    negligible shuffle and makes every downstream stage executor-parallel;
+    at 100 TB the source table has thousands of splits and this becomes a
+    no-op (Spark never coalesces below input splits)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select(
+    series = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         (F.lit(64) + (F.col("n_chars") * 13) % 1985).cast("int").alias("n"),
     )
+    target = spark.sparkContext.defaultParallelism * 2
+    if series.rdd.getNumPartitions() < target:
+        series = series.repartition(target, "doc_id")
+    return series
 
 
 def token_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
