@@ -1,0 +1,264 @@
+"""Preprocessor operators as DataFrame transforms over long-form series.
+
+Input contract: a long-form DataFrame ``(doc_id, pos, value, ...)`` with
+integer ``value`` (token) and dense per-series positions ``0..n-1``. Each
+operator returns a long-form result whose float columns derive from exact
+integer partials via ONE shared formula, so the DuckDB oracle in
+``__spark_entry__`` byte-matches.
+
+Reference semantics (citations into /root/reference/):
+* StandardScaler — per-attribute nanmean / population nanstd
+  (preprocessing/StandardScaler.py:50-87); here "per attribute" of one
+  series == per ``doc_id`` group.
+* MinMaxScaler — preprocessing/MinMaxScaler.py:41-72 (constant series map
+  to (0,1) i.e. pass through shifted — we keep the raw-x fallback).
+* RobustScaler — exact linear-interpolation percentiles
+  (preprocessing/RobustScaler.py:92-121), NaN fallback to raw x.
+* MovingAverage — centered window, edges average fewer samples
+  (preprocessing/MovingAverage.py:38-60).
+* Differencing — preprocessing/Differencing.py:50-57 (first ``m`` outputs
+  0 via self-prepend).
+* UnderSampler — preprocessing/UnderSampler.py:33-78.
+* PiecewiseAggregateApproximation —
+  preprocessing/PiecewiseAggregateApproximation.py:55-70; the linspace
+  frame boundary ``b_k = floor(k*n/f)`` inverts to
+  ``frame(pos) = floor(((pos+1)*f - 1) / n)`` (integer-exact).
+* ExponentialMovingAverage — preprocessing/ExponentialMovingAverage.py:39-47;
+  inherently sequential → Arrow kernel over per-series arrays.
+
+Scale notes: every per-series fit is a hash aggregate on ``doc_id`` (one
+shuffle of tiny stat rows), joined back broadcast-style; Catalyst plans
+partial+final aggregation and prunes columns. Moving ops are window
+functions over ``(doc_id, pos)`` — one shuffle shared by any stacked
+window op on the same key (Spark reuses the partitioning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared float-derivation SQL (identical text runs in Spark and DuckDB).
+MEAN_SQL = "CAST(sum AS DOUBLE) / cnt"
+STD_SQL = (
+    "sqrt(greatest(CAST(sumsq AS DOUBLE) / cnt "
+    "- (CAST(sum AS DOUBLE) / cnt) * (CAST(sum AS DOUBLE) / cnt), 0.0))"
+)
+
+
+def _series_int_stats(long_form: DataFrame) -> DataFrame:
+    """Per-series exact integer partials (cnt, sum, sumsq, min, max)."""
+    return long_form.groupBy("doc_id").agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    )
+
+
+def standard_scale(long_form: DataFrame, min_std: float = 1e-9) -> DataFrame:
+    """Z-normalize each series; series with population std < min_std pass
+    through unchanged. (StandardScaler.py:68-87)"""
+    stats = _series_int_stats(long_form).select(
+        "doc_id",
+        F.expr(MEAN_SQL).alias("mean"),
+        F.expr(STD_SQL).alias("std"),
+    )
+    return (
+        long_form.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                f"CASE WHEN std < {min_std!r} THEN CAST(value AS DOUBLE) "
+                "ELSE (CAST(value AS DOUBLE) - mean) / std END"
+            ).alias("out"),
+        )
+    )
+
+
+def minmax_scale(long_form: DataFrame) -> DataFrame:
+    """(x - min) / (max - min) per series; constant series pass through
+    raw (reference maps constant attrs to bounds (0,1), i.e. out = x - 0
+    over 1). (MinMaxScaler.py:41-72)"""
+    stats = _series_int_stats(long_form).select("doc_id", "min", "max")
+    return (
+        long_form.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "CASE WHEN min = max THEN CAST(value AS DOUBLE) "
+                "ELSE CAST(value - min AS DOUBLE) / CAST(max - min AS DOUBLE) END"
+            ).alias("out"),
+        )
+    )
+
+
+def robust_scale(
+    long_form: DataFrame, q_lo: float = 0.25, q_hi: float = 0.75
+) -> DataFrame:
+    """(x - median) / (q_hi - q_lo) per series with EXACT linear-interp
+    percentiles (never percentile_approx — byte-match requires exact);
+    zero-IQR series fall back to raw x. (RobustScaler.py:92-121)"""
+    stats = long_form.groupBy("doc_id").agg(
+        F.expr(f"percentile(value, {q_lo!r})").alias("qlo"),
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr(f"percentile(value, {q_hi!r})").alias("qhi"),
+    )
+    return (
+        long_form.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "CASE WHEN qhi - qlo = 0.0 THEN CAST(value AS DOUBLE) "
+                "ELSE (CAST(value AS DOUBLE) - med) / (qhi - qlo) END"
+            ).alias("out"),
+        )
+    )
+
+
+def moving_average(long_form: DataFrame, window_size: int) -> DataFrame:
+    """Centered moving mean, window ``w``: frame [-(w//2), w-1-(w//2)]
+    around each position; edges average fewer samples (the reference pads
+    NaN and nanmeans — Spark's frame clipping at series edges is the same
+    thing). Exact: integer window sums / counts. (MovingAverage.py:38-60)"""
+    w = window_size
+    front = w // 2
+    back = w - 1 - front
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-front, back)
+    return long_form.select(
+        "doc_id",
+        "pos",
+        F.sum("value").over(win).alias("sum"),
+        F.count("value").over(win).alias("cnt"),
+    ).select("doc_id", "pos", F.expr(MEAN_SQL).alias("out"))
+
+
+def differencing(long_form: DataFrame, order: int, window_size: int = 1) -> DataFrame:
+    """Seasonal differencing ``order`` times; first ``m`` outputs of each
+    pass are 0 (reference self-prepend trick ≡ coalesce(lag) with the
+    value itself). Integer-exact. (Differencing.py:50-57)"""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    df = long_form.select("doc_id", "pos", F.col("value").cast("long").alias("out"))
+    for _ in range(order):
+        df = df.select(
+            "doc_id",
+            "pos",
+            (F.col("out") - F.coalesce(F.lag("out", window_size).over(w), F.col("out"))).alias("out"),
+        )
+    return df
+
+
+def undersample_rate(long_form: DataFrame, k: int) -> DataFrame:
+    """Every k-th sample, renumbered to a dense position grid.
+    (UnderSampler.py:33-42)"""
+    return long_form.filter(F.col("pos") % k == 0).select(
+        "doc_id", (F.col("pos") / k).cast("long").alias("pos"), "value"
+    )
+
+
+def undersample_nb(long_form: DataFrame, nb_samples: int) -> DataFrame:
+    """Keep exactly m samples at the ``np.linspace(0, n-1, m, dtype=int)``
+    integer grid; identity when m >= n. (UnderSampler.py:70-78)
+
+    linspace truncates ``k * step`` where ``step`` is the ROUNDED double
+    ``(n-1)/(m-1)`` and then forces the endpoint to ``n-1`` — the SQL below
+    reproduces that op order exactly (divide first, multiply, floor), which
+    differs from ``floor(k*(n-1)/(m-1))`` for ~2% of lengths.
+
+    The index set is generated from the per-series length and
+    semi-joined — positions not on the grid never leave the scan once
+    Catalyst pushes the join. Duplicated indices (short series) collapse:
+    reference keeps duplicates, but m < n in engine use."""
+    m = nb_samples
+    series = long_form.select("doc_id", "n").distinct()
+    idx = series.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("k"),
+        "n",
+    ).select(
+        "doc_id",
+        "k",
+        F.expr(
+            f"CASE WHEN n <= {m} THEN k "
+            f"WHEN k = {m} - 1 THEN CAST(n - 1 AS BIGINT) "
+            f"ELSE CAST(floor(k * (CAST(n - 1 AS DOUBLE) / ({m} - 1))) AS BIGINT) END"
+        ).alias("pos"),
+    )
+    # k >= n under the identity branch yields pos >= n, which simply finds
+    # no partner in the join — no explicit filter needed
+    return (
+        idx.join(long_form, ["doc_id", "pos"])
+        .select("doc_id", F.col("k").cast("long").alias("pos"), "value")
+    )
+
+
+def paa(long_form: DataFrame, n_frames: int) -> DataFrame:
+    """PAA downsample to ``n_frames`` frames per series: frame of pos =
+    floor(((pos+1)*f - 1) / n) under linspace boundaries; frame value =
+    exact mean. Series with n <= f pass through (frame = pos).
+    (PiecewiseAggregateApproximation.py:55-70)
+
+    This is precisely the rollup's bucket aggregate with data-dependent
+    bucket edges — same partial+final hash aggregate, same scale path."""
+    f = n_frames
+    framed = long_form.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN n <= {f} THEN pos "
+            f"ELSE CAST(((pos + 1) * {f} - 1) DIV n AS BIGINT) END"
+        ).alias("frame"),
+        "value",
+    )
+    agg = framed.groupBy("doc_id", "frame").agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+    )
+    return agg.select("doc_id", "frame", "cnt", "sum", F.expr(MEAN_SQL).alias("out"))
+
+
+def ema(arrays: DataFrame, alpha: float) -> DataFrame:
+    """Exponential moving average per series — inherently sequential, so
+    it runs as the shared NumPy kernel (log2(n) affine-scan) inside one
+    Arrow pass over per-row token arrays; long-form output.
+    (ExponentialMovingAverage.py:39-47)"""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from dtaianomaly_spark.kernels import preprocessing as P
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("pos", LongType(), False),
+            StructField("out", DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            doc_ids, poss, outs = [], [], []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                y = P.exponential_moving_average(x, alpha)
+                doc_ids.append(np.repeat(doc_id, x.shape[0]))
+                poss.append(np.arange(x.shape[0], dtype=np.int64))
+                outs.append(y)
+            if doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_ids),
+                        "pos": np.concatenate(poss),
+                        "out": np.concatenate(outs),
+                    }
+                )
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)

@@ -1,0 +1,166 @@
+"""Sliding-window operators: the windows every reference detector consumes.
+
+Reference semantics (citations into /root/reference/):
+* sliding_window — anomaly_detection/windowing_utils.py:11-37. Window
+  starts are ``range(0, n-w, stride)`` PLUS one irregular tail window at
+  ``n-w`` (it may overlap the previous one); ``num_windows =
+  ceil((n-w)/stride) + 1`` for n > w, else 1.
+* reverse_sliding_window — windowing_utils.py:40-99. Per-observation score
+  = mean of all covering windows; observations in the tail region
+  (pos >= n-w) average every window from their first covering one to the
+  last.
+* compute_window_size — windowing_utils.py:130-257 (fft/acf/mwf/suss) —
+  per-series scalar, Arrow kernel.
+
+Physical strategy: per-window statistics are computed with array
+higher-order functions (``slice`` + ``aggregate``) directly over the
+per-row token arrays — JVM-side, whole-stage-codegen'd, ZERO shuffle; the
+window grid is generated per row with ``sequence``. The reverse mapping is
+relational: a prefix-sum over window scores plus two co-partitioned joins
+(all keyed on doc_id — one shuffle reused across the three steps).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MEAN_SQL = "CAST(sum AS DOUBLE) / cnt"
+STD_SQL = (
+    "sqrt(greatest(CAST(sumsq AS DOUBLE) / cnt "
+    "- (CAST(sum AS DOUBLE) / cnt) * (CAST(sum AS DOUBLE) / cnt), 0.0))"
+)
+
+NUM_WINDOWS_SQL = (
+    "CASE WHEN n_tok <= {w} THEN CAST(1 AS BIGINT) "
+    "ELSE (n_tok - {w} + {s} - 1) DIV {s} + 1 END"
+)
+START_SQL = (
+    "CASE WHEN idx = nw - 1 THEN n_tok - {w} ELSE idx * {s} END"
+)
+
+
+def sliding_stats(arrays: DataFrame, window_size: int, stride: int) -> DataFrame:
+    """Per-window integer stats over every series, tail rule included.
+
+    One row per (series, window); everything stays inside the row's token
+    array via HOFs — no explode of positions, no shuffle."""
+    w, s = window_size, stride
+    nw = NUM_WINDOWS_SQL.format(w=w, s=s)
+    start = START_SQL.format(w=w, s=s)
+    return (
+        arrays.select(
+            "doc_id", "tokens", "n_tok", F.expr(nw).alias("nw")
+        )
+        .select(
+            "doc_id", "tokens", "n_tok", "nw",
+            F.explode(F.expr("sequence(CAST(0 AS BIGINT), nw - 1)")).alias("idx"),
+        )
+        .select(
+            "doc_id", "idx",
+            F.expr(start).alias("start"),
+            F.expr(f"slice(tokens, {start} + 1, {w})").alias("win"),
+        )
+        .select(
+            "doc_id", "idx", "start",
+            F.expr("CAST(size(win) AS BIGINT)").alias("cnt"),
+            F.expr(
+                "aggregate(win, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("sum"),
+            F.expr(
+                "aggregate(win, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT) * x)"
+            ).alias("sumsq"),
+            F.expr("CAST(array_min(win) AS BIGINT)").alias("min"),
+            F.expr("CAST(array_max(win) AS BIGINT)").alias("max"),
+        )
+        .select(
+            "doc_id", "idx", "start", "cnt", "sum", "sumsq", "min", "max",
+            F.expr(MEAN_SQL).alias("mean"),
+            F.expr(STD_SQL).alias("std"),
+        )
+    )
+
+
+def reverse_scores(
+    win_scores: DataFrame, series_n: DataFrame, window_size: int, stride: int
+) -> DataFrame:
+    """Per-window integer scores -> per-observation mean of covering
+    windows (windowing_utils.py:40-99 semantics incl. the tail rule).
+
+    ``win_scores``: (doc_id, idx, score) with integer score.
+    ``series_n``: (doc_id, n) series lengths.
+
+    Prefix sums over window index turn "mean of windows a..b-1" into
+    ``(cum[b] - cum[a]) / (b - a)`` — two broadcast-sized joins instead of
+    exploding every window over every covered position (w/stride ×
+    amplification avoided)."""
+    w, s = window_size, stride
+    wcum = Window.partitionBy("doc_id").orderBy("idx")
+    cum = win_scores.select(
+        "doc_id", "idx",
+        F.sum("score").over(wcum).alias("cs"),  # cum[idx+1] in kernel terms
+    )
+    nwin = win_scores.groupBy("doc_id").agg(F.max("idx").alias("max_idx"))
+
+    pos = series_n.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos"),
+        "n",
+    ).join(nwin, "doc_id").select(
+        "doc_id", "pos", "n",
+        (F.col("max_idx") + 1).alias("nw"),
+        F.expr(
+            f"least(CASE WHEN pos >= {w} THEN (pos - {w}) DIV {s} + 1 "
+            f"ELSE CAST(0 AS BIGINT) END, max_idx + 1)"
+        ).alias("a"),
+        F.expr(
+            f"least(CASE WHEN pos < n - {w} THEN pos DIV {s} + 1 "
+            f"ELSE max_idx + 1 END, max_idx + 1)"
+        ).alias("b"),
+    )
+    cs_b = cum.select("doc_id", (F.col("idx") + 1).alias("b"), F.col("cs").alias("cs_b"))
+    cs_a = cum.select("doc_id", (F.col("idx") + 1).alias("a"), F.col("cs").alias("cs_a"))
+    return (
+        pos.join(cs_b, ["doc_id", "b"])
+        .join(cs_a, ["doc_id", "a"], "left")
+        .select(
+            "doc_id", "pos",
+            F.expr(
+                "CAST(cs_b - coalesce(cs_a, CAST(0 AS BIGINT)) AS DOUBLE) / (b - a)"
+            ).alias("score"),
+        )
+    )
+
+
+def window_size_select(arrays: DataFrame, mode: str, **kwargs) -> DataFrame:
+    """Auto window-size per series (fft/acf/mwf/suss) via the shared NumPy
+    kernel in one Arrow pass — one scalar out per series, broadcastable
+    back onto the corpus. (windowing_utils.py:130-257)"""
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("window_size", IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                ws = KW.compute_window_size(x, mode, **kwargs)
+                out.append((doc_id, int(ws)))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "window_size"])
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)

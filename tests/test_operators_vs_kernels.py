@@ -1,0 +1,152 @@
+"""Spark operators vs the shared NumPy kernels (reference semantics).
+
+The oracle-parity suite proves Spark == DuckDB on the same SQL semantics;
+this suite proves the Spark operators == the NumPy kernels that replicate
+the *reference's* semantics (windowing tail rule, reverse mapping,
+np.quantile interpolation, linspace undersampling) — closing the loop
+engine ⇄ oracle ⇄ reference.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dtaianomaly_spark.kernels import windowing as KW
+from dtaianomaly_spark.kernels import preprocessing as KP
+from dtaianomaly_spark.sources import corpus as C
+
+SF_DIR = "/root/testdata/sf0.001"
+W, S = 64, 32
+
+
+def _token_series(spark, limit=25):
+    rows = (
+        C.token_arrays(spark, SF_DIR)
+        .orderBy("doc_id")
+        .limit(limit)
+        .collect()
+    )
+    return {int(r["doc_id"]): np.asarray(r["tokens"], dtype=np.int64) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    return _token_series(spark)
+
+
+def test_sliding_stats_matches_kernel_windows(spark, series):
+    from dtaianomaly_spark.operators import windows as OW
+    from pyspark.sql import functions as F
+
+    arrays = (
+        C.token_arrays(spark, SF_DIR)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "tokens", "n_tok")
+        .filter(F.col("doc_id") < 25)
+    )
+    got = {
+        (int(r["doc_id"]), int(r["idx"])): r
+        for r in OW.sliding_stats(arrays, W, S).collect()
+    }
+    for doc_id, x in series.items():
+        starts = KW.window_starts(x.shape[0], W, S)
+        assert KW.num_windows(x.shape[0], W, S) == starts.shape[0]
+        wins = KW.sliding_window(x, W, S)
+        for i, (st, win) in enumerate(zip(starts, wins)):
+            row = got[(doc_id, i)]
+            assert row["start"] == st
+            assert row["sum"] == win.sum()
+            assert row["min"] == win.min() and row["max"] == win.max()
+            mean = row["sum"] / row["cnt"]
+            assert row["mean"] == mean
+
+
+def test_reverse_scores_matches_kernel(spark, series):
+    from dtaianomaly_spark.operators import windows as OW
+    from pyspark.sql import functions as F
+
+    arrays = (
+        C.token_arrays(spark, SF_DIR)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "tokens", "n_tok")
+        .filter(F.col("doc_id") < 25)
+    )
+    win = OW.sliding_stats(arrays, W, S).select(
+        "doc_id", "idx", F.col("sum").alias("score")
+    )
+    series_n = C.documents_series(spark, SF_DIR).filter(F.col("doc_id") < 25)
+    got = {}
+    for r in OW.reverse_scores(win, series_n, W, S).collect():
+        got.setdefault(int(r["doc_id"]), {})[int(r["pos"])] = r["score"]
+    for doc_id, x in series.items():
+        wins = KW.sliding_window(x, W, S)
+        scores = wins.sum(axis=1).astype(np.float64)
+        expect = KW.reverse_sliding_window(scores, W, S, x.shape[0])
+        out = np.array([got[doc_id][p] for p in range(x.shape[0])])
+        assert np.array_equal(out, expect), f"doc {doc_id}"
+
+
+def test_contamination_matches_np_quantile(spark, series):
+    from dtaianomaly_spark.operators import evaluation as EV
+    from pyspark.sql import functions as F
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 25)
+    scored = lf.select("doc_id", "pos", F.col("value").alias("score"))
+    got = {}
+    for r in EV.contamination_rate(scored, rate=0.05).collect():
+        got.setdefault(int(r["doc_id"]), {})[int(r["pos"])] = r["label"]
+    for doc_id, x in series.items():
+        cutoff = np.quantile(x.astype(np.float64), 0.95)  # linear interp
+        expect = (x.astype(np.float64) >= cutoff).astype(int)
+        out = np.array([got[doc_id][p] for p in range(x.shape[0])])
+        assert np.array_equal(out, expect), f"doc {doc_id}"
+
+
+def test_undersample_nb_matches_linspace(spark, series):
+    from dtaianomaly_spark.operators import preprocessing as PP
+    from pyspark.sql import functions as F
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 25)
+    got = {}
+    for r in PP.undersample_nb(lf, 100).collect():
+        got.setdefault(int(r["doc_id"]), {})[int(r["pos"])] = r["value"]
+    for doc_id, x in series.items():
+        idx = KP.undersample_indices(x.shape[0], 100)
+        expect = x[idx]
+        out = np.array([got[doc_id][k] for k in range(len(idx))])
+        assert np.array_equal(out, expect), f"doc {doc_id}"
+
+
+def test_moving_average_matches_kernel(spark, series):
+    from dtaianomaly_spark.operators import preprocessing as PP
+    from pyspark.sql import functions as F
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 25)
+    got = {}
+    for r in PP.moving_average(lf, 8).collect():
+        got.setdefault(int(r["doc_id"]), {})[int(r["pos"])] = r["out"]
+    for doc_id, x in series.items():
+        expect = KP.moving_average(x.astype(np.float64), 8)
+        out = np.array([got[doc_id][p] for p in range(x.shape[0])])
+        assert np.allclose(out, expect, rtol=0, atol=1e-9), f"doc {doc_id}"
+
+
+def test_ema_operator_matches_sequential_recursion(spark, series):
+    from dtaianomaly_spark.operators import preprocessing as PP
+    from pyspark.sql import functions as F
+
+    arrays = C.token_arrays(spark, SF_DIR).filter(F.col("doc_id") < 10)
+    got = {}
+    for r in PP.ema(arrays, alpha=0.9).collect():
+        got.setdefault(int(r["doc_id"]), {})[int(r["pos"])] = r["out"]
+    for doc_id in list(series)[:10]:
+        x = series[doc_id].astype(np.float64)
+        # sequential reference recursion (ExponentialMovingAverage.py:39-47)
+        y = np.empty_like(x)
+        y[0] = x[0]
+        for t in range(1, x.shape[0]):
+            y[t] = 0.9 * y[t - 1] + 0.1 * x[t]
+        out = np.array([got[doc_id][p] for p in range(x.shape[0])])
+        assert np.allclose(out, y, rtol=1e-9, atol=1e-6), f"doc {doc_id}"
