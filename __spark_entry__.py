@@ -277,6 +277,102 @@ def _q_ws_select_fft(spark, sf_dir):
     )
 
 
+# Training-data pipeline queries ------------------------------------------
+
+def _q_dd_exact(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.exact_dedup(TX.load_docs(spark, sf_dir))
+
+
+def _q_dd_minhash(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.minhash_signatures(TX.load_docs(spark, sf_dir))
+
+
+def _q_dd_lsh_pairs(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.lsh_candidate_pairs(TX.load_docs(spark, sf_dir))
+
+
+def _q_dd_simhash(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.simhash(TX.load_docs(spark, sf_dir))
+
+
+def _q_dd_jaccard(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.jaccard_pairs(TX.load_docs(spark, sf_dir), threshold=0.2)
+
+
+def _q_tx_lang_id(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.lang_id(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_quality(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.quality(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_token_count(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.token_count(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_fingerprint(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.fingerprint(TX.load_docs(spark, sf_dir))
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.cosine_topk(SIM.load_embeddings(spark, sf_dir))
+
+
+def _q_ann_srp_topk(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.srp_lsh_topk(SIM.load_embeddings(spark, sf_dir))
+
+
+def _q_ev_sessionize(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.sessionize(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_minute_rollup(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.minute_rollup(EVT.load_events(spark, sf_dir))
+
+
+def _q_mm_byte_histogram(spark, sf_dir):
+    """Multimodal featurizer plumbing (binary payload -> fixed vector) —
+    Arrow UDF, rows-only check."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return MM.byte_histogram(MM.with_payload(TX.load_docs(spark, sf_dir)))
+
+
+def _q_mm_frame_sample(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return MM.frame_sample(MM.with_payload(TX.load_docs(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: all-tier zero-shuffle rollup of the sf0.001-derived corpus."""
     arrays = C.token_arrays(spark, SF0001)
@@ -309,6 +405,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sw_stats": _q_sw_stats,
         "sw_reverse": _q_sw_reverse,
         "ws_select_fft": _q_ws_select_fft,
+        "dd_exact": _q_dd_exact,
+        "dd_minhash": _q_dd_minhash,
+        "dd_lsh_pairs": _q_dd_lsh_pairs,
+        "dd_simhash": _q_dd_simhash,
+        "dd_jaccard": _q_dd_jaccard,
+        "tx_lang_id": _q_tx_lang_id,
+        "tx_quality": _q_tx_quality,
+        "tx_token_count": _q_tx_token_count,
+        "tx_fingerprint": _q_tx_fingerprint,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_srp_topk": _q_ann_srp_topk,
+        "ev_sessionize": _q_ev_sessionize,
+        "ev_minute_rollup": _q_ev_minute_rollup,
+        "mm_byte_histogram": _q_mm_byte_histogram,
+        "mm_frame_sample": _q_mm_frame_sample,
     }
 
 
@@ -668,6 +779,246 @@ JOIN cum cb ON p.doc_id = cb.doc_id AND cb.idx + 1 = p.b
 LEFT JOIN cum ca ON p.doc_id = ca.doc_id AND ca.idx + 1 = p.a
 """
 
+    # -- training-data pipeline oracles ------------------------------------
+
+    _SHINGLES_LONG = """
+spos AS (
+    SELECT d.doc_id, d.text, CAST(g.i AS BIGINT) AS i
+    FROM documents d,
+         LATERAL (SELECT UNNEST(range(1,
+             greatest(least(length(d.text), 256) - 8 + 1, 1) + 1)) AS i) g
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+             % 2147483647 AS s
+    FROM spos
+)"""
+
+    _RARE = """
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare ON sh.s = rare.s)"""
+
+    _SIG = """
+sig AS (
+    SELECT doc_id, CAST(sd.seed AS BIGINT) AS seed,
+           MIN(((1 + 2 * sd.seed) * s + 7919 * sd.seed) % 2147483647) AS minhash
+    FROM shr, LATERAL (SELECT UNNEST(range(0, 16)) AS seed) sd
+    GROUP BY doc_id, sd.seed
+)"""
+
+    dd_exact = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS dup_cnt
+FROM documents GROUP BY md5(text)
+"""
+
+    dd_minhash = f"""
+WITH {_SHINGLES_LONG.lstrip()},
+{_RARE.lstrip()},
+{_SIG.lstrip()}
+SELECT doc_id, seed, minhash FROM sig
+"""
+
+    dd_lsh_pairs = f"""
+WITH {_SHINGLES_LONG.lstrip()},
+{_RARE.lstrip()},
+{_SIG.lstrip()},
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           SUM(minhash * (CASE seed % 4 WHEN 0 THEN 1 WHEN 1 THEN 31
+                          WHEN 2 THEN 961 ELSE 29791 END)) AS key
+    FROM sig GROUP BY doc_id, seed // 4
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+    dd_simhash = f"""
+WITH {_SHINGLES_LONG.lstrip()},
+{_RARE.lstrip()},
+bits AS (
+    SELECT doc_id, CAST(j.j AS BIGINT) AS j,
+           SUM(CASE WHEN (s >> j.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM shr, LATERAL (SELECT UNNEST(range(0, 32)) AS j) j
+    GROUP BY doc_id, j.j
+)
+SELECT doc_id,
+       SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+    dd_jaccard = f"""
+WITH {_SHINGLES_LONG.lstrip()},
+{_RARE.lstrip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter, sa.nsh AS na, sb.nsh AS nb,
+       CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter) >= 0.2
+"""
+
+    tx_lang_id = """
+WITH cnts AS (
+    SELECT doc_id,
+        CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS c_en,
+        CAST((length(text) - length(replace(text, ' join ', ''))) / 6 AS BIGINT) AS c_x1,
+        CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT) AS c_x2
+    FROM documents
+)
+SELECT doc_id, c_en, c_x1, c_x2,
+       CASE WHEN c_en >= c_x1 AND c_en >= c_x2 THEN 'en'
+            WHEN c_x1 >= c_x2 THEN 'x1' ELSE 'x2' END AS lang_pred
+FROM cnts
+"""
+
+    tx_quality = """
+WITH c AS (
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+        CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces,
+        CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits
+    FROM documents
+)
+SELECT doc_id, chars, spaces, digits, spaces + 1 AS words,
+       CAST(chars - spaces AS DOUBLE) / (spaces + 1) AS avg_word_len,
+       least(CAST(spaces + 1 AS DOUBLE) / 100.0, 1.0)
+         * (1.0 - CAST(digits AS DOUBLE) / chars) AS quality
+FROM c
+"""
+
+    tx_token_count = """
+SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+       CAST((length(text) + 3) // 4 AS BIGINT) AS bpe_est
+FROM documents
+"""
+
+    tx_fingerprint = """
+WITH pos AS (
+    SELECT d.doc_id, d.text, CAST(g.i AS BIGINT) AS i
+    FROM documents d,
+         LATERAL (SELECT UNNEST(range(1, length(d.text) + 1)) AS i) g
+)
+SELECT doc_id,
+       SUM(ascii(substr(text, CAST(i AS INT), 1))
+           * ((i * 2654435761) % 2147483648)) AS fp
+FROM pos GROUP BY doc_id
+"""
+
+    _QV = """
+qv AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+    FROM embeddings
+),
+qn AS (
+    SELECT vec_id, q,
+           list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS norm2
+    FROM qv
+)"""
+
+    _PAIR_DOT = """
+scored AS (
+    SELECT qu.vec_id AS qid, ca.vec_id AS vid,
+           list_reduce(list_transform(range(1, 65),
+               d -> qu.q[CAST(d AS INT)] * ca.q[CAST(d AS INT)]),
+               (a, b) -> a + b) AS dot,
+           qu.norm2 AS na, ca.norm2 AS nb
+    FROM {left} qu JOIN {right} ca ON {cond} qu.vec_id != ca.vec_id
+)"""
+
+    _COS = "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+
+    ann_cosine_topk = f"""
+WITH {_QV.lstrip()},
+qq AS (SELECT * FROM qn WHERE vec_id < 8),
+{_PAIR_DOT.format(left="qq", right="qn", cond="").lstrip()},
+ranked AS (
+    SELECT qid, vid, dot, {_COS} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {_COS} DESC, vid) AS rk
+    FROM scored
+)
+SELECT qid, vid, CAST(rk AS BIGINT) AS rk, dot, cos FROM ranked WHERE rk <= 5
+"""
+
+    _SRP_BUCKET = """
+qb AS (
+    SELECT vec_id, CAST(tt.t AS BIGINT) AS t,
+           list_reduce(list_transform(range(0, 4), b ->
+               CASE WHEN list_reduce(list_transform(range(1, 65),
+                   d -> q[CAST(d AS INT)]
+                        * (CASE WHEN ((tt.t * 7561 + b * 2654435761 + d * 40503) % 97) % 2 = 0
+                           THEN 1 ELSE -1 END)), (x, y) -> x + y) >= 0
+               THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END),
+               (x, y) -> x + y) AS bucket
+    FROM qn, LATERAL (SELECT UNNEST(range(0, 4)) AS t) tt
+)"""
+
+    ann_srp_topk = f"""
+WITH {_QV.lstrip()},
+{_SRP_BUCKET.lstrip()},
+cand AS (
+    SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
+    FROM qb a JOIN qb b ON a.t = b.t AND a.bucket = b.bucket
+    WHERE a.vec_id < 8 AND a.vec_id != b.vec_id
+),
+scored AS (
+    SELECT c.qid, c.vid,
+           list_reduce(list_transform(range(1, 65),
+               d -> qu.q[CAST(d AS INT)] * ca.q[CAST(d AS INT)]),
+               (a, b) -> a + b) AS dot,
+           qu.norm2 AS na, ca.norm2 AS nb
+    FROM cand c
+    JOIN qn qu ON c.qid = qu.vec_id
+    JOIN qn ca ON c.vid = ca.vec_id
+),
+ranked AS (
+    SELECT qid, vid, dot, {_COS} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY {_COS} DESC, vid) AS rk
+    FROM scored
+)
+SELECT qid, vid, CAST(rk AS BIGINT) AS rk, dot, cos FROM ranked WHERE rk <= 5
+"""
+
+    ev_sessionize = """
+WITH e AS (
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN ts_us - COALESCE(LAG(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id),
+                    -3600000000) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+       MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+FROM marked GROUP BY user_id
+"""
+
+    ev_minute_rollup = """
+WITH e AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 60000000 AS bucket,
+           CAST(floor(value * 1000) AS BIGINT) AS mval
+    FROM events
+)
+SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(mval) AS BIGINT) AS vsum,
+       MIN(mval) AS vmin, MAX(mval) AS vmax
+FROM e GROUP BY event_type, bucket
+"""
+
     return {
         "rollup_raw": _rollup_oracle(16, "raw"),
         "rollup_1m": _rollup_oracle(960, "1m"),
@@ -691,4 +1042,17 @@ LEFT JOIN cum ca ON p.doc_id = ca.doc_id AND ca.idx + 1 = p.a
         "ev_best_f1": ev_best_f1,
         "sw_stats": sw_stats,
         "sw_reverse": sw_reverse,
+        "dd_exact": dd_exact,
+        "dd_minhash": dd_minhash,
+        "dd_lsh_pairs": dd_lsh_pairs,
+        "dd_simhash": dd_simhash,
+        "dd_jaccard": dd_jaccard,
+        "tx_lang_id": tx_lang_id,
+        "tx_quality": tx_quality,
+        "tx_token_count": tx_token_count,
+        "tx_fingerprint": tx_fingerprint,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_srp_topk": ann_srp_topk,
+        "ev_sessionize": ev_sessionize,
+        "ev_minute_rollup": ev_minute_rollup,
     }

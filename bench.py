@@ -53,14 +53,27 @@ def _spark(cpus: int):
     return get_spark(app_name=f"bench-local[{cpus}]", cpus=cpus)
 
 
-def _time_count(df, iters: int = ITER) -> tuple[int, float]:
-    """(rows, best-of-N seconds). Min over iterations removes scheduler /
-    GC noise; each iteration re-executes the full plan (nothing cached)."""
+def _time_count(make_df, iters: int = ITER) -> tuple[int, float]:
+    """(rows, best-of-N seconds). ``make_df`` is a thunk building the
+    DataFrame — the plan is REBUILT each iteration because Spark reuses
+    completed shuffle map stages across actions on the same RDD lineage
+    (iteration 2+ on one DataFrame times near-zero).
+
+    The action hashes EVERY output column: a bare count() lets Catalyst
+    prune unevaluated projections (a pure map query would time at ~0),
+    so the checksum aggregate is what makes the timing honest."""
+    from pyspark.sql import functions as F
+
     best = float("inf")
     rows = 0
     for _ in range(iters):
+        df = make_df()
+        forced = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+        )
         t0 = time.perf_counter()
-        rows = df.count()
+        rows = forced.collect()[0]["n"]
         best = min(best, time.perf_counter() - t0)
     return rows, best
 
@@ -83,7 +96,7 @@ def flagship_over(spark, corpus_df, iters: int = ITER):
     Arrow map kernel. Returns (rolled-up points, best sec)."""
     from dtaianomaly_spark.rollup import tiers as T
 
-    return _time_count(T.rollup_tiers_map(corpus_df), iters)
+    return _time_count(lambda: T.rollup_tiers_map(corpus_df), iters)
 
 
 def run_one(cpus: int) -> dict:
@@ -121,7 +134,7 @@ def run_headline() -> dict:
         qs["rollup_map_raw"](spark, "/root/testdata/sf0.001").count()
         total = 0.0
         for name, fn in qs.items():
-            _, dt = _time_count(fn(spark, SF_DIR), iters=2)
+            _, dt = _time_count(lambda: fn(spark, SF_DIR), iters=2)
             timings[name] = round(dt, 3)
             total += dt
         arrays = C.token_arrays(spark, SF_DIR)

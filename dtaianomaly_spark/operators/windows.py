@@ -93,42 +93,49 @@ def reverse_scores(
     ``series_n``: (doc_id, n) series lengths.
 
     Prefix sums over window index turn "mean of windows a..b-1" into
-    ``(cum[b] - cum[a]) / (b - a)`` — two broadcast-sized joins instead of
-    exploding every window over every covered position (w/stride ×
-    amplification avoided)."""
+    ``(cum[b] - cum[a]) / (b - a)``. The prefix-sum array lives in ONE
+    row per series (windows-per-series is bounded by n/stride), so the
+    whole mapping is a single doc-level join + per-row element_at — no
+    row-level shuffle of the n-sized position grid at all."""
     w, s = window_size, stride
-    wcum = Window.partitionBy("doc_id").orderBy("idx")
-    cum = win_scores.select(
-        "doc_id", "idx",
-        F.sum("score").over(wcum).alias("cs"),  # cum[idx+1] in kernel terms
+    # per-series prefix-sum array: cs[k] (1-based) = Σ score[idx < k]
+    per_doc = (
+        win_scores.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("idx", "score"))).alias("ws")
+        )
+        .select(
+            "doc_id",
+            F.expr("size(ws)").cast("long").alias("nw"),
+            F.expr(
+                "aggregate(ws, array(CAST(0 AS BIGINT)),"
+                " (acc, x) -> concat(acc, array(element_at(acc, -1) + x.score)))"
+            ).alias("cs0"),  # cs0[1] = 0, cs0[k+1] = csum[k]
+        )
     )
-    nwin = win_scores.groupBy("doc_id").agg(F.max("idx").alias("max_idx"))
-
-    pos = series_n.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos"),
-        "n",
-    ).join(nwin, "doc_id").select(
-        "doc_id", "pos", "n",
-        (F.col("max_idx") + 1).alias("nw"),
-        F.expr(
-            f"least(CASE WHEN pos >= {w} THEN (pos - {w}) DIV {s} + 1 "
-            f"ELSE CAST(0 AS BIGINT) END, max_idx + 1)"
-        ).alias("a"),
-        F.expr(
-            f"least(CASE WHEN pos < n - {w} THEN pos DIV {s} + 1 "
-            f"ELSE max_idx + 1 END, max_idx + 1)"
-        ).alias("b"),
-    )
-    cs_b = cum.select("doc_id", (F.col("idx") + 1).alias("b"), F.col("cs").alias("cs_b"))
-    cs_a = cum.select("doc_id", (F.col("idx") + 1).alias("a"), F.col("cs").alias("cs_a"))
     return (
-        pos.join(cs_b, ["doc_id", "b"])
-        .join(cs_a, ["doc_id", "a"], "left")
+        series_n.join(per_doc, "doc_id")
+        .select(
+            "doc_id", "nw", "cs0",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos"),
+            "n",
+        )
+        .select(
+            "doc_id", "pos", "nw", "cs0",
+            F.expr(
+                f"least(CASE WHEN pos >= {w} THEN (pos - {w}) DIV {s} + 1 "
+                "ELSE CAST(0 AS BIGINT) END, nw)"
+            ).alias("a"),
+            F.expr(
+                f"least(CASE WHEN pos < n - {w} THEN pos DIV {s} + 1 "
+                "ELSE nw END, nw)"
+            ).alias("b"),
+        )
         .select(
             "doc_id", "pos",
             F.expr(
-                "CAST(cs_b - coalesce(cs_a, CAST(0 AS BIGINT)) AS DOUBLE) / (b - a)"
+                "CAST(element_at(cs0, CAST(b + 1 AS INT))"
+                " - element_at(cs0, CAST(a + 1 AS INT)) AS DOUBLE) / (b - a)"
             ).alias("score"),
         )
     )

@@ -1,0 +1,64 @@
+"""Event-stream relational ops over the ``events`` table
+(event_id, ts timestamp, user_id, event_type, value double, props).
+
+Timestamps are reduced to exact integer microseconds
+(``unix_micros`` / DuckDB ``epoch_us``) before any arithmetic — float
+seconds would round differently across engines. ``value`` doubles are
+quantized (``floor(value * 1000)``) before summing: double SUM order is
+nondeterministic under parallelism, integer SUM is exact and
+order-free — the same discipline the rollup tiers use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Classic gap-based sessionization: a new session starts when the
+    time since the user's previous event exceeds the gap. One window
+    partitioning (user_id) shared by both passes. Output: per-user
+    session/event counts."""
+    marked = events.select(
+        "user_id", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    ).withColumn(
+        "is_new",
+        F.expr(
+            f"CASE WHEN ts_us - coalesce(lag(ts_us) OVER (PARTITION BY user_id"
+            f" ORDER BY ts_us, event_id), -{2 * gap_us}) > {gap_us}"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("is_new").alias("n_sessions"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+
+
+def minute_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-minute buckets per event type — the events-table twin of
+    the token rollup tiers (same partial+final hash aggregate shape)."""
+    return (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("bucket"),
+            F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("mval"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("mval").alias("vsum"),
+            F.min("mval").alias("vmin"),
+            F.max("mval").alias("vmax"),
+        )
+    )

@@ -1,0 +1,164 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+array<float>, label).
+
+Exactness discipline: embeddings are quantized to int64
+(``floor(double(e) * 10000)`` — float32→float64 widening and floor are
+bit-identical across engines), dot products and norms stay integer, and
+the cosine is ONE shared float formula over the exact integer triple —
+so the DuckDB oracle byte-matches scores and, therefore, rankings.
+
+Two physical strategies:
+* :func:`cosine_topk` — brute force: broadcast the (small) query set
+  against all candidates; dot products via ``zip_with`` + ``aggregate``
+  HOFs (JVM-side, no Python). The correctness baseline.
+* :func:`srp_lsh_topk` — the scale path: multi-table sign-random-
+  projection (4 tables x 4 deterministic ±1 hyperplanes) computed
+  map-side per vector; the join shuffles on (table, bucket) so only
+  same-bucket candidates pair up — at N vectors the scored pair count
+  drops from O(N·Q) to O(T · N·Q / 2^bits), deduplicated across tables
+  before the exact cosine pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+SRP_BITS = 4
+
+QUANT_EXPR = "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 10000) AS BIGINT))"
+_SELF_DOT = "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"
+
+COS_SQL = (
+    "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
+)
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q array<bigint>, norm2 bigint). |e| ~ O(1) → |q| <= ~10^5,
+    per-dim square <= 10^10, 64-dim sum < 2^40 — exact int64."""
+    return emb.select(
+        "vec_id", F.expr(QUANT_EXPR).alias("q")
+    ).select("vec_id", "q", F.expr(_SELF_DOT).alias("norm2"))
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Brute-force exact cosine top-k: queries (vec_id < n_queries)
+    broadcast against every other vector; ties broken by vec_id."""
+    qv = quantized(emb)
+    queries = qv.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+        F.col("norm2").alias("na"),
+    )
+    cands = qv.select(
+        F.col("vec_id").alias("vid"), F.col("q").alias("cq"),
+        F.col("norm2").alias("nb"),
+    )
+    pairs = F.broadcast(queries).crossJoin(cands).filter(F.col("qid") != F.col("vid"))
+    scored = pairs.select(
+        "qid", "vid", "na", "nb",
+        F.expr(
+            "aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)"
+        ).alias("dot"),
+    ).select("qid", "vid", "dot", "na", "nb", F.expr(COS_SQL).alias("cos"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vid", F.col("rk").cast("long").alias("rk"), "dot", "cos")
+    )
+
+
+SRP_TABLES = 4  # multi-table LSH: union candidates over 4 hash tables
+
+
+def _srp_buckets(qv: DataFrame) -> DataFrame:
+    """(vec_id, t, bucket): SRP_BITS sign-random-projection bits per
+    vector per hash table t. Hyperplane (t, b) gives dim d weight ±1 by
+    the parity of ``((t*7561 + b*2654435761 + d*40503) % 97)``. Computed
+    as posexplode + map-side partial sums — a giant nested-HOF bucket
+    expression falls out of whole-stage codegen (measured ~10x slower).
+
+    Multi-table is what makes SRP-LSH usable: one 8-bit table recalls
+    ~2% of true top-5 here; 4 tables x 4 bits recall the large majority
+    while still pruning most of the candidate space."""
+    qd = qv.select(
+        "vec_id", F.posexplode("q").alias("d0", "qval")
+    ).select(
+        "*", F.explode(F.expr(f"sequence(0, {SRP_TABLES - 1})")).alias("t")
+    )
+    aggs = [
+        F.sum(
+            F.expr(
+                f"qval * (CASE WHEN ((t * 7561 + {b} * 2654435761 + (d0 + 1)"
+                " * 40503) % 97) % 2 = 0 THEN 1 ELSE -1 END)"
+            )
+        ).alias(f"s{b}")
+        for b in range(SRP_BITS)
+    ]
+    wide = qd.groupBy("vec_id", "t").agg(*aggs)
+    combine = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SRP_BITS)
+    )
+    return wide.select("vec_id", F.col("t").cast("long").alias("t"), F.expr(combine).alias("bucket"))
+
+
+def srp_lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Approximate cosine top-k: candidates = vectors sharing ANY hash
+    table's bucket with the query (deduplicated before scoring), then
+    exact integer cosine within the candidate set."""
+    qv = quantized(emb)
+    bk = _srp_buckets(qv)
+    q_b = bk.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), "t", F.col("bucket").alias("qb")
+    )
+    qs_, cs_ = q_b.alias("qs"), bk.alias("cs")
+    cand_pairs = (
+        F.broadcast(qs_)
+        .join(cs_, (F.col("qs.t") == F.col("cs.t")) & (F.col("qs.qb") == F.col("cs.bucket")))
+        .filter(F.col("qs.qid") != F.col("cs.vec_id"))
+        .select(F.col("qs.qid").alias("qid"), F.col("cs.vec_id").alias("vid"))
+        .distinct()
+    )
+    scored = (
+        cand_pairs.join(
+            F.broadcast(
+                qv.filter(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                    F.col("norm2").alias("na"),
+                )
+            ),
+            "qid",
+        )
+        .join(
+            qv.select(
+                F.col("vec_id").alias("vid"), F.col("q").alias("cq"),
+                F.col("norm2").alias("nb"),
+            ),
+            "vid",
+        )
+        .select(
+            "qid", "vid", "na", "nb",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+        .select("qid", "vid", "dot", "na", "nb", F.expr(COS_SQL).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vid", F.col("rk").cast("long").alias("rk"), "dot", "cos")
+    )

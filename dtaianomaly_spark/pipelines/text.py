@@ -1,0 +1,285 @@
+"""Text pipeline: dedup (exact, MinHash/LSH, SimHash, n-gram Jaccard),
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+Portability discipline: shingle hashes are ``conv(md5) % (2^31-1)`` —
+md5 hex is identical across engines, and all downstream arithmetic stays
+in int64 with explicit bounds (documented per function), so the DuckDB
+oracles in ``__spark_entry__`` reproduce every value bit-for-bit.
+
+Scale notes: shingling, MinHash signatures and SimHash are computed with
+array HOFs inside each row (``transform`` / ``aggregate`` /
+``array_min``) — map-side, zero shuffle, whole-stage-codegen'd. Only the
+pair-generation steps shuffle: LSH bucket join (the point of LSH — the
+shuffle key is the band bucket, so only near-duplicates collide) and the
+n-gram inverted-index join (bounded by shingle document frequency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SHINGLE_K = 8
+SHINGLE_LIMIT = 256  # shingle only the first N chars (cost bound)
+P31 = 2147483647  # 2^31 - 1
+N_HASHES = 16
+BAND_ROWS = 4  # 4 bands x 4 rows
+
+# shingle hash of the k-gram starting at 1-based position i (Spark SQL text)
+_SHINGLE_HASH = (
+    "CAST(conv(substr(md5(substr(text, i, {k})), 1, 15), 16, 10) AS BIGINT)"
+    " % {p}"
+)
+
+SHINGLES_EXPR = (
+    "transform(sequence(1, greatest(least(length(text), {lim}) - {k} + 1, 1)),"
+    " i -> " + _SHINGLE_HASH + ")"
+).format(k=SHINGLE_K, lim=SHINGLE_LIMIT, p=P31)
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content hash: one row per distinct text,
+    the smallest doc_id kept as representative. A plain hash aggregate —
+    the canonical first dedup pass at any scale."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+    )
+
+
+def doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<bigint>) — distinct k-gram hashes per doc,
+    computed entirely inside the row (no explode)."""
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_distinct({SHINGLES_EXPR})").alias("shingles"),
+    )
+
+
+MAX_SHINGLE_DF = 50  # drop shingles occurring in more docs (stop-shingles)
+
+
+def informative_shingles(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Long form (doc_id, s) restricted to shingles with document
+    frequency <= max_df. Stop-shingle removal is what makes EVERY
+    similarity op here meaningful and scalable: super-common shingles
+    (a) dominate MinHash minima so unrelated docs collide, (b) blow the
+    inverted-index join up quadratically in df, and (c) wash out SimHash
+    majority votes. The df computation is one extra groupBy whose output
+    is a tiny (shingle, df) table."""
+    all_long = doc_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
+    # df via count-over-window: ONE pass over the shingles (a groupBy +
+    # self-join would re-evaluate the md5 shingle expression on both
+    # plan branches — measured 2x slower)
+    return (
+        all_long.withColumn(
+            "df", F.count("*").over(Window.partitionBy("s"))
+        )
+        .filter(F.col("df") <= max_df)
+        .select("doc_id", "s")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """MinHash signature, long form (doc_id, seed, minhash).
+
+    h_seed(s) = ((1 + 2*seed) * s + 7919 * seed) % (2^31-1); products are
+    bounded by 33 * 2^31 < 2^36 (exact int64).
+
+    Physical shape: explode the (already distinct) shingles and take the
+    16 permutation minima as 16 map-side partial-min aggregates in ONE
+    groupBy — the shingle md5 is computed exactly once per shingle.
+    (A nested-HOF formulation re-evaluates the shingle expression per
+    seed: Catalyst does no common-subexpression elimination inside
+    lambdas — measured 16x slower.)"""
+    sh_long = informative_shingles(docs)
+    aggs = [
+        F.min(
+            F.expr(f"((1 + {2 * i}) * s + {7919 * i}) % {P31}")
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    wide = sh_long.groupBy("doc_id").agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({i} AS BIGINT), mh{i}" for i in range(n_hashes)
+    )
+    return wide.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stacked}) AS (seed, minhash)"
+    )
+
+
+_BAND_WEIGHT = (
+    "CASE seed % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END"
+)
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """LSH banding over the MinHash signature (4 bands x 4 rows): docs
+    sharing any band key become candidate near-duplicate pairs.
+
+    The self-join shuffles on (band, key) — only colliding docs meet,
+    which is what makes MinHash/LSH the scale path vs all-pairs Jaccard."""
+    sigs = minhash_signatures(docs, n_hashes)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / BAND_ROWS).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(F.sum(F.expr(f"minhash * ({_BAND_WEIGHT})")).alias("key"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """32-bit SimHash from the distinct shingle hashes: bit j is the sign
+    of the majority vote of shingle bit j.
+
+    Physical shape: one groupBy with 32 map-side partial-sum aggregates
+    over the exploded shingles — the shingle md5 is computed once per
+    shingle. (A nested-HOF formulation re-evaluates the shingle
+    expression per bit: no CSE inside Catalyst lambdas — 30x slower.)"""
+    sh_long = informative_shingles(docs)
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN (s >> {j}) & 1 = 1 THEN 1 ELSE -1 END")
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    wide = sh_long.groupBy("doc_id").agg(*aggs)
+    combine = " + ".join(
+        f"(CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return wide.select("doc_id", F.expr(combine).alias("simhash"))
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, max_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """n-gram Jaccard similarity over the *informative* shingle sets, via
+    the inverted-index join (shuffle key = shingle hash); pairs below
+    ``threshold`` are dropped. The float is derived from the exact
+    integer (inter, na, nb) triple.
+
+    Stop-shingle removal: shingles whose document frequency exceeds
+    ``max_df`` are excluded from BOTH the pair generation and the set
+    sizes — without it the inverted-index join is quadratic in the
+    document frequency of common shingles (Σ df² blow-up), which is the
+    standard failure mode of all-pairs similarity at scale; capping df
+    bounds each shingle's contribution at max_df²."""
+    long = informative_shingles(docs, max_df)
+    sizes = long.groupBy("doc_id").agg(F.count("*").cast("long").alias("nsh"))
+    a, b = long.alias("a"), long.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter", "na", "nb",
+            F.expr("CAST(inter AS DOUBLE) / (na + nb - inter)").alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------- analysis
+
+_MARKERS = (("en", " the "), ("x1", " join "), ("x2", " data "))
+
+
+def _occurrences(marker: str) -> str:
+    m = marker.replace("'", "''")
+    return (
+        f"CAST((length(text) - length(replace(text, '{m}', ''))) / {len(marker)} AS BIGINT)"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-n-gram language-ID heuristic: count marker occurrences via
+    the replace-length trick (portable across engines, no regex), argmax
+    with deterministic tie-break (marker order)."""
+    c_en, c_x1, c_x2 = (_occurrences(m) for _, m in _MARKERS)
+    return docs.select(
+        "doc_id",
+        F.expr(c_en).alias("c_en"),
+        F.expr(c_x1).alias("c_x1"),
+        F.expr(c_x2).alias("c_x2"),
+    ).select(
+        "doc_id", "c_en", "c_x1", "c_x2",
+        F.expr(
+            "CASE WHEN c_en >= c_x1 AND c_en >= c_x2 THEN 'en' "
+            "WHEN c_x1 >= c_x2 THEN 'x1' ELSE 'x2' END"
+        ).alias("lang_pred"),
+    )
+
+
+def quality(docs: DataFrame) -> DataFrame:
+    """Quality scoring from integer character-class counts: word count,
+    digit/space ratios, average word length; score is one shared float
+    formula over the exact counts."""
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("chars"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)"
+        ).alias("spaces"),
+        F.expr(
+            "CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS BIGINT)"
+        ).alias("digits"),
+    ).select(
+        "doc_id", "chars", "spaces", "digits",
+        (F.col("spaces") + 1).alias("words"),
+        F.expr(
+            "CAST(chars - spaces AS DOUBLE) / (spaces + 1)"
+        ).alias("avg_word_len"),
+        F.expr(
+            "least(CAST(spaces + 1 AS DOUBLE) / 100.0, 1.0)"
+            " * (1.0 - CAST(digits AS DOUBLE) / chars)"
+        ).alias("quality"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + a BPE-ish estimate (ceil(chars/4) — the
+    usual ~4-chars-per-token heuristic), both exact integers."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+        ).alias("ws_tokens"),
+        F.expr("CAST((length(text) + 3) DIV 4 AS BIGINT)").alias("bpe_est"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted character
+    sum ``Σ ascii(text[i]) * ((i * 2654435761) % 2^31)``. Bounds: ascii <
+    2^8, weight < 2^31, length < 2^13 → sum < 2^52 (exact int64). Computed
+    map-side with one aggregate HOF (no explode)."""
+    expr = (
+        "aggregate(sequence(1, length(text)), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + ascii(substr(text, i, 1))"
+        " * ((i * 2654435761) % 2147483648))"
+    )
+    return docs.select("doc_id", F.expr(expr).alias("fp"))

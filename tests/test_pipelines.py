@@ -1,0 +1,105 @@
+"""Pipeline-operator invariants that the SQL-oracle parity can't see:
+multimodal plumbing (rows-only queries) and semantic sanity of the dedup
+and similarity outputs."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.load_docs(spark, SF_DIR)
+
+
+def test_byte_histogram_conserves_bytes(spark):
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    payloads = MM.with_payload(_docs(spark))
+    feats = MM.byte_histogram(payloads)
+    bad = feats.filter(
+        F.expr("aggregate(hist, CAST(0 AS BIGINT), (a, x) -> a + x) != n_bytes")
+    ).count()
+    assert bad == 0
+    n_chars = {r["doc_id"]: r["n_chars"] for r in _docs(spark).collect()}
+    for r in feats.limit(20).collect():
+        assert r["n_bytes"] == n_chars[r["doc_id"]]  # ascii text: bytes == chars
+
+
+def test_decode_image_is_stubbed():
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_shape(spark):
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    payloads = MM.with_payload(_docs(spark))
+    frames = MM.frame_sample(payloads, n_frames=4, frame_bytes=32)
+    n_docs = _docs(spark).count()
+    assert frames.count() == 4 * n_docs
+    r = frames.filter("doc_id = 0 AND frame_idx = 0").collect()[0]
+    assert len(r["frame"]) == 32
+
+
+def test_cosine_topk_self_consistency(spark):
+    """Top-1 neighbor of q must have cos <= 1 and the kernel-side NumPy
+    cosine over the same quantization must agree."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    emb = SIM.load_embeddings(spark, SF_DIR)
+    top = SIM.cosine_topk(emb, n_queries=4, k=3).collect()
+    vecs = {
+        r["vec_id"]: np.floor(np.asarray(r["embedding"], dtype=np.float64) * 10000)
+        for r in emb.filter("vec_id < 500").collect()
+    }
+    for r in top:
+        q, c = vecs[r["qid"]], vecs[r["vid"]]
+        dot = int((q * c).sum())
+        assert dot == r["dot"]
+        cos = dot / np.sqrt((q * q).sum() * (c * c).sum())
+        assert abs(cos - r["cos"]) < 1e-12
+        assert -1.0000001 <= r["cos"] <= 1.0000001
+
+
+def test_srp_is_subset_ranking_of_bruteforce(spark):
+    """SRP-LSH candidates are a subset of all vectors, so every reported
+    neighbor must appear in the brute-force ranking with the same cos."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    emb = SIM.load_embeddings(spark, SF_DIR)
+    brute = {
+        (r["qid"], r["vid"]): r["cos"]
+        for r in SIM.cosine_topk(emb, n_queries=4, k=500).collect()
+    }
+    srp = SIM.srp_lsh_topk(emb, n_queries=4, k=5).collect()
+    assert len(srp) > 0
+    for r in srp:
+        assert brute[(r["qid"], r["vid"])] == r["cos"]
+
+
+def test_exact_dedup_partitions_docs(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark)
+    groups = TX.exact_dedup(docs)
+    assert groups.agg(F.sum("dup_cnt")).collect()[0][0] == docs.count()
+
+
+def test_jaccard_pairs_bounded(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    pairs = TX.jaccard_pairs(_docs(spark), threshold=0.0).limit(200).collect()
+    for r in pairs:
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert r["inter"] <= min(r["na"], r["nb"])
