@@ -373,6 +373,73 @@ def _q_mm_frame_sample(spark, sf_dir):
     return MM.frame_sample(MM.with_payload(TX.load_docs(spark, sf_dir)))
 
 
+# Detector + compression queries -------------------------------------------
+
+def _arrays_long_docid(spark, sf_dir):
+    return C.token_arrays(spark, sf_dir)
+
+
+def _q_det_matrix_profile(spark, sf_dir):
+    """STOMP matrix profile per series — Arrow kernel, rows-only."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.matrix_profile_scores(_arrays_long_docid(spark, sf_dir), 32)
+
+
+def _q_det_kmeans(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.kmeans_scores(_arrays_long_docid(spark, sf_dir), 32, 16, k=8)
+
+
+def _q_det_iforest(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.iforest_scores(
+        _arrays_long_docid(spark, sf_dir), 32, 16, n_trees=25
+    )
+
+
+def _q_det_proba_median(spark, sf_dir):
+    """predict_proba over MedianMethod scores — fully relational, and the
+    score itself is the shared-formula median_method, so the composition
+    is oracle-verified end-to-end."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    scores = _q_median_method(spark, sf_dir)
+    return DET.predict_proba(scores)
+
+
+def _q_det_exceed_median(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.exceed_confidence_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_compress_roundtrip(spark, sf_dir):
+    """compress -> decompress must reproduce the raw-tier rollup EXACTLY,
+    so the plain rollup oracle verifies the Gorilla/delta-of-delta codecs
+    end-to-end through SQL."""
+    from dtaianomaly_spark.rollup import compress as CMP
+
+    arrays = C.token_arrays(spark, sf_dir)
+    rolled = T.rollup_tiers_map(arrays, tiers=("raw",))
+    restored = CMP.decompress_tiers(CMP.compress_tiers(rolled))
+    return restored.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "tier", "bucket", "cnt", "sum", "sumsq", "min", "max", "first", "last",
+        "mean", "std",
+    )
+
+
+def _q_compress_report(spark, sf_dir):
+    from dtaianomaly_spark.rollup import compress as CMP
+
+    arrays = C.token_arrays(spark, sf_dir)
+    rolled = T.rollup_tiers_map(arrays)
+    return CMP.compression_report(CMP.compress_tiers(rolled))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: all-tier zero-shuffle rollup of the sf0.001-derived corpus."""
     arrays = C.token_arrays(spark, SF0001)
@@ -420,6 +487,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_minute_rollup": _q_ev_minute_rollup,
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
+        "det_matrix_profile": _q_det_matrix_profile,
+        "det_kmeans": _q_det_kmeans,
+        "det_iforest": _q_det_iforest,
+        "det_proba_median": _q_det_proba_median,
+        "det_exceed_median": _q_det_exceed_median,
+        "compress_roundtrip": _q_compress_roundtrip,
+        "compress_report": _q_compress_report,
     }
 
 
@@ -1019,6 +1093,34 @@ SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
 FROM e GROUP BY event_type, bucket
 """
 
+    det_proba_median = f"""
+{C.TOKEN_SQL_CTE},
+stats AS (
+    SELECT doc_id, pos, value,
+        CAST(COUNT(value) OVER w AS BIGINT) AS cnt,
+        CAST(SUM(value) OVER w AS BIGINT) AS sum,
+        CAST(SUM(value * value) OVER w AS BIGINT) AS sumsq
+    FROM long_form
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 16 PRECEDING AND 16 FOLLOWING)
+),
+sc AS (
+    SELECT doc_id, pos,
+        CASE WHEN {_STD} = 0.0 THEN 0.0
+             ELSE abs(CAST(value AS DOUBLE) - ({_MEAN})) / ({_STD}) END AS score
+    FROM stats
+),
+mm AS (
+    SELECT doc_id, pos, score,
+           MIN(score) OVER (PARTITION BY doc_id) AS _mn,
+           MAX(score) OVER (PARTITION BY doc_id) AS _mx
+    FROM sc
+)
+SELECT doc_id, pos,
+       CASE WHEN _mn = _mx THEN score ELSE (score - _mn) / (_mx - _mn) END AS proba
+FROM mm
+"""
+
     return {
         "rollup_raw": _rollup_oracle(16, "raw"),
         "rollup_1m": _rollup_oracle(960, "1m"),
@@ -1055,4 +1157,6 @@ FROM e GROUP BY event_type, bucket
         "ann_srp_topk": ann_srp_topk,
         "ev_sessionize": ev_sessionize,
         "ev_minute_rollup": ev_minute_rollup,
+        "compress_roundtrip": _rollup_oracle(16, "raw"),
+        "det_proba_median": det_proba_median,
     }

@@ -305,20 +305,23 @@ def betainc_reg(a: float, b: float, x: float) -> float:
     return 1.0 - front * _betacf(b, a, 1.0 - x) / b
 
 
-def binom_cdf(k: np.ndarray, n: int, p: float) -> np.ndarray:
-    """P(X <= k) for X ~ Binomial(n, p) via the incomplete beta."""
-    k = np.asarray(k)
-    out = np.empty(k.shape, dtype=np.float64)
-    flat = k.reshape(-1)
-    of = out.reshape(-1)
-    for i, ki in enumerate(flat):
-        ki = int(np.floor(ki))
+def binom_cdf(k, n: int, p) -> np.ndarray:
+    """P(X <= k) for X ~ Binomial(n, p) via the incomplete beta.
+    ``k`` and ``p`` broadcast against each other (scipy.stats.binom.cdf
+    semantics — ExCeeD calls this with scalar k and per-point p)."""
+    k_arr, p_arr = np.broadcast_arrays(
+        np.asarray(k, dtype=np.float64), np.asarray(p, dtype=np.float64)
+    )
+    out = np.empty(k_arr.shape, dtype=np.float64)
+    kf, pf, of = k_arr.reshape(-1), p_arr.reshape(-1), out.reshape(-1)
+    for i in range(kf.shape[0]):
+        ki = int(np.floor(kf[i]))
         if ki < 0:
             of[i] = 0.0
         elif ki >= n:
             of[i] = 1.0
         else:
-            of[i] = betainc_reg(n - ki, ki + 1, 1.0 - p)
+            of[i] = betainc_reg(n - ki, ki + 1, 1.0 - float(pf[i]))
     return out
 
 

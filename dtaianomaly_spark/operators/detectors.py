@@ -1,0 +1,183 @@
+"""Detector scoring operators: the fit→broadcast→score pattern.
+
+Reference protocol (anomaly_detection/BaseDetector.py:54-186): ``fit``
+learns a small state object, ``decision_function`` maps a series to
+per-observation scores via sliding windows + ``reverse_sliding_window``.
+
+Spark mapping: **fit is a driver-side action over a deterministic
+sample** (iterative solvers — Lloyd, tree induction — don't distribute
+profitably at these model sizes), the fitted state is broadcast via task
+closure, and **scoring is one shuffle-free Arrow pass** per series with
+the same NumPy kernels the pytest oracle runs:
+
+* MatrixProfileDetector (MatrixProfileDetector.py:116-178) — STOMP
+  self-join per series, no fit state at all.
+* KMeansAnomalyDetector (KMeansAnomalyDetector.py:84-98) — distance to
+  the assigned centroid over sliding windows.
+* IsolationForest (IsolationForest.py:7-58 via PyODAnomalyDetector) —
+  forest of random split trees on sliding windows.
+* predict_proba (BaseDetector.py:140-186) — per-series min-max rescale,
+  pure relational (oracle-verified).
+* predict_confidence / ExCeeD (BaseDetector.py:188-287) — train-ECDF
+  binomial posterior, vectorized kernel in the same Arrow pass.
+
+At 100 TB: the sample collect is a bounded ``limit`` on a filtered
+series subset (never a full-table collect); scoring is map-only so it
+scales with executors like the rollup path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from dtaianomaly_spark.kernels import detectors as KD
+from dtaianomaly_spark.kernels import windowing as KW
+
+SCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+
+def _score_map(arrays: DataFrame, per_series: Callable[[np.ndarray], np.ndarray]) -> DataFrame:
+    """Shuffle-free per-series scoring: one Arrow pass, long-form out."""
+
+    def run(batches):
+        for pdf in batches:
+            doc_ids, poss, outs = [], [], []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                s = per_series(x)
+                doc_ids.append(np.repeat(doc_id, x.shape[0]))
+                poss.append(np.arange(x.shape[0], dtype=np.int64))
+                outs.append(s)
+            if doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_ids),
+                        "pos": np.concatenate(poss),
+                        "score": np.concatenate(outs),
+                    }
+                )
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, SCORE_SCHEMA)
+
+
+def matrix_profile_scores(arrays: DataFrame, window_size: int) -> DataFrame:
+    """STOMP matrix-profile anomaly scores per observation
+    (MatrixProfileDetector.py:116-178; per-window profile mapped back via
+    reverse_sliding_window with stride 1)."""
+    w = window_size
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        profile = KD.matrix_profile(x, w)
+        return KW.reverse_sliding_window(profile, w, 1, x.shape[0])
+
+    return _score_map(arrays, per_series)
+
+
+def fit_sample_windows(
+    arrays: DataFrame, window_size: int, stride: int,
+    sample_mod: int = 20, max_series: int = 50,
+) -> np.ndarray:
+    """Deterministic driver-side fit sample: sliding windows from every
+    ``sample_mod``-th series, capped at ``max_series`` series. The
+    collect is bounded regardless of table size."""
+    rows = (
+        arrays.filter(F.col("doc_id").cast("long") % sample_mod == 0)
+        .orderBy("doc_id")
+        .limit(max_series)
+        .select("tokens")
+        .collect()
+    )
+    wins = [
+        KW.sliding_window(np.asarray(r["tokens"], dtype=np.float64), window_size, stride)
+        for r in rows
+        if len(r["tokens"]) >= window_size
+    ]
+    return np.concatenate(wins, axis=0)
+
+
+def kmeans_scores(
+    arrays: DataFrame, window_size: int, stride: int, k: int = 8, seed: int = 42
+) -> DataFrame:
+    """KMeans window-distance scores (KMeansAnomalyDetector.py:84-98):
+    driver-fit seeded k-means on the deterministic window sample,
+    centroids broadcast in the task closure, per-series scoring +
+    reverse window mapping in one Arrow pass."""
+    w, s = window_size, stride
+    centers = KD.kmeans_fit(fit_sample_windows(arrays, w, s), k, seed=seed)
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        wins = KW.sliding_window(x, w, s)
+        d = KD.kmeans_score(wins, centers)
+        return KW.reverse_sliding_window(d, w, s, x.shape[0])
+
+    return _score_map(arrays, per_series)
+
+
+def iforest_scores(
+    arrays: DataFrame, window_size: int, stride: int,
+    n_trees: int = 50, seed: int = 42,
+) -> DataFrame:
+    """Isolation-forest window scores (IsolationForest.py:7-58):
+    driver-fit on the deterministic window sample, node-table trees
+    broadcast, Arrow-pass scoring."""
+    w, s = window_size, stride
+    trees = KD.iforest_fit(fit_sample_windows(arrays, w, s), n_trees=n_trees, seed=seed)
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        wins = KW.sliding_window(x, w, s)
+        d = KD.iforest_score(wins, trees)
+        return KW.reverse_sliding_window(d, w, s, x.shape[0])
+
+    return _score_map(arrays, per_series)
+
+
+def predict_proba(scored: DataFrame) -> DataFrame:
+    """Per-series min-max rescale of scores to [0, 1]
+    (BaseDetector.py:140-186). Pure relational — single window
+    partitioning, no join. Constant-score series pass through (the
+    reference errors when the constant lies outside [0, 1]; scores here
+    are non-negative ratios, the pass-through covers the legal case)."""
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy("doc_id")
+    return (
+        scored.withColumn("_mn", F.min("score").over(wall))
+        .withColumn("_mx", F.max("score").over(wall))
+        .select(
+            "doc_id", "pos",
+            F.expr(
+                "CASE WHEN _mn = _mx THEN score"
+                " ELSE (score - _mn) / (_mx - _mn) END"
+            ).alias("proba"),
+        )
+    )
+
+
+def exceed_confidence_scores(
+    arrays: DataFrame, neighborhood: int = 16, contamination: float = 0.05
+) -> DataFrame:
+    """ExCeeD confidence over MedianMethod scores, train ECDF = the
+    series' own scores (the unsupervised fit-on-test path,
+    Workflow.py:426-428): one Arrow pass per series."""
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        s = KD.median_method_scores(x, neighborhood)
+        return KD.exceed_confidence(s, s, contamination)
+
+    return _score_map(arrays, per_series)

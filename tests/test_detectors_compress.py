@@ -1,0 +1,83 @@
+"""Detector operators + compressed-tier round trip."""
+
+import os
+import sys
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dtaianomaly_spark.kernels import detectors as KD
+from dtaianomaly_spark.kernels import windowing as KW
+from dtaianomaly_spark.sources import corpus as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _small_arrays(spark, n=20):
+    return C.token_arrays(spark, SF_DIR).filter(F.col("doc_id") < n)
+
+
+def test_matrix_profile_operator_matches_kernel(spark):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = _small_arrays(spark, 6)
+    got = {}
+    for r in DET.matrix_profile_scores(arrays, 32).collect():
+        got.setdefault(int(r["doc_id"]), {})[int(r["pos"])] = r["score"]
+    rows = arrays.collect()
+    for r in rows:
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        profile = KD.matrix_profile(x, 32)
+        expect = KW.reverse_sliding_window(profile, 32, 1, x.shape[0])
+        out = np.array([got[int(r["doc_id"])][p] for p in range(x.shape[0])])
+        assert np.array_equal(out, expect)
+
+
+def test_kmeans_iforest_scores_deterministic_and_complete(spark):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = _small_arrays(spark)
+    n_obs = arrays.agg(F.sum("n_tok")).collect()[0][0]
+    for fn in (
+        lambda: DET.kmeans_scores(arrays, 32, 16, k=4),
+        lambda: DET.iforest_scores(arrays, 32, 16, n_trees=10),
+    ):
+        a = {(r["doc_id"], r["pos"]): r["score"] for r in fn().collect()}
+        b = {(r["doc_id"], r["pos"]): r["score"] for r in fn().collect()}
+        assert len(a) == n_obs
+        assert a == b  # seeded fit => identical across runs
+        assert all(np.isfinite(v) for v in a.values())
+
+
+def test_exceed_confidence_bounds(spark):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    rows = DET.exceed_confidence_scores(_small_arrays(spark)).collect()
+    vals = np.array([r["score"] for r in rows])
+    assert ((vals >= 0.0) & (vals <= 1.0)).all()
+
+
+def test_compress_roundtrip_exact(spark):
+    from dtaianomaly_spark.rollup import compress as CMP
+    from dtaianomaly_spark.rollup import tiers as T
+
+    arrays = _small_arrays(spark, 40)
+    rolled = T.rollup_tiers_map(arrays)
+    restored = CMP.decompress_tiers(CMP.compress_tiers(rolled))
+    a = rolled.orderBy("doc_id", "tier", "bucket").collect()
+    b = restored.orderBy("doc_id", "tier", "bucket").collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra == rb
+
+
+def test_compression_beats_raw_on_long_blocks(spark):
+    from dtaianomaly_spark.rollup import compress as CMP
+    from dtaianomaly_spark.rollup import tiers as T
+
+    rolled = T.rollup_tiers_map(C.token_arrays(spark, SF_DIR), tiers=("raw",))
+    rep = CMP.compression_report(CMP.compress_tiers(rolled)).collect()
+    raw = {r["tier"]: r["ratio"] for r in rep}
+    assert raw["raw"] > 2.0  # delta-of-delta + XOR beat 8-byte raw layout

@@ -1,0 +1,102 @@
+"""Checkpoint-resume, Structured Streaming, and lineage/partitioning."""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dtaianomaly_spark.sources import corpus as C
+from dtaianomaly_spark.rollup import tiers as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(df):
+    return sorted(
+        tuple(r) for r in df.select(*T.ROLLUP_SCHEMA.names).collect()
+    )
+
+
+def test_incremental_rollup_resumes_from_checkpoint(spark, tmp_path):
+    from dtaianomaly_spark.streaming.incremental import IncrementalRollup
+
+    corpus = C.token_arrays(spark, SF_DIR).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens", "n_tok"
+    )
+    store = str(tmp_path / "store")
+
+    inc = IncrementalRollup(store, n_batches=6)
+    # crash after 2 committed batches
+    assert inc.run(corpus, fail_after=2) == 2
+    assert len(inc.committed()) == 2
+
+    # resume: a NEW instance (fresh process semantics) picks up the log
+    inc2 = IncrementalRollup(store, n_batches=6)
+    assert inc2.run(corpus) == 4  # only the remaining batches
+    committed = inc2.committed()
+    assert sorted(committed) == list(range(6))
+    # lineage recorded per batch
+    for rec in committed.values():
+        assert rec["series"] > 0 and rec["tokens"] > 0 and rec["wall_ms"] >= 0
+
+    # resumed store == one-shot rollup, exactly
+    assert _canon(inc2.read_store(spark)) == _canon(rollup_once(corpus))
+
+    # idempotent: nothing left to do
+    assert inc2.run(corpus) == 0
+
+
+def rollup_once(corpus):
+    return T.rollup_tiers_map(corpus)
+
+
+def test_structured_streaming_rollup(spark, tmp_path):
+    from dtaianomaly_spark.streaming.incremental import stream_rollup
+
+    src = str(tmp_path / "src")
+    corpus = C.token_arrays(spark, SF_DIR).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens", "n_tok"
+    )
+    corpus.repartition(4).write.parquet(src)
+
+    store = str(tmp_path / "stream_store")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_rollup(spark, src, store, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.schema(T.ROLLUP_SCHEMA).parquet(os.path.join(store, "data"))
+    assert _canon(got) == _canon(rollup_once(corpus))
+
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = stream_rollup(spark, src, store, ckpt)
+    q2.awaitTermination(120)
+    got2 = spark.read.schema(T.ROLLUP_SCHEMA).parquet(os.path.join(store, "data"))
+    assert got2.count() == got.count()
+
+
+def test_partition_metrics_cover_everything(spark):
+    from dtaianomaly_spark.plans import lineage as L
+
+    arrays = C.token_arrays(spark, SF_DIR)
+    m = L.partition_metrics(arrays).collect()
+    total = arrays.agg(
+        F.count("*").alias("s"), F.sum("n_tok").alias("t")
+    ).collect()[0]
+    assert sum(r["n_series"] for r in m) == total["s"]
+    assert sum(r["n_tokens"] for r in m) == total["t"]
+    assert len({r["partition_id"] for r in m}) == len(m)
+
+
+def test_weight_balanced_repartition_reduces_skew(spark):
+    from dtaianomaly_spark.plans import lineage as L
+
+    arrays = C.token_arrays(spark, SF_DIR)
+    rep = L.skew_report(arrays, 16)
+    assert rep["balanced_imbalance"] <= rep["hash_imbalance"] * 1.05
+    assert rep["balanced_imbalance"] < 1.6
