@@ -440,6 +440,67 @@ def _q_compress_report(spark, sf_dir):
     return CMP.compression_report(CMP.compress_tiers(rolled))
 
 
+def _q_det_knn(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.knn_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_lof(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.lof_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_hbos(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.hbos_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_copod(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.copod_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_pca(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.pca_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_kpca(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.kpca_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_cblof(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.cblof_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_ocsvm(spark, sf_dir):
+    """OCSVM SURROGATE (documented approximation) - rows-only."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.ocsvm_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_rpca(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.rpca_scores(_arrays_long_docid(spark, sf_dir))
+
+
+def _q_det_kshape(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.kshape_scores_df(_arrays_long_docid(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: all-tier zero-shuffle rollup of the sf0.001-derived corpus."""
     arrays = C.token_arrays(spark, SF0001)
@@ -494,6 +555,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_exceed_median": _q_det_exceed_median,
         "compress_roundtrip": _q_compress_roundtrip,
         "compress_report": _q_compress_report,
+        "det_knn": _q_det_knn,
+        "det_lof": _q_det_lof,
+        "det_hbos": _q_det_hbos,
+        "det_copod": _q_det_copod,
+        "det_pca": _q_det_pca,
+        "det_kpca": _q_det_kpca,
+        "det_cblof": _q_det_cblof,
+        "det_ocsvm": _q_det_ocsvm,
+        "det_rpca": _q_det_rpca,
+        "det_kshape": _q_det_kshape,
     }
 
 

@@ -134,7 +134,9 @@ def run_headline() -> dict:
         qs["rollup_map_raw"](spark, "/root/testdata/sf0.001").count()
         total = 0.0
         for name, fn in qs.items():
-            _, dt = _time_count(lambda: fn(spark, SF_DIR), iters=2)
+            # heavy Arrow-kernel detectors: one timed run is enough
+            iters = 1 if name.startswith("det_") else 2
+            _, dt = _time_count(lambda: fn(spark, SF_DIR), iters=iters)
             timings[name] = round(dt, 3)
             total += dt
         arrays = C.token_arrays(spark, SF_DIR)

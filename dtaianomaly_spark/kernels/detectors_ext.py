@@ -1,0 +1,286 @@
+"""Extended detector kernels: the remaining reference detector family.
+
+Pure-NumPy reimplementations of the algorithms the reference reaches via
+pyod/sklearn/tslearn wrappers (anomaly_detection/*.py) — the fit state is
+small (sample windows, centroids, histograms, eigenvectors) so the Spark
+operators driver-fit on a bounded deterministic sample and broadcast, the
+same shape as operators/detectors.py.
+
+Semantics notes (vs the wrapped libraries):
+* knn/lof — classic kNN-distance and LOF in novelty mode (score test
+  points against the train set), matching pyod KNN(largest)/LOF defaults
+  structurally (KNearestNeighbors.py:7-62, LocalOutlierFactor.py:7-61).
+* hbos — static equal-width per-feature histograms, log-density sum
+  (HistogramBasedOutlierScore.py:7-62).
+* copod — empirical left/right tail probabilities, skewness-corrected
+  dimension choice (CopulaBasedOutlierDetector.py:7-62).
+* pca / kpca — reconstruction error against top-q principal components /
+  RBF kernel components (PrincipalComponentAnalysis.py:7-58,
+  KernelPrincipalComponentAnalysis.py:7-58).
+* cblof — distance to nearest large-cluster centroid
+  (ClusterBasedLocalOutlierFactor.py:7-76).
+* ocsvm_surrogate — EXPLICIT APPROXIMATION: a Parzen/RBF one-class score
+  (negative mean kernel similarity to the train sample) standing in for
+  the QP-trained OCSVM decision function; same sign convention, no
+  support-vector sparsification (OneClassSupportVectorMachine.py:7-59).
+* kshape_scores — KShape-style scoring: cluster centroids from
+  z-normalized long windows (Lloyd on z-space — an approximation of
+  shape-extraction), cluster weights = minmax(size^2 / Σdist)
+  (KShapeAnomalyDetector.py:142-193), per-window score = weighted
+  z-normalized AB-join distance to each centroid via the matrix-profile
+  kernel.
+* rpca — PCP by inexact ALM (SVD shrinkage loop,
+  RobustPrincipalComponentAnalysis.py:113-190) on the sample, then PCA
+  scoring against the low-rank part's components.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from dtaianomaly_spark.kernels.detectors import kmeans_fit, matrix_profile
+
+
+def _block_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Pairwise Euclidean distances (n_a, n_b), exact, vectorized."""
+    a2 = (A * A).sum(axis=1)[:, None]
+    b2 = (B * B).sum(axis=1)[None, :]
+    d2 = a2 + b2 - 2.0 * A @ B.T
+    return np.sqrt(np.maximum(d2, 0.0))
+
+
+# ------------------------------------------------------------------ kNN/LOF
+
+def knn_score(test: np.ndarray, train: np.ndarray, k: int = 5) -> np.ndarray:
+    """Distance to the k-th nearest train window (pyod KNN 'largest')."""
+    d = _block_dists(test, train)
+    k = min(k, train.shape[0])
+    return np.partition(d, k - 1, axis=1)[:, k - 1]
+
+
+def lof_fit(train: np.ndarray, k: int = 10) -> Dict[str, np.ndarray]:
+    """Precompute train k-distances and local reachability densities."""
+    n = train.shape[0]
+    k = min(k, n - 1)
+    d = _block_dists(train, train)
+    np.fill_diagonal(d, np.inf)
+    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    ndist = np.take_along_axis(d, idx, axis=1)
+    kdist = ndist.max(axis=1)
+    reach = np.maximum(ndist, kdist[idx])
+    lrd = 1.0 / np.maximum(reach.mean(axis=1), 1e-12)
+    return {"train": train, "k": np.int64(k), "kdist": kdist, "lrd": lrd}
+
+
+def lof_score(test: np.ndarray, model: Dict[str, np.ndarray]) -> np.ndarray:
+    """LOF of test points vs the train set (novelty mode)."""
+    train, k = model["train"], int(model["k"])
+    kdist, lrd = model["kdist"], model["lrd"]
+    d = _block_dists(test, train)
+    idx = np.argpartition(d, k - 1, axis=1)[:, :k]
+    ndist = np.take_along_axis(d, idx, axis=1)
+    reach = np.maximum(ndist, kdist[idx])
+    lrd_test = 1.0 / np.maximum(reach.mean(axis=1), 1e-12)
+    return lrd[idx].mean(axis=1) / lrd_test
+
+
+# -------------------------------------------------------------------- HBOS
+
+def hbos_fit(train: np.ndarray, n_bins: int = 10) -> Dict[str, np.ndarray]:
+    """Per-feature equal-width histograms over the train range."""
+    mn = train.min(axis=0)
+    mx = train.max(axis=0)
+    width = np.where(mx > mn, (mx - mn) / n_bins, 1.0)
+    counts = np.zeros((train.shape[1], n_bins), dtype=np.float64)
+    for j in range(train.shape[1]):
+        b = np.clip(((train[:, j] - mn[j]) / width[j]).astype(np.int64), 0, n_bins - 1)
+        counts[j] = np.bincount(b, minlength=n_bins)
+    density = counts / train.shape[0]
+    return {"mn": mn, "width": width, "density": density, "n_bins": np.int64(n_bins)}
+
+
+def hbos_score(test: np.ndarray, model: Dict[str, np.ndarray], alpha: float = 0.1) -> np.ndarray:
+    """score = Σ_j log(1 / (density_j(bin) + alpha))."""
+    mn, width, density = model["mn"], model["width"], model["density"]
+    n_bins = int(model["n_bins"])
+    out = np.zeros(test.shape[0])
+    for j in range(test.shape[1]):
+        b = np.clip(((test[:, j] - mn[j]) / width[j]).astype(np.int64), 0, n_bins - 1)
+        out += np.log(1.0 / (density[j][b] + alpha))
+    return out
+
+
+# ------------------------------------------------------------------- COPOD
+
+def copod_fit(train: np.ndarray) -> Dict[str, np.ndarray]:
+    from numpy import sort
+
+    skew_num = ((train - train.mean(axis=0)) ** 3).mean(axis=0)
+    skew_den = np.maximum(train.std(axis=0) ** 3, 1e-12)
+    return {
+        "sorted": sort(train, axis=0),
+        "n": np.int64(train.shape[0]),
+        "skew": skew_num / skew_den,
+    }
+
+
+def copod_score(test: np.ndarray, model: Dict[str, np.ndarray]) -> np.ndarray:
+    """Σ_j -log(tail probability), tail side chosen by train skewness."""
+    srt, n, skew = model["sorted"], int(model["n"]), model["skew"]
+    out = np.zeros(test.shape[0])
+    for j in range(test.shape[1]):
+        left = (np.searchsorted(srt[:, j], test[:, j], side="right") + 1.0) / (n + 1.0)
+        right = (n - np.searchsorted(srt[:, j], test[:, j], side="left") + 1.0) / (n + 1.0)
+        p = np.where(skew[j] < 0, left, right)
+        out += -np.log(np.clip(p, 1e-12, 1.0))
+    return out
+
+
+# --------------------------------------------------------------- PCA / KPCA
+
+def pca_fit(train: np.ndarray, n_components: int = 4) -> Dict[str, np.ndarray]:
+    mean = train.mean(axis=0)
+    Xc = train - mean
+    cov = Xc.T @ Xc / max(train.shape[0] - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: min(n_components, train.shape[1])]
+    return {"mean": mean, "components": vecs[:, order]}
+
+
+def pca_score(test: np.ndarray, model: Dict[str, np.ndarray]) -> np.ndarray:
+    """Squared reconstruction error against the principal subspace."""
+    Xc = test - model["mean"]
+    proj = Xc @ model["components"] @ model["components"].T
+    return ((Xc - proj) ** 2).sum(axis=1)
+
+
+def _rbf(A: np.ndarray, B: np.ndarray, gamma: float) -> np.ndarray:
+    d = _block_dists(A, B)
+    return np.exp(-gamma * d * d)
+
+
+def kpca_fit(train: np.ndarray, n_components: int = 4, gamma: float | None = None) -> Dict:
+    if gamma is None:
+        gamma = 1.0 / train.shape[1]
+    K = _rbf(train, train, gamma)
+    n = K.shape[0]
+    one = np.full((n, n), 1.0 / n)
+    Kc = K - one @ K - K @ one + one @ K @ one
+    vals, vecs = np.linalg.eigh(Kc)
+    order = np.argsort(vals)[::-1][:n_components]
+    lam = np.maximum(vals[order], 1e-12)
+    return {"train": train, "gamma": gamma, "K": K,
+            "alphas": vecs[:, order] / np.sqrt(lam), "lam": lam}
+
+
+def kpca_score(test: np.ndarray, model: Dict) -> np.ndarray:
+    """Reconstruction error in feature space: k(x,x) - ||projection||²
+    (with centering terms), the standard KPCA novelty score."""
+    train, gamma, K = model["train"], model["gamma"], model["K"]
+    n = train.shape[0]
+    Kt = _rbf(test, train, gamma)
+    row_mean = K.mean(axis=0)
+    all_mean = K.mean()
+    Ktc = Kt - Kt.mean(axis=1, keepdims=True) - row_mean[None, :] + all_mean
+    proj = Ktc @ model["alphas"]
+    kxx = 1.0 - 2.0 * Kt.mean(axis=1) + all_mean
+    return np.maximum(kxx - (proj * proj).sum(axis=1), 0.0)
+
+
+# ------------------------------------------------------------------- CBLOF
+
+def cblof_fit(train: np.ndarray, k: int = 8, alpha: float = 0.9, seed: int = 42) -> Dict:
+    centers = kmeans_fit(train, k, seed=seed)
+    d = _block_dists(train, centers)
+    assign = d.argmin(axis=1)
+    sizes = np.bincount(assign, minlength=centers.shape[0])
+    order = np.argsort(sizes)[::-1]
+    cum = np.cumsum(sizes[order])
+    n_big = int(np.searchsorted(cum, alpha * train.shape[0]) + 1)
+    big = order[:n_big]
+    return {"centers": centers, "big": big}
+
+
+def cblof_score(test: np.ndarray, model: Dict) -> np.ndarray:
+    """Distance to the nearest LARGE cluster centroid."""
+    return _block_dists(test, model["centers"][model["big"]]).min(axis=1)
+
+
+# ----------------------------------------------------------- OCSVM (approx)
+
+def ocsvm_surrogate_fit(train: np.ndarray, gamma: float | None = None) -> Dict:
+    if gamma is None:
+        gamma = 1.0 / train.shape[1]
+    return {"train": train, "gamma": gamma}
+
+
+def ocsvm_surrogate_score(test: np.ndarray, model: Dict) -> np.ndarray:
+    """APPROXIMATION (documented): negative mean RBF similarity to the
+    train sample — a Parzen-window one-class score, not the QP-trained
+    OCSVM decision function."""
+    return -_rbf(test, model["train"], model["gamma"]).mean(axis=1)
+
+
+# ------------------------------------------------------------------ KShape
+
+def _znorm_rows(X: np.ndarray) -> np.ndarray:
+    mu = X.mean(axis=1, keepdims=True)
+    sd = X.std(axis=1, keepdims=True)
+    return (X - mu) / np.where(sd < 1e-12, 1.0, sd)
+
+
+def kshape_fit(train_windows: np.ndarray, k: int = 3, seed: int = 42) -> Dict:
+    """Centroids of z-normalized long windows + KShape cluster weights
+    minmax(size² / Σ distance-to-centroid) (KShapeAnomalyDetector.py:162-173)."""
+    Z = _znorm_rows(train_windows)
+    centers = kmeans_fit(Z, k, seed=seed)
+    d = _block_dists(Z, centers)
+    assign = d.argmin(axis=1)
+    sizes = np.bincount(assign, minlength=centers.shape[0]).astype(np.float64)
+    tot = np.array([d[assign == j, j].sum() for j in range(centers.shape[0])])
+    w = sizes**2 / np.maximum(tot, 1e-12)
+    rng = w.max() - w.min()
+    weights = (w - w.min()) / rng if rng > 0 else np.ones_like(w)
+    return {"centers": centers, "weights": weights}
+
+
+def kshape_scores(x: np.ndarray, model: Dict, window_size: int) -> np.ndarray:
+    """Per-window weighted sum of z-normalized AB-join distances to each
+    centroid (KShapeAnomalyDetector.py:182-193 pattern)."""
+    n_win = x.shape[0] - window_size + 1
+    out = np.zeros(n_win)
+    for c, w in zip(model["centers"], model["weights"]):
+        out += w * matrix_profile(x, window_size, x_ref=c)
+    return out
+
+
+# -------------------------------------------------------------------- RPCA
+
+def rpca_fit(train: np.ndarray, max_iter: int = 100, tol: float = 1e-6,
+             n_components: int = 4) -> Dict:
+    """Principal Component Pursuit by inexact ALM: M = L + S with nuclear-
+    norm L and l1 S; PCA components of the recovered low-rank L."""
+    M = np.asarray(train, dtype=np.float64)
+    norm = np.linalg.norm(M)
+    if norm == 0:
+        return pca_fit(M, n_components)
+    lam = 1.0 / np.sqrt(max(M.shape))
+    mu = M.shape[0] * M.shape[1] / (4.0 * np.abs(M).sum())
+    S = np.zeros_like(M)
+    Y = np.zeros_like(M)
+    for _ in range(max_iter):
+        U, sig, Vt = np.linalg.svd(M - S + Y / mu, full_matrices=False)
+        sig_sh = np.maximum(sig - 1.0 / mu, 0.0)
+        L = (U * sig_sh) @ Vt
+        R = M - L + Y / mu
+        S = np.sign(R) * np.maximum(np.abs(R) - lam / mu, 0.0)
+        Z = M - L - S
+        Y += mu * Z
+        if np.linalg.norm(Z) / norm < tol:
+            break
+    return pca_fit(L, n_components)
+
+
+rpca_score = pca_score

@@ -92,10 +92,13 @@ def matrix_profile_scores(arrays: DataFrame, window_size: int) -> DataFrame:
 def fit_sample_windows(
     arrays: DataFrame, window_size: int, stride: int,
     sample_mod: int = 20, max_series: int = 50,
+    max_windows: int | None = None,
 ) -> np.ndarray:
     """Deterministic driver-side fit sample: sliding windows from every
-    ``sample_mod``-th series, capped at ``max_series`` series. The
-    collect is bounded regardless of table size."""
+    ``sample_mod``-th series, capped at ``max_series`` series (and
+    optionally ``max_windows`` via even subsampling — kernel-matrix
+    fits are quadratic in the sample). The collect is bounded regardless
+    of table size."""
     rows = (
         arrays.filter(F.col("doc_id").cast("long") % sample_mod == 0)
         .orderBy("doc_id")
@@ -108,7 +111,11 @@ def fit_sample_windows(
         for r in rows
         if len(r["tokens"]) >= window_size
     ]
-    return np.concatenate(wins, axis=0)
+    out = np.concatenate(wins, axis=0)
+    if max_windows is not None and out.shape[0] > max_windows:
+        idx = np.linspace(0, out.shape[0] - 1, max_windows).astype(np.int64)
+        out = out[idx]
+    return out
 
 
 def kmeans_scores(
@@ -143,6 +150,131 @@ def iforest_scores(
         wins = KW.sliding_window(x, w, s)
         d = KD.iforest_score(wins, trees)
         return KW.reverse_sliding_window(d, w, s, x.shape[0])
+
+    return _score_map(arrays, per_series)
+
+
+def window_model_scores(
+    arrays: DataFrame, window_size: int, stride: int,
+    fit_fn: Callable[[np.ndarray], object],
+    score_fn: Callable[[np.ndarray, object], np.ndarray],
+    max_windows: Optional[int] = None,
+) -> DataFrame:
+    """Generic fit-broadcast-score: driver-fit ``fit_fn`` on the bounded
+    window sample, broadcast the model in the task closure, score each
+    series' windows with ``score_fn`` and reverse-map — the skeleton
+    every pyod-style detector shares (PyODAnomalyDetector.py:101-113)."""
+    w, s = window_size, stride
+    model = fit_fn(
+        fit_sample_windows(arrays, w, s, max_windows=max_windows)
+    )
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        wins = KW.sliding_window(x, w, s)
+        d = score_fn(wins, model)
+        return KW.reverse_sliding_window(d, w, s, x.shape[0])
+
+    return _score_map(arrays, per_series)
+
+
+def knn_scores(arrays, window_size=32, stride=16, k=5):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        lambda tr: tr, lambda te, tr: KX.knn_score(te, tr, k),
+        max_windows=2000,
+    )
+
+
+def lof_scores(arrays, window_size=32, stride=16, k=10):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        lambda tr: KX.lof_fit(tr, k), KX.lof_score, max_windows=2000,
+    )
+
+
+def hbos_scores(arrays, window_size=32, stride=16, n_bins=10):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        lambda tr: KX.hbos_fit(tr, n_bins), KX.hbos_score,
+    )
+
+
+def copod_scores(arrays, window_size=32, stride=16):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride, KX.copod_fit, KX.copod_score,
+    )
+
+
+def pca_scores(arrays, window_size=32, stride=16, n_components=4):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        lambda tr: KX.pca_fit(tr, n_components), KX.pca_score,
+    )
+
+
+def kpca_scores(arrays, window_size=32, stride=16, n_components=4):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        lambda tr: KX.kpca_fit(tr, n_components), KX.kpca_score,
+        max_windows=500,  # kernel matrix is quadratic in the sample
+    )
+
+
+def cblof_scores(arrays, window_size=32, stride=16, k=8):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        lambda tr: KX.cblof_fit(tr, k), KX.cblof_score,
+    )
+
+
+def ocsvm_scores(arrays, window_size=32, stride=16):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        KX.ocsvm_surrogate_fit, KX.ocsvm_surrogate_score,
+        max_windows=500,
+    )
+
+
+def rpca_scores(arrays, window_size=32, stride=16, n_components=4):
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    return window_model_scores(
+        arrays, window_size, stride,
+        lambda tr: KX.rpca_fit(tr, n_components=n_components), KX.rpca_score,
+        max_windows=500,  # iterative SVD loop on the sample
+    )
+
+
+def kshape_scores_df(arrays, window_size=32, stride=16, k=3):
+    """KShape-style weighted centroid-distance scores
+    (KShapeAnomalyDetector.py:142-193; centroids from z-normalized
+    windows, per-window AB-join distances, stride-1 reverse map)."""
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    model = KX.kshape_fit(
+        fit_sample_windows(arrays, window_size, stride, max_windows=2000), k
+    )
+    w = window_size
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        d = KX.kshape_scores(x, model, w)
+        return KW.reverse_sliding_window(d, w, 1, x.shape[0])
 
     return _score_map(arrays, per_series)
 
