@@ -267,14 +267,22 @@ def _q_sw_reverse(spark, sf_dir):
     return W.reverse_scores(win, series_n, SW_W, SW_S)
 
 
-def _q_ws_select_fft(spark, sf_dir):
-    """Auto window-size (dominant FFT frequency) per series — Arrow
-    kernel, rows-only check (FFT is not SQL-expressible)."""
-    from dtaianomaly_spark.operators import windows as W
+def _ws_select(mode):
+    def q(spark, sf_dir):
+        """Auto window-size per series — Arrow kernel, rows-only check
+        (FFT/ACF/MWF/SUSS are not SQL-expressible)."""
+        from dtaianomaly_spark.operators import windows as W
 
-    return W.window_size_select(
-        C.token_arrays(spark, sf_dir), "fft", default_window_size=16
-    )
+        return W.window_size_select(
+            C.token_arrays(spark, sf_dir), mode, default_window_size=16
+        )
+    return q
+
+
+_q_ws_select_fft = _ws_select("fft")
+_q_ws_select_acf = _ws_select("acf")
+_q_ws_select_mwf = _ws_select("mwf")
+_q_ws_select_suss = _ws_select("suss")
 
 
 # Training-data pipeline queries ------------------------------------------
@@ -533,6 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sw_stats": _q_sw_stats,
         "sw_reverse": _q_sw_reverse,
         "ws_select_fft": _q_ws_select_fft,
+        "ws_select_acf": _q_ws_select_acf,
+        "ws_select_mwf": _q_ws_select_mwf,
+        "ws_select_suss": _q_ws_select_suss,
         "dd_exact": _q_dd_exact,
         "dd_minhash": _q_dd_minhash,
         "dd_lsh_pairs": _q_dd_lsh_pairs,

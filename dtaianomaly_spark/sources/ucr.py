@@ -1,0 +1,89 @@
+"""UCR anomaly-archive source (the reference's primary real-data loader).
+
+Format (data/UCRLoader.py:7-37): one float per line; the file NAME
+carries the metadata — ``..._<train_split>_<anomaly_start>_<anomaly_stop>
+.txt`` — giving the train/test split point and the [start, stop) anomaly
+label range.
+
+Spark mapping: each file is read WHOLE (``wholetext``) so line order —
+which IS the time axis — survives; lines explode to (pos, value) rows
+with ``posexplode``, and the filename metadata becomes columns via
+``input_file_name()`` + ``regexp_extract``. One row group per file keeps
+per-series locality; a directory of millions of files turns into the
+standard one-task-per-file scan, and everything downstream (rollup,
+windows, detectors) consumes the same long form as the token corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NAME_RE = r"_(\d+)_(\d+)_(\d+)\.txt$"
+
+
+def load_ucr_directory(spark: SparkSession, path: str) -> DataFrame:
+    """Long form over every UCR file in ``path``:
+    (series_id, pos, value, train_split, anomaly_start, anomaly_stop,
+    is_train, label)."""
+    # NOTE: must be the wholetext= kwarg — .option("wholetext", ...) is
+    # silently ignored by the text source in Spark 4.1
+    raw = (
+        spark.read.text(f"{path}/*.txt", wholetext=True)
+        .select(
+            F.input_file_name().alias("file"),
+            F.col("value").alias("content"),
+        )
+    )
+    meta = raw.select(
+        F.regexp_extract("file", r"([^/]+)\.txt$", 1).alias("series_id"),
+        F.regexp_extract("file", _NAME_RE, 1).cast("long").alias("train_split"),
+        F.regexp_extract("file", _NAME_RE, 2).cast("long").alias("anomaly_start"),
+        F.regexp_extract("file", _NAME_RE, 3).cast("long").alias("anomaly_stop"),
+        "content",
+    )
+    exploded = meta.select(
+        "series_id", "train_split", "anomaly_start", "anomaly_stop",
+        F.posexplode(
+            F.split(F.trim(F.col("content")), r"\s*\n\s*")
+        ).alias("pos", "line"),
+    ).filter(F.length("line") > 0)
+    return exploded.select(
+        "series_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("line").cast("double").alias("value"),
+        "train_split", "anomaly_start", "anomaly_stop",
+        (F.col("pos") < F.col("train_split")).alias("is_train"),
+        (
+            (F.col("pos") >= F.col("anomaly_start"))
+            & (F.col("pos") < F.col("anomaly_stop"))
+        ).cast("int").alias("label"),
+    )
+
+
+def ucr_as_datasets(long_form: DataFrame) -> DataFrame:
+    """The reference's DataSet shape (data/DataSet.py:14-107) as one row
+    per series: train/test arrays + aligned test labels."""
+    return (
+        long_form.groupBy(
+            "series_id", "train_split", "anomaly_start", "anomaly_stop"
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("is_train"), F.struct("pos", "value"))
+                )
+            ).alias("_tr"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(~F.col("is_train"), F.struct("pos", "value", "label"))
+                )
+            ).alias("_te"),
+        )
+        .select(
+            "series_id", "train_split", "anomaly_start", "anomaly_stop",
+            F.expr("transform(_tr, s -> s.value)").alias("x_train"),
+            F.expr("transform(_te, s -> s.value)").alias("x_test"),
+            F.expr("transform(_te, s -> s.label)").alias("y_test"),
+        )
+    )

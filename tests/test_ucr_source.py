@@ -1,0 +1,52 @@
+"""UCR source loader: format parsing, split/label semantics."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dtaianomaly_spark.sources import ucr
+
+
+def _write_ucr(tmp_path, name, values):
+    p = tmp_path / name
+    p.write_text("\n".join(f"{v:.6f}" for v in values) + "\n")
+    return values
+
+
+def test_ucr_loader_round_trip(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    a = _write_ucr(tmp_path, "001_UCR_Anomaly_seriesA_100_120_140.txt",
+                   rng.normal(size=200))
+    b = _write_ucr(tmp_path, "002_UCR_Anomaly_seriesB_50_60_65.txt",
+                   rng.normal(size=90))
+
+    lf = ucr.load_ucr_directory(spark, str(tmp_path))
+    rows = {(r["series_id"], r["pos"]): r for r in lf.collect()}
+    assert len(rows) == 290
+
+    # values preserved in order
+    for i, v in enumerate(a):
+        r = rows[("001_UCR_Anomaly_seriesA_100_120_140", i)]
+        assert abs(r["value"] - float(f"{v:.6f}")) < 1e-12
+        assert r["is_train"] == (i < 100)
+        assert r["label"] == (1 if 120 <= i < 140 else 0)
+    r = rows[("002_UCR_Anomaly_seriesB_50_60_65", 89)]
+    assert r["train_split"] == 50 and r["anomaly_stop"] == 65
+
+
+def test_ucr_as_datasets(spark, tmp_path):
+    vals = list(np.arange(100, dtype=float))
+    _write_ucr(tmp_path, "003_UCR_Anomaly_rampC_40_70_80.txt", vals)
+    ds = ucr.ucr_as_datasets(
+        ucr.load_ucr_directory(spark, str(tmp_path))
+    ).collect()
+    assert len(ds) == 1
+    d = ds[0]
+    assert d["x_train"] == vals[:40]
+    assert d["x_test"] == vals[40:]
+    labels = d["y_test"]
+    assert labels[70 - 40: 80 - 40] == [1] * 10
+    assert sum(labels) == 10
