@@ -92,6 +92,29 @@ def _q_rollup_map_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_raw_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate (n, d) rollup: per-attribute raw-tier stats — the
+    relational path carries `attr` as an extra grouping key, nothing else
+    changes (the reference's attribute-interleaved flatten becomes a key)."""
+    lf = C.token_long_form_mv(spark, sf_dir)
+    by_bucket = (
+        lf.withColumn("bucket", (F.col("pos") / 16).cast("long"))
+        .groupBy("doc_id", "attr", "bucket")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+    )
+    return by_bucket.select(
+        "doc_id", "attr", "bucket", "cnt", "sum", "sumsq", "min", "max",
+        F.expr(T.DERIVE_MEAN_SQL).alias("mean"),
+        F.expr(T.DERIVE_STD_SQL).alias("std"),
+    )
+
+
 def _q_gapfill_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup over a gappy stream (every pos % 7 == 3 dropped), then
     gap-fill the 1m bucket grid: missing buckets surface with cnt = 0."""
@@ -236,6 +259,12 @@ def _q_ev_best_f1(spark, sf_dir):
     from dtaianomaly_spark.operators import evaluation as EV
 
     return EV.best_threshold_f1(_scored(spark, sf_dir))
+
+
+def _q_ev_auc_pr(spark, sf_dir):
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    return EV.auc_pr(_scored(spark, sf_dir))
 
 
 # Sliding-window queries ---------------------------------------------------
@@ -521,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup_1m,
         "rollup_1h": _q_rollup_1h,
         "rollup_map_raw": _q_rollup_map_raw,
+        "rollup_raw_mv": _q_rollup_raw_mv,
         "gapfill_1m": _q_gapfill_1m,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
@@ -538,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_auc_roc": _q_ev_auc_roc,
         "ev_point_adjust_f1": _q_ev_point_adjust,
         "ev_best_f1": _q_ev_best_f1,
+        "ev_auc_pr": _q_ev_auc_pr,
         "sw_stats": _q_sw_stats,
         "sw_reverse": _q_sw_reverse,
         "ws_select_fft": _q_ws_select_fft,
@@ -1203,11 +1234,59 @@ SELECT doc_id, pos,
 FROM mm
 """
 
+    ev_auc_pr = f"""
+{C.TOKEN_SQL_CTE},
+per_score AS (
+    SELECT doc_id, value AS score, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN {_SPIKE} THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt
+    FROM long_form GROUP BY doc_id, value
+),
+cum AS (
+    SELECT doc_id, score,
+           SUM(pos_cnt) OVER wd AS tp,
+           SUM(cnt) OVER wd - SUM(pos_cnt) OVER wd AS fp,
+           SUM(pos_cnt) OVER wall AS p
+    FROM per_score
+    WINDOW wd AS (PARTITION BY doc_id ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wall AS (PARTITION BY doc_id)
+),
+seg AS (
+    SELECT doc_id,
+        (CAST(tp AS DOUBLE) / p - CAST(COALESCE(LAG(tp) OVER (PARTITION BY doc_id
+         ORDER BY score DESC), 0) AS DOUBLE) / p) AS dr,
+        (CAST(tp AS DOUBLE) / (tp + fp)
+         + CASE WHEN LAG(tp) OVER (PARTITION BY doc_id ORDER BY score DESC) IS NULL
+           THEN 1.0 ELSE CAST(LAG(tp) OVER (PARTITION BY doc_id ORDER BY score DESC) AS DOUBLE)
+           / (LAG(tp) OVER (PARTITION BY doc_id ORDER BY score DESC)
+              + LAG(fp) OVER (PARTITION BY doc_id ORDER BY score DESC)) END) / 2.0 AS ptrap
+    FROM cum WHERE p > 0
+)
+SELECT doc_id, SUM(dr * ptrap) AS auc_pr FROM seg GROUP BY doc_id
+"""
+
+    rollup_raw_mv = f"""
+{C.MV_SQL_CTE},
+agg AS (
+    SELECT doc_id, attr, CAST(pos // 16 AS BIGINT) AS bucket,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(value) AS BIGINT) AS sum,
+        CAST(SUM(value * value) AS BIGINT) AS sumsq,
+        CAST(MIN(value) AS BIGINT) AS min,
+        CAST(MAX(value) AS BIGINT) AS max
+    FROM long_mv GROUP BY doc_id, attr, bucket
+)
+SELECT doc_id, attr, bucket, cnt, sum, sumsq, min, max,
+       {_MEAN} AS mean, {_STD} AS std
+FROM agg
+"""
+
     return {
         "rollup_raw": _rollup_oracle(16, "raw"),
         "rollup_1m": _rollup_oracle(960, "1m"),
         "rollup_1h": _rollup_oracle(57600, "1h"),
         "rollup_map_raw": _rollup_oracle(16, "raw"),
+        "rollup_raw_mv": rollup_raw_mv,
         "gapfill_1m": gapfill,
         "median_method": median,
         "pp_standard_scale": pp_standard,
@@ -1224,6 +1303,7 @@ FROM mm
         "ev_auc_roc": ev_auc_roc,
         "ev_point_adjust_f1": ev_point_adjust,
         "ev_best_f1": ev_best_f1,
+        "ev_auc_pr": ev_auc_pr,
         "sw_stats": sw_stats,
         "sw_reverse": sw_reverse,
         "dd_exact": dd_exact,

@@ -138,6 +138,49 @@ def auc_roc(scored_truth: DataFrame) -> DataFrame:
     )
 
 
+def auc_pr(scored_truth: DataFrame) -> DataFrame:
+    """Per-series area under the precision-recall curve, trapezoidal
+    (the reference's precision_recall_curve + metrics.auc composition,
+    evaluation/simple_proba_metrics.py:33-55): one sorted pass over
+    distinct scores descending gives (recall_i, precision_i) per
+    threshold; the curve is anchored at (recall=0, precision=1). All
+    counts integer; the trapezoid sum is the shared float formula."""
+    per_score = scored_truth.groupBy("doc_id", "score").agg(
+        F.count("*").alias("cnt"),
+        F.sum("truth").alias("pos_cnt"),
+    )
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("doc_id")
+    wlag = Window.partitionBy("doc_id").orderBy(F.col("score").desc())
+    cum = per_score.select(
+        "doc_id", "score",
+        F.sum("pos_cnt").over(wd).alias("tp"),
+        (F.sum("cnt").over(wd) - F.sum("pos_cnt").over(wd)).alias("fp"),
+        F.sum("pos_cnt").over(wall).alias("p"),
+    ).filter("p > 0")
+    seg = cum.select(
+        "doc_id",
+        F.expr(
+            "(CAST(tp AS DOUBLE) / p - CAST(coalesce(lag(tp) OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC), 0) AS DOUBLE) / p)"
+        ).alias("dr"),
+        F.expr(
+            "(CAST(tp AS DOUBLE) / (tp + fp)"
+            " + CASE WHEN lag(tp) OVER (PARTITION BY doc_id ORDER BY score DESC) IS NULL"
+            " THEN 1.0 ELSE CAST(lag(tp) OVER (PARTITION BY doc_id ORDER BY score DESC) AS DOUBLE)"
+            " / (lag(tp) OVER (PARTITION BY doc_id ORDER BY score DESC)"
+            " + lag(fp) OVER (PARTITION BY doc_id ORDER BY score DESC)) END) / 2.0"
+        ).alias("ptrap"),
+    )
+    return seg.groupBy("doc_id").agg(
+        F.sum(F.expr("dr * ptrap")).alias("auc_pr")
+    )
+
+
 def point_adjust(labeled: DataFrame) -> DataFrame:
     """Point-adjusted predictions: ground-truth events are maximal runs of
     consecutive truth=1; if any prediction falls inside a run the whole

@@ -176,6 +176,54 @@ def token_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), token_value_expr(), "n")
 
 
+MV_SQL_CTE = """
+WITH series AS (
+    SELECT doc_id, 64 + ((n_chars * 13) % 1985) AS n
+    FROM documents
+),
+long_mv AS (
+    SELECT
+        s.doc_id,
+        p.pos,
+        a.attr,
+        CAST(((s.doc_id * 37 + p.pos * 17 + a.attr * 53) % 211) - 105 AS BIGINT) AS value,
+        s.n
+    FROM series s,
+         LATERAL (SELECT UNNEST(range(0, s.n)) AS pos) p,
+         LATERAL (SELECT UNNEST(range(0, 2)) AS attr) a
+)
+"""
+
+
+def token_long_form_mv(spark: SparkSession, sf_dir: str, n_attrs: int = 2) -> DataFrame:
+    """Multivariate long form (doc_id, pos, attr, value, n): the engine's
+    (n, d) series shape — the reference flattens attributes into windows
+    (windowing_utils.py:33); relational ops simply carry ``attr`` as an
+    extra key. Integer-only derivation, matches MV_SQL_CTE in DuckDB."""
+    series = documents_series(spark, sf_dir)
+    return (
+        series.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("pos"),
+            "n",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_attrs - 1))).alias("attr"),
+            "n",
+        )
+        .select(
+            "doc_id", "pos",
+            F.col("attr").cast("long").alias("attr"),
+            ((F.col("doc_id") * 37 + F.col("pos") * 17 + F.col("attr") * 53) % 211 - 105)
+            .cast("long")
+            .alias("value"),
+            "n",
+        )
+    )
+
+
 def token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row array form (doc_id, tokens, n_tok) of the same derivation —
     the engine's canonical input shape, built with HOFs (no shuffle)."""
