@@ -470,11 +470,12 @@ def _q_compress_roundtrip(spark, sf_dir):
 
 
 def _q_compress_report(spark, sf_dir):
+    """Fused scan -> mapInArrow -> compressed blocks (zero shuffle, the
+    production write path) -> per-tier report."""
     from dtaianomaly_spark.rollup import compress as CMP
 
     arrays = C.token_arrays(spark, sf_dir)
-    rolled = T.rollup_tiers_map(arrays)
-    return CMP.compression_report(CMP.compress_tiers(rolled))
+    return CMP.compression_report(CMP.rollup_compress_map(arrays))
 
 
 def _q_det_knn(spark, sf_dir):

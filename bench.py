@@ -142,6 +142,12 @@ def run_headline() -> dict:
         arrays = C.token_arrays(spark, SF_DIR)
         n_tokens = arrays.agg(F.sum("n_tok")).collect()[0][0]
         points, sec = flagship_over(spark, arrays)
+        # flagship at its intended scale: the prepared 100k-series corpus
+        # (the SF-dir corpus is small enough that fixed overheads dominate)
+        prepare_corpus(spark)
+        big = spark.read.parquet(BENCH_CORPUS)
+        big_tokens = big.selectExpr("sum(n_tok)").collect()[0][0]
+        big_points, big_sec = flagship_over(spark, big)
         return {
             "metric": "headline_queries_total_sec",
             "value": round(total, 3),
@@ -153,6 +159,11 @@ def run_headline() -> dict:
             "rollup_sec": round(sec, 3),
             "rollup_points_per_sec": round(points / sec, 1),
             "rollup_tokens_per_sec": round(n_tokens / sec, 1),
+            "flagship_corpus_series": BENCH_SERIES,
+            "flagship_points": big_points,
+            "flagship_sec": round(big_sec, 3),
+            "flagship_points_per_sec": round(big_points / big_sec, 1),
+            "flagship_tokens_per_sec": round(big_tokens / big_sec, 1),
         }
     finally:
         spark.stop()

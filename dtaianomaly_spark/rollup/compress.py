@@ -85,6 +85,66 @@ def compress_tiers(rollup: DataFrame) -> DataFrame:
     return packed.mapInPandas(run, COMPRESSED_SCHEMA)
 
 
+def rollup_compress_map(corpus: DataFrame, tiers=("raw", "1m", "1h")) -> DataFrame:
+    """FUSED rollup + compress: one Arrow pass from token arrays straight
+    to compressed tier blocks — no intermediate point rows, no
+    collect_list shuffle. This is the production write path at scale:
+    scan → mapInArrow → parquet append, zero wide dependencies; the
+    separate :func:`compress_tiers` regroup exists for compressing an
+    already-materialized rollup table."""
+    import pyarrow as pa
+
+    from dtaianomaly_spark.kernels import stats as K
+    from dtaianomaly_spark.rollup.tiers import rollup_series
+
+    def run(batches):
+        for batch in batches:
+            la = batch.column(batch.schema.get_field_index("tokens"))
+            doc_ids = batch.column(
+                batch.schema.get_field_index("doc_id")
+            ).to_pylist()
+            rows = []
+            for doc_id, tokens in zip(doc_ids, la.to_pylist()):
+                x = np.asarray(tokens, dtype=np.int64)
+                if x.shape[0] == 0:
+                    continue
+                stats = rollup_series(x)
+                for tier in tiers:
+                    st = stats[tier]
+                    n = st["count"].shape[0]
+                    mean, std = K.derive_mean_std(
+                        st["count"], st["sum"], st["sumsq"]
+                    )
+                    cols = {
+                        "bucket": np.arange(n, dtype=np.int64),
+                        "cnt": st["count"], "sum": st["sum"],
+                        "sumsq": st["sumsq"], "min": st["min"],
+                        "max": st["max"], "first": st["first"],
+                        "last": st["last"],
+                    }
+                    row = [doc_id, tier, n]
+                    enc_bytes = 0
+                    for c in INT_COLS:
+                        enc = KC.dod_encode(cols[c])
+                        enc_bytes += len(enc)
+                        row.append(enc)
+                    for vals in (mean, std):
+                        enc = KC.xor_encode(vals)
+                        enc_bytes += len(enc)
+                        row.append(enc)
+                    row += [n * 80, enc_bytes]
+                    rows.append(tuple(row))
+            if rows:
+                yield pa.RecordBatch.from_pandas(
+                    pd.DataFrame(rows, columns=COMPRESSED_SCHEMA.names),
+                    preserve_index=False,
+                )
+
+    return corpus.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInArrow(run, COMPRESSED_SCHEMA)
+
+
 def decompress_tiers(compressed: DataFrame) -> DataFrame:
     """Exact inverse of :func:`compress_tiers`: back to rollup rows."""
 

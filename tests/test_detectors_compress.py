@@ -73,6 +73,17 @@ def test_compress_roundtrip_exact(spark):
         assert ra == rb
 
 
+def test_fused_compress_equals_groupby_path(spark):
+    from dtaianomaly_spark.rollup import compress as CMP
+    from dtaianomaly_spark.rollup import tiers as T
+
+    arrays = _small_arrays(spark, 40)
+    fused = CMP.rollup_compress_map(arrays)
+    via = CMP.compress_tiers(T.rollup_tiers_map(arrays))
+    assert fused.exceptAll(via).count() == 0
+    assert via.exceptAll(fused).count() == 0
+
+
 def test_compression_beats_raw_on_long_blocks(spark):
     from dtaianomaly_spark.rollup import compress as CMP
     from dtaianomaly_spark.rollup import tiers as T

@@ -1,0 +1,55 @@
+"""Partition-order determinism: every oracle-verified query must produce
+BIT-IDENTICAL results regardless of parallelism/partitioning — the
+property that makes the driver's value-hash comparison (and any
+exactly-once production contract) meaningful. Catches float-sum
+order-sensitivity and nondeterministic tie-breaks.
+
+One representative per query family (full sweep lives in the parity
+suite; this test varies the execution environment instead).
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FAMILIES = [
+    "rollup_1h",          # partial+final tier composition
+    "rollup_map_raw",     # Arrow kernel path
+    "pp_robust_scale",    # exact percentiles
+    "th_contamination",   # order statistics + interpolation
+    "ev_auc_pr",          # float trapezoid accumulation (the risky one)
+    "ev_auc_roc",         # rank statistics with ties
+    "dd_minhash",         # hashing pipeline
+    "ann_cosine_topk",    # ranking with ties
+    "sw_reverse",         # prefix-sum arrays
+]
+
+
+def _fingerprint(df):
+    cols = [F.col(c) for c in df.columns]
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*cols)).alias("h"),
+    ).collect()[0]
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_result_invariant_under_partitioning(spark, name):
+    fn = E.queries()[name]
+    base = _fingerprint(fn(spark, SF_DIR))
+    shuffled = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        alt = _fingerprint(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffled)
+    assert base["n"] == alt["n"]
+    assert base["h"] == alt["h"], f"{name}: result depends on partitioning"
