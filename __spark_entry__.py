@@ -423,6 +423,17 @@ def _q_det_matrix_profile(spark, sf_dir):
     return DET.matrix_profile_scores(_arrays_long_docid(spark, sf_dir), 32)
 
 
+def _q_det_mp_dist(spark, sf_dir):
+    """Chunked DISTRIBUTED matrix profile (chunk-pair AB-joins with
+    global exclusion masks, min-combine) — the custom physical strategy
+    for series too long for one task; rows-only."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.matrix_profile_distributed(
+        _arrays_long_docid(spark, sf_dir), 32, chunk_windows=512
+    )
+
+
 def _q_det_kmeans(spark, sf_dir):
     from dtaianomaly_spark.operators import detectors as DET
 
@@ -592,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
         "det_matrix_profile": _q_det_matrix_profile,
+        "det_matrix_profile_dist": _q_det_mp_dist,
         "det_kmeans": _q_det_kmeans,
         "det_iforest": _q_det_iforest,
         "det_proba_median": _q_det_proba_median,

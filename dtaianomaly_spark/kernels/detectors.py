@@ -113,6 +113,58 @@ def matrix_profile(
     return profile
 
 
+def matrix_profile_ab_excl(
+    x: np.ndarray, y: np.ndarray, w: int, delta: int, excl: int
+) -> np.ndarray:
+    """AB-join profile of ``x``'s windows against ``y``'s windows with a
+    GLOBAL-coordinate exclusion zone: window i of x and window j of y are
+    trivially matched when ``|i + delta - j| <= excl`` (``delta`` = x's
+    global window offset minus y's). This is the building block of the
+    chunked distributed matrix profile (SURVEY §4.2-5): a self-join over
+    a long series decomposes into chunk-pair AB-joins whose exclusion
+    masks reconstruct the monolithic diagonal exclusion exactly.
+
+    Rows with no admissible neighbor return +inf (the combiner's min
+    ignores them)."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    n_q = x.shape[0] - w + 1
+    n_r = y.shape[0] - w + 1
+    mu_q, sig_q = _sliding_mean_std(x, w)
+    mu_r, sig_r = _sliding_mean_std(y, w)
+
+    nfft = 1 << int(np.ceil(np.log2(x.shape[0] + y.shape[0])))
+    fy = np.fft.rfft(y, nfft)
+    fq = np.fft.rfft(x[:w][::-1], nfft)
+    qt = np.fft.irfft(fy * fq, nfft)[w - 1 : w - 1 + n_r]
+    fx = np.fft.rfft(x, nfft)
+    fr = np.fft.rfft(y[:w][::-1], nfft)
+    qt_first_col = np.fft.irfft(fx * fr, nfft)[w - 1 : w - 1 + n_q]
+
+    eps = 1e-14
+    profile = np.empty(n_q)
+    for i in range(n_q):
+        if i > 0:
+            qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
+            qt[0] = qt_first_col[i]
+        denom = w * sig_q[i] * sig_r
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = (qt - w * mu_q[i] * mu_r) / np.where(denom < eps, np.nan, denom)
+        d2 = 2.0 * w * (1.0 - np.clip(corr, -1.0, 1.0))
+        if sig_q[i] < eps:
+            d2 = np.where(sig_r < eps, 0.0, w)
+        else:
+            d2 = np.where(sig_r < eps, w, d2)
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        if excl >= 0:
+            lo = max(0, i + delta - excl)
+            hi = min(n_r, i + delta + excl + 1)
+            if lo < hi:
+                dist[lo:hi] = np.inf
+        profile[i] = dist.min() if np.isfinite(dist).any() else np.inf
+    return profile
+
+
 # ----------------------------------------------------------------- KMeans
 
 def kmeans_fit(

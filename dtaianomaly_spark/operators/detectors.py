@@ -89,6 +89,99 @@ def matrix_profile_scores(arrays: DataFrame, window_size: int) -> DataFrame:
     return _score_map(arrays, per_series)
 
 
+def matrix_profile_distributed(
+    arrays: DataFrame, window_size: int, chunk_windows: int = 512
+) -> DataFrame:
+    """Chunked distributed matrix profile (SURVEY §4.2-5 — the custom
+    physical strategy for series too long for one task): each series is
+    split into chunks of ``chunk_windows`` windows with ``w-1`` token
+    overlap; every chunk PAIR runs an AB-join with a global-coordinate
+    exclusion mask (kernels.detectors.matrix_profile_ab_excl); per-window
+    minima combine in a hash aggregate. Output: (doc_id, idx, profile) —
+    one row per global window.
+
+    Work decomposes into m² independent pair tasks per series (the O(n²)
+    of a self-join, now spread across executors), and the combine is an
+    exact min — equal to the monolithic profile up to STOMP's rolling-
+    recurrence float noise (tested ≤1e-6)."""
+    import math
+
+    w = window_size
+    cw = chunk_windows
+
+    chunks = arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "n_tok",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(0 AS BIGINT),"
+                f" CAST((n_tok - {w}) DIV {cw} AS BIGINT))"
+            )
+        ).alias("chunk"),
+        "tokens",
+    ).select(
+        "doc_id", "chunk",
+        (F.col("chunk") * cw).alias("off"),
+        F.expr(
+            f"slice(tokens, chunk * {cw} + 1,"
+            f" least(CAST({cw + w - 1} AS BIGINT), n_tok - chunk * {cw}))"
+        ).alias("ctokens"),
+    )
+    a = chunks.select(
+        "doc_id",
+        F.col("off").alias("off_a"),
+        F.col("ctokens").alias("tok_a"),
+    )
+    b = chunks.select(
+        "doc_id",
+        F.col("off").alias("off_b"),
+        F.col("ctokens").alias("tok_b"),
+    )
+    pairs = a.join(b, "doc_id")
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("idx", LongType(), False),
+            StructField("profile", DoubleType(), False),
+        ]
+    )
+    excl = int(math.ceil(w / 4))
+
+    def run(batches):
+        for pdf in batches:
+            doc_ids, idxs, vals = [], [], []
+            for doc_id, off_a, tok_a, off_b, tok_b in zip(
+                pdf["doc_id"], pdf["off_a"], pdf["tok_a"],
+                pdf["off_b"], pdf["tok_b"],
+            ):
+                x = np.asarray(tok_a, dtype=np.float64)
+                y = np.asarray(tok_b, dtype=np.float64)
+                if x.shape[0] < w or y.shape[0] < w:
+                    continue
+                prof = KD.matrix_profile_ab_excl(
+                    x, y, w, int(off_a) - int(off_b), excl
+                )
+                keep = np.isfinite(prof)
+                if keep.any():
+                    doc_ids.append(np.repeat(doc_id, int(keep.sum())))
+                    idxs.append(np.flatnonzero(keep) + int(off_a))
+                    vals.append(prof[keep])
+            if doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_ids),
+                        "idx": np.concatenate(idxs),
+                        "profile": np.concatenate(vals),
+                    }
+                )
+
+    per_pair = pairs.mapInPandas(run, schema)
+    return per_pair.groupBy("doc_id", "idx").agg(
+        F.min("profile").alias("profile")
+    )
+
+
 def fit_sample_windows(
     arrays: DataFrame, window_size: int, stride: int,
     sample_mod: int = 20, max_series: int = 50,

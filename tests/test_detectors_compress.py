@@ -35,6 +35,20 @@ def test_matrix_profile_operator_matches_kernel(spark):
         assert np.array_equal(out, expect)
 
 
+def test_distributed_matrix_profile_matches_monolithic(spark):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = _small_arrays(spark, 8)
+    got = {}
+    for r in DET.matrix_profile_distributed(arrays, 32, chunk_windows=200).collect():
+        got.setdefault(r["doc_id"], {})[r["idx"]] = r["profile"]
+    for r in arrays.collect():
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        ref = KD.matrix_profile(x, 32)
+        out = np.array([got[str(r["doc_id"])][i] for i in range(ref.shape[0])])
+        assert np.allclose(out, ref, atol=1e-5), "chunked != monolithic"
+
+
 def test_kmeans_iforest_scores_deterministic_and_complete(spark):
     from dtaianomaly_spark.operators import detectors as DET
 
