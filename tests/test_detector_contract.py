@@ -27,8 +27,19 @@ def n_obs(spark):
     )
 
 
+@pytest.fixture(scope="module")
+def n_windows_32(spark):
+    return (
+        C.token_arrays(spark, SF_DIR)
+        .selectExpr("sum(n_tok - 32 + 1)")
+        .collect()[0][0]
+    )
+
+
 @pytest.mark.parametrize("name", DET_QUERIES)
-def test_detector_scores_complete_and_finite(spark, name, n_obs):
+def test_detector_scores_complete_and_finite(spark, name, n_obs, n_windows_32):
+    if name == "det_matrix_profile_dist":
+        n_obs = n_windows_32  # per-WINDOW profile, not per-observation
     df = E.queries()[name](spark, SF_DIR)
     value_col = [c for c in df.columns if c not in ("doc_id", "pos")][0]
     agg = df.agg(
