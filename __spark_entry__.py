@@ -532,7 +532,7 @@ def _q_det_cblof(spark, sf_dir):
 
 
 def _q_det_ocsvm(spark, sf_dir):
-    """OCSVM SURROGATE (documented approximation) - rows-only."""
+    """One-class SVM (dual QP, projected gradient) - rows-only."""
     from dtaianomaly_spark.operators import detectors as DET
 
     return DET.ocsvm_scores(_arrays_long_docid(spark, sf_dir))

@@ -19,16 +19,15 @@ Semantics notes (vs the wrapped libraries):
   KernelPrincipalComponentAnalysis.py:7-58).
 * cblof — distance to nearest large-cluster centroid
   (ClusterBasedLocalOutlierFactor.py:7-76).
-* ocsvm_surrogate — EXPLICIT APPROXIMATION: a Parzen/RBF one-class score
-  (negative mean kernel similarity to the train sample) standing in for
-  the QP-trained OCSVM decision function; same sign convention, no
-  support-vector sparsification (OneClassSupportVectorMachine.py:7-59).
-* kshape_scores — KShape-style scoring: cluster centroids from
-  z-normalized long windows (Lloyd on z-space — an approximation of
-  shape-extraction), cluster weights = minmax(size^2 / Σdist)
-  (KShapeAnomalyDetector.py:142-193), per-window score = weighted
-  z-normalized AB-join distance to each centroid via the matrix-profile
-  kernel.
+* ocsvm — the real Schölkopf one-class SVM: dual QP solved by projected
+  gradient with exact box-simplex projection; ν-property verified
+  empirically (train outlier fraction → ν with iterations)
+  (OneClassSupportVectorMachine.py:7-59).
+* kshape — real k-Shape (SBD assignment via FFT cross-correlation +
+  eigenvector shape extraction, Paparrizos & Gravano SIGMOD'15), cluster
+  weights = minmax(size^2 / ΣSBD) (KShapeAnomalyDetector.py:142-193),
+  per-window score = weighted z-normalized AB-join distance to each
+  centroid via the matrix-profile kernel.
 * rpca — PCP by inexact ALM (SVD shrinkage loop,
   RobustPrincipalComponentAnalysis.py:113-190) on the sample, then PCA
   scoring against the low-rank part's components.
@@ -210,17 +209,60 @@ def cblof_score(test: np.ndarray, model: Dict) -> np.ndarray:
 
 # ----------------------------------------------------------- OCSVM (approx)
 
-def ocsvm_surrogate_fit(train: np.ndarray, gamma: float | None = None) -> Dict:
+def _project_box_simplex(a: np.ndarray, ub: float) -> np.ndarray:
+    """Euclidean projection onto {0 <= x <= ub, Σx = 1} by bisection on
+    the simplex shift (clip(a - λ, 0, ub) is monotone in λ)."""
+    lo = a.max() - ub - 1.0
+    hi = a.max()
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        s = np.clip(a - mid, 0.0, ub).sum()
+        if s > 1.0:
+            lo = mid
+        else:
+            hi = mid
+    return np.clip(a - 0.5 * (lo + hi), 0.0, ub)
+
+
+def ocsvm_fit(
+    train: np.ndarray, nu: float = 0.1, gamma: float | None = None,
+    n_iter: int = 3000,
+) -> Dict:
+    """One-class SVM (Schölkopf et al. 2001): solves the dual QP
+    ``min ½αᵀKα  s.t. 0 ≤ αᵢ ≤ 1/(νn), Σα = 1`` by projected gradient
+    descent (deterministic; the projection is exact box-simplex). ρ from
+    the margin of interior support vectors."""
     if gamma is None:
         gamma = 1.0 / train.shape[1]
-    return {"train": train, "gamma": gamma}
+    K = _rbf(train, train, gamma)
+    n = train.shape[0]
+    ub = 1.0 / (nu * n)
+    alpha = np.full(n, 1.0 / n)
+    # Lipschitz constant of the gradient is ||K||₂ <= trace-bound n
+    eta = 1.0 / max(np.linalg.norm(K, 2), 1e-6)
+    for _ in range(n_iter):
+        alpha_new = _project_box_simplex(alpha - eta * (K @ alpha), ub)
+        if np.abs(alpha_new - alpha).max() < 1e-10:
+            alpha = alpha_new
+            break
+        alpha = alpha_new
+    margins = K @ alpha
+    interior = (alpha > 1e-8) & (alpha < ub - 1e-8)
+    rho = float(np.median(margins[interior])) if interior.any() else float(
+        np.median(margins[alpha > 1e-8])
+    )
+    return {"train": train, "gamma": gamma, "alpha": alpha, "rho": rho}
 
 
-def ocsvm_surrogate_score(test: np.ndarray, model: Dict) -> np.ndarray:
-    """APPROXIMATION (documented): negative mean RBF similarity to the
-    train sample — a Parzen-window one-class score, not the QP-trained
-    OCSVM decision function."""
-    return -_rbf(test, model["train"], model["gamma"]).mean(axis=1)
+def ocsvm_score(test: np.ndarray, model: Dict) -> np.ndarray:
+    """Anomaly score = ρ - f(x) (positive outside the learned region)."""
+    f = _rbf(test, model["train"], model["gamma"]) @ model["alpha"]
+    return model["rho"] - f
+
+
+# kept for API compatibility: the surrogate is now the real QP solution
+ocsvm_surrogate_fit = ocsvm_fit
+ocsvm_surrogate_score = ocsvm_score
 
 
 # ------------------------------------------------------------------ KShape
@@ -231,18 +273,102 @@ def _znorm_rows(X: np.ndarray) -> np.ndarray:
     return (X - mu) / np.where(sd < 1e-12, 1.0, sd)
 
 
-def kshape_fit(train_windows: np.ndarray, k: int = 3, seed: int = 42) -> Dict:
-    """Centroids of z-normalized long windows + KShape cluster weights
-    minmax(size² / Σ distance-to-centroid) (KShapeAnomalyDetector.py:162-173)."""
-    Z = _znorm_rows(train_windows)
-    centers = kmeans_fit(Z, k, seed=seed)
-    d = _block_dists(Z, centers)
-    assign = d.argmin(axis=1)
-    sizes = np.bincount(assign, minlength=centers.shape[0]).astype(np.float64)
-    tot = np.array([d[assign == j, j].sum() for j in range(centers.shape[0])])
-    w = sizes**2 / np.maximum(tot, 1e-12)
-    rng = w.max() - w.min()
-    weights = (w - w.min()) / rng if rng > 0 else np.ones_like(w)
+def _ncc_max_and_shift(members: np.ndarray, centroid: np.ndarray):
+    """Max normalized cross-correlation of each member row against the
+    centroid, plus the maximizing shift (FFT full cross-correlation —
+    the SBD building block of k-Shape, Paparrizos & Gravano SIGMOD'15)."""
+    m, w = members.shape
+    nfft = 1 << int(np.ceil(np.log2(2 * w)))
+    fm = np.fft.rfft(members, nfft, axis=1)
+    fc = np.fft.rfft(centroid, nfft)
+    cc = np.fft.irfft(fm * np.conj(fc)[None, :], nfft, axis=1)
+    # full correlation, shifts -(w-1)..(w-1): wrap-around layout
+    cc = np.concatenate([cc[:, -(w - 1):], cc[:, :w]], axis=1)
+    norm = np.linalg.norm(members, axis=1) * np.linalg.norm(centroid)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ncc = cc / np.where(norm < 1e-12, np.nan, norm)[:, None]
+    ncc = np.nan_to_num(ncc, nan=0.0)
+    best = ncc.argmax(axis=1)
+    return ncc[np.arange(m), best], best - (w - 1)
+
+
+def _align(members: np.ndarray, shifts: np.ndarray) -> np.ndarray:
+    """Shift each row by its alignment offset, zero-padded (k-Shape's
+    alignment step before shape extraction)."""
+    m, w = members.shape
+    out = np.zeros_like(members)
+    for i, s in enumerate(shifts):
+        if s >= 0:
+            out[i, s:] = members[i, : w - s]
+        else:
+            out[i, : w + s] = members[i, -s:]
+    return out
+
+
+def _extract_shape(aligned: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """Shape extraction: dominant eigenvector of Qᵀ(XᵀX)Q with the
+    centering matrix Q = I - 1/w·11ᵀ; sign chosen to correlate with the
+    previous centroid; z-normalized."""
+    w = aligned.shape[1]
+    S = aligned.T @ aligned
+    Q = np.eye(w) - np.full((w, w), 1.0 / w)
+    M = Q @ S @ Q
+    _, vecs = np.linalg.eigh(M)
+    c = vecs[:, -1]
+    if c @ prev < 0:
+        c = -c
+    sd = c.std()
+    return (c - c.mean()) / (sd if sd > 1e-12 else 1.0)
+
+
+def kshape_fit(
+    train_windows: np.ndarray, k: int = 3, seed: int = 42, n_iter: int = 20
+) -> Dict:
+    """k-Shape clustering (SBD assignment + eigenvector shape extraction,
+    Paparrizos & Gravano SIGMOD'15 — the algorithm behind the reference's
+    tslearn KShape, KShapeAnomalyDetector.py:142-160) plus the reference's
+    cluster weights minmax(size² / Σ SBD-to-centroid)
+    (KShapeAnomalyDetector.py:162-173)."""
+    Z = _znorm_rows(np.asarray(train_windows, dtype=np.float64))
+    m, w = Z.shape
+    rng = np.random.default_rng(seed)
+    k = min(k, m)
+    assign = rng.integers(k, size=m)
+    centers = np.zeros((k, w))
+    for j in range(k):
+        members = Z[assign == j]
+        centers[j] = _extract_shape(members, np.ones(w)) if members.shape[0] else Z[rng.integers(m)]
+
+    for _ in range(n_iter):
+        # assignment by SBD = 1 - max NCC
+        sbd = np.empty((m, k))
+        for j in range(k):
+            ncc, _ = _ncc_max_and_shift(Z, centers[j])
+            sbd[:, j] = 1.0 - ncc
+        new_assign = sbd.argmin(axis=1)
+        if (new_assign == assign).all():
+            assign = new_assign
+            break
+        assign = new_assign
+        for j in range(k):
+            members = Z[assign == j]
+            if members.shape[0] == 0:
+                centers[j] = Z[rng.integers(m)]
+                continue
+            _, shifts = _ncc_max_and_shift(members, centers[j])
+            centers[j] = _extract_shape(_align(members, shifts), centers[j])
+
+    # reference weight formula over final SBD assignment
+    sbd = np.empty((m, k))
+    for j in range(k):
+        ncc, _ = _ncc_max_and_shift(Z, centers[j])
+        sbd[:, j] = 1.0 - ncc
+    assign = sbd.argmin(axis=1)
+    sizes = np.bincount(assign, minlength=k).astype(np.float64)
+    tot = np.array([sbd[assign == j, j].sum() for j in range(k)])
+    wt = sizes**2 / np.maximum(tot, 1e-12)
+    rngw = wt.max() - wt.min()
+    weights = (wt - wt.min()) / rngw if rngw > 0 else np.ones_like(wt)
     return {"centers": centers, "weights": weights}
 
 

@@ -334,12 +334,12 @@ def cblof_scores(arrays, window_size=32, stride=16, k=8):
     )
 
 
-def ocsvm_scores(arrays, window_size=32, stride=16):
+def ocsvm_scores(arrays, window_size=32, stride=16, nu=0.1):
     from dtaianomaly_spark.kernels import detectors_ext as KX
 
     return window_model_scores(
         arrays, window_size, stride,
-        KX.ocsvm_surrogate_fit, KX.ocsvm_surrogate_score,
+        lambda tr: KX.ocsvm_fit(tr, nu=nu), KX.ocsvm_score,
         max_windows=500,
     )
 

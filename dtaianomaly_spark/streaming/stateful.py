@@ -1,0 +1,123 @@
+"""Custom stateful streaming operator: incremental bucket-completion
+rollup via ``applyInPandasWithState``.
+
+The batch rollup assumes each series arrives whole; a live ingest feeds
+(doc_id, pos, value) points in chunks, possibly out of order across
+micro-batches. This operator keeps per-series PARTIAL bucket aggregates
+in Spark streaming state and emits a bucket's final stats row exactly
+when its last position arrives — the streaming twin of the raw tier
+(same integer partials, same derived floats), and the pattern for any
+custom stateful window op the reference family needs online
+(MedianMethod with ``neighborhood_size_after=0`` is "purely online" —
+MedianMethod.py:20-24 — and slots into this same state shape).
+
+State per series: the open buckets' (bucket_id, cnt, sum, sumsq, min,
+max) arrays. Completed buckets leave state immediately, so state size is
+bounded by the series' out-of-orderness, not its length.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType, LongType, StringType, StructField, StructType,
+)
+
+BUCKET_TICKS = 16
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("sum", LongType(), False),
+        StructField("sumsq", LongType(), False),
+        StructField("min", LongType(), False),
+        StructField("max", LongType(), False),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType()), True),
+        StructField("cnts", ArrayType(LongType()), True),
+        StructField("sums", ArrayType(LongType()), True),
+        StructField("sumsqs", ArrayType(LongType()), True),
+        StructField("mins", ArrayType(LongType()), True),
+        StructField("maxs", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _update(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    doc_id = key[0]
+    if state.exists:
+        buckets, cnts, sums, sumsqs, mins, maxs = state.get
+        open_b = {
+            b: [cnts[i], sums[i], sumsqs[i], mins[i], maxs[i]]
+            for i, b in enumerate(buckets)
+        }
+    else:
+        open_b = {}
+
+    for pdf in pdfs:
+        for pos, value in zip(pdf["pos"], pdf["value"]):
+            b = int(pos) // BUCKET_TICKS
+            v = int(value)
+            cur = open_b.get(b)
+            if cur is None:
+                open_b[b] = [1, v, v * v, v, v]
+            else:
+                cur[0] += 1
+                cur[1] += v
+                cur[2] += v * v
+                cur[3] = min(cur[3], v)
+                cur[4] = max(cur[4], v)
+
+    done = {b: st for b, st in open_b.items() if st[0] >= BUCKET_TICKS}
+    for b in done:
+        del open_b[b]
+
+    if open_b:
+        bs = sorted(open_b)
+        state.update(
+            (
+                bs,
+                [open_b[b][0] for b in bs],
+                [open_b[b][1] for b in bs],
+                [open_b[b][2] for b in bs],
+                [open_b[b][3] for b in bs],
+                [open_b[b][4] for b in bs],
+            )
+        )
+    else:
+        state.remove()
+
+    if done:
+        yield pd.DataFrame(
+            [
+                (doc_id, b, st[0], st[1], st[2], st[3], st[4])
+                for b, st in sorted(done.items())
+            ],
+            columns=OUTPUT_SCHEMA.names,
+        )
+
+
+def stateful_bucket_rollup(stream_long_form):
+    """points stream (doc_id, pos, value) -> append-mode stream of
+    COMPLETED raw-tier buckets."""
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _update,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
