@@ -217,6 +217,31 @@ class Workflow:
         return pd.DataFrame(rows)
 
 
+MAX_CONFIG_BYTES = 1_000_000  # reference guard, workflow_from_config.py:11-61
+
+
+def workflow_from_config_file(path: str) -> "Workflow":
+    """Load a JSON or TOML job spec (the reference's file entry point,
+    workflow_from_config.py:11-61, including its <=1 MB size guard)."""
+    import json
+    import os
+
+    size = os.path.getsize(path)
+    if size > MAX_CONFIG_BYTES:
+        raise ValueError(
+            f"config file is {size} bytes; the maximum is {MAX_CONFIG_BYTES}"
+        )
+    with open(path, "rb") as f:
+        raw = f.read()
+    if path.endswith(".toml"):
+        import tomllib
+
+        config = tomllib.loads(raw.decode())
+    else:
+        config = json.loads(raw)
+    return workflow_from_config(config)
+
+
 def workflow_from_config(config: dict) -> Workflow:
     """Interpret the reference-shaped, "type"-tagged config dict
     (workflow_from_config.py:64-438): unknown component types raise with

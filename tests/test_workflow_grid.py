@@ -57,3 +57,26 @@ def test_config_rejects_unknown_types():
         workflow_from_config({"detectors": [{"type": "NoSuchDetector"}]})
     with pytest.raises(ValueError, match="unknown preprocessor"):
         workflow_from_config({"preprocessors": ["NoSuchPreprocessor"]})
+
+
+def test_config_file_loading(tmp_path):
+    import json
+
+    from dtaianomaly_spark.workflow.grid import workflow_from_config_file
+
+    p = tmp_path / "job.json"
+    p.write_text(json.dumps({"detectors": [{"type": "MedianMethod"}]}))
+    wf = workflow_from_config_file(str(p))
+    assert wf.detectors == [("MedianMethod", {})]
+
+    t = tmp_path / "job.toml"
+    t.write_text('detectors = [{type = "MedianMethod"}]\n')
+    wf2 = workflow_from_config_file(str(t))
+    assert wf2.detectors == [("MedianMethod", {})]
+
+    big = tmp_path / "big.json"
+    big.write_text("{}" + " " * 1_000_001)
+    import pytest
+
+    with pytest.raises(ValueError, match="maximum"):
+        workflow_from_config_file(str(big))
