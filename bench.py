@@ -5,10 +5,10 @@ Default mode (what the driver runs per-round):
     python bench.py
 runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+JSON line; the headline metric is the BASELINE.json north metric::
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "rollup_points_per_sec": ...}
+    {"metric": "rollup_points_per_sec", "value": <points/sec>,
+     "unit": "points/sec", "queries_total_sec": ..., "queries": {...}}
 
 Scaling mode (the north rule's two-cluster-size evidence — no real cluster
 in the sandbox, so the same job runs at two parallelism levels):
@@ -53,27 +53,33 @@ def _spark(cpus: int):
     return get_spark(app_name=f"bench-local[{cpus}]", cpus=cpus)
 
 
-def _time_count(make_df, iters: int = ITER) -> tuple[int, float]:
+def _time_count(make_df, iters: int = ITER, force: str = "hash") -> tuple[int, float]:
     """(rows, best-of-N seconds). ``make_df`` is a thunk building the
     DataFrame — the plan is REBUILT each iteration because Spark reuses
     completed shuffle map stages across actions on the same RDD lineage
     (iteration 2+ on one DataFrame times near-zero).
 
-    The action hashes EVERY output column: a bare count() lets Catalyst
-    prune unevaluated projections (a pure map query would time at ~0),
-    so the checksum aggregate is what makes the timing honest."""
+    force="hash": the action hashes EVERY output column — a bare count()
+    lets Catalyst prune unevaluated JVM projections (a pure map query
+    would time at ~0). force="count": honest for Arrow-stage queries,
+    whose Python workers compute and serialize every column regardless —
+    hashing there only adds measurement overhead."""
     from pyspark.sql import functions as F
 
     best = float("inf")
     rows = 0
     for _ in range(iters):
         df = make_df()
-        forced = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
-        )
-        t0 = time.perf_counter()
-        rows = forced.collect()[0]["n"]
+        if force == "hash":
+            forced = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
+            )
+            t0 = time.perf_counter()
+            rows = forced.collect()[0]["n"]
+        else:
+            t0 = time.perf_counter()
+            rows = df.count()
         best = min(best, time.perf_counter() - t0)
     return rows, best
 
@@ -96,7 +102,7 @@ def flagship_over(spark, corpus_df, iters: int = ITER):
     Arrow map kernel. Returns (rolled-up points, best sec)."""
     from dtaianomaly_spark.rollup import tiers as T
 
-    return _time_count(lambda: T.rollup_tiers_map(corpus_df), iters)
+    return _time_count(lambda: T.rollup_tiers_map(corpus_df), iters, force="count")
 
 
 def run_one(cpus: int) -> dict:
