@@ -88,6 +88,19 @@ def byte_histogram(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def byte_histogram_long(payloads: DataFrame) -> DataFrame:
+    """Driver-facing long form of :func:`byte_histogram`:
+    ``(doc_id, bin, cnt)`` with zero-count bins dropped, so result
+    canonicalizers that sort/hash scalar cells can check it (the
+    ``array<long>`` wide form stays the internal API)."""
+    wide = byte_histogram(payloads)
+    return (
+        wide.select("doc_id", F.posexplode("hist").alias("bin", "cnt"))
+        .where(F.col("cnt") > 0)
+        .select("doc_id", F.col("bin").cast("long").alias("bin"), "cnt")
+    )
+
+
 def frame_sample(payloads: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> DataFrame:
     """Deterministic frame sampling over the byte stream (the video
     analog): n evenly spaced fixed-size byte windows per payload."""
