@@ -267,6 +267,44 @@ def _q_ev_auc_pr(spark, sf_dir):
     return EV.auc_pr(_scored(spark, sf_dir))
 
 
+def _q_ev_fbeta2(spark, sf_dir):
+    """General F-beta (beta=2) over TopN labels
+    (simple_binary_metrics.py:83-118)."""
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    return EV.fbeta_metrics(EV.top_n(_scored(spark, sf_dir), 20), beta=2.0)
+
+
+def _q_ev_best_fbeta(spark, sf_dir):
+    """BestThresholdMetric over an arbitrary metric (F0.5)
+    (BestThresholdMetric.py:58-118)."""
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    return EV.best_threshold_metric(
+        _scored(spark, sf_dir), EV.fbeta_sql(0.5), out_col="best_fbeta"
+    )
+
+
+def _q_det_baseline_random(spark, sf_dir):
+    """RandomDetector with a coordinate-seeded deterministic uniform
+    (baselines/baselines.py:43-64)."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.random_scores(_spark_long_form(spark, sf_dir), seed=7)
+
+
+def _q_det_baseline_normal(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.always_normal_scores(_spark_long_form(spark, sf_dir))
+
+
+def _q_det_baseline_anomalous(spark, sf_dir):
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.always_anomalous_scores(_spark_long_form(spark, sf_dir))
+
+
 # Sliding-window queries ---------------------------------------------------
 
 SW_W, SW_S = 64, 32
@@ -582,6 +620,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_point_adjust_f1": _q_ev_point_adjust,
         "ev_best_f1": _q_ev_best_f1,
         "ev_auc_pr": _q_ev_auc_pr,
+        "ev_fbeta2": _q_ev_fbeta2,
+        "ev_best_fbeta": _q_ev_best_fbeta,
+        "det_baseline_random": _q_det_baseline_random,
+        "det_baseline_normal": _q_det_baseline_normal,
+        "det_baseline_anomalous": _q_det_baseline_anomalous,
         "sw_stats": _q_sw_stats,
         "sw_reverse": _q_sw_reverse,
         "ws_select_fft": _q_ws_select_fft,
@@ -922,6 +965,75 @@ cum AS (
            wall AS (PARTITION BY doc_id)
 )
 SELECT doc_id, MAX({_F1}) AS best_f1 FROM cum GROUP BY doc_id
+"""
+
+    from dtaianomaly_spark.operators.evaluation import fbeta_sql as _fbeta_sql
+
+    _FB2 = _fbeta_sql(2.0)
+    ev_fbeta2 = f"""
+{C.TOKEN_SQL_CTE},
+{_TOPN_CUT},
+lab AS (
+    SELECT l.doc_id, l.pos,
+           CASE WHEN l.value >= c.cutoff THEN 1 ELSE 0 END AS label,
+           CASE WHEN {_SPIKE.replace('doc_id', 'l.doc_id').replace('pos', 'l.pos')} THEN 1 ELSE 0 END AS truth
+    FROM long_form l JOIN cut c ON l.doc_id = c.doc_id
+),
+agg AS (
+    SELECT doc_id,
+        CAST(SUM(CASE WHEN label = 1 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN label = 1 AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN label = 0 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM lab GROUP BY doc_id
+)
+SELECT doc_id, tp, fp, fn, {_FB2} AS fbeta FROM agg
+"""
+
+    _FB05 = _fbeta_sql(0.5)
+    ev_best_fbeta = f"""
+{C.TOKEN_SQL_CTE},
+per_score AS (
+    SELECT doc_id, value AS score, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN {_SPIKE} THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt
+    FROM long_form GROUP BY doc_id, value
+),
+cum AS (
+    SELECT doc_id,
+           SUM(pos_cnt) OVER wd AS tp,
+           SUM(cnt) OVER wd - SUM(pos_cnt) OVER wd AS fp,
+           SUM(pos_cnt) OVER wall - SUM(pos_cnt) OVER wd AS fn
+    FROM per_score
+    WINDOW wd AS (PARTITION BY doc_id ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wall AS (PARTITION BY doc_id)
+),
+-- the reference's t=1 empty prediction set (tp=fp=0)
+cuts AS (
+    SELECT doc_id, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn FROM cum
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(SUM(pos_cnt) AS BIGINT) FROM per_score GROUP BY doc_id
+)
+SELECT doc_id, MAX({_FB05}) AS best_fbeta FROM cuts GROUP BY doc_id
+"""
+
+    det_baseline_random = f"""
+{C.TOKEN_SQL_CTE}
+SELECT doc_id, pos,
+       CAST(('0x' || substring(md5(concat_ws(':', doc_id, pos, '7')), 1, 13)) AS BIGINT)
+       / CAST(4503599627370496 AS DOUBLE) AS score
+FROM long_form
+"""
+
+    det_baseline_normal = f"""
+{C.TOKEN_SQL_CTE}
+SELECT doc_id, pos, CAST(0.0 AS DOUBLE) AS score FROM long_form
+"""
+
+    det_baseline_anomalous = f"""
+{C.TOKEN_SQL_CTE}
+SELECT doc_id, pos, CAST(1.0 AS DOUBLE) AS score FROM long_form
 """
 
     _SW_GRID = """
@@ -1338,6 +1450,11 @@ FROM agg
         "ev_point_adjust_f1": ev_point_adjust,
         "ev_best_f1": ev_best_f1,
         "ev_auc_pr": ev_auc_pr,
+        "ev_fbeta2": ev_fbeta2,
+        "ev_best_fbeta": ev_best_fbeta,
+        "det_baseline_random": det_baseline_random,
+        "det_baseline_normal": det_baseline_normal,
+        "det_baseline_anomalous": det_baseline_anomalous,
         "sw_stats": sw_stats,
         "sw_reverse": sw_reverse,
         "dd_exact": dd_exact,

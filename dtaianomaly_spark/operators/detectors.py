@@ -372,14 +372,22 @@ def kshape_scores_df(arrays, window_size=32, stride=16, k=3):
     return _score_map(arrays, per_series)
 
 
-def predict_proba(scored: DataFrame) -> DataFrame:
+def predict_proba(scored: DataFrame, strict: bool = True) -> DataFrame:
     """Per-series min-max rescale of scores to [0, 1]
     (BaseDetector.py:140-186). Pure relational — single window
-    partitioning, no join. Constant-score series pass through (the
-    reference errors when the constant lies outside [0, 1]; scores here
-    are non-negative ratios, the pass-through covers the legal case)."""
+    partitioning, no join. Constant-score series pass through when the
+    constant is a legal probability; per the reference contract, a
+    constant score OUTSIDE [0, 1] is an error (``strict=True`` raises it
+    executor-side via ``raise_error``; ``strict=False`` passes through)."""
     from pyspark.sql import Window
 
+    const_branch = (
+        "CASE WHEN score >= 0 AND score <= 1 THEN score"
+        " ELSE raise_error('predict_proba: cannot normalize constant decision"
+        " scores outside [0, 1] (BaseDetector.py:140-186)') END"
+        if strict
+        else "score"
+    )
     wall = Window.partitionBy("doc_id")
     return (
         scored.withColumn("_mn", F.min("score").over(wall))
@@ -387,10 +395,42 @@ def predict_proba(scored: DataFrame) -> DataFrame:
         .select(
             "doc_id", "pos",
             F.expr(
-                "CASE WHEN _mn = _mx THEN score"
+                f"CASE WHEN _mn = _mx THEN {const_branch}"
                 " ELSE (score - _mn) / (_mx - _mn) END"
             ).alias("proba"),
         )
+    )
+
+
+# Baseline detectors (baselines/baselines.py:8-64) ---------------------------
+#
+# Sanity-check scorers. RandomDetector's np.random stream is replaced by a
+# coordinate-seeded uniform (md5 of doc:pos:seed -> 52-bit mantissa): a
+# sequential RNG stream has no distributed analog, but a hash-keyed one is
+# deterministic under ANY partitioning/ordering AND reproducible by an
+# ANSI-SQL oracle — the property the seed exists to provide.
+
+def always_normal_scores(long_form: DataFrame) -> DataFrame:
+    """score = 0.0 everywhere (baselines.py:8-23)."""
+    return long_form.select("doc_id", "pos", F.lit(0.0).alias("score"))
+
+
+def always_anomalous_scores(long_form: DataFrame) -> DataFrame:
+    """score = 1.0 everywhere (baselines.py:26-40)."""
+    return long_form.select("doc_id", "pos", F.lit(1.0).alias("score"))
+
+
+def random_scores(long_form: DataFrame, seed: int = 0) -> DataFrame:
+    """Deterministic uniform [0, 1) per observation, keyed on
+    (doc_id, pos, seed) (baselines.py:43-64). md5 is bit-identical
+    across engines; 13 hex digits = 52 bits fit a double exactly."""
+    return long_form.select(
+        "doc_id", "pos",
+        F.expr(
+            f"CAST(conv(substring(md5(concat_ws(':', doc_id, pos, '{int(seed)}')),"
+            " 1, 13), 16, 10) AS DOUBLE)"
+            " / CAST(4503599627370496 AS DOUBLE)"
+        ).alias("score"),
     )
 
 

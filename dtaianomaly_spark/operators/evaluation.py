@@ -38,6 +38,26 @@ PRECISION_SQL = "CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + 
 RECALL_SQL = "CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END"
 
 
+def fbeta_sql(beta: float) -> str:
+    """General F-beta over integer tp/fp/fn columns, sklearn
+    zero-division -> 0 (simple_binary_metrics.py:83-118):
+    F_b = (1+b^2)*tp / ((1+b^2)*tp + fp + b^2*fn).
+
+    The b^2 constants are emitted as exact float literals wrapped in
+    CAST(.. AS DOUBLE) — Spark parses bare `4.0` as DECIMAL(2,1), which
+    silently switches the arithmetic domain and breaks byte-parity with
+    a DOUBLE-typed oracle. One shared text for Spark AND DuckDB."""
+    if not beta > 0:
+        raise ValueError("`beta` should be strictly positive")
+    b2 = float(beta) * float(beta)
+    c1 = 1.0 + b2
+    return (
+        f"CASE WHEN tp = 0 AND fp = 0 AND fn = 0 THEN 0.0 "
+        f"ELSE (CAST({c1!r} AS DOUBLE) * tp) / "
+        f"(CAST({c1!r} AS DOUBLE) * tp + fp + CAST({b2!r} AS DOUBLE) * fn) END"
+    )
+
+
 def fixed_cutoff(scored: DataFrame, cutoff: float) -> DataFrame:
     """label = (score >= cutoff). (thresholding.py:50-74)"""
     return scored.select(
@@ -110,6 +130,17 @@ def confusion_metrics(labeled: DataFrame) -> DataFrame:
         F.expr(RECALL_SQL).alias("recall"),
         F.expr(F1_SQL).alias("f1"),
     )
+
+
+def fbeta_metrics(labeled: DataFrame, beta: float) -> DataFrame:
+    """Per-series F-beta for an arbitrary beta > 0.
+    (simple_binary_metrics.py:83-118)"""
+    agg = labeled.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN label = 1 AND truth = 1 THEN 1 ELSE 0 END")).alias("tp"),
+        F.sum(F.expr("CASE WHEN label = 1 AND truth = 0 THEN 1 ELSE 0 END")).alias("fp"),
+        F.sum(F.expr("CASE WHEN label = 0 AND truth = 1 THEN 1 ELSE 0 END")).alias("fn"),
+    )
+    return agg.select("doc_id", "tp", "fp", "fn", F.expr(fbeta_sql(beta)).alias("fbeta"))
 
 
 def auc_roc(scored_truth: DataFrame) -> DataFrame:
@@ -208,11 +239,27 @@ def point_adjusted_metrics(labeled: DataFrame) -> DataFrame:
     return confusion_metrics(point_adjust(labeled))
 
 
-def best_threshold_f1(scored_truth: DataFrame) -> DataFrame:
-    """Max F1 over every candidate threshold in ONE sorted pass: group by
-    distinct score desc, cumulative positives give tp at each cut
-    (label = score >= cut); fp/fn follow from totals.
-    (BestThresholdMetric.py:58-118)"""
+def _threshold_confusions(
+    scored_truth: DataFrame, max_nb_thresholds: int = -1
+) -> DataFrame:
+    """Per-series confusion matrix at EVERY candidate threshold in one
+    sorted pass (BestThresholdMetric.py:58-118): group by distinct score
+    desc, cumulative positives give tp at each cut (label = score >=
+    cut); fp/fn/tn follow from totals.
+
+    The reference's candidate set is {0} U midpoints(unique scores) U
+    {1}; every midpoint's label-set equals some distinct-score cut's and
+    the 0-threshold set is the smallest cut, so the distinct cuts
+    enumerate all of them except the t=1 EMPTY prediction set — appended
+    here as an explicit (tp=0, fp=0, fn=P, tn=N) row so any metric
+    (including ones that reward predicting nothing) sees it.
+
+    ``max_nb_thresholds`` reproduces the reference's linspace subsample
+    of threshold indices (0-based rank ``j`` over u+1 candidates:
+    selected j = trunc(k * (u+1)/(m+1)), k=1..m) via a per-series
+    sequence explode + semi-join — the candidate list is tiny relative
+    to the points, so this is a per-series map-side dedup, not a real
+    shuffle."""
     per_score = scored_truth.groupBy("doc_id", "score").agg(
         F.count("*").alias("cnt"),
         F.sum("truth").alias("pos_cnt"),
@@ -222,13 +269,71 @@ def best_threshold_f1(scored_truth: DataFrame) -> DataFrame:
         .orderBy(F.col("score").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wasc = Window.partitionBy("doc_id").orderBy(F.col("score").asc())
     wall = Window.partitionBy("doc_id")
     cum = per_score.select(
         "doc_id",
+        (F.row_number().over(wasc) - 1).alias("j"),
+        F.count("*").over(wall).alias("u"),
         F.sum("pos_cnt").over(wd).alias("tp"),
         (F.sum("cnt").over(wd) - F.sum("pos_cnt").over(wd)).alias("fp"),
         (F.sum("pos_cnt").over(wall) - F.sum("pos_cnt").over(wd)).alias("fn"),
+        (
+            F.sum("cnt").over(wall)
+            - F.sum("pos_cnt").over(wall)
+            - (F.sum("cnt").over(wd) - F.sum("pos_cnt").over(wd))
+        ).alias("tn"),
     )
-    return cum.groupBy("doc_id").agg(
-        F.max(F.expr(F1_SQL)).alias("best_f1")
+    empty_set = per_score.groupBy("doc_id").agg(
+        F.count("*").alias("j"),  # j = u: the t=1 empty prediction set
+        F.count("*").alias("u"),
+        F.lit(0).cast("long").alias("tp"),
+        F.lit(0).cast("long").alias("fp"),
+        F.sum("pos_cnt").alias("fn"),
+        (F.sum("cnt") - F.sum("pos_cnt")).alias("tn"),
     )
+    cuts = cum.unionByName(empty_set.select(cum.columns))
+    if max_nb_thresholds != -1:
+        if max_nb_thresholds <= 0:
+            raise ValueError(
+                "`max_nb_thresholds` must be strictly positive or equal to -1"
+            )
+        m = int(max_nb_thresholds)
+        # reference: np.linspace(0, u+1, m+2, dtype=int)[1:-1] — float
+        # step k*(u+1)/(m+1) truncated toward zero
+        sel = (
+            cuts.select("doc_id", "u")
+            .distinct()
+            .select(
+                "doc_id", "u",
+                F.explode(F.sequence(F.lit(1), F.lit(m))).alias("k"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    f"CAST(k * (CAST(u + 1 AS DOUBLE) / {float(m + 1)!r}) AS BIGINT)"
+                ).alias("j"),
+            )
+            .distinct()
+        )
+        cuts = cuts.where(F.expr(f"u + 1 > {m}")).join(
+            sel, ["doc_id", "j"]
+        ).unionByName(cuts.where(F.expr(f"u + 1 <= {m}")))
+    return cuts
+
+
+def best_threshold_metric(
+    scored_truth: DataFrame,
+    metric_sql: str = F1_SQL,
+    max_nb_thresholds: int = -1,
+    out_col: str = "best_metric",
+) -> DataFrame:
+    """Max of ANY confusion-matrix metric (SQL text over tp/fp/fn/tn)
+    over all candidate thresholds. (BestThresholdMetric.py:58-118)"""
+    cuts = _threshold_confusions(scored_truth, max_nb_thresholds)
+    return cuts.groupBy("doc_id").agg(F.max(F.expr(metric_sql)).alias(out_col))
+
+
+def best_threshold_f1(scored_truth: DataFrame) -> DataFrame:
+    """Max F1 over every candidate threshold. (BestThresholdMetric.py:58-118)"""
+    return best_threshold_metric(scored_truth, F1_SQL, out_col="best_f1")

@@ -84,16 +84,28 @@ def weight_balanced_repartition(arrays: DataFrame, n_partitions: int) -> DataFra
     map_expr = F.create_map(
         *[F.lit(x) for p in sorted(mapping) for x in (p, mapping[p])]
     )
-    ranked = arrays.withColumn(
-        "_rk",
-        F.row_number().over(Window.orderBy(F.col("n_tok").desc(), "doc_id")),
+    # Rank only the tiny (doc_id, n_tok) projection through the
+    # single-partition window — the token arrays must never funnel
+    # through one task. The (doc_id, _ptok) map then joins back onto the
+    # full rows before the weighted repartition (broadcast: the map is
+    # 2 longs per series).
+    rank_map = (
+        arrays.select("doc_id", "n_tok")
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy(F.col("n_tok").desc(), "doc_id")),
+        )
+        .select(
+            "doc_id",
+            map_expr[F.pmod(F.col("_rk"), F.lit(n_partitions))]
+            .cast("long")
+            .alias("_ptok"),
+        )
     )
     return (
-        ranked.withColumn(
-            "_ptok", map_expr[F.pmod(F.col("_rk"), F.lit(n_partitions))].cast("long")
-        )
+        arrays.join(F.broadcast(rank_map), "doc_id")
         .repartition(n_partitions, "_ptok")
-        .drop("_rk", "_ptok")
+        .drop("_ptok")
     )
 
 

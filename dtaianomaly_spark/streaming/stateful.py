@@ -12,8 +12,19 @@ custom stateful window op the reference family needs online
 MedianMethod.py:20-24 — and slots into this same state shape).
 
 State per series: the open buckets' (bucket_id, cnt, sum, sumsq, min,
-max) arrays. Completed buckets leave state immediately, so state size is
-bounded by the series' out-of-orderness, not its length.
+max) arrays. Completed buckets leave state immediately. A series' FINAL
+bucket is usually short (n % 16 ticks) and would otherwise linger in
+state forever — so the operator arms a processing-time timeout per key:
+if a series receives no data for ``flush_after_ms``, its remaining
+partial buckets are flushed as final rows and the state entry is
+dropped. State size is therefore bounded by out-of-orderness within the
+timeout horizon, not by the total number of series ever seen.
+
+Input contract: exactly-once points. Completion is detected by count
+(cnt == BUCKET_TICKS), so a replayed/duplicated point would complete a
+bucket early with inflated stats — feed this operator from a source
+with exactly-once semantics (file source / Kafka with idempotent
+producers), as the batch tier assumes unique (doc_id, pos).
 """
 
 from __future__ import annotations
@@ -28,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 BUCKET_TICKS = 16
+FLUSH_AFTER_MS = 30_000
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -57,6 +69,7 @@ def _update(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
 ) -> Iterator[pd.DataFrame]:
     doc_id = key[0]
     if state.exists:
@@ -67,6 +80,20 @@ def _update(
         }
     else:
         open_b = {}
+
+    if state.hasTimedOut:
+        # Idle series: flush remaining partial buckets (the short tail
+        # bucket, plus any gaps that will never fill) as final rows.
+        state.remove()
+        if open_b:
+            yield pd.DataFrame(
+                [
+                    (doc_id, b, st[0], st[1], st[2], st[3], st[4])
+                    for b, st in sorted(open_b.items())
+                ],
+                columns=OUTPUT_SCHEMA.names,
+            )
+        return
 
     for pdf in pdfs:
         for pos, value in zip(pdf["pos"], pdf["value"]):
@@ -98,6 +125,8 @@ def _update(
                 [open_b[b][4] for b in bs],
             )
         )
+        if flush_after_ms is not None:
+            state.setTimeoutDuration(flush_after_ms)
     else:
         state.remove()
 
@@ -111,13 +140,29 @@ def _update(
         )
 
 
-def stateful_bucket_rollup(stream_long_form):
+def stateful_bucket_rollup(stream_long_form, flush_after_ms: int | None = FLUSH_AFTER_MS):
     """points stream (doc_id, pos, value) -> append-mode stream of
-    COMPLETED raw-tier buckets."""
+    COMPLETED raw-tier buckets.
+
+    With ``flush_after_ms`` set (the default — the right mode for a
+    long-lived ingest), idle series flush their partial tail buckets
+    after that much processing-time silence and leave state, so state
+    is bounded by the active-series working set. Note that a
+    timeout-enabled stateful operator keeps the micro-batch engine
+    scheduling batches to service pending timers, so an
+    ``availableNow`` catch-up run won't terminate at end-of-data —
+    pass ``flush_after_ms=None`` (NoTimeout) for finite replay jobs,
+    accepting that tail partial buckets stay in state (they're
+    reconciled by the batch rollup that follows a replay)."""
+    def update(key, pdfs, state):
+        return _update(key, pdfs, state, flush_after_ms)
+
     return stream_long_form.groupBy("doc_id").applyInPandasWithState(
-        _update,
+        update,
         OUTPUT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
     )
