@@ -126,6 +126,18 @@ def matrix_profile_ab_excl(
 
     Rows with no admissible neighbor return +inf (the combiner's min
     ignores them)."""
+    return matrix_profile_ab_excl_both(x, y, w, delta, excl)[0]
+
+
+def matrix_profile_ab_excl_both(
+    x: np.ndarray, y: np.ndarray, w: int, delta: int, excl: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """AB-join with global exclusion returning BOTH sides' minima:
+    ``(prof_x[i] = min_j d(i, j), prof_y[j] = min_i d(i, j))``. The
+    distance matrix of an unordered chunk pair is computed once and
+    serves both chunks — the column minima fall out of the same row
+    sweep for one extra vector-min per row, halving the chunk-pair
+    fan-out of the distributed matrix profile."""
     x = np.asarray(x, dtype=np.float64).reshape(-1)
     y = np.asarray(y, dtype=np.float64).reshape(-1)
     n_q = x.shape[0] - w + 1
@@ -143,6 +155,7 @@ def matrix_profile_ab_excl(
 
     eps = 1e-14
     profile = np.empty(n_q)
+    prof_y = np.full(n_r, np.inf)
     for i in range(n_q):
         if i > 0:
             qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
@@ -162,7 +175,8 @@ def matrix_profile_ab_excl(
             if lo < hi:
                 dist[lo:hi] = np.inf
         profile[i] = dist.min() if np.isfinite(dist).any() else np.inf
-    return profile
+        np.minimum(prof_y, dist, out=prof_y)
+    return profile, prof_y
 
 
 # ----------------------------------------------------------------- KMeans
@@ -251,38 +265,53 @@ def iforest_fit(X: np.ndarray, n_trees: int = 100, subsample: int = 256,
         samp = rng.choice(X.shape[0], size=psi, replace=False)
         nodes: list = []
         _iforest_build(X, samp, 0, max_depth, rng, nodes)
-        trees.append(nodes)
+        trees.append(_flatten_tree(nodes))
     return trees
+
+
+def _flatten_tree(nodes: list) -> tuple:
+    """Node list -> flat arrays (feat, split, left, right, leaf_add):
+    traversal becomes pure index arithmetic (no per-level Python list
+    building), and the leaf's average-path-length correction is
+    precomputed once at fit."""
+    arr = np.array(nodes, dtype=np.float64)
+    feat = arr[:, 0].astype(np.int64)
+    sizes = arr[:, 4]
+    leaf_add = np.where(feat < 0, _avg_path_length(sizes), 0.0)
+    return (
+        feat,
+        arr[:, 1],
+        arr[:, 2].astype(np.int64),
+        arr[:, 3].astype(np.int64),
+        leaf_add,
+    )
 
 
 def iforest_score(X: np.ndarray, trees: list, subsample: int = 256) -> np.ndarray:
     """Anomaly score 2^(-E[h]/c(psi)); higher = more anomalous."""
     X = np.asarray(X, dtype=np.float64)
     depths = np.zeros(X.shape[0])
-    for nodes in trees:
+    for tree in trees:
+        if isinstance(tree, list):  # legacy node-list form
+            tree = _flatten_tree(tree)
+        feat, split, left, right, leaf_add = tree
         node = np.zeros(X.shape[0], dtype=np.int64)
         depth = np.zeros(X.shape[0])
-        active = np.ones(X.shape[0], dtype=bool)
-        while active.any():
+        active = np.arange(X.shape[0])
+        while active.shape[0]:
             cur = node[active]
-            feats = np.array([nodes[c][0] for c in cur])
-            leaf = feats < 0
-            ai = np.flatnonzero(active)
-            if leaf.any():
-                leaf_idx = ai[leaf]
-                sizes = np.array([nodes[c][4] for c in cur[leaf]], dtype=np.float64)
-                depth[leaf_idx] += _avg_path_length(sizes)
-                active[leaf_idx] = False
-            go = ai[~leaf]
+            f = feat[cur]
+            is_leaf = f < 0
+            if is_leaf.any():
+                li = active[is_leaf]
+                depth[li] += leaf_add[cur[is_leaf]]
+            go = active[~is_leaf]
             if go.shape[0]:
-                cur_go = node[go]
-                splits = np.array([nodes[c][1] for c in cur_go])
-                fgo = np.array([nodes[c][0] for c in cur_go])
-                lefts = np.array([nodes[c][2] for c in cur_go])
-                rights = np.array([nodes[c][3] for c in cur_go])
-                vals = X[go, fgo]
-                node[go] = np.where(vals < splits, lefts, rights)
+                cg = cur[~is_leaf]
+                vals = X[go, f[~is_leaf]]
+                node[go] = np.where(vals < split[cg], left[cg], right[cg])
                 depth[go] += 1
+            active = go
         depths += depth
     mean_depth = depths / len(trees)
     c = _avg_path_length(np.array([float(subsample)]))[0]

@@ -90,27 +90,77 @@ def matrix_profile_scores(arrays: DataFrame, window_size: int) -> DataFrame:
 
 
 def matrix_profile_distributed(
-    arrays: DataFrame, window_size: int, chunk_windows: int = 512
+    arrays: DataFrame, window_size: int, chunk_windows: int = 512,
+    monolithic_threshold: int | None = None,
 ) -> DataFrame:
     """Chunked distributed matrix profile (SURVEY §4.2-5 — the custom
     physical strategy for series too long for one task): each series is
     split into chunks of ``chunk_windows`` windows with ``w-1`` token
-    overlap; every chunk PAIR runs an AB-join with a global-coordinate
-    exclusion mask (kernels.detectors.matrix_profile_ab_excl); per-window
-    minima combine in a hash aggregate. Output: (doc_id, idx, profile) —
-    one row per global window.
+    overlap; every UNORDERED chunk pair runs one AB-join with a
+    global-coordinate exclusion mask
+    (kernels.detectors.matrix_profile_ab_excl_both) that emits BOTH
+    chunks' minima — the distance matrix is computed once per pair, not
+    once per side; per-window minima combine in a hash aggregate.
+    Output: (doc_id, idx, profile) — one row per global window.
 
-    Work decomposes into m² independent pair tasks per series (the O(n²)
-    of a self-join, now spread across executors), and the combine is an
+    Series at or below ``monolithic_threshold`` windows (default
+    ``4 * chunk_windows``) route to the monolithic STOMP kernel in a
+    single task: chunking a series that fits one task trades a 1x kernel
+    pass for ~m(m+1)/2 overlapping pair passes plus a shuffle (measured
+    3.8x overhead) — it only pays off once a single series' O(m²) work
+    is bigger than several tasks' worth. The routing keeps the common
+    case on the no-shuffle path while the heavy tail fans out. Work on the
+    tail decomposes into m(m+1)/2 independent pair tasks per series (the
+    O(n²) of a self-join spread across executors); the combine is an
     exact min — equal to the monolithic profile up to STOMP's rolling-
     recurrence float noise (tested ≤1e-6)."""
     import math
 
     w = window_size
     cw = chunk_windows
+    if monolithic_threshold is None:
+        monolithic_threshold = 4 * cw
 
-    chunks = arrays.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("idx", LongType(), False),
+            StructField("profile", DoubleType(), False),
+        ]
+    )
+    excl = int(math.ceil(w / 4))
+
+    n_windows = F.col("n_tok") - F.lit(w) + 1
+    base = arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_tok", "tokens"
+    )
+    small = base.filter(n_windows <= monolithic_threshold)
+    big = base.filter(n_windows > monolithic_threshold)
+
+    def run_small(batches):
+        for pdf in batches:
+            doc_ids, idxs, vals = [], [], []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                if x.shape[0] < w:
+                    continue
+                prof = KD.matrix_profile(x, w)
+                doc_ids.append(np.repeat(doc_id, prof.shape[0]))
+                idxs.append(np.arange(prof.shape[0], dtype=np.int64))
+                vals.append(prof)
+            if doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_ids),
+                        "idx": np.concatenate(idxs),
+                        "profile": np.concatenate(vals),
+                    }
+                )
+
+    small_prof = small.mapInPandas(run_small, schema)
+
+    chunks = big.select(
+        "doc_id",
         "n_tok",
         F.explode(
             F.expr(
@@ -137,20 +187,20 @@ def matrix_profile_distributed(
         F.col("off").alias("off_b"),
         F.col("ctokens").alias("tok_b"),
     )
-    pairs = a.join(b, "doc_id")
-
-    schema = StructType(
-        [
-            StructField("doc_id", StringType(), False),
-            StructField("idx", LongType(), False),
-            StructField("profile", DoubleType(), False),
-        ]
-    )
-    excl = int(math.ceil(w / 4))
+    # unordered pairs only: one kernel call serves both sides
+    pairs = a.join(b, "doc_id").where(F.col("off_a") <= F.col("off_b"))
 
     def run(batches):
         for pdf in batches:
             doc_ids, idxs, vals = [], [], []
+
+            def emit(doc_id, prof, off):
+                keep = np.isfinite(prof)
+                if keep.any():
+                    doc_ids.append(np.repeat(doc_id, int(keep.sum())))
+                    idxs.append(np.flatnonzero(keep) + int(off))
+                    vals.append(prof[keep])
+
             for doc_id, off_a, tok_a, off_b, tok_b in zip(
                 pdf["doc_id"], pdf["off_a"], pdf["tok_a"],
                 pdf["off_b"], pdf["tok_b"],
@@ -159,14 +209,12 @@ def matrix_profile_distributed(
                 y = np.asarray(tok_b, dtype=np.float64)
                 if x.shape[0] < w or y.shape[0] < w:
                     continue
-                prof = KD.matrix_profile_ab_excl(
+                prof_a, prof_b = KD.matrix_profile_ab_excl_both(
                     x, y, w, int(off_a) - int(off_b), excl
                 )
-                keep = np.isfinite(prof)
-                if keep.any():
-                    doc_ids.append(np.repeat(doc_id, int(keep.sum())))
-                    idxs.append(np.flatnonzero(keep) + int(off_a))
-                    vals.append(prof[keep])
+                emit(doc_id, prof_a, off_a)
+                if int(off_a) != int(off_b):  # self pair: both sides equal
+                    emit(doc_id, prof_b, off_b)
             if doc_ids:
                 yield pd.DataFrame(
                     {
@@ -177,8 +225,8 @@ def matrix_profile_distributed(
                 )
 
     per_pair = pairs.mapInPandas(run, schema)
-    return per_pair.groupBy("doc_id", "idx").agg(
-        F.min("profile").alias("profile")
+    return small_prof.unionByName(
+        per_pair.groupBy("doc_id", "idx").agg(F.min("profile").alias("profile"))
     )
 
 

@@ -191,10 +191,13 @@ def undersample_nb(long_form: DataFrame, nb_samples: int) -> DataFrame:
         ).alias("pos"),
     )
     # k >= n under the identity branch yields pos >= n, which simply finds
-    # no partner in the join — no explicit filter needed
+    # no partner in the join — no explicit filter needed. Non-key columns
+    # (e.g. a ground-truth label riding the long form, the reference's
+    # (X, y) pair transform) pass through at the same index grid.
+    extra = [c for c in long_form.columns if c not in ("doc_id", "pos", "n")]
     return (
         idx.join(long_form, ["doc_id", "pos"])
-        .select("doc_id", F.col("k").cast("long").alias("pos"), "value")
+        .select("doc_id", F.col("k").cast("long").alias("pos"), *extra)
     )
 
 

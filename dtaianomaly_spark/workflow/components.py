@@ -1,0 +1,460 @@
+"""Standalone detector components: the reference's ``BaseDetector``
+contract (fit / decision_function / predict_proba / save / load_detector,
+BaseDetector.py:54-331) over Spark DataFrames, plus the canonical
+``Klass(param=value)`` strings of ``PrettyPrintable``
+(PrettyPrintable.py:5-34).
+
+Execution shape is the repo's fit→broadcast→score pattern
+(operators/detectors.py): ``fit`` is a bounded driver-side action whose
+result is a SMALL plain-NumPy model (centroids, node tables, ECDFs —
+kilobytes), stored on the instance; ``decision_function`` broadcasts
+that state in a task closure and scores every series in one shuffle-free
+Arrow pass. Because the fitted state is plain NumPy, ``save`` is the
+reference's pickle-with-``.dtai``-extension verbatim, and a loaded
+detector scores WITHOUT refitting — the reproducibility contract
+(BaseDetector.py:289-331).
+
+At 100 TB: instances never hold DataFrames or SparkSessions (pickle
+boundary == driver/executor boundary == disk boundary), so the same
+object works in a task closure, a checkpoint file, and a fresh session.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import pickle
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from dtaianomaly_spark.kernels import detectors as KD
+from dtaianomaly_spark.kernels import windowing as KW
+from dtaianomaly_spark.operators import detectors as DET
+
+
+class NotFittedError(RuntimeError):
+    """decision_function before fit (reference CheckIsFittedError)."""
+
+
+def _check_window(window_size) -> None:
+    """Constructor-time window validation
+    (windowing_utils.check_is_valid_window_size semantics)."""
+    if isinstance(window_size, bool) or not isinstance(window_size, int):
+        raise TypeError(f"`window_size` should be an integer, got {window_size!r}")
+    if window_size < 1:
+        raise ValueError(f"`window_size` must be strictly positive, got {window_size}")
+
+
+def initialization_call_string(o: object) -> str:
+    """Canonical ``Klass(param=value)`` string: non-default __init__
+    params only, strings quoted. (PrettyPrintable.py:10-34)"""
+    parameters = {
+        p: getattr(o, p)
+        for p, v in inspect.signature(o.__init__).parameters.items()
+        if p not in ("args", "kwargs") and v.default != getattr(o, p)
+    }
+    if hasattr(o, "kwargs"):
+        parameters.update(o.kwargs)
+
+    def lit(v):
+        return f"'{v}'" if isinstance(v, str) else v
+
+    return (
+        o.__class__.__name__
+        + "("
+        + ",".join(f"{p}={lit(v)}" for p, v in parameters.items())
+        + ")"
+    )
+
+
+class PrettyPrintable:
+    def __str__(self) -> str:
+        return initialization_call_string(self)
+
+    __repr__ = __str__
+
+
+class SparkDetector(PrettyPrintable):
+    """fit/decision_function/predict_proba/save over the canonical
+    ``(doc_id, tokens, n_tok)`` arrays DataFrame."""
+
+    def fit(self, arrays: DataFrame, y=None) -> "SparkDetector":
+        return self
+
+    def decision_function(self, arrays: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def predict_proba(self, arrays: DataFrame) -> DataFrame:
+        """Min-max rescale of decision scores (BaseDetector.py:140-186)."""
+        return DET.predict_proba(self.decision_function(arrays))
+
+    def save(self, path: Union[str, Path]) -> None:
+        """Pickle to ``path`` with the reference's ``.dtai`` extension,
+        creating parent directories (BaseDetector.py:289-311)."""
+        if Path(path).suffix != ".dtai":
+            path = f"{path}.dtai"
+        parent = Path(path).parent
+        if not os.path.exists(parent):
+            os.makedirs(parent)
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+
+def load_detector(path: Union[str, Path]) -> SparkDetector:
+    """Unpickle a saved detector — trusted files only
+    (BaseDetector.py:314-331)."""
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+# ------------------------------------------------------- window-model family
+
+class _WindowModelDetector(SparkDetector):
+    """Shared skeleton: fit a small model on the bounded deterministic
+    window sample; score = per-series windows → model score → reverse
+    window map, one Arrow pass (PyODAnomalyDetector.py:101-113)."""
+
+    _max_fit_windows: Optional[int] = None
+
+    def __init__(self, window_size: int = 32, stride: int = 16):
+        _check_window(window_size)
+        if not isinstance(stride, int) or stride < 1:
+            raise ValueError(f"invalid stride {stride!r}")
+        self.window_size = window_size
+        self.stride = stride
+
+    # subclass hooks — module-level kernel functions only, so instances
+    # stay picklable by reference
+    def _fit_model(self, train: np.ndarray):
+        raise NotImplementedError
+
+    def _score_windows(self, wins: np.ndarray, model) -> np.ndarray:
+        raise NotImplementedError
+
+    def fit(self, arrays: DataFrame, y=None) -> "SparkDetector":
+        train = DET.fit_sample_windows(
+            arrays, self.window_size, self.stride,
+            max_windows=self._max_fit_windows,
+        )
+        self.model_ = self._fit_model(train)
+        return self
+
+    def check_is_fitted(self) -> None:
+        if not hasattr(self, "model_"):
+            raise NotFittedError(f"{type(self).__name__} is not fitted")
+
+    def decision_function(self, arrays: DataFrame) -> DataFrame:
+        self.check_is_fitted()
+        me, w, s = self, self.window_size, self.stride
+
+        def per_series(x: np.ndarray) -> np.ndarray:
+            wins = KW.sliding_window(x, w, s)
+            d = me._score_windows(wins, me.model_)
+            return KW.reverse_sliding_window(d, w, s, x.shape[0])
+
+        return DET._score_map(arrays, per_series)
+
+
+class KMeansAnomalyDetector(_WindowModelDetector):
+    """KMeansAnomalyDetector.py:84-98."""
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_clusters: int = 8, seed: int = 42):
+        super().__init__(window_size, stride)
+        self.n_clusters = n_clusters
+        self.seed = seed
+
+    def _fit_model(self, train):
+        return KD.kmeans_fit(train, self.n_clusters, seed=self.seed)
+
+    def _score_windows(self, wins, model):
+        return KD.kmeans_score(wins, model)
+
+
+class IsolationForest(_WindowModelDetector):
+    """IsolationForest.py:7-58 (via PyODAnomalyDetector)."""
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_estimators: int = 50, seed: int = 42):
+        super().__init__(window_size, stride)
+        self.n_estimators = n_estimators
+        self.seed = seed
+
+    def _fit_model(self, train):
+        return KD.iforest_fit(train, n_trees=self.n_estimators, seed=self.seed)
+
+    def _score_windows(self, wins, model):
+        return KD.iforest_score(wins, model)
+
+
+class KNearestNeighbors(_WindowModelDetector):
+    """KNearestNeighbors.py (pyod KNN semantics)."""
+
+    _max_fit_windows = 2000
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_neighbors: int = 5):
+        super().__init__(window_size, stride)
+        self.n_neighbors = n_neighbors
+
+    def _fit_model(self, train):
+        return train
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.knn_score(wins, model, self.n_neighbors)
+
+
+class LocalOutlierFactor(_WindowModelDetector):
+    _max_fit_windows = 2000
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_neighbors: int = 10):
+        super().__init__(window_size, stride)
+        self.n_neighbors = n_neighbors
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.lof_fit(train, self.n_neighbors)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.lof_score(wins, model)
+
+
+class HistogramBasedOutlierScore(_WindowModelDetector):
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_bins: int = 10):
+        super().__init__(window_size, stride)
+        self.n_bins = n_bins
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.hbos_fit(train, self.n_bins)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.hbos_score(wins, model)
+
+
+class CopulaBasedOutlierDetector(_WindowModelDetector):
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.copod_fit(train)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.copod_score(wins, model)
+
+
+class PrincipalComponentAnalysis(_WindowModelDetector):
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_components: int = 4):
+        super().__init__(window_size, stride)
+        self.n_components = n_components
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.pca_fit(train, self.n_components)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.pca_score(wins, model)
+
+
+class KernelPrincipalComponentAnalysis(_WindowModelDetector):
+    _max_fit_windows = 500  # kernel matrix is quadratic in the sample
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_components: int = 4):
+        super().__init__(window_size, stride)
+        self.n_components = n_components
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.kpca_fit(train, self.n_components)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.kpca_score(wins, model)
+
+
+class ClusterBasedLocalOutlierFactor(_WindowModelDetector):
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_clusters: int = 8):
+        super().__init__(window_size, stride)
+        self.n_clusters = n_clusters
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.cblof_fit(train, self.n_clusters)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.cblof_score(wins, model)
+
+
+class OneClassSupportVectorMachine(_WindowModelDetector):
+    _max_fit_windows = 500
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 nu: float = 0.1):
+        super().__init__(window_size, stride)
+        self.nu = nu
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.ocsvm_fit(train, nu=self.nu)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.ocsvm_score(wins, model)
+
+
+class RobustPrincipalComponentAnalysis(_WindowModelDetector):
+    _max_fit_windows = 500  # iterative SVD loop on the sample
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_components: int = 4):
+        super().__init__(window_size, stride)
+        self.n_components = n_components
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.rpca_fit(train, n_components=self.n_components)
+
+    def _score_windows(self, wins, model):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.rpca_score(wins, model)
+
+
+class KShapeAnomalyDetector(_WindowModelDetector):
+    """KShapeAnomalyDetector.py:142-193 — stride-1 scoring against
+    z-normalized shape centroids, so the reverse map differs from the
+    shared skeleton."""
+
+    _max_fit_windows = 2000
+
+    def __init__(self, window_size: int = 32, stride: int = 16,
+                 n_clusters: int = 3):
+        super().__init__(window_size, stride)
+        self.n_clusters = n_clusters
+
+    def _fit_model(self, train):
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        return KX.kshape_fit(train, self.n_clusters)
+
+    def decision_function(self, arrays: DataFrame) -> DataFrame:
+        self.check_is_fitted()
+        from dtaianomaly_spark.kernels import detectors_ext as KX
+
+        model, w = self.model_, self.window_size
+
+        def per_series(x: np.ndarray) -> np.ndarray:
+            d = KX.kshape_scores(x, model, w)
+            return KW.reverse_sliding_window(d, w, 1, x.shape[0])
+
+        return DET._score_map(arrays, per_series)
+
+
+# ----------------------------------------------------------- stateless family
+
+class MedianMethod(SparkDetector):
+    """MedianMethod.py:20-120 — |x - nbhd mean| / nbhd std, no fit state."""
+
+    def __init__(self, neighborhood_size_before: int = 16,
+                 neighborhood_size_after: Optional[int] = None):
+        self.neighborhood_size_before = neighborhood_size_before
+        self.neighborhood_size_after = neighborhood_size_after
+
+    def decision_function(self, arrays: DataFrame) -> DataFrame:
+        b, a = self.neighborhood_size_before, self.neighborhood_size_after
+
+        def per_series(x: np.ndarray) -> np.ndarray:
+            return KD.median_method_scores(x, b, a)
+
+        return DET._score_map(arrays, per_series)
+
+
+class MatrixProfileDetector(SparkDetector):
+    """MatrixProfileDetector.py:116-178 — STOMP self-join, no fit state."""
+
+    def __init__(self, window_size: int = 32):
+        _check_window(window_size)
+        self.window_size = window_size
+
+    def decision_function(self, arrays: DataFrame) -> DataFrame:
+        return DET.matrix_profile_scores(arrays, self.window_size)
+
+
+class _LongFormBaseline(SparkDetector):
+    def _scores(self, long_form: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def decision_function(self, arrays: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        long_form = arrays.select(
+            "doc_id", F.posexplode("tokens").alias("pos", "value")
+        ).select("doc_id", F.col("pos").cast("long").alias("pos"))
+        return self._scores(long_form)
+
+
+class AlwaysNormal(_LongFormBaseline):
+    """baselines/baselines.py:8-23."""
+
+    def _scores(self, long_form):
+        return DET.always_normal_scores(long_form)
+
+
+class AlwaysAnomalous(_LongFormBaseline):
+    """baselines/baselines.py:26-40."""
+
+    def _scores(self, long_form):
+        return DET.always_anomalous_scores(long_form)
+
+
+class RandomDetector(_LongFormBaseline):
+    """baselines/baselines.py:43-64 (coordinate-seeded uniform)."""
+
+    def __init__(self, seed: Optional[int] = None):
+        self.seed = seed
+
+    def _scores(self, long_form):
+        return DET.random_scores(long_form, seed=self.seed or 0)
+
+
+DETECTOR_REGISTRY = {
+    cls.__name__: cls
+    for cls in (
+        AlwaysNormal, AlwaysAnomalous, RandomDetector,
+        MedianMethod, MatrixProfileDetector,
+        KMeansAnomalyDetector, IsolationForest,
+        KNearestNeighbors, LocalOutlierFactor, HistogramBasedOutlierScore,
+        CopulaBasedOutlierDetector, PrincipalComponentAnalysis,
+        KernelPrincipalComponentAnalysis, ClusterBasedLocalOutlierFactor,
+        OneClassSupportVectorMachine, RobustPrincipalComponentAnalysis,
+        KShapeAnomalyDetector,
+    )
+}

@@ -2,219 +2,407 @@
 
 Mirrors the reference's ``Workflow`` (workflow/Workflow.py:169-379):
 jobs are the cross-product of data sources and pipelines; each job runs
-fit+score, evaluates every metric, records wall-clock runtime, and
-failures quarantine into an ``Error`` cell instead of killing the grid
-(the reference writes a reproducible .err script — here the error string
-plus the job's lineage land in the result row). ``workflow_from_config``
+fit+score, evaluates every metric, records fit/predict/total wall-clock
+("Runtime Fit [s]" / "Runtime Predict [s]" / "Runtime [s]",
+Workflow.py:255-266), and failures quarantine into an ``Error`` cell
+instead of killing the grid. ``workflow_from_config``
 (workflow/workflow_from_config.py:11-438) interprets the same
-"type"-tagged JSON config shape with the reference's component names.
+"type"-tagged JSON config shape with the reference's component names —
+every detector in ``components.DETECTOR_REGISTRY`` (17), every
+preprocessor (10 + ChainedPreprocessor), binary + proba + point-adjusted
++ best-threshold metrics, and the three thresholds.
 
-Spark mapping: the grid iterates at the driver; each cell is one (or a
-few) Spark actions over the shared corpus DataFrame — on a cluster the
-driver submits cells concurrently via the fair scheduler; here they run
-serially for deterministic timing. Per-job runtime comes from driver
-timers (the reference's time.time pattern); per-partition metrics come
-from plans/lineage.py rather than tracemalloc (executor memory is a
-Spark-metrics concern, not a driver-process one).
+Preprocessors transform the ``(X, y)`` PAIR like the reference's
+``Preprocessor.transform`` (preprocessing/Preprocessor.py): the truth
+column rides the long form through every transform, so undersampling
+selects y at the same index grid and PAA thresholds the y-frame mean at
+0.5 (PiecewiseAggregateApproximation.py:60-66).
+
+Spark mapping: the grid iterates at the driver; each cell is a handful
+of Spark actions over the shared corpus DataFrame. ``n_jobs > 1`` runs
+cells from a driver thread pool, each thread tagging its jobs with a
+fair-scheduler pool (the cluster analog of the reference's
+multiprocessing.Pool, Workflow.py:229-249) — Spark schedules their
+stages concurrently, so small cells fill the cluster instead of
+serializing. Timings of concurrent cells overlap by design (same as the
+reference's n_jobs); run serially for clean per-cell timing.
 """
 
 from __future__ import annotations
 
 import time
 import traceback
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dtaianomaly_spark.sources import corpus as C
+from dtaianomaly_spark.workflow.components import (
+    DETECTOR_REGISTRY, SparkDetector, initialization_call_string,
+)
 
 TRUTH_SPIKE = "(CAST(doc_id AS BIGINT) * 7919 + pos * 104729) % 997 = 0"
 
 
-# ---------------------------------------------------------------- components
+# ------------------------------------------------------------- preprocessors
+#
+# Each wrapper maps a long form (doc_id, pos, value, truth, n) to the same
+# shape. Values re-enter as integer milli-units so downstream integer-exact
+# operators keep working.
 
-def _det_median(spark, arrays, long_form):
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-16, 16)
-    from dtaianomaly_spark.rollup.tiers import DERIVE_MEAN_SQL, DERIVE_STD_SQL
-
-    stats = long_form.select(
-        "doc_id", "pos", "value",
-        F.count("value").over(w).alias("cnt"),
-        F.sum("value").over(w).alias("sum"),
-        F.sum(F.col("value") * F.col("value")).over(w).alias("sumsq"),
-    )
-    return stats.select(
-        "doc_id", "pos",
-        F.expr(
-            f"CASE WHEN {DERIVE_STD_SQL} = 0.0 THEN 0.0 "
-            f"ELSE abs(CAST(value AS DOUBLE) - ({DERIVE_MEAN_SQL})) / ({DERIVE_STD_SQL}) END"
-        ).alias("score"),
-    )
-
-
-def _det_matrix_profile(spark, arrays, long_form, window_size=32):
-    from dtaianomaly_spark.operators import detectors as DET
-
-    return DET.matrix_profile_scores(arrays, window_size)
-
-
-def _det_kmeans(spark, arrays, long_form, window_size=32, stride=16, n_clusters=8):
-    from dtaianomaly_spark.operators import detectors as DET
-
-    return DET.kmeans_scores(arrays, window_size, stride, k=n_clusters)
-
-
-def _det_iforest(spark, arrays, long_form, window_size=32, stride=16, n_trees=25):
-    from dtaianomaly_spark.operators import detectors as DET
-
-    return DET.iforest_scores(arrays, window_size, stride, n_trees=n_trees)
-
-
-DETECTORS: Dict[str, Callable] = {
-    "MedianMethod": _det_median,
-    "MatrixProfileDetector": _det_matrix_profile,
-    "KMeansAnomalyDetector": _det_kmeans,
-    "IsolationForest": _det_iforest,
-}
-
-
-def _pp_identity(long_form):
-    return long_form
-
-
-def _pp_standard(long_form):
-    from dtaianomaly_spark.operators import preprocessing as PP
-
-    out = PP.standard_scale(long_form)
-    # rescaled values re-enter as integer milli-units so downstream
-    # integer-exact operators keep working
+def _milli(out: DataFrame, col: str = "out") -> DataFrame:
+    keep = [c for c in ("truth", "n") if c in out.columns]
     return out.select(
         "doc_id", "pos",
-        F.expr("CAST(round(out * 1000) AS BIGINT)").alias("value"),
+        F.expr(f"CAST(round({col} * 1000) AS BIGINT)").alias("value"),
+        *keep,
     )
 
 
-def _pp_moving_average(long_form, window_size=8):
+def _join_truth(out: DataFrame, inp: DataFrame) -> DataFrame:
+    """Re-attach (truth, n) for pos-preserving transforms."""
+    return out.join(inp.select("doc_id", "pos", "truth", "n"), ["doc_id", "pos"])
+
+
+def _pp_identity(lf: DataFrame) -> DataFrame:
+    return lf
+
+
+def _pp_standard(lf: DataFrame) -> DataFrame:
     from dtaianomaly_spark.operators import preprocessing as PP
 
-    out = PP.moving_average(long_form, window_size)
-    return out.select(
-        "doc_id", "pos",
-        F.expr("CAST(round(out * 1000) AS BIGINT)").alias("value"),
+    return _join_truth(_milli(PP.standard_scale(lf)), lf)
+
+
+def _pp_minmax(lf: DataFrame) -> DataFrame:
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return _join_truth(_milli(PP.minmax_scale(lf)), lf)
+
+
+def _pp_robust(lf: DataFrame) -> DataFrame:
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return _join_truth(_milli(PP.robust_scale(lf)), lf)
+
+
+def _pp_moving_average(lf: DataFrame, window_size: int = 8) -> DataFrame:
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return _join_truth(_milli(PP.moving_average(lf, window_size)), lf)
+
+
+def _pp_ema(lf: DataFrame, alpha: float = 0.9) -> DataFrame:
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    arrays = _long_to_arrays(lf)
+    out = PP.ema(arrays, alpha).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pos", F.col("out"),
     )
+    return _join_truth(_milli(out), lf)
 
 
-def _pp_differencing(long_form, order=1, window_size=1):
+def _pp_differencing(lf: DataFrame, order: int = 1, window_size: int = 1) -> DataFrame:
     from dtaianomaly_spark.operators import preprocessing as PP
 
-    return PP.differencing(long_form, order, window_size).select(
+    out = PP.differencing(lf, order, window_size).select(
         "doc_id", "pos", F.col("out").alias("value")
     )
+    return _join_truth(out, lf)
+
+
+def _pp_undersample_rate(lf: DataFrame, k: int = 4) -> DataFrame:
+    """X and y selected at the same every-k grid (UnderSampler.py:33-42)."""
+    return lf.filter(F.col("pos") % k == 0).select(
+        "doc_id", (F.col("pos") / k).cast("long").alias("pos"), "value", "truth",
+        F.expr(f"CAST(ceil(n / {k}.0) AS INT)").alias("n"),
+    )
+
+
+def _pp_undersample_nb(lf: DataFrame, nb_samples: int = 128) -> DataFrame:
+    """X and y selected at the same linspace grid (UnderSampler.py:70-78):
+    the operator passes non-key columns through, so truth rides along."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    out = PP.undersample_nb(lf, nb_samples)
+    n = lf.select(
+        "doc_id", F.least(F.col("n"), F.lit(nb_samples)).cast("int").alias("n")
+    ).distinct()
+    return out.join(n, "doc_id")
+
+
+def _pp_paa(lf: DataFrame, n_frames: int = 64) -> DataFrame:
+    """Frame means for X; y-frame mean thresholded at 0.5
+    (PiecewiseAggregateApproximation.py:60-70)."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    x = PP.paa(lf, n_frames).select(
+        "doc_id", F.col("frame").alias("pos"),
+        F.expr("CAST(round(out * 1000) AS BIGINT)").alias("value"),
+    )
+    y = (
+        PP.paa(lf.drop("value").withColumnRenamed("truth", "value"), n_frames)
+        .select(
+            "doc_id", F.col("frame").alias("pos"),
+            F.expr("CASE WHEN out < 0.5 THEN 0 ELSE 1 END").alias("truth"),
+        )
+    )
+    n = lf.groupBy("doc_id").agg(
+        F.least(F.max("n"), F.lit(n_frames)).cast("int").alias("n")
+    )
+    return x.join(y, ["doc_id", "pos"]).join(n, "doc_id")
 
 
 PREPROCESSORS: Dict[str, Callable] = {
     "Identity": _pp_identity,
     "StandardScaler": _pp_standard,
+    "MinMaxScaler": _pp_minmax,
+    "RobustScaler": _pp_robust,
     "MovingAverage": _pp_moving_average,
+    "ExponentialMovingAverage": _pp_ema,
     "Differencing": _pp_differencing,
+    "SamplingRateUnderSampler": _pp_undersample_rate,
+    "NbSamplesUnderSampler": _pp_undersample_nb,
+    "PiecewiseAggregateApproximation": _pp_paa,
 }
 
 
-def _metric_auc(scored_truth):
-    from dtaianomaly_spark.operators import evaluation as EV
+def build_preprocessor(entry) -> Tuple[str, Callable]:
+    """A config entry (type tag or dict, possibly ChainedPreprocessor
+    with a ``base_preprocessors`` list) -> (display name, callable).
+    (workflow_from_config.py:358-421)"""
+    if isinstance(entry, str):
+        entry = {"type": entry}
+    t = entry["type"]
+    if t == "ChainedPreprocessor":
+        parts = [build_preprocessor(e) for e in entry["base_preprocessors"]]
 
-    df = EV.auc_roc(scored_truth).agg(F.avg("auc").alias("v"))
-    return df.collect()[0]["v"]
+        def chained(lf):
+            for _, fn in parts:
+                lf = fn(lf)
+            return lf
+
+        return "ChainedPreprocessor(" + ",".join(n for n, _ in parts) + ")", chained
+    if t not in PREPROCESSORS:
+        raise ValueError(f"unknown preprocessor type {t!r}")
+    kwargs = {k: v for k, v in entry.items() if k != "type"}
+    name = t if not kwargs else t + "(" + ",".join(
+        f"{k}={v}" for k, v in sorted(kwargs.items())
+    ) + ")"
+    return name, (lambda lf: PREPROCESSORS[t](lf, **kwargs))
 
 
-def _threshold_metric(scored_truth, threshold: Tuple[str, float], metric: str):
+# ------------------------------------------------------------------ plumbing
+
+def _long_to_arrays(long_form: DataFrame) -> DataFrame:
+    """Rebuild the canonical arrays shape from a (preprocessed) long
+    form — one hash aggregate. Cells with Identity preprocessing skip
+    this (they reuse the source arrays, no extra shuffle)."""
+    return (
+        long_form.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "value"))).alias("pv"))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr("transform(pv, s -> CAST(s.value AS INT))").alias("tokens"),
+            F.size("pv").cast("int").alias("n_tok"),
+        )
+    )
+
+
+def build_detector(name: str, kwargs: dict) -> SparkDetector:
+    if name not in DETECTOR_REGISTRY:
+        raise ValueError(f"unknown detector type {name!r}")
+    return DETECTOR_REGISTRY[name](**kwargs)
+
+
+# -------------------------------------------------------------------- metrics
+
+def _avg(df: DataFrame, col: str) -> float:
+    return df.agg(F.avg(col).alias("v")).collect()[0]["v"]
+
+
+def _labeled(scored_truth: DataFrame, threshold: Tuple[str, float]) -> DataFrame:
     from dtaianomaly_spark.operators import evaluation as EV
 
     kind, param = threshold
     if kind == "FixedCutoff":
-        labeled = scored_truth.select(
+        return scored_truth.select(
             "doc_id", "pos", "truth",
             (F.col("score") >= param).cast("int").alias("label"),
         )
-    elif kind == "ContaminationRate":
-        labeled = EV.contamination_rate(scored_truth, rate=param)
-    elif kind == "TopN":
-        labeled = EV.top_n(scored_truth, int(param))
-    else:
-        raise ValueError(f"unknown threshold type {kind!r}")
-    per_series = EV.confusion_metrics(labeled)
-    col = {"Precision": "precision", "Recall": "recall", "FBeta": "f1"}[metric]
-    return per_series.agg(F.avg(col).alias("v")).collect()[0]["v"]
+    if kind == "ContaminationRate":
+        return EV.contamination_rate(scored_truth, rate=param)
+    if kind == "TopN":
+        return EV.top_n(scored_truth, int(param))
+    raise ValueError(f"unknown threshold type {kind!r}")
+
+
+def metric_value(
+    scored_truth: DataFrame, metric, threshold: Optional[Tuple[str, float]]
+) -> float:
+    """One metric cell. ``metric`` is a type tag or a dict with params
+    (workflow_from_config.py:195-264)."""
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    if isinstance(metric, str):
+        metric = {"type": metric}
+    t = metric["type"]
+    if t == "AreaUnderROC":
+        return _avg(EV.auc_roc(scored_truth), "auc")
+    if t == "AreaUnderPR":
+        return _avg(EV.auc_pr(scored_truth), "auc_pr")
+    if t == "BestThresholdMetric":
+        inner = metric.get("metric", {"type": "FBeta"})
+        if isinstance(inner, str):
+            inner = {"type": inner}
+        beta = float(inner.get("beta", 1.0))
+        return _avg(
+            EV.best_threshold_metric(
+                scored_truth, EV.fbeta_sql(beta),
+                max_nb_thresholds=int(metric.get("max_nb_thresholds", -1)),
+            ),
+            "best_metric",
+        )
+
+    point_adjusted = t.startswith("PointAdjusted")
+    base = t.removeprefix("PointAdjusted")
+    labeled = _labeled(scored_truth, threshold or ("TopN", 20))
+    if point_adjusted:
+        labeled = EV.point_adjust(labeled)
+    if base == "Precision":
+        return _avg(EV.confusion_metrics(labeled), "precision")
+    if base == "Recall":
+        return _avg(EV.confusion_metrics(labeled), "recall")
+    if base == "FBeta":
+        return _avg(EV.fbeta_metrics(labeled, float(metric.get("beta", 1.0))), "fbeta")
+    raise ValueError(f"unknown metric type {t!r}")
+
+
+def metric_name(metric, threshold) -> str:
+    if isinstance(metric, str):
+        metric = {"type": metric}
+    t = metric["type"]
+    params = ",".join(f"{k}={v}" for k, v in sorted(metric.items()) if k != "type")
+    base = t if not params else f"{t}({params})"
+    if t in ("AreaUnderROC", "AreaUnderPR", "BestThresholdMetric") or threshold is None:
+        return base
+    return f"{base}[{threshold[0]}={threshold[1]}]"
+
+
+PROBA_METRICS = ("AreaUnderROC", "AreaUnderPR", "BestThresholdMetric")
 
 
 class Workflow:
-    """Grid runner over the shared token corpus."""
+    """Grid runner over the shared token corpus (Workflow.py:169-379)."""
 
     def __init__(
         self,
         sources: List[str],
-        preprocessors: List[str],
+        preprocessors: List,
         detectors: List[Tuple[str, dict]],
-        metrics: List[str],
+        metrics: List,
         thresholds: List[Tuple[str, float]],
+        n_jobs: int = 1,
     ):
         self.sources = sources
         self.preprocessors = preprocessors
         self.detectors = detectors
         self.metrics = metrics
         self.thresholds = thresholds
+        self.n_jobs = n_jobs
+
+    # ---------------------------------------------------------------- cell
+    def _run_cell(self, spark, sf_dir, arrays, base_long, pp_entry, det_entry):
+        pp_name, pp_fn = build_preprocessor(pp_entry)
+        det_name, det_kwargs = det_entry
+        row = {"Dataset": sf_dir, "Preprocessor": pp_name, "Detector": det_name}
+        t_total = time.perf_counter()
+        try:
+            detector = build_detector(det_name, det_kwargs)
+            row["Detector"] = initialization_call_string(detector)
+            pp_long = pp_fn(base_long)
+            pp_arrays = (
+                arrays if pp_name == "Identity" else _long_to_arrays(pp_long)
+            )
+
+            t0 = time.perf_counter()
+            detector.fit(pp_arrays)
+            row["Runtime Fit [s]"] = round(time.perf_counter() - t0, 3)
+
+            t0 = time.perf_counter()
+            scored_truth = detector.decision_function(pp_arrays).join(
+                pp_long.select(
+                    F.col("doc_id").cast("string").alias("doc_id"), "pos", "truth"
+                ),
+                ["doc_id", "pos"],
+            ).persist()
+            scored_truth.count()  # force: predict time = the scoring pass
+            row["Runtime Predict [s]"] = round(time.perf_counter() - t0, 3)
+
+            try:
+                for m in self.metrics:
+                    t = m["type"] if isinstance(m, dict) else m
+                    if t in PROBA_METRICS:
+                        row[metric_name(m, None)] = metric_value(
+                            scored_truth, m, None
+                        )
+                    else:
+                        for th in self.thresholds:
+                            row[metric_name(m, th)] = metric_value(
+                                scored_truth, m, th
+                            )
+            finally:
+                scored_truth.unpersist()
+            row["Error"] = ""
+        except Exception as exc:  # quarantine, keep the grid alive
+            row["Error"] = f"{type(exc).__name__}: {exc}"
+            row["Traceback"] = traceback.format_exc(limit=3)
+        row["Runtime [s]"] = round(time.perf_counter() - t_total, 3)
+        return row
 
     def run(self, spark: SparkSession) -> pd.DataFrame:
-        rows = []
+        cells = []
         for sf_dir in self.sources:
             arrays = C.token_arrays(spark, sf_dir)
-            base_long = C.token_long_form(spark, sf_dir)
-            for pp_name in self.preprocessors:
-                for det_name, det_kwargs in self.detectors:
-                    row = {
-                        "Dataset": sf_dir,
-                        "Preprocessor": pp_name,
-                        "Detector": det_name,
-                    }
-                    t0 = time.perf_counter()
-                    try:
-                        long_form = PREPROCESSORS[pp_name](base_long)
-                        scored = DETECTORS[det_name](
-                            spark, arrays, long_form, **det_kwargs
-                        )
-                        scored_truth = scored.join(
-                            base_long.select(
-                                "doc_id", "pos",
-                                F.expr(
-                                    f"CASE WHEN {TRUTH_SPIKE} THEN 1 ELSE 0 END"
-                                ).alias("truth"),
-                            ),
-                            ["doc_id", "pos"],
-                        )
-                        scored_truth = scored_truth.persist()
-                        try:
-                            for m in self.metrics:
-                                if m == "AreaUnderROC":
-                                    row[m] = _metric_auc(scored_truth)
-                                else:
-                                    for th in self.thresholds:
-                                        key = f"{m}[{th[0]}={th[1]}]"
-                                        row[key] = _threshold_metric(
-                                            scored_truth, th, m
-                                        )
-                        finally:
-                            scored_truth.unpersist()
-                        row["Error"] = ""
-                    except Exception as exc:  # quarantine, keep the grid alive
-                        row["Error"] = f"{type(exc).__name__}: {exc}"
-                        row["Traceback"] = traceback.format_exc(limit=3)
-                    row["Runtime [s]"] = round(time.perf_counter() - t0, 3)
-                    rows.append(row)
-        return pd.DataFrame(rows)
+            base_long = C.token_long_form(spark, sf_dir).withColumn(
+                "truth", F.expr(f"CASE WHEN {TRUTH_SPIKE} THEN 1 ELSE 0 END")
+            )
+            for pp_entry in self.preprocessors:
+                for det_entry in self.detectors:
+                    cells.append((sf_dir, arrays, base_long, pp_entry, det_entry))
+
+        if self.n_jobs <= 1:
+            rows = [self._run_cell(spark, *cell) for cell in cells]
+        else:
+            # the reference's n_jobs (Workflow.py:229-249): concurrent
+            # driver threads, each in its own fair-scheduler pool so
+            # Spark interleaves their stages
+            from concurrent.futures import ThreadPoolExecutor
+
+            sc = spark.sparkContext
+
+            def run_one(icell):
+                i, cell = icell
+                sc.setLocalProperty("spark.scheduler.pool", f"grid-{i % self.n_jobs}")
+                try:
+                    return self._run_cell(spark, *cell)
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", None)
+
+            with ThreadPoolExecutor(max_workers=self.n_jobs) as pool:
+                rows = list(pool.map(run_one, enumerate(cells)))
+
+        df = pd.DataFrame(rows)
+        ordered = [
+            "Dataset", "Detector", "Preprocessor",
+            "Runtime Fit [s]", "Runtime Predict [s]", "Runtime [s]",
+        ]  # Workflow.py:255-266 column order
+        cols = [c for c in ordered if c in df.columns] + [
+            c for c in df.columns if c not in ordered
+        ]
+        return df[cols]
 
 
 MAX_CONFIG_BYTES = 1_000_000  # reference guard, workflow_from_config.py:11-61
@@ -245,37 +433,43 @@ def workflow_from_config_file(path: str) -> "Workflow":
 def workflow_from_config(config: dict) -> Workflow:
     """Interpret the reference-shaped, "type"-tagged config dict
     (workflow_from_config.py:64-438): unknown component types raise with
-    the offending tag."""
-
-    def names(section, registry, what):
-        out = []
-        for entry in config.get(section, []):
-            t = entry["type"] if isinstance(entry, dict) else entry
-            if t not in registry:
-                raise ValueError(f"unknown {what} type {t!r}")
-            out.append(t)
-        return out
-
+    the offending tag; entries validate eagerly so a bad config fails
+    before any Spark job runs."""
     detectors = []
     for entry in config.get("detectors", []):
         t = entry["type"] if isinstance(entry, dict) else entry
-        if t not in DETECTORS:
-            raise ValueError(f"unknown detector type {t!r}")
-        kwargs = {k: v for k, v in entry.items() if k != "type"} if isinstance(entry, dict) else {}
+        kwargs = (
+            {k: v for k, v in entry.items() if k != "type"}
+            if isinstance(entry, dict)
+            else {}
+        )
+        build_detector(t, kwargs)  # eager validation
         detectors.append((t, kwargs))
+
+    preprocessors = list(config.get("preprocessors", [])) or ["Identity"]
+    for entry in preprocessors:
+        build_preprocessor(entry)  # eager validation
+
+    metrics = list(config.get("metrics", ["AreaUnderROC"]))
+    for m in metrics:
+        t = m["type"] if isinstance(m, dict) else m
+        base = t.removeprefix("PointAdjusted")
+        if t not in PROBA_METRICS and base not in ("Precision", "Recall", "FBeta"):
+            raise ValueError(f"unknown metric type {t!r}")
 
     thresholds = []
     for entry in config.get("thresholds", [{"type": "TopN", "param": 20}]):
-        thresholds.append((entry["type"], entry.get("param", 0.05)))
+        t = entry["type"] if isinstance(entry, dict) else entry
+        if t not in ("FixedCutoff", "ContaminationRate", "TopN"):
+            raise ValueError(f"unknown threshold type {t!r}")
+        param = entry.get("param", 0.05) if isinstance(entry, dict) else 0.05
+        thresholds.append((t, param))
 
     return Workflow(
         sources=config.get("dataloaders", ["/root/testdata/sf0.001"]),
-        preprocessors=names("preprocessors", PREPROCESSORS, "preprocessor")
-        or ["Identity"],
+        preprocessors=preprocessors,
         detectors=detectors or [("MedianMethod", {})],
-        metrics=[
-            (e["type"] if isinstance(e, dict) else e)
-            for e in config.get("metrics", ["AreaUnderROC"])
-        ],
+        metrics=metrics,
         thresholds=thresholds,
+        n_jobs=int(config.get("n_jobs", 1)),
     )

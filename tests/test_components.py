@@ -1,0 +1,90 @@
+"""SparkDetector components: BaseDetector contract — fit/decision_function
+/predict_proba/save/load_detector (BaseDetector.py:54-331) and the
+PrettyPrintable canonical strings (PrettyPrintable.py:5-34)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dtaianomaly_spark.sources import corpus as C
+from dtaianomaly_spark.workflow import components as CMP
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _arrays(spark):
+    return C.token_arrays(spark, SF_DIR).filter("CAST(doc_id AS BIGINT) < 40")
+
+
+@pytest.mark.parametrize(
+    "cls,kwargs",
+    [
+        (CMP.KMeansAnomalyDetector, {"n_clusters": 4}),
+        (CMP.IsolationForest, {"n_estimators": 10}),
+        (CMP.KNearestNeighbors, {}),
+        (CMP.HistogramBasedOutlierScore, {}),
+    ],
+)
+def test_save_load_scores_identical(spark, tmp_path, cls, kwargs):
+    """fit -> save -> load in a 'fresh' context -> byte-identical scores
+    WITHOUT refitting (BaseDetector.py:289-331)."""
+    arrays = _arrays(spark)
+    det = cls(window_size=16, stride=8, **kwargs).fit(arrays)
+    path = str(tmp_path / "sub" / "model")  # exercises mkdir + .dtai suffix
+    det.save(path)
+    assert os.path.exists(path + ".dtai")
+
+    loaded = CMP.load_detector(path + ".dtai")
+    a = det.decision_function(arrays).orderBy("doc_id", "pos").collect()
+    b = loaded.decision_function(arrays).orderBy("doc_id", "pos").collect()
+    assert [r["score"] for r in a] == [r["score"] for r in b]
+    assert len(a) > 0
+
+
+def test_unfitted_raises(spark):
+    with pytest.raises(CMP.NotFittedError):
+        CMP.KMeansAnomalyDetector().decision_function(_arrays(spark))
+
+
+def test_stateless_detectors_score_without_fit(spark):
+    arrays = _arrays(spark)
+    for det in (CMP.MedianMethod(), CMP.MatrixProfileDetector(window_size=16),
+                CMP.AlwaysNormal(), CMP.RandomDetector(seed=1)):
+        out = det.decision_function(arrays)
+        assert out.count() > 0
+
+
+def test_predict_proba_in_unit_interval(spark):
+    arrays = _arrays(spark)
+    probas = CMP.MedianMethod().predict_proba(arrays)
+    mn, mx = probas.agg(
+        {"proba": "min"}
+    ).collect()[0][0], probas.agg({"proba": "max"}).collect()[0][0]
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_pretty_strings():
+    assert str(CMP.MedianMethod()) == "MedianMethod()"
+    assert str(CMP.MedianMethod(neighborhood_size_before=8)) == (
+        "MedianMethod(neighborhood_size_before=8)"
+    )
+    assert str(CMP.KMeansAnomalyDetector(n_clusters=4)) == (
+        "KMeansAnomalyDetector(n_clusters=4)"
+    )
+    assert str(CMP.RandomDetector(seed=5)) == "RandomDetector(seed=5)"
+
+
+def test_registry_covers_reference_detectors():
+    expected = {
+        "AlwaysNormal", "AlwaysAnomalous", "RandomDetector",
+        "MedianMethod", "MatrixProfileDetector", "KMeansAnomalyDetector",
+        "IsolationForest", "KNearestNeighbors", "LocalOutlierFactor",
+        "HistogramBasedOutlierScore", "CopulaBasedOutlierDetector",
+        "PrincipalComponentAnalysis", "KernelPrincipalComponentAnalysis",
+        "ClusterBasedLocalOutlierFactor", "OneClassSupportVectorMachine",
+        "RobustPrincipalComponentAnalysis", "KShapeAnomalyDetector",
+    }
+    assert expected == set(CMP.DETECTOR_REGISTRY)

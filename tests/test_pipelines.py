@@ -103,3 +103,30 @@ def test_jaccard_pairs_bounded(spark):
     for r in pairs:
         assert 0.0 < r["jaccard"] <= 1.0
         assert r["inter"] <= min(r["na"], r["nb"])
+
+
+def test_informative_shingles_strategies_agree(spark):
+    """window (one-pass, full sort) and anti (partial counts + broadcast
+    anti-join, the 100-TB shape) must produce identical shingle sets."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, "/root/testdata/sf0.001")
+    w = TX.informative_shingles(docs, strategy="window")
+    a = TX.informative_shingles(docs, strategy="anti")
+    assert w.count() == a.count() > 0
+    assert w.exceptAll(a).count() == 0
+    assert a.exceptAll(w).count() == 0
+
+
+def test_dedup_suite_shares_shingle_stage(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, "/root/testdata/sf0.001")
+    suite = TX.dedup_suite(docs)
+    try:
+        assert suite["minhash"].count() == TX.minhash_signatures(docs).count()
+        assert suite["simhash"].count() == TX.simhash(docs).count()
+        assert suite["lsh_pairs"].count() == TX.lsh_candidate_pairs(docs).count()
+        assert suite["jaccard"].count() == TX.jaccard_pairs(docs).count()
+    finally:
+        suite["shingles"].unpersist()

@@ -1,5 +1,6 @@
 """Workflow grid: config interpretation, cross-product execution,
-error quarantine, runtime columns (reference Workflow.py semantics)."""
+error quarantine, fit/predict runtime columns, n_jobs concurrency
+(reference Workflow.py semantics)."""
 
 import os
 import sys
@@ -29,10 +30,19 @@ def test_grid_runs_cross_product(spark):
     assert len(result) == 4  # 1 source x 2 preprocessors x 2 detectors
     assert (result["Error"] == "").all()
     assert (result["Runtime [s]"] > 0).all()
+    assert (result["Runtime Fit [s]"] >= 0).all()
+    assert (result["Runtime Predict [s]"] > 0).all()
+    # Workflow.py:255-266 column order
+    assert list(result.columns[:6]) == [
+        "Dataset", "Detector", "Preprocessor",
+        "Runtime Fit [s]", "Runtime Predict [s]", "Runtime [s]",
+    ]
     assert result["AreaUnderROC"].between(0, 1).all()
     assert result["FBeta[TopN=20]"].between(0, 1).all()
+    # detectors print as canonical init-call strings (PrettyPrintable)
+    assert set(result["Detector"]) == {"MedianMethod()", "KMeansAnomalyDetector(n_clusters=4)"}
     # spikes are high-valued points: identity + median-method should beat coin flip
-    med = result[(result.Detector == "MedianMethod") & (result.Preprocessor == "Identity")]
+    med = result[(result.Detector == "MedianMethod()") & (result.Preprocessor == "Identity")]
     assert med["AreaUnderROC"].iloc[0] > 0.5
 
 
@@ -46,10 +56,71 @@ def test_grid_quarantines_failures(spark):
     )
     result = wf.run(spark)
     assert len(result) == 2
-    ok = result[result.Detector == "MedianMethod"]
-    bad = result[result.Detector == "MatrixProfileDetector"]
+    ok = result[result.Detector.str.startswith("MedianMethod")]
+    bad = result[result.Detector.str.startswith("MatrixProfileDetector")]
     assert (ok["Error"] == "").all()
     assert (bad["Error"] != "").all()  # failed job recorded, grid survived
+
+
+def test_grid_n_jobs_matches_serial(spark):
+    """n_jobs > 1 (driver thread pool + fair-scheduler pools) returns the
+    same metric values as the serial run."""
+    cfg = {
+        "dataloaders": ["/root/testdata/sf0.001"],
+        "preprocessors": ["Identity"],
+        "detectors": [
+            {"type": "MedianMethod"},
+            {"type": "AlwaysNormal"},
+            {"type": "RandomDetector", "seed": 3},
+        ],
+        "metrics": ["AreaUnderROC"],
+    }
+    serial = workflow_from_config(cfg).run(spark)
+    conc = workflow_from_config({**cfg, "n_jobs": 3}).run(spark)
+    a = serial.set_index("Detector")["AreaUnderROC"].to_dict()
+    b = conc.set_index("Detector")["AreaUnderROC"].to_dict()
+    # AlwaysNormal has constant scores: AUC undefined -> NaN on both sides
+    assert a.keys() == b.keys()
+    for k in a:
+        if a[k] is None or (isinstance(a[k], float) and a[k] != a[k]):
+            assert b[k] is None or b[k] != b[k]
+        else:
+            assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_grid_wide_registry_cells(spark):
+    """One cell per newly registered component family: undersampler + PAA
+    preprocessors, point-adjusted + best-threshold metrics, a pyod-style
+    detector, and ChainedPreprocessor."""
+    wf = workflow_from_config(
+        {
+            "dataloaders": ["/root/testdata/sf0.001"],
+            "preprocessors": [
+                {"type": "SamplingRateUnderSampler", "k": 4},
+                {"type": "PiecewiseAggregateApproximation", "n_frames": 64},
+                {"type": "ChainedPreprocessor",
+                 "base_preprocessors": ["MinMaxScaler", {"type": "MovingAverage", "window_size": 4}]},
+            ],
+            "detectors": [{"type": "HistogramBasedOutlierScore", "window_size": 16, "stride": 8}],
+            "metrics": [
+                "PointAdjustedFBeta",
+                {"type": "FBeta", "beta": 2},
+                {"type": "BestThresholdMetric", "metric": {"type": "FBeta"}},
+                "AreaUnderPR",
+            ],
+            "thresholds": [{"type": "ContaminationRate", "param": 0.05}],
+        }
+    )
+    result = wf.run(spark)
+    assert len(result) == 3
+    assert (result["Error"] == "").all(), result["Error"].tolist()
+    for col in [
+        "PointAdjustedFBeta[ContaminationRate=0.05]",
+        "FBeta(beta=2)[ContaminationRate=0.05]",
+        "BestThresholdMetric(metric={'type': 'FBeta'})",
+        "AreaUnderPR",
+    ]:
+        assert result[col].between(0, 1).all(), col
 
 
 def test_config_rejects_unknown_types():
@@ -57,6 +128,12 @@ def test_config_rejects_unknown_types():
         workflow_from_config({"detectors": [{"type": "NoSuchDetector"}]})
     with pytest.raises(ValueError, match="unknown preprocessor"):
         workflow_from_config({"preprocessors": ["NoSuchPreprocessor"]})
+    with pytest.raises(ValueError, match="unknown metric"):
+        workflow_from_config({"metrics": ["NoSuchMetric"]})
+    with pytest.raises(ValueError, match="window_size"):
+        workflow_from_config(
+            {"detectors": [{"type": "MatrixProfileDetector", "window_size": -1}]}
+        )
 
 
 def test_config_file_loading(tmp_path):
@@ -76,7 +153,6 @@ def test_config_file_loading(tmp_path):
 
     big = tmp_path / "big.json"
     big.write_text("{}" + " " * 1_000_001)
-    import pytest
 
     with pytest.raises(ValueError, match="maximum"):
         workflow_from_config_file(str(big))
