@@ -473,6 +473,22 @@ def _q_det_mp_dist(spark, sf_dir):
     )
 
 
+def _q_det_matrix_profile_mv(spark, sf_dir):
+    """Multivariate MP: per-attribute STOMP summed
+    (MatrixProfileDetector.py:141-178); rows-only."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.matrix_profile_scores_mv(C.token_arrays_mv(spark, sf_dir), 32)
+
+
+def _q_det_kmeans_mv(spark, sf_dir):
+    """KMeans over attribute-interleaved multivariate windows
+    (windowing_utils.py:33 flatten); rows-only."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.kmeans_scores(C.token_arrays_mv(spark, sf_dir), 32, 16, k=8)
+
+
 def _q_det_kmeans(spark, sf_dir):
     from dtaianomaly_spark.operators import detectors as DET
 
@@ -664,6 +680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_ocsvm": _q_det_ocsvm,
         "det_rpca": _q_det_rpca,
         "det_kshape": _q_det_kshape,
+        "det_matrix_profile_mv": _q_det_matrix_profile_mv,
+        "det_kmeans_mv": _q_det_kmeans_mv,
     }
     # Oracle-mapped queries first (stable within each group): if the
     # driver's correctness pass caps the query count, every query with a

@@ -51,13 +51,24 @@ SCORE_SCHEMA = StructType(
 
 
 def _score_map(arrays: DataFrame, per_series: Callable[[np.ndarray], np.ndarray]) -> DataFrame:
-    """Shuffle-free per-series scoring: one Arrow pass, long-form out."""
+    """Shuffle-free per-series scoring: one Arrow pass, long-form out.
+
+    ``tokens`` may be univariate (``array<int>`` -> (n,)) or multivariate
+    time-major (``array<array<int>>`` -> (n, d)); the window kernels
+    flatten (n, d) windows attribute-interleaved exactly like the
+    reference (windowing_utils.py:33), so every windowed detector built
+    on this map handles (n, d) input unchanged."""
 
     def run(batches):
         for pdf in batches:
             doc_ids, poss, outs = [], [], []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-                x = np.asarray(tokens, dtype=np.float64)
+                # Arrow hands nested (mv) arrays over as an object-dtype
+                # vector of per-timestep arrays — stack via list()
+                if len(tokens) and isinstance(tokens[0], np.ndarray):
+                    x = np.asarray(list(tokens), dtype=np.float64)
+                else:
+                    x = np.asarray(tokens, dtype=np.float64)
                 s = per_series(x)
                 doc_ids.append(np.repeat(doc_id, x.shape[0]))
                 poss.append(np.arange(x.shape[0], dtype=np.int64))
@@ -87,6 +98,28 @@ def matrix_profile_scores(arrays: DataFrame, window_size: int) -> DataFrame:
         return KW.reverse_sliding_window(profile, w, 1, x.shape[0])
 
     return _score_map(arrays, per_series)
+
+
+def matrix_profile_scores_mv(arrays_mv: DataFrame, window_size: int) -> DataFrame:
+    """Multivariate matrix-profile scores: per-attribute STOMP self-join
+    profiles SUMMED across attributes, then the stride-1 reverse window
+    map (MatrixProfileDetector.py:141-178 — the reference's per-attribute
+    stump composition; its self-join branch uses stumpy.mstump, whose
+    discord-sorted cumulative averaging we replace with the plain
+    attribute sum, the same composition its novelty branch uses).
+
+    Input: (doc_id, tokens array<array<int>> time-major (n, d), n_tok).
+    One Arrow pass per series — d kernel runs per series, no shuffle."""
+    w = window_size
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        prof = None
+        for a in range(x.shape[1]):
+            p = KD.matrix_profile(np.ascontiguousarray(x[:, a]), w)
+            prof = p if prof is None else prof + p
+        return KW.reverse_sliding_window(prof, w, 1, x.shape[0])
+
+    return _score_map(arrays_mv, per_series)
 
 
 def matrix_profile_distributed(

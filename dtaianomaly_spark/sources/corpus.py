@@ -224,6 +224,25 @@ def token_long_form_mv(spark: SparkSession, sf_dir: str, n_attrs: int = 2) -> Da
     )
 
 
+def token_arrays_mv(spark: SparkSession, sf_dir: str, n_attrs: int = 2) -> DataFrame:
+    """Per-row MULTIVARIATE array form (doc_id, tokens array<array<int>>
+    time-major (n, d), n_tok): same integer derivation as
+    ``token_long_form_mv``; built with nested HOFs, no shuffle. The
+    reference treats (n, d) input via attribute-interleaved window
+    flattening (windowing_utils.py:33) — the kernels do the same, so
+    this shape drops straight into every windowed detector."""
+    series = documents_series(spark, sf_dir)
+    return series.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, n - 1), p -> "
+            f"transform(sequence(0, {n_attrs - 1}), a -> "
+            f"CAST((doc_id * 37 + p * 17 + a * 53) % 211 - 105 AS INT)))"
+        ).alias("tokens"),
+        F.col("n").alias("n_tok"),
+    )
+
+
 def token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row array form (doc_id, tokens, n_tok) of the same derivation —
     the engine's canonical input shape, built with HOFs (no shuffle)."""

@@ -72,3 +72,49 @@ class TestDerive:
     def test_empty_bucket_nan(self):
         mean, std = S.derive_mean_std(np.array([0]), np.array([0]), np.array([0]))
         assert np.isnan(mean[0]) and np.isnan(std[0])
+
+
+def test_binom_cdf_matches_exact_summation():
+    """Pin the _betacf/betainc_reg numerics (kernels/detectors.py:335-406)
+    against the exact finite sum  binom.cdf(k; n, p) =
+    sum_{i<=k} C(n,i) p^i (1-p)^(n-i)  computed with exact integer
+    binomials (math.comb) — the same values scipy.stats.binom.cdf
+    returns (scipy is not available in this container)."""
+    import math
+
+    import numpy as np
+
+    from dtaianomaly_spark.kernels.detectors import binom_cdf
+
+    def exact_cdf(k, n, p):
+        if k < 0:
+            return 0.0
+        k = min(int(k), n)
+        return float(sum(
+            math.comb(n, i) * (p ** i) * ((1.0 - p) ** (n - i))
+            for i in range(k + 1)
+        ))
+
+    cases = [
+        (0, 10, 0.1), (3, 10, 0.3), (9, 10, 0.95), (10, 10, 0.5),
+        (-1, 10, 0.5), (4, 100, 0.05), (95, 100, 0.95), (50, 100, 0.5),
+        (12, 250, 0.05), (200, 250, 0.8), (0, 250, 0.001), (249, 250, 0.999),
+    ]
+    for k, n, p in cases:
+        got = float(np.asarray(binom_cdf(np.array([float(k)]), n, np.array([p])))[0])
+        want = exact_cdf(k, n, p)
+        assert got == pytest.approx(want, abs=5e-11), (k, n, p)
+
+
+def test_binom_cdf_vectorized_consistency():
+    import numpy as np
+
+    from dtaianomaly_spark.kernels.detectors import binom_cdf
+
+    n = 128
+    ks = np.arange(-1, n + 1, dtype=np.float64)
+    ps = np.full_like(ks, 0.07)
+    vec = np.asarray(binom_cdf(ks, n, ps))
+    # a CDF: monotone nondecreasing in k, within [0, 1], endpoints exact
+    assert np.all(np.diff(vec) >= -1e-12)
+    assert vec[0] == 0.0 and vec[-1] == pytest.approx(1.0, abs=1e-12)
