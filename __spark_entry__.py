@@ -331,7 +331,8 @@ def _q_sw_reverse(spark, sf_dir):
         "doc_id", "idx", F.col("sum").alias("score")
     )
     series_n = C.documents_series(spark, sf_dir)
-    return W.reverse_scores(win, series_n, SW_W, SW_S)
+    out = W.reverse_scores(win, series_n, SW_W, SW_S)
+    return out.withColumn("pos", F.col("pos").cast("long"))
 
 
 def _ws_select(mode):

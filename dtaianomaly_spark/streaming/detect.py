@@ -1,0 +1,125 @@
+"""Online streaming anomaly detection: the purely-online MedianMethod
+(``neighborhood_size_after = 0``, MedianMethod.py:20-24) as a custom
+stateful Structured Streaming operator.
+
+Per-series state is just the last ``b`` values (the trailing
+neighborhood) — constant per series, independent of stream length. Each
+micro-batch scores its new points by running the SAME NumPy kernel the
+batch engine uses (``kernels.detectors.median_method_scores``) over
+``concat(state_tail, new_points)`` and emitting the new suffix, so the
+streamed scores are BIT-EQUAL to a batch run over the whole series
+(verified in tests/test_streaming_detect.py). The NaN padding the kernel
+applies at the series head reproduces the reference's edge semantics for
+the first points automatically.
+
+Input contract: in-order, exactly-once (doc_id, pos, value) points —
+the online detector is causal, so out-of-order delivery changes what
+"the last b observations" means. Points inside one micro-batch are
+sorted by pos before scoring; cross-batch reordering is the source's
+responsibility (e.g. a per-key ordered log). Like the stateful rollup,
+idle series are dropped from state after a processing-time timeout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from dtaianomaly_spark.kernels import detectors as KD
+
+STATE_TTL_MS = 60_000
+
+SCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("tail", ArrayType(DoubleType()), True),
+        StructField("next_pos", LongType(), True),
+    ]
+)
+
+
+def _make_update(b: int, ttl_ms: int | None):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            tail_list, next_pos = state.get
+            tail = np.asarray(tail_list, dtype=np.float64)
+            next_pos = int(next_pos)
+        else:
+            tail = np.empty(0, dtype=np.float64)
+            next_pos = 0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("pos")
+            vals = batch["value"].to_numpy(dtype=np.float64)
+            poss = batch["pos"].to_numpy(dtype=np.int64)
+            # causal contract: positions must continue where state left off
+            expected = next_pos + np.arange(vals.shape[0])
+            if not np.array_equal(poss, expected):
+                raise ValueError(
+                    f"online MedianMethod requires in-order contiguous points;"
+                    f" series {doc_id!r} expected pos {next_pos}, got"
+                    f" {poss[:5].tolist()}..."
+                )
+            full = np.concatenate([tail, vals]) if tail.size else vals
+            # head NaN-padding only applies at the true series start; for a
+            # warm state the kernel sees exactly the trailing b real values
+            scores = KD.median_method_scores(full, b, 0)[tail.shape[0]:]
+            next_pos += vals.shape[0]
+            new_tail = full[-b:] if full.shape[0] > b else full
+            state.update((new_tail.tolist(), next_pos))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {"doc_id": np.repeat(doc_id, scores.shape[0]),
+                 "pos": poss, "score": scores}
+            )
+        else:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+
+    return update
+
+
+def stateful_median_scores(
+    stream_long_form,
+    neighborhood_size_before: int = 16,
+    state_ttl_ms: int | None = STATE_TTL_MS,
+):
+    """(doc_id, pos, value) point stream -> append stream of online
+    MedianMethod scores, bit-equal to the batch kernel. Pass
+    ``state_ttl_ms=None`` for finite ``availableNow`` replays (see
+    stateful.stateful_bucket_rollup on why a pending processing-time
+    timer keeps the micro-batch engine polling past end-of-data)."""
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_update(neighborhood_size_before, state_ttl_ms),
+        SCORE_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

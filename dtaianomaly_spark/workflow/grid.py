@@ -305,6 +305,7 @@ class Workflow:
         metrics: List,
         thresholds: List[Tuple[str, float]],
         n_jobs: int = 1,
+        error_log_path: Optional[str] = None,
     ):
         self.sources = sources
         self.preprocessors = preprocessors
@@ -312,6 +313,7 @@ class Workflow:
         self.metrics = metrics
         self.thresholds = thresholds
         self.n_jobs = n_jobs
+        self.error_log_path = error_log_path
 
     # ---------------------------------------------------------------- cell
     def _run_cell(self, spark, sf_dir, arrays, base_long, pp_entry, det_entry):
@@ -359,6 +361,17 @@ class Workflow:
         except Exception as exc:  # quarantine, keep the grid alive
             row["Error"] = f"{type(exc).__name__}: {exc}"
             row["Traceback"] = traceback.format_exc(limit=3)
+            if self.error_log_path:
+                # reference log_error: a runnable .err repro script
+                from dtaianomaly_spark.workflow.error_logging import log_error
+
+                try:
+                    row["Error File"] = log_error(
+                        self.error_log_path, exc, sf_dir,
+                        det_name, det_kwargs, pp_entry,
+                    )
+                except OSError:
+                    pass
         row["Runtime [s]"] = round(time.perf_counter() - t_total, 3)
         return row
 
@@ -472,4 +485,5 @@ def workflow_from_config(config: dict) -> Workflow:
         metrics=metrics,
         thresholds=thresholds,
         n_jobs=int(config.get("n_jobs", 1)),
+        error_log_path=config.get("error_log_path"),
     )

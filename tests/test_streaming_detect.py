@@ -1,0 +1,76 @@
+"""Online MedianMethod streaming operator: chunked in-order ingest must
+produce scores bit-equal to the batch kernel over the full series."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dtaianomaly_spark.kernels import detectors as KD
+
+
+def _run_stream(spark, tmp_path, rows, schema, b, chunks):
+    from dtaianomaly_spark.streaming.detect import stateful_median_scores
+
+    lf = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "src")
+    # in-order position-range chunks: state must carry the neighborhood
+    # across micro-batch boundaries
+    bounds = np.linspace(0, max(r[1] for r in rows) + 1, chunks + 1).astype(int)
+    for lo, hi in zip(bounds, bounds[1:]):
+        lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_median_scores(stream, b, state_ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir)
+
+
+def test_streamed_scores_equal_batch_kernel(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    series = {f"doc-{d}": rng.normal(0, 1, 137) * 100 for d in range(5)}
+    rows = [
+        (doc, p, float(v))
+        for doc, vals in series.items()
+        for p, v in enumerate(vals)
+    ]
+    got = _run_stream(
+        spark, tmp_path, rows, "doc_id string, pos long, value double",
+        b=16, chunks=4,
+    )
+    out = {
+        (r["doc_id"], r["pos"]): r["score"] for r in got.collect()
+    }
+    assert len(out) == 5 * 137  # every point scored exactly once
+    for doc, vals in series.items():
+        expect = KD.median_method_scores(vals, 16, 0)
+        for p in range(len(vals)):
+            assert out[(doc, p)] == expect[p], (doc, p)
+
+
+def test_out_of_order_points_rejected(spark, tmp_path):
+    rows = [("a", p, float(p)) for p in (0, 1, 3)]  # gap at pos 2
+    with pytest.raises(Exception) as ei:
+        _run_stream(
+            spark, tmp_path, rows, "doc_id string, pos long, value double",
+            b=4, chunks=1,
+        ).collect()
+    assert "in-order contiguous" in str(ei.value)

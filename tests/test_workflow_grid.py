@@ -156,3 +156,30 @@ def test_config_file_loading(tmp_path):
 
     with pytest.raises(ValueError, match="maximum"):
         workflow_from_config_file(str(big))
+
+
+def test_error_log_writes_runnable_repro_script(spark, tmp_path):
+    """A failing cell writes a .err file (reference log_error semantics):
+    commented traceback on top, runnable reconstruction below — and the
+    reconstruction reproduces the SAME error class when executed."""
+    log_dir = str(tmp_path / "errs")
+    wf = Workflow(
+        sources=["/root/testdata/sf0.001"],
+        preprocessors=["Identity"],
+        detectors=[("KMeansAnomalyDetector", {"window_size": 32, "stride": -3})],
+        metrics=["AreaUnderROC"],
+        thresholds=[],
+        error_log_path=log_dir,
+    )
+    result = wf.run(spark)
+    assert (result["Error"] != "").all()
+    err_files = os.listdir(log_dir)
+    assert len(err_files) == 1 and err_files[0].endswith(".err")
+    path = os.path.join(log_dir, err_files[0])
+    src = open(path).read()
+    assert src.startswith("# An error occurred")
+    assert "invalid stride" in src
+    assert "KMeansAnomalyDetector" in src
+    # the reconstruction reproduces the same failure
+    with pytest.raises(ValueError, match="invalid stride"):
+        exec(compile(src, path, "exec"), {"__name__": "__repro__"})
