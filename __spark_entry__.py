@@ -1304,10 +1304,17 @@ qb AS (
     ann_srp_topk = f"""
 WITH {_QV.lstrip()},
 {_SRP_BUCKET.lstrip()},
+-- multi-probe: each query also probes every 1-bit-flipped bucket
+qprobe AS (
+    SELECT DISTINCT vec_id, t, pb.pb AS bucket
+    FROM qb, LATERAL (SELECT UNNEST([bucket,
+        xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS pb) pb
+    WHERE vec_id < 8
+),
 cand AS (
     SELECT DISTINCT a.vec_id AS qid, b.vec_id AS vid
-    FROM qb a JOIN qb b ON a.t = b.t AND a.bucket = b.bucket
-    WHERE a.vec_id < 8 AND a.vec_id != b.vec_id
+    FROM qprobe a JOIN qb b ON a.t = b.t AND a.bucket = b.bucket
+    WHERE a.vec_id != b.vec_id
 ),
 scored AS (
     SELECT c.qid, c.vid,

@@ -130,3 +130,24 @@ def test_dedup_suite_shares_shingle_stage(spark):
         assert suite["jaccard"].count() == TX.jaccard_pairs(docs).count()
     finally:
         suite["shingles"].unpersist()
+
+
+def test_srp_multiprobe_improves_recall(spark):
+    """Multi-probe (1-bit-flip buckets) must beat single-probe recall@5
+    against the exact brute-force top-k, at the same table count."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    emb = SIM.load_embeddings(spark, "/root/testdata/sf0.001")
+    exact = {(r["qid"], r["vid"]) for r in SIM.cosine_topk(emb).collect()}
+    single = {
+        (r["qid"], r["vid"])
+        for r in SIM.srp_lsh_topk(emb, probe_bits=0).collect()
+    }
+    multi = {
+        (r["qid"], r["vid"])
+        for r in SIM.srp_lsh_topk(emb, probe_bits=1).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi > r_single  # deterministic data + hashes: stable
+    assert r_multi >= 0.6
