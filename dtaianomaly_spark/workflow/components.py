@@ -21,6 +21,7 @@ object works in a task closure, a checkpoint file, and a fresh session.
 
 from __future__ import annotations
 
+import enum
 import inspect
 import os
 import pickle
@@ -77,9 +78,22 @@ class PrettyPrintable:
     __repr__ = __str__
 
 
+class Supervision(enum.Enum):
+    """Supervision taxonomy (BaseDetector.py:17-33): the reference's
+    Workflow routes fit data by this — UNSUPERVISED detectors fit on the
+    test series itself when no train split exists (Workflow.py:426-433),
+    which is exactly what the grid here does."""
+
+    UNSUPERVISED = 1
+    SEMI_SUPERVISED = 2
+    SUPERVISED = 3
+
+
 class SparkDetector(PrettyPrintable):
     """fit/decision_function/predict_proba/save over the canonical
     ``(doc_id, tokens, n_tok)`` arrays DataFrame."""
+
+    supervision: Supervision = Supervision.UNSUPERVISED
 
     def fit(self, arrays: DataFrame, y=None) -> "SparkDetector":
         return self
@@ -258,6 +272,7 @@ class CopulaBasedOutlierDetector(_WindowModelDetector):
 
 
 class PrincipalComponentAnalysis(_WindowModelDetector):
+    supervision = Supervision.SEMI_SUPERVISED  # PrincipalComponentAnalysis.py:58
     def __init__(self, window_size: int = 32, stride: int = 16,
                  n_components: int = 4):
         super().__init__(window_size, stride)
@@ -275,6 +290,7 @@ class PrincipalComponentAnalysis(_WindowModelDetector):
 
 
 class KernelPrincipalComponentAnalysis(_WindowModelDetector):
+    supervision = Supervision.SEMI_SUPERVISED  # KernelPrincipalComponentAnalysis.py:58
     _max_fit_windows = 500  # kernel matrix is quadratic in the sample
 
     def __init__(self, window_size: int = 32, stride: int = 16,
@@ -311,6 +327,7 @@ class ClusterBasedLocalOutlierFactor(_WindowModelDetector):
 
 
 class OneClassSupportVectorMachine(_WindowModelDetector):
+    supervision = Supervision.SEMI_SUPERVISED  # OneClassSupportVectorMachine.py:59
     _max_fit_windows = 500
 
     def __init__(self, window_size: int = 32, stride: int = 16,
@@ -330,6 +347,7 @@ class OneClassSupportVectorMachine(_WindowModelDetector):
 
 
 class RobustPrincipalComponentAnalysis(_WindowModelDetector):
+    supervision = Supervision.SEMI_SUPERVISED  # RobustPrincipalComponentAnalysis.py:95
     _max_fit_windows = 500  # iterative SVD loop on the sample
 
     def __init__(self, window_size: int = 32, stride: int = 16,

@@ -88,3 +88,16 @@ def test_registry_covers_reference_detectors():
         "RobustPrincipalComponentAnalysis", "KShapeAnomalyDetector",
     }
     assert expected == set(CMP.DETECTOR_REGISTRY)
+
+
+def test_supervision_matches_reference():
+    """BaseDetector.py:17-33 taxonomy: PCA/KPCA/OCSVM/RPCA are
+    semi-supervised in the reference; everything else here is
+    unsupervised."""
+    semi = {
+        "PrincipalComponentAnalysis", "KernelPrincipalComponentAnalysis",
+        "OneClassSupportVectorMachine", "RobustPrincipalComponentAnalysis",
+    }
+    for name, cls in CMP.DETECTOR_REGISTRY.items():
+        want = CMP.Supervision.SEMI_SUPERVISED if name in semi else CMP.Supervision.UNSUPERVISED
+        assert cls.supervision == want, name
