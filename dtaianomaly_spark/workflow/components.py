@@ -476,3 +476,62 @@ DETECTOR_REGISTRY = {
         KShapeAnomalyDetector,
     )
 }
+
+
+# ----------------------------------------------------------------- pipeline
+
+class Pipeline(SparkDetector):
+    """Preprocessing + detection as ONE detector (pipeline/Pipeline.py:
+    10-120): the preprocessor (a config entry — type tag, dict, or a
+    list, which chains like the reference's ChainedPreprocessor) runs
+    over the long form, the result is rebuilt into the canonical arrays
+    shape, and the wrapped detector fits/scores on that. Supervision is
+    inherited from the detector, and save/load round-trips the whole
+    composite (the preprocessor entry is plain data, the detector state
+    plain NumPy)."""
+
+    def __init__(self, preprocessor, detector: SparkDetector):
+        if not isinstance(detector, SparkDetector):
+            raise TypeError("detector expects a SparkDetector object")
+        if isinstance(preprocessor, list):
+            preprocessor = {
+                "type": "ChainedPreprocessor",
+                "base_preprocessors": preprocessor,
+            }
+        self.preprocessor = preprocessor
+        self.detector = detector
+        self.supervision = detector.supervision
+
+    def _transform(self, arrays: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from dtaianomaly_spark.workflow import grid
+
+        name, pp_fn = grid.build_preprocessor(self.preprocessor)
+        if name == "Identity":
+            return arrays
+        long_form = arrays.select(
+            "doc_id",
+            F.posexplode("tokens").alias("pos", "value"),
+            F.col("n_tok").alias("n"),
+        ).select(
+            "doc_id", F.col("pos").cast("long").alias("pos"),
+            F.col("value").cast("long").alias("value"),
+            F.lit(0).alias("truth"), "n",
+        )
+        return grid._long_to_arrays(pp_fn(long_form))
+
+    def fit(self, arrays: DataFrame, y=None) -> "Pipeline":
+        self.detector.fit(self._transform(arrays), y)
+        return self
+
+    def decision_function(self, arrays: DataFrame) -> DataFrame:
+        return self.detector.decision_function(self._transform(arrays))
+
+    def __str__(self) -> str:
+        return (
+            f"Pipeline(preprocessor={self.preprocessor!r},"
+            f"detector={self.detector})"
+        )
+
+    __repr__ = __str__

@@ -101,3 +101,27 @@ def test_supervision_matches_reference():
     for name, cls in CMP.DETECTOR_REGISTRY.items():
         want = CMP.Supervision.SEMI_SUPERVISED if name in semi else CMP.Supervision.UNSUPERVISED
         assert cls.supervision == want, name
+
+
+def test_pipeline_component_fit_score_save_load(spark, tmp_path):
+    """Pipeline(preprocessor, detector) behaves as one detector
+    (pipeline/Pipeline.py:10-120): transform -> fit -> score, and the
+    composite save/load round-trips to identical scores."""
+    arrays = _arrays(spark)
+    pipe = CMP.Pipeline(
+        [{"type": "MovingAverage", "window_size": 4}, "StandardScaler"],
+        CMP.KMeansAnomalyDetector(window_size=16, stride=8, n_clusters=4),
+    ).fit(arrays)
+    scored = pipe.decision_function(arrays)
+    assert scored.count() > 0
+
+    path = str(tmp_path / "pipe")
+    pipe.save(path)
+    loaded = CMP.load_detector(path + ".dtai")
+    a = scored.orderBy("doc_id", "pos").collect()
+    b = loaded.decision_function(arrays).orderBy("doc_id", "pos").collect()
+    assert [r["score"] for r in a] == [r["score"] for r in b]
+
+    with pytest.raises(TypeError):
+        CMP.Pipeline("Identity", "not-a-detector")
+    assert str(pipe).startswith("Pipeline(preprocessor=")
