@@ -106,3 +106,18 @@ def test_compression_beats_raw_on_long_blocks(spark):
     rep = CMP.compression_report(CMP.compress_tiers(rolled)).collect()
     raw = {r["tier"]: r["ratio"] for r in rep}
     assert raw["raw"] > 2.0  # delta-of-delta + XOR beat 8-byte raw layout
+
+
+def test_sliding_znorm_dist_equals_single_ref_matrix_profile():
+    """The FFT kshape scoring kernel must equal matrix_profile(x, w,
+    x_ref=c) (n_ref=1 AB-join), including flat-window semantics."""
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, 1500)
+    x[200:240] = 2.5  # constant run
+    w = 32
+    for c in (rng.normal(0, 1, w), np.full(w, 1.3), x[200:232]):
+        a = KD.matrix_profile(x, w, x_ref=c)
+        b = KX.sliding_znorm_dist(x, c, w)
+        assert np.allclose(a, b, atol=1e-9)
