@@ -30,6 +30,7 @@ from typing import Optional, Union
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col as F_col
 
 from dtaianomaly_spark.kernels import detectors as KD
 from dtaianomaly_spark.kernels import windowing as KW
@@ -41,8 +42,12 @@ class NotFittedError(RuntimeError):
 
 
 def _check_window(window_size) -> None:
-    """Constructor-time window validation
+    """Constructor-time window validation: a strictly positive int or an
+    auto-selection mode name ('fft'/'acf'/'mwf'/'suss')
     (windowing_utils.check_is_valid_window_size semantics)."""
+    if isinstance(window_size, str):
+        KW.check_is_valid_window_size(window_size)
+        return
     if isinstance(window_size, bool) or not isinstance(window_size, int):
         raise TypeError(f"`window_size` should be an integer, got {window_size!r}")
     if window_size < 1:
@@ -149,12 +154,37 @@ class _WindowModelDetector(SparkDetector):
         raise NotImplementedError
 
     def fit(self, arrays: DataFrame, y=None) -> "SparkDetector":
+        w = self._resolve_window(arrays)
         train = DET.fit_sample_windows(
-            arrays, self.window_size, self.stride,
+            arrays, w, self.stride,
             max_windows=self._max_fit_windows,
         )
         self.model_ = self._fit_model(train)
         return self
+
+    def _resolve_window(self, arrays: DataFrame) -> int:
+        """An auto window mode ('fft'/...) resolves AT FIT like the
+        reference (`window_size_ = compute_window_size(X, window_size)`,
+        MatrixProfileDetector.py:117). The reference fits one series;
+        the distributed fit sample holds many, so the policy here is the
+        median of the per-series computed windows over the bounded fit
+        sample — deterministic, and robust to a few degenerate series."""
+        if isinstance(self.window_size, int):
+            self.window_size_ = self.window_size
+            return self.window_size_
+        rows = (
+            arrays.filter(F_col("doc_id").cast("long") % 20 == 0)
+            .orderBy("doc_id").limit(20).select("tokens").collect()
+        )
+        ws = [
+            KW.compute_window_size(
+                np.asarray(r["tokens"], dtype=np.float64),
+                self.window_size, default_window_size=16,
+            )
+            for r in rows
+        ]
+        self.window_size_ = int(np.median(ws)) if ws else 16
+        return self.window_size_
 
     def check_is_fitted(self) -> None:
         if not hasattr(self, "model_"):
@@ -162,7 +192,8 @@ class _WindowModelDetector(SparkDetector):
 
     def decision_function(self, arrays: DataFrame) -> DataFrame:
         self.check_is_fitted()
-        me, w, s = self, self.window_size, self.stride
+        me, s = self, self.stride
+        w = getattr(self, "window_size_", self.window_size)
 
         def per_series(x: np.ndarray) -> np.ndarray:
             wins = KW.sliding_window(x, w, s)
@@ -416,14 +447,26 @@ class MedianMethod(SparkDetector):
 
 
 class MatrixProfileDetector(SparkDetector):
-    """MatrixProfileDetector.py:116-178 — STOMP self-join, no fit state."""
+    """MatrixProfileDetector.py:116-178 — STOMP self-join, no fit state.
+    An auto window mode resolves PER SERIES inside the Arrow pass (each
+    series gets its own window — the faithful distributed reading of the
+    reference's per-series `compute_window_size` at fit)."""
 
-    def __init__(self, window_size: int = 32):
+    def __init__(self, window_size=32):
         _check_window(window_size)
         self.window_size = window_size
 
     def decision_function(self, arrays: DataFrame) -> DataFrame:
-        return DET.matrix_profile_scores(arrays, self.window_size)
+        if isinstance(self.window_size, int):
+            return DET.matrix_profile_scores(arrays, self.window_size)
+        spec = self.window_size
+
+        def per_series(x: np.ndarray) -> np.ndarray:
+            w = KW.compute_window_size(x, spec, default_window_size=16)
+            prof = KD.matrix_profile(x, w)
+            return KW.reverse_sliding_window(prof, w, 1, x.shape[0])
+
+        return DET._score_map(arrays, per_series)
 
 
 class _LongFormBaseline(SparkDetector):

@@ -125,3 +125,20 @@ def test_pipeline_component_fit_score_save_load(spark, tmp_path):
     with pytest.raises(TypeError):
         CMP.Pipeline("Identity", "not-a-detector")
     assert str(pipe).startswith("Pipeline(preprocessor=")
+
+
+def test_auto_window_size_modes(spark):
+    """window_size='fft'/'suss' etc. resolve at fit (window-model family,
+    median over the fit sample — MatrixProfileDetector.py:117 analog) or
+    per series (MatrixProfile)."""
+    arrays = _arrays(spark)
+    det = CMP.KMeansAnomalyDetector(window_size="fft", stride=8, n_clusters=4)
+    det.fit(arrays)
+    assert isinstance(det.window_size_, int) and det.window_size_ >= 10
+    assert det.decision_function(arrays).count() > 0
+
+    mp = CMP.MatrixProfileDetector(window_size="suss")
+    assert mp.decision_function(arrays.filter("CAST(doc_id AS BIGINT) < 6")).count() > 0
+
+    with pytest.raises(ValueError, match="Invalid window_size"):
+        CMP.MatrixProfileDetector(window_size="nope")
