@@ -421,6 +421,22 @@ def _q_ann_srp_topk(spark, sf_dir):
     return SIM.srp_lsh_topk(SIM.load_embeddings(spark, sf_dir))
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (k-means cells + n_probe rescore) —
+    float-iterative fit, rows-only check; recall pinned in pytest."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.ivf_topk(SIM.load_embeddings(spark, sf_dir))
+
+
+def _q_dd_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via multi-probed SRP buckets +
+    exact integer cosine — deterministic, oracle-exact."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.embed_neardup_pairs(SIM.load_embeddings(spark, sf_dir), 0.4)
+
+
 def _q_ev_sessionize(spark, sf_dir):
     from dtaianomaly_spark.pipelines import events as EVT
 
@@ -659,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": _q_tx_fingerprint,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_srp_topk": _q_ann_srp_topk,
+        "dd_embed_neardup": _q_dd_embed_neardup,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ev_sessionize": _q_ev_sessionize,
         "ev_minute_rollup": _q_ev_minute_rollup,
         "mm_byte_histogram": _q_mm_byte_histogram,
@@ -1334,6 +1352,33 @@ ranked AS (
 SELECT qid, vid, CAST(rk AS BIGINT) AS rk, dot, cos FROM ranked WHERE rk <= 5
 """
 
+    dd_embed_neardup = f"""
+WITH {_QV.lstrip()},
+{_SRP_BUCKET.lstrip()},
+aprobe AS (
+    SELECT DISTINCT vec_id AS va, t, pb.pb AS pb
+    FROM qb, LATERAL (SELECT UNNEST([bucket,
+        xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS pb) pb
+),
+cand AS (
+    SELECT DISTINCT a.va, b.vec_id AS vb
+    FROM aprobe a JOIN qb b ON a.t = b.t AND a.pb = b.bucket
+    WHERE a.va < b.vec_id
+),
+scored AS (
+    SELECT c.va, c.vb,
+           list_reduce(list_transform(range(1, 65),
+               d -> qa.q[CAST(d AS INT)] * qc.q[CAST(d AS INT)]),
+               (x, y) -> x + y) AS dot,
+           qa.norm2 AS na, qc.norm2 AS nb
+    FROM cand c
+    JOIN qn qa ON c.va = qa.vec_id
+    JOIN qn qc ON c.vb = qc.vec_id
+)
+SELECT va, vb, dot, {_COS} AS cos FROM scored
+WHERE {_COS} >= 0.4
+"""
+
     ev_sessionize = """
 WITH e AS (
     SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
@@ -1494,6 +1539,7 @@ FROM agg
         "tx_fingerprint": tx_fingerprint,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_srp_topk": ann_srp_topk,
+        "dd_embed_neardup": dd_embed_neardup,
         "ev_sessionize": ev_sessionize,
         "ev_minute_rollup": ev_minute_rollup,
         "mm_byte_histogram": mm_byte_histogram,

@@ -113,6 +113,173 @@ def _srp_buckets(qv: DataFrame) -> DataFrame:
     return wide.select("vec_id", F.col("t").cast("long").alias("t"), F.expr(combine).alias("bucket"))
 
 
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 8, k: int = 5,
+    n_cells: int = 16, n_probe: int = 4, seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k — the coarse-
+    quantizer ANN path: a seeded k-means over L2-NORMALIZED vectors
+    (driver-fit on a bounded sample, the fit-broadcast-score pattern)
+    partitions the space into ``n_cells`` Voronoi cells; every vector is
+    assigned to its nearest centroid map-side (one Arrow pass, centroids
+    in the task closure); a query probes its ``n_probe`` nearest cells
+    and re-scores ONLY those cells' members with the exact integer
+    cosine. Cosine top-k over normalized vectors == dot-product top-k,
+    so assigning on the normalized sphere makes cell residency
+    consistent with the metric.
+
+    At scale this is the textbook IVF trade: the cell index shuffles
+    once at build, queries touch n_probe/n_cells of the data, and recall
+    follows the probe count. k-means is float-iterative, so no SQL
+    oracle — the driver records a rows-only check and pytest pins recall
+    against the exact brute force."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaianomaly_spark.kernels.detectors import kmeans_fit
+
+    sample = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").limit(4096).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    centers = kmeans_fit(sample, n_cells, seed=seed)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assign_schema = StructType(
+        [StructField("vec_id", LongType(), False), StructField("cell", LongType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax(X @ centers.T, axis=1)  # nearest on the sphere
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].astype(np.int64), "cell": cells})
+
+    cells = emb.select("vec_id", "embedding").mapInPandas(assign, assign_schema)
+
+    def probe(batches):
+        for pdf in batches:
+            X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(X @ centers.T), axis=1)[:, :n_probe]
+            out = pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), n_probe),
+                    "cell": order.reshape(-1),
+                }
+            )
+            yield out
+
+    q_cells = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .mapInPandas(probe, assign_schema)
+        .withColumnRenamed("vec_id", "qid")
+    )
+
+    qv = quantized(emb)
+    cand = (
+        F.broadcast(q_cells)
+        .join(cells, "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", F.col("vec_id").alias("vid"))
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                qv.filter(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                    F.col("norm2").alias("na"),
+                )
+            ),
+            "qid",
+        )
+        .join(
+            qv.select(F.col("vec_id").alias("vid"), F.col("q").alias("cq"),
+                      F.col("norm2").alias("nb")),
+            "vid",
+        )
+        .select(
+            "qid", "vid", "na", "nb",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (a, b) -> a * b), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+        .select("qid", "vid", "dot", "na", "nb", F.expr(COS_SQL).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vid", F.col("rk").cast("long").alias("rk"), "dot", "cos")
+    )
+
+
+def embed_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.4, probe_bits: int = 1
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-mode twin of
+    the ANN search: ALL vector pairs sharing any (multi-probed) SRP
+    bucket are candidates, deduplicated, then kept iff their EXACT
+    integer cosine >= threshold. Output (va, vb, dot, cos), va < vb.
+
+    Scale shape: the self-join shuffles on (table, bucket) — candidate
+    volume is Σ per-bucket sizes², never N², and the probe expansion is
+    applied to ONE side so each unordered pair is generated at most
+    2T(1+bits) times before the dedup. Candidate generation is
+    deterministic (the hyperplanes are hash-derived), so the DuckDB
+    oracle reproduces the result bit-for-bit — including which
+    near-dups the LSH recalls."""
+    qv = quantized(emb)
+    bk = _srp_buckets(qv)
+    probes = [F.expr("bucket")]
+    if probe_bits >= 1:
+        probes += [
+            F.expr(f"CAST(bucket ^ {1 << b} AS BIGINT)") for b in range(SRP_BITS)
+        ]
+    a_probed = bk.select(
+        F.col("vec_id").alias("va"), "t",
+        F.explode(F.array(*probes)).alias("pb"),
+    ).distinct()
+    ap = a_probed.alias("ap")
+    bb = bk.select(F.col("vec_id").alias("vb"), "t", "bucket").alias("bb")
+    cand = (
+        ap.join(
+            bb,
+            (F.col("ap.t") == F.col("bb.t")) & (F.col("ap.pb") == F.col("bb.bucket")),
+        )
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            qv.select(F.col("vec_id").alias("va"), F.col("q").alias("qa"),
+                      F.col("norm2").alias("na")),
+            "va",
+        )
+        .join(
+            qv.select(F.col("vec_id").alias("vb"), F.col("q").alias("qb"),
+                      F.col("norm2").alias("nb")),
+            "vb",
+        )
+        .select(
+            "va", "vb", "na", "nb",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (a, b) -> a * b), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+        .select("va", "vb", "dot", F.expr(COS_SQL).alias("cos"))
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def srp_lsh_topk(
     emb: DataFrame, n_queries: int = 8, k: int = 5, probe_bits: int = 1
 ) -> DataFrame:

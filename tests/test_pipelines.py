@@ -151,3 +151,33 @@ def test_srp_multiprobe_improves_recall(spark):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi > r_single  # deterministic data + hashes: stable
     assert r_multi >= 0.6
+
+
+def test_ivf_topk_recall_scales_with_probes(spark):
+    """IVF coarse quantizer: recall@5 vs exact brute force grows with
+    n_probe and is exact when every cell is probed."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    emb = SIM.load_embeddings(spark, "/root/testdata/sf0.001")
+    exact = {(r["qid"], r["vid"]) for r in SIM.cosine_topk(emb).collect()}
+    r = {}
+    for npb in (2, 8, 16):
+        got = {
+            (r_["qid"], r_["vid"])
+            for r_ in SIM.ivf_topk(emb, n_cells=16, n_probe=npb).collect()
+        }
+        r[npb] = len(exact & got) / len(exact)
+    assert r[2] <= r[8] <= r[16]
+    assert r[16] == 1.0  # probing all cells == brute force
+    assert r[8] >= 0.6
+
+
+def test_embed_neardup_pairs_subset_of_exact(spark):
+    """Every emitted near-dup pair really has cosine >= threshold (the
+    exact rescore guarantees no false positives)."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    emb = SIM.load_embeddings(spark, "/root/testdata/sf0.001")
+    rows = SIM.embed_neardup_pairs(emb, 0.4).collect()
+    assert len(rows) > 0
+    assert all(r["cos"] >= 0.4 and r["va"] < r["vb"] for r in rows)
