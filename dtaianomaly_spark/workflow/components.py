@@ -578,3 +578,89 @@ class Pipeline(SparkDetector):
         )
 
     __repr__ = __str__
+
+
+# ---------------------------------------------------------------- data sets
+
+class DataSet(PrettyPrintable):
+    """Train/test split container (data/DataSet.py:14-250) over Spark
+    frames: ``X_*`` are canonical arrays DataFrames, ``y_*`` long-form
+    ``(doc_id, pos, truth)``. The compatibility rule is the reference's:
+    no train split -> unsupervised only; unlabeled train (assumed
+    normal) -> + semi-supervised; labeled train -> everything."""
+
+    def __init__(self, X_test: DataFrame, y_test: DataFrame,
+                 X_train: Optional[DataFrame] = None,
+                 y_train: Optional[DataFrame] = None):
+        if X_train is None and y_train is not None:
+            raise ValueError("y_train given without X_train")
+        self.X_test, self.y_test = X_test, y_test
+        self.X_train, self.y_train = X_train, y_train
+
+    def compatible_supervision(self):
+        """data/DataSet.py:221-250."""
+        if self.X_train is None:
+            return [Supervision.UNSUPERVISED]
+        if self.y_train is None:
+            return [Supervision.UNSUPERVISED, Supervision.SEMI_SUPERVISED]
+        return [Supervision.UNSUPERVISED, Supervision.SEMI_SUPERVISED,
+                Supervision.SUPERVISED]
+
+    def is_compatible(self, detector: SparkDetector) -> bool:
+        return detector.supervision in self.compatible_supervision()
+
+    def fit_frame(self, detector: SparkDetector) -> DataFrame:
+        """The reference's fit-data routing (Workflow.py:426-433): an
+        unsupervised detector with no train split fits on the test data
+        itself; otherwise fit on the train split."""
+        if not self.is_compatible(detector):
+            raise ValueError(
+                f"detector with supervision {detector.supervision} is not"
+                f" compatible with this data set"
+                f" (compatible: {self.compatible_supervision()})"
+            )
+        if self.X_train is None:
+            return self.X_test
+        return self.X_train
+
+
+class EvaluationPipeline(PrettyPrintable):
+    """Pipeline + proba-metric set (pipeline/EvaluationPipeline.py:
+    12-100): fit on the data set's fit frame, score the test frame, and
+    evaluate every metric entry. ``run`` returns
+    ``{metric_name: mean-over-series value}`` using the grid's metric
+    machinery (type tags / dicts, same as workflow_from_config)."""
+
+    def __init__(self, preprocessor, detector: SparkDetector, metrics):
+        self.pipeline = Pipeline(preprocessor, detector)
+        self.metrics = metrics if isinstance(metrics, list) else [metrics]
+
+    def run(self, data: DataSet, thresholds=None) -> dict:
+        from pyspark.sql.functions import col
+
+        from dtaianomaly_spark.workflow import grid
+
+        self.pipeline.fit(data.fit_frame(self.pipeline.detector))
+        scored = self.pipeline.decision_function(data.X_test)
+        scored_truth = scored.join(
+            data.y_test.select(
+                col("doc_id").cast("string").alias("doc_id"), "pos", "truth"
+            ),
+            ["doc_id", "pos"],
+        ).persist()
+        try:
+            out = {}
+            for m in self.metrics:
+                t = m["type"] if isinstance(m, dict) else m
+                if t in grid.PROBA_METRICS:
+                    out[grid.metric_name(m, None)] = grid.metric_value(
+                        scored_truth, m, None
+                    )
+                else:
+                    for th in thresholds or [("TopN", 20)]:
+                        out[grid.metric_name(m, th)] = grid.metric_value(
+                            scored_truth, m, th
+                        )
+            return out
+        finally:
+            scored_truth.unpersist()

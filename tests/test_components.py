@@ -142,3 +142,43 @@ def test_auto_window_size_modes(spark):
 
     with pytest.raises(ValueError, match="Invalid window_size"):
         CMP.MatrixProfileDetector(window_size="nope")
+
+
+def test_dataset_supervision_routing(spark):
+    from pyspark.sql import functions as F
+
+    arrays = _arrays(spark)
+    truth = arrays.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "v")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"),
+             (F.col("v") > 300).cast("int").alias("truth"))
+
+    ds = CMP.DataSet(arrays, truth)
+    assert ds.compatible_supervision() == [CMP.Supervision.UNSUPERVISED]
+    assert ds.is_compatible(CMP.MedianMethod())
+    assert not ds.is_compatible(CMP.PrincipalComponentAnalysis())
+    with pytest.raises(ValueError, match="not\\s+compatible"):
+        ds.fit_frame(CMP.PrincipalComponentAnalysis())
+
+    ds2 = CMP.DataSet(arrays, truth, X_train=arrays)
+    assert ds2.is_compatible(CMP.PrincipalComponentAnalysis())
+    assert ds2.fit_frame(CMP.PrincipalComponentAnalysis()) is arrays
+    with pytest.raises(ValueError, match="y_train"):
+        CMP.DataSet(arrays, truth, y_train=truth)
+
+
+def test_evaluation_pipeline_runs_metrics(spark):
+    from pyspark.sql import functions as F
+
+    arrays = _arrays(spark)
+    truth = arrays.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "v")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"),
+             (F.col("v") > 300).cast("int").alias("truth"))
+    ep = CMP.EvaluationPipeline(
+        "Identity", CMP.MedianMethod(), ["AreaUnderROC", "FBeta"]
+    )
+    out = ep.run(CMP.DataSet(arrays, truth))
+    assert set(out) == {"AreaUnderROC", "FBeta[TopN=20]"}
+    assert 0.0 <= out["FBeta[TopN=20]"] <= 1.0
+    assert out["AreaUnderROC"] > 0.5  # spikes are high-valued
