@@ -138,6 +138,17 @@ def run_headline() -> dict:
         # SF, for both the relational and the mapInPandas paths
         qs["rollup_raw"](spark, "/root/testdata/sf0.001").count()
         qs["rollup_map_raw"](spark, "/root/testdata/sf0.001").count()
+
+        # flagship FIRST, at its intended scale (the prepared 100k-series
+        # corpus): measuring it after the 70-query sweep in the same JVM
+        # picks up that sweep's GC/heap state — observed 4x swings on the
+        # same code. Early measurement matches the pinned fresh-JVM
+        # protocol in BASELINE.md.
+        prepare_corpus(spark)
+        big = spark.read.parquet(BENCH_CORPUS)
+        big_tokens = big.selectExpr("sum(n_tok)").collect()[0][0]
+        big_points, big_sec = flagship_over(spark, big)
+
         total = 0.0
         for name, fn in qs.items():
             # heavy Arrow-kernel detectors: one timed run is enough
@@ -148,12 +159,6 @@ def run_headline() -> dict:
         arrays = C.token_arrays(spark, SF_DIR)
         n_tokens = arrays.agg(F.sum("n_tok")).collect()[0][0]
         points, sec = flagship_over(spark, arrays)
-        # flagship at its intended scale: the prepared 100k-series corpus
-        # (the SF-dir corpus is small enough that fixed overheads dominate)
-        prepare_corpus(spark)
-        big = spark.read.parquet(BENCH_CORPUS)
-        big_tokens = big.selectExpr("sum(n_tok)").collect()[0][0]
-        big_points, big_sec = flagship_over(spark, big)
         return {
             # the BASELINE.json north metric — comparable across rounds
             # (queries_total_sec grows every time coverage widens)
