@@ -195,28 +195,44 @@ def matrix_profile_ab_excl_both(
     qt_first_col = np.fft.irfft(fx * fr, nfft)[w - 1 : w - 1 + n_q]
 
     eps = 1e-14
+    flat_q = sig_q < eps
+    flat_r = sig_r < eps
+    any_flat_r = bool(flat_r.any())
+    inv_q = 1.0 / np.where(flat_q, 1.0, sig_q)
+    winv_r = (1.0 / np.where(flat_r, 1.0, sig_r)) / w
+    flat_row = np.where(flat_r, 0.0, float(w)) if any_flat_r else None
+
     profile = np.empty(n_q)
     prof_y = np.full(n_r, np.inf)
+    buf = np.empty(n_r)
+    d2 = np.empty(n_r)
     for i in range(n_q):
         if i > 0:
             qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
             qt[0] = qt_first_col[i]
-        denom = w * sig_q[i] * sig_r
-        with np.errstate(invalid="ignore", divide="ignore"):
-            corr = (qt - w * mu_q[i] * mu_r) / np.where(denom < eps, np.nan, denom)
-        d2 = 2.0 * w * (1.0 - np.clip(corr, -1.0, 1.0))
-        if sig_q[i] < eps:
-            d2 = np.where(sig_r < eps, 0.0, w)
-        else:
-            d2 = np.where(sig_r < eps, w, d2)
-        dist = np.sqrt(np.maximum(d2, 0.0))
+        np.multiply(mu_r, -w * mu_q[i], out=buf)
+        buf += qt
+        buf *= winv_r * inv_q[i]
+        np.clip(buf, -1.0, 1.0, out=buf)
+        np.subtract(1.0, buf, out=d2)
+        d2 *= 2.0 * w
+        if flat_q[i]:
+            if flat_row is not None:
+                np.copyto(d2, flat_row)
+            else:
+                d2.fill(w)
+        elif any_flat_r:
+            d2[flat_r] = w
+        np.maximum(d2, 0.0, out=d2)
+        np.sqrt(d2, out=d2)
         if excl >= 0:
             lo = max(0, i + delta - excl)
             hi = min(n_r, i + delta + excl + 1)
             if lo < hi:
-                dist[lo:hi] = np.inf
-        profile[i] = dist.min() if np.isfinite(dist).any() else np.inf
-        np.minimum(prof_y, dist, out=prof_y)
+                d2[lo:hi] = np.inf
+        m = d2.min()
+        profile[i] = m  # +inf stays +inf (combiner's min ignores it)
+        np.minimum(prof_y, d2, out=prof_y)
     return profile, prof_y
 
 
