@@ -30,6 +30,10 @@ FAMILIES = [
     "dd_minhash",         # hashing pipeline
     "ann_cosine_topk",    # ranking with ties
     "sw_reverse",         # prefix-sum arrays
+    "ev_best_fbeta",      # all-threshold sweep + float metric max
+    "det_baseline_random",  # coordinate-seeded RNG must ignore partitioning
+    "dd_embed_neardup",   # LSH candidate generation + cosine threshold
+    "ev_sessionize",      # lag-gap + cumulative session ids
 ]
 
 

@@ -118,3 +118,55 @@ def test_binom_cdf_vectorized_consistency():
     # a CDF: monotone nondecreasing in k, within [0, 1], endpoints exact
     assert np.all(np.diff(vec) >= -1e-12)
     assert vec[0] == 0.0 and vec[-1] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_sliding_znorm_dist_property_random():
+    """Property: the FFT sliding z-norm distance equals the brute-force
+    per-window z-normalized Euclidean distance (hypothesis-driven)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dtaianomaly_spark.kernels.detectors_ext import sliding_znorm_dist
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 10**6), st.integers(40, 200), st.integers(4, 16))
+    def run(seed, n, w):
+        rng = np.random.default_rng(seed)
+        x = np.round(rng.normal(0, 100, n))
+        c = np.round(rng.normal(0, 100, w))
+        got = sliding_znorm_dist(x, c, w)
+        zc = (c - c.mean()) / c.std()
+        for i in range(0, n - w + 1, max(1, (n - w) // 7)):
+            win = x[i:i + w]
+            if win.std() < 1e-9:
+                continue
+            zw = (win - win.mean()) / win.std()
+            assert abs(got[i] - np.linalg.norm(zw - zc)) < 1e-6
+
+    run()
+
+
+def test_binom_cdf_property_random():
+    """Property: betainc-based binom_cdf equals the exact math.comb
+    summation on random (k, n, p)."""
+    import math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dtaianomaly_spark.kernels.detectors import binom_cdf
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(1, 300), st.floats(0.001, 0.999), st.floats(0.0, 1.0))
+    def run(n, p, kf):
+        k = int(kf * n)
+        want = float(sum(
+            math.comb(n, i) * (p ** i) * ((1.0 - p) ** (n - i))
+            for i in range(k + 1)
+        ))
+        got = float(np.asarray(binom_cdf(np.array([float(k)]), n, np.array([p])))[0])
+        assert abs(got - want) < 1e-9
+
+    run()
