@@ -421,6 +421,27 @@ def _q_ann_srp_topk(spark, sf_dir):
     return SIM.srp_lsh_topk(SIM.load_embeddings(spark, sf_dir))
 
 
+def _q_tx_dup_ngram_rate(spark, sf_dir):
+    """Per-doc duplicate-8-gram fraction (substring-dedup signal)."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.dup_ngram_rate(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_source_mix(spark, sf_dir):
+    """Corpus mixing stats per (source, lang) + equalizing weights."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.source_mix(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_lang_eval(spark, sf_dir):
+    """Lang-ID confusion vs the ground-truth lang column."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.lang_id_eval(TX.load_docs(spark, sf_dir))
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (k-means cells + n_probe rescore) —
     float-iterative fit, rows-only check; recall pinned in pytest."""
@@ -673,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality": _q_tx_quality,
         "tx_token_count": _q_tx_token_count,
         "tx_fingerprint": _q_tx_fingerprint,
+        "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
+        "tx_source_mix": _q_tx_source_mix,
+        "tx_lang_eval": _q_tx_lang_eval,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
@@ -1269,6 +1293,61 @@ SELECT doc_id,
 FROM pos GROUP BY doc_id
 """
 
+    tx_dup_ngram_rate = f"""
+WITH {_SHINGLES_LONG.lstrip()},
+dfs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+per_doc AS (
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfs.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM sh JOIN dfs ON sh.s = dfs.s
+    GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_dup,
+       CAST(n_dup AS DOUBLE) / n_shingles AS dup_rate
+FROM per_doc
+"""
+
+    tx_source_mix = """
+WITH grp AS (
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM((n_chars + 3) // 4) AS BIGINT) AS est_tokens
+    FROM documents GROUP BY source, lang
+),
+tot AS (SELECT CAST(SUM(est_tokens) AS BIGINT) AS _tot,
+               CAST(COUNT(*) AS BIGINT) AS _groups FROM grp)
+SELECT source, lang, n_docs, n_chars, est_tokens,
+       CAST(_tot AS DOUBLE) / (CAST(_groups AS DOUBLE) * est_tokens) AS mix_weight
+FROM grp, tot
+"""
+
+    tx_lang_eval = """
+WITH cnts AS (
+    SELECT doc_id,
+        CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS c_en,
+        CAST((length(text) - length(replace(text, ' join ', ''))) / 6 AS BIGINT) AS c_x1,
+        CAST((length(text) - length(replace(text, ' data ', ''))) / 6 AS BIGINT) AS c_x2
+    FROM documents
+),
+pred AS (
+    SELECT doc_id,
+           CASE WHEN c_en >= c_x1 AND c_en >= c_x2 THEN 'en'
+                WHEN c_x1 >= c_x2 THEN 'x1' ELSE 'x2' END AS lang_pred
+    FROM cnts
+),
+conf AS (
+    SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.lang_pred
+)
+SELECT lang, lang_pred, cnt,
+       CAST(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END AS INT) AS is_hit,
+       CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY lang) AS frac
+FROM conf
+"""
+
     _QV = """
 qv AS (
     SELECT vec_id,
@@ -1537,6 +1616,9 @@ FROM agg
         "tx_quality": tx_quality,
         "tx_token_count": tx_token_count,
         "tx_fingerprint": tx_fingerprint,
+        "tx_dup_ngram_rate": tx_dup_ngram_rate,
+        "tx_source_mix": tx_source_mix,
+        "tx_lang_eval": tx_lang_eval,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_srp_topk": ann_srp_topk,
         "dd_embed_neardup": dd_embed_neardup,

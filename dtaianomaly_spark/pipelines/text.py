@@ -269,6 +269,74 @@ def dedup_suite(
     }
 
 
+def dup_ngram_rate(docs: DataFrame) -> DataFrame:
+    """Per-document duplicate-n-gram rate: the fraction of a doc's
+    DISTINCT 8-gram shingles that occur in at least one other document —
+    the corpus-curation signal behind substring-dedup decisions (a doc
+    whose shingles are mostly shared is boilerplate or a near-copy).
+    Exact integer counts + one shared float formula.
+
+    Shape: one explode + one groupBy(s) for document frequencies + a
+    join back and per-doc aggregate — the df table is tiny relative to
+    the corpus and the join key is the shingle hash."""
+    all_long = doc_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
+    df_tbl = all_long.groupBy("s").agg(F.count("*").alias("df"))
+    per_doc = (
+        all_long.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.expr("CASE WHEN df >= 2 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_dup",
+        F.expr("CAST(n_dup AS DOUBLE) / n_shingles").alias("dup_rate"),
+    )
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """Corpus mixing statistics per (source, lang): document/char/token
+    mass and the up/down-sampling weight that would equalize the mix
+    (weight = total_tokens / (n_groups * group_tokens) — >1 means
+    upsample). The data-mixing bookkeeping every training pipeline runs
+    before sampling; one hash aggregate + a broadcast of the single
+    totals row."""
+    grp = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum(F.expr("(n_chars + 3) DIV 4")).cast("long").alias("est_tokens"),
+    )
+    totals = grp.agg(
+        F.sum("est_tokens").alias("_tot"), F.count("*").alias("_groups")
+    )
+    return grp.crossJoin(F.broadcast(totals)).select(
+        "source", "lang", "n_docs", "n_chars", "est_tokens",
+        F.expr(
+            "CAST(_tot AS DOUBLE) / (CAST(_groups AS DOUBLE) * est_tokens)"
+        ).alias("mix_weight"),
+    )
+
+
+def lang_id_eval(docs: DataFrame) -> DataFrame:
+    """Confusion counts of the language-ID heuristic against the
+    corpus's ground-truth ``lang`` column, plus per-truth-label
+    accuracy — the eval loop a real lang-ID filter ships with."""
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+    conf = joined.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wall = Window.partitionBy("lang")
+    return conf.select(
+        "lang", "lang_pred", "cnt",
+        F.expr("CASE WHEN lang = lang_pred THEN 1 ELSE 0 END").alias("is_hit"),
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wall)).alias("frac"),
+    )
+
+
 # --------------------------------------------------------------- analysis
 
 _MARKERS = (("en", " the "), ("x1", " join "), ("x2", " data "))

@@ -181,3 +181,22 @@ def test_embed_neardup_pairs_subset_of_exact(spark):
     rows = SIM.embed_neardup_pairs(emb, 0.4).collect()
     assert len(rows) > 0
     assert all(r["cos"] >= 0.4 and r["va"] < r["vb"] for r in rows)
+
+
+def test_source_mix_weights_equalize(spark):
+    """Mixing weights must satisfy Σ group_tokens·weight = total tokens /
+    n_groups · n_groups (i.e. weighted mass is uniform across groups)."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    rows = TX.source_mix(TX.load_docs(spark, "/root/testdata/sf0.001")).collect()
+    assert len(rows) > 1
+    masses = [r["est_tokens"] * r["mix_weight"] for r in rows]
+    assert max(masses) - min(masses) < 1e-6 * max(masses)
+
+
+def test_dup_ngram_rate_bounds(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    rows = TX.dup_ngram_rate(TX.load_docs(spark, "/root/testdata/sf0.001")).collect()
+    assert len(rows) == 500
+    assert all(0.0 <= r["dup_rate"] <= 1.0 and r["n_dup"] <= r["n_shingles"] for r in rows)
