@@ -421,6 +421,44 @@ def _q_ann_srp_topk(spark, sf_dir):
     return SIM.srp_lsh_topk(SIM.load_embeddings(spark, sf_dir))
 
 
+def _q_rel_q1(spark, sf_dir):
+    """TPC-H Q1-shape pricing summary (exact integer cents)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q1_pricing_summary(R.load(spark, sf_dir, "lineitem"))
+
+
+def _q_rel_q3(spark, sf_dir):
+    """TPC-H Q3-shape segment revenue top-N (broadcast dims)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q3_top_orders(
+        R.load(spark, sf_dir, "customer"),
+        R.load(spark, sf_dir, "orders"),
+        R.load(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_rel_q5(spark, sf_dir):
+    """TPC-H Q5-shape per-nation region revenue (broadcast dim chain)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q5_region_revenue(
+        R.load(spark, sf_dir, "region"),
+        R.load(spark, sf_dir, "nation"),
+        R.load(spark, sf_dir, "customer"),
+        R.load(spark, sf_dir, "orders"),
+        R.load(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_rel_order_month(spark, sf_dir):
+    """Orders rolled to calendar month — the relational rollup twin."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.order_month_rollup(R.load(spark, sf_dir, "orders"))
+
+
 def _q_tx_dup_ngram_rate(spark, sf_dir):
     """Per-doc duplicate-8-gram fraction (substring-dedup signal)."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -697,6 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
+        "rel_q1_pricing": _q_rel_q1,
+        "rel_q3_top_orders": _q_rel_q3,
+        "rel_q5_region_revenue": _q_rel_q5,
+        "rel_order_month": _q_rel_order_month,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
@@ -1348,6 +1390,82 @@ SELECT lang, lang_pred, cnt,
 FROM conf
 """
 
+    _REL_REV = (
+        "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+    )
+    rel_q1_pricing = f"""
+WITH f AS (
+    SELECT * FROM lineitem WHERE epoch_us(l_shipdate) <= 904694400000000
+),
+agg AS (
+    SELECT l_returnflag, l_linestatus,
+        CAST(COUNT(*) AS BIGINT) AS count_order,
+        CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price,
+        CAST(SUM({_REL_REV}) AS BIGINT) AS sum_disc_price,
+        CAST(SUM(({_REL_REV}) * (100 + CAST(floor(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge,
+        CAST(SUM(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc
+    FROM f GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, count_order,
+       sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_price AS DOUBLE) / count_order AS avg_price,
+       CAST(sum_disc AS DOUBLE) / count_order AS avg_disc
+FROM agg
+"""
+
+    rel_q3_top_orders = f"""
+WITH cust AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+ords AS (
+    SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS odate_us, o_orderpriority
+    FROM orders WHERE epoch_us(o_orderdate) < 795225600000000
+),
+li AS (
+    SELECT l_orderkey, {_REL_REV} AS rev
+    FROM lineitem WHERE epoch_us(l_shipdate) > 795225600000000
+),
+j AS (
+    SELECT o_orderkey, odate_us, o_orderpriority, CAST(SUM(rev) AS BIGINT) AS revenue
+    FROM li
+    JOIN ords ON li.l_orderkey = ords.o_orderkey
+    JOIN cust ON ords.o_custkey = cust.c_custkey
+    GROUP BY o_orderkey, odate_us, o_orderpriority
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS rk FROM j
+)
+SELECT o_orderkey, revenue, odate_us, o_orderpriority, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 10
+"""
+
+    rel_q5_region_revenue = f"""
+SELECT n_name,
+       CAST(SUM({_REL_REV}) AS BIGINT) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+    rel_order_month = """
+WITH g AS (
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS month,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price
+    FROM orders GROUP BY month, o_orderstatus
+)
+SELECT month, o_orderstatus, n_orders, sum_price,
+       CAST(sum_price AS DOUBLE) / n_orders AS avg_price
+FROM g
+"""
+
     _QV = """
 qv AS (
     SELECT vec_id,
@@ -1619,6 +1737,10 @@ FROM agg
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
+        "rel_q1_pricing": rel_q1_pricing,
+        "rel_q3_top_orders": rel_q3_top_orders,
+        "rel_q5_region_revenue": rel_q5_region_revenue,
+        "rel_order_month": rel_order_month,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_srp_topk": ann_srp_topk,
         "dd_embed_neardup": dd_embed_neardup,

@@ -1,0 +1,152 @@
+"""Relational analytics over the TPC-H-ish star schema — the engine's
+general SQL surface, expressed Spark-first so Catalyst proves the
+physical story: dimension joins BROADCAST (customer/nation/region are
+tiny next to lineitem), filters and column pruning push into the
+parquet scans (check PushedFilters/ReadSchema in PLANS.md), and every
+aggregate runs map-side partial first.
+
+Exactness discipline (see SNIPPETS/oracle rules): money/quantity
+doubles are quantized to integer cents (``floor(x * 100)``) BEFORE any
+aggregation, so sums are exact int64 and the derived averages are one
+shared float formula; timestamps compare via ``unix_micros(CAST(ts AS
+TIMESTAMP))`` == DuckDB ``epoch_us(ts)``.
+
+At 100 TB: lineitem is the fact table — everything here is one pass
+over it with broadcast hash joins (no shuffle on the fact side except
+the final aggregate), which is exactly the plan the same SQL gets on a
+warehouse-scale cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# 1995-03-15 / 1998-09-02 in epoch-microseconds (timestamps are read
+# TIMESTAMP_NTZ; session tz UTC — see spark-perf-pitfalls)
+CUTOFF_Q1_US = 904_694_400_000_000
+CUTOFF_Q3_US = 795_225_600_000_000
+
+_CENTS = "CAST(floor({col} * 100) AS BIGINT)"
+_REVENUE = (
+    "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1 shape: shipped-before cutoff, grouped pricing summary.
+    All sums exact integer cents; averages one shared float formula."""
+    filtered = lineitem.filter(
+        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) <= {CUTOFF_Q1_US}")
+    )
+    agg = filtered.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("long").alias("count_order"),
+        F.sum(F.expr(_CENTS.format(col="l_quantity"))).alias("sum_qty"),
+        F.sum(F.expr(_CENTS.format(col="l_extendedprice"))).alias("sum_base_price"),
+        F.sum(F.expr(_REVENUE)).alias("sum_disc_price"),
+        F.sum(
+            F.expr(
+                f"({_REVENUE}) * (100 + CAST(floor(l_tax * 100) AS BIGINT))"
+            )
+        ).alias("sum_charge"),
+        F.sum(F.expr(_CENTS.format(col="l_discount"))).alias("sum_disc"),
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "count_order",
+        "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+        F.expr("CAST(sum_qty AS DOUBLE) / count_order").alias("avg_qty"),
+        F.expr("CAST(sum_base_price AS DOUBLE) / count_order").alias("avg_price"),
+        F.expr("CAST(sum_disc AS DOUBLE) / count_order").alias("avg_disc"),
+    )
+
+
+def q3_top_orders(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    segment: str = "BUILDING", topn: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment,
+    top-N. The segment-filtered customer key set broadcasts; orders
+    filter pushes to its scan; the only fact-side shuffle is the final
+    per-order aggregate."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(
+        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) < {CUTOFF_Q3_US}")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = lineitem.filter(
+        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) > {CUTOFF_Q3_US}")
+    ).select("l_orderkey", F.expr(_REVENUE).alias("rev"))
+    joined = (
+        li.join(
+            F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("odate_us"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("rev").alias("revenue"))
+    )
+    # top-N via sort+limit: Spark plans this as TakeOrderedAndProject
+    # (per-partition heaps + driver merge) — the global row_number window
+    # would funnel EVERY order through one task. The rank window then
+    # runs on the N surviving rows only.
+    top = joined.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(topn)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+    return top.select(
+        "o_orderkey", "revenue", "odate_us", "o_orderpriority",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+
+
+def q5_region_revenue(
+    region: DataFrame, nation: DataFrame, customer: DataFrame,
+    orders: DataFrame, lineitem: DataFrame, region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape (supplier leg dropped — this schema's lineitem
+    suppliers are unconstrained): per-nation revenue of one region's
+    customers. The region→nation→customer dimension chain folds into
+    ONE broadcast map against the fact table."""
+    dim = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == region_name)),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey", "n_name")
+    )
+    ords = orders.select("o_orderkey", "o_custkey")
+    li = lineitem.select("l_orderkey", F.expr(_REVENUE).alias("rev"))
+    return (
+        li.join(F.broadcast(ords.join(F.broadcast(dim), ords.o_custkey == dim.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue"), F.count("*").cast("long").alias("n_items"))
+    )
+
+
+def order_month_rollup(orders: DataFrame) -> DataFrame:
+    """Orders rolled to calendar month (the relational twin of the
+    token-tier rollup): counts + exact integer cent sums + shared-float
+    mean."""
+    g = orders.groupBy(
+        F.expr(
+            "CAST(date_format(CAST(o_orderdate AS TIMESTAMP), 'yyyyMM') AS BIGINT)"
+        ).alias("month"),
+        "o_orderstatus",
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.expr(_CENTS.format(col="o_totalprice"))).alias("sum_price"),
+    )
+    return g.select(
+        "month", "o_orderstatus", "n_orders", "sum_price",
+        F.expr("CAST(sum_price AS DOUBLE) / n_orders").alias("avg_price"),
+    )
