@@ -508,6 +508,14 @@ def _q_ev_minute_rollup(spark, sf_dir):
     return EVT.minute_rollup(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly: minute rollup per event_type scored with the
+    MedianMethod formula (stream -> rollup -> detector composition)."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.rate_anomaly(EVT.load_events(spark, sf_dir))
+
+
 def _q_mm_byte_histogram(spark, sf_dir):
     """Multimodal featurizer plumbing (binary payload -> fixed vector),
     exposed long-form (doc_id, bin, cnt) so the driver canonicalizer can
@@ -745,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ev_sessionize": _q_ev_sessionize,
         "ev_minute_rollup": _q_ev_minute_rollup,
+        "ev_rate_anomaly": _q_ev_rate_anomaly,
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
         "det_matrix_profile": _q_det_matrix_profile,
@@ -1665,6 +1674,42 @@ seg AS (
 SELECT doc_id, SUM(dr * ptrap) AS auc_pr FROM seg GROUP BY doc_id
 """
 
+    ev_rate_anomaly = """
+WITH b AS (
+    SELECT event_type, epoch_us(ts) // 60000000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type, bucket
+),
+span AS (SELECT event_type, MIN(bucket) AS _lo, MAX(bucket) AS _hi
+         FROM b GROUP BY event_type),
+grid AS (
+    SELECT s.event_type, CAST(g.bucket AS BIGINT) AS bucket
+    FROM span s, LATERAL (SELECT UNNEST(range(s._lo, s._hi + 1)) AS bucket) g
+),
+dense AS (
+    SELECT grid.event_type, grid.bucket,
+           CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt
+    FROM grid LEFT JOIN b
+      ON grid.event_type = b.event_type AND grid.bucket = b.bucket
+),
+stats AS (
+    SELECT event_type, bucket, cnt,
+        CAST(COUNT(cnt) OVER w AS BIGINT) AS _n,
+        CAST(SUM(cnt) OVER w AS BIGINT) AS _s,
+        CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS _ss
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 16 PRECEDING AND 16 FOLLOWING)
+)
+SELECT event_type, bucket, cnt,
+    CASE WHEN sqrt(greatest(CAST(_ss AS DOUBLE) / _n
+         - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n), 0.0)) = 0.0
+         THEN 0.0 ELSE abs(CAST(cnt AS DOUBLE) - CAST(_s AS DOUBLE) / _n)
+         / sqrt(greatest(CAST(_ss AS DOUBLE) / _n
+         - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n), 0.0)) END AS score
+FROM stats
+"""
+
     # The payload is the utf-8 encoding of `text` (ASCII corpus, so
     # byte i == ascii(char i)); the featurizer bins on the high nibble.
     mm_byte_histogram = """
@@ -1746,6 +1791,7 @@ FROM agg
         "dd_embed_neardup": dd_embed_neardup,
         "ev_sessionize": ev_sessionize,
         "ev_minute_rollup": ev_minute_rollup,
+        "ev_rate_anomaly": ev_rate_anomaly,
         "mm_byte_histogram": mm_byte_histogram,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,

@@ -62,3 +62,48 @@ def minute_rollup(events: DataFrame) -> DataFrame:
             F.max("mval").alias("vmax"),
         )
     )
+
+
+def rate_anomaly(events: DataFrame, neighborhood: int = 16) -> DataFrame:
+    """Event-rate anomaly scores: the minute-bucket event count per
+    event_type becomes a time series, scored with the MedianMethod
+    formula (|cnt - nbhd mean| / nbhd std over ±neighborhood buckets) —
+    the cross-domain composition a monitoring pipeline runs (stream →
+    rollup → detector), entirely relational so the DuckDB oracle is
+    bit-exact. Missing minutes count as zero-rate buckets via a dense
+    per-type bucket grid (an absent bucket IS an anomaly signal)."""
+    b = events.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("bucket"),
+    ).groupBy("event_type", "bucket").agg(F.count("*").cast("long").alias("cnt"))
+    span = b.groupBy("event_type").agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("bucket"),
+    )
+    dense = grid.join(b, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-neighborhood, neighborhood)
+    )
+    stats = dense.select(
+        "event_type", "bucket", "cnt",
+        F.count("cnt").over(w).alias("_n"),
+        F.sum("cnt").over(w).alias("_s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("_ss"),
+    )
+    return stats.select(
+        "event_type", "bucket", "cnt",
+        F.expr(
+            "CASE WHEN sqrt(greatest(CAST(_ss AS DOUBLE) / _n"
+            " - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n), 0.0)) = 0.0"
+            " THEN 0.0 ELSE abs(CAST(cnt AS DOUBLE) - CAST(_s AS DOUBLE) / _n)"
+            " / sqrt(greatest(CAST(_ss AS DOUBLE) / _n"
+            " - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n), 0.0)) END"
+        ).alias("score"),
+    )
