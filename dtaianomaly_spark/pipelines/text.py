@@ -276,20 +276,24 @@ def dup_ngram_rate(docs: DataFrame) -> DataFrame:
     whose shingles are mostly shared is boilerplate or a near-copy).
     Exact integer counts + one shared float formula.
 
-    Shape: one explode + one groupBy(s) for document frequencies + a
-    join back and per-doc aggregate — the df table is tiny relative to
-    the corpus and the join key is the shingle hash."""
+    Same two physical strategies as :func:`informative_shingles` (the
+    df computation is the shared subproblem): count-over-window keeps
+    the shingle expression single-evaluation (wins while shingle-hash
+    CPU dominates, few input splits); groupBy(s)+join avoids the full
+    sort shuffle (wins at cluster scale, many splits)."""
     all_long = doc_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
-    df_tbl = all_long.groupBy("s").agg(F.count("*").alias("df"))
-    per_doc = (
-        all_long.join(df_tbl, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum(F.expr("CASE WHEN df >= 2 THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias("n_dup"),
+    if docs.rdd.getNumPartitions() <= 8:
+        counted = all_long.withColumn(
+            "df", F.count("*").over(Window.partitionBy("s"))
         )
+    else:
+        df_tbl = all_long.groupBy("s").agg(F.count("*").alias("df"))
+        counted = all_long.join(df_tbl, "s")
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.expr("CASE WHEN df >= 2 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_dup"),
     )
     return per_doc.select(
         "doc_id", "n_shingles", "n_dup",
