@@ -110,6 +110,16 @@ class SparkDetector(PrettyPrintable):
         """Min-max rescale of decision scores (BaseDetector.py:140-186)."""
         return DET.predict_proba(self.decision_function(arrays))
 
+    def predict_confidence(
+        self, arrays: DataFrame, contamination: float = 0.05
+    ) -> DataFrame:
+        """ExCeeD confidence of the decision scores
+        (BaseDetector.py:188-287; train ECDF = the series' own scores,
+        the reference's X_train=None default)."""
+        return _exceed_from_scored(
+            self.decision_function(arrays), contamination
+        )
+
     def save(self, path: Union[str, Path]) -> None:
         """Pickle to ``path`` with the reference's ``.dtai`` extension,
         creating parent directories (BaseDetector.py:289-311)."""
@@ -664,3 +674,31 @@ class EvaluationPipeline(PrettyPrintable):
             return out
         finally:
             scored_truth.unpersist()
+
+
+def _exceed_from_scored(scored: DataFrame, contamination: float) -> DataFrame:
+    """Long-form decision scores -> per-series ExCeeD confidence
+    (groupBy + one Arrow pass; the series' own scores are the train
+    ECDF — the reference's X_train=None path, BaseDetector.py:188-287)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("pos", LongType(), False),
+            StructField("confidence", DoubleType(), False),
+        ]
+    )
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        s = pdf["score"].to_numpy(dtype=np.float64)
+        conf = KD.exceed_confidence(s, s, contamination)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "pos": pdf["pos"], "confidence": conf}
+        )
+
+    return scored.groupBy("doc_id").applyInPandas(per_series, schema)

@@ -182,3 +182,22 @@ def test_evaluation_pipeline_runs_metrics(spark):
     assert set(out) == {"AreaUnderROC", "FBeta[TopN=20]"}
     assert 0.0 <= out["FBeta[TopN=20]"] <= 1.0
     assert out["AreaUnderROC"] > 0.5  # spikes are high-valued
+
+
+def test_predict_confidence_matches_operator(spark):
+    """Component predict_confidence == the fused Arrow-pass operator
+    (exceed_confidence_scores) for MedianMethod scores."""
+    arrays = _arrays(spark)
+    from dtaianomaly_spark.operators import detectors as DET
+
+    got = {
+        (r["doc_id"], r["pos"]): r["confidence"]
+        for r in CMP.MedianMethod().predict_confidence(arrays).collect()
+    }
+    want = {
+        (r["doc_id"], r["pos"]): r["score"]
+        for r in DET.exceed_confidence_scores(arrays).collect()
+    }
+    assert got.keys() == want.keys() and len(got) > 0
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
