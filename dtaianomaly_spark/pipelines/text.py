@@ -421,3 +421,29 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         " * ((i * 2654435761) % 2147483648))"
     )
     return docs.select("doc_id", F.expr(expr).alias("fp"))
+
+
+def with_quality(docs: DataFrame) -> DataFrame:
+    """APPEND quality + token-count columns to the input frame (same
+    expressions as :func:`quality`/:func:`token_count`, but keeping the
+    payload columns) — the streaming-friendly shape: map-only, no join,
+    works identically on a batch or streaming DataFrame."""
+    return docs.withColumns(
+        {
+            "chars": F.length("text").cast("long"),
+            "spaces": F.expr(
+                "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)"
+            ),
+            "digits": F.expr(
+                "CAST(length(text) - length(regexp_replace(text, '[0-9]', '')) AS BIGINT)"
+            ),
+        }
+    ).withColumns(
+        {
+            "ws_tokens": F.expr("spaces + 1"),
+            "quality": F.expr(
+                "least(CAST(spaces + 1 AS DOUBLE) / 100.0, 1.0)"
+                " * (1.0 - CAST(digits AS DOUBLE) / chars)"
+            ),
+        }
+    )
