@@ -421,6 +421,18 @@ def _q_ann_srp_topk(spark, sf_dir):
     return SIM.srp_lsh_topk(SIM.load_embeddings(spark, sf_dir))
 
 
+def _q_rollup_retention(spark, sf_dir):
+    """Tiered retention policy: raw ages out first, 1m lives longer,
+    1h forever — the continuous-aggregate retention leg of the north
+    rule, as a pure relational filter over the union of tiers."""
+    lf = _spark_long_form(spark, sf_dir)
+    raw = T.rollup_relational(lf, 16, "raw")
+    m1 = T.compose_tier(raw, 60, "1m")
+    h1 = T.compose_tier(m1, 60, "1h")
+    tiered = raw.unionByName(m1).unionByName(h1)
+    return T.apply_retention(tiered, C.documents_series(spark, sf_dir))
+
+
 def _q_rel_q1(spark, sf_dir):
     """TPC-H Q1-shape pricing summary (exact integer cents)."""
     from dtaianomaly_spark.pipelines import relational as R
@@ -743,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
+        "rollup_retention": _q_rollup_retention,
         "rel_q1_pricing": _q_rel_q1,
         "rel_q3_top_orders": _q_rel_q3,
         "rel_q5_region_revenue": _q_rel_q5,
@@ -1399,6 +1412,38 @@ SELECT lang, lang_pred, cnt,
 FROM conf
 """
 
+    def _tier_cte(name, ticks, tier):
+        return f"""
+{name} AS (
+    SELECT doc_id, '{tier}' AS tier,
+        CAST(pos // {ticks} AS BIGINT) AS bucket,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(value) AS BIGINT) AS sum,
+        CAST(SUM(value * value) AS BIGINT) AS sumsq,
+        CAST(MIN(value) AS BIGINT) AS min,
+        CAST(MAX(value) AS BIGINT) AS max,
+        CAST(ARG_MIN(value, pos) AS BIGINT) AS first,
+        CAST(ARG_MAX(value, pos) AS BIGINT) AS last,
+        CAST(MAX(n) AS BIGINT) AS n
+    FROM long_form GROUP BY doc_id, bucket
+)"""
+
+    rollup_retention = f"""
+{C.TOKEN_SQL_CTE},
+{_tier_cte('t_raw', 16, 'raw').strip()},
+{_tier_cte('t_1m', 960, '1m').strip()},
+{_tier_cte('t_1h', 57600, '1h').strip()},
+u AS (
+    SELECT * FROM t_raw UNION ALL SELECT * FROM t_1m UNION ALL SELECT * FROM t_1h
+)
+SELECT doc_id, tier, bucket, cnt, sum, sumsq, min, max, first, last,
+       {_MEAN} AS mean, {_STD} AS std
+FROM u
+WHERE CASE WHEN tier = 'raw' THEN n - (bucket + 1) * 16 < 512
+           WHEN tier = '1m' THEN n - (bucket + 1) * 960 < 16384
+           ELSE TRUE END
+"""
+
     _REL_REV = (
         "CAST(floor(l_extendedprice * 100) AS BIGINT)"
         " * (100 - CAST(floor(l_discount * 100) AS BIGINT))"
@@ -1782,6 +1827,7 @@ FROM agg
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
+        "rollup_retention": rollup_retention,
         "rel_q1_pricing": rel_q1_pricing,
         "rel_q3_top_orders": rel_q3_top_orders,
         "rel_q5_region_revenue": rel_q5_region_revenue,

@@ -273,3 +273,41 @@ def gap_fill(rollup: DataFrame, series_n: DataFrame, bucket_ticks: int) -> DataF
             "min", "max", "first", "last", "mean", "std",
         )
     )
+
+
+# raw kept ~1 "day", 1m kept ~1 "month", 1h forever (in raw ticks)
+RETENTION_TICKS = {"raw": 512, "1m": 16384, "1h": None}
+
+
+def apply_retention(
+    tiered: DataFrame, series_n: DataFrame,
+    horizons: dict = RETENTION_TICKS, tier_ticks: dict = None,
+) -> DataFrame:
+    """Tiered retention policy — the third leg of rollup/downsample/
+    RETENTION (the continuous-aggregate pattern: raw data ages out
+    first, each coarser tier lives longer, the coarsest is kept
+    forever). A tier row survives iff the age of its bucket's END,
+    measured from the series head (``n``, the series' newest tick), is
+    within the tier's horizon:
+
+        n - (bucket + 1) * ticks[tier] < horizon[tier]
+
+    ``tiered`` is the union-of-tiers shape (doc_id, tier, bucket, ...);
+    ``series_n`` is (doc_id, n). Pure relational row filter — on a
+    partitioned store this predicate IS the partition-drop condition
+    (the commit log in streaming/incremental.py deletes whole bucket
+    ranges without touching surviving files), so retention costs
+    metadata, not a rewrite."""
+    if tier_ticks is None:
+        tier_ticks = TIER_TICKS
+    cases = " ".join(
+        f"WHEN tier = '{t}' THEN "
+        + ("TRUE" if horizons.get(t) is None else
+           f"n - (bucket + 1) * {tier_ticks[t]} < {int(horizons[t])}")
+        for t in tier_ticks
+    )
+    return (
+        tiered.join(series_n.select("doc_id", "n"), "doc_id")
+        .filter(F.expr(f"CASE {cases} ELSE TRUE END"))
+        .drop("n")
+    )

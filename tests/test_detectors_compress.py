@@ -121,3 +121,31 @@ def test_sliding_znorm_dist_equals_single_ref_matrix_profile():
         a = KD.matrix_profile(x, w, x_ref=c)
         b = KX.sliding_znorm_dist(x, c, w)
         assert np.allclose(a, b, atol=1e-9)
+
+
+def test_retention_policy_tiers(spark):
+    """Retention: raw survives only near the series head, 1h always; no
+    surviving raw bucket is older than the horizon."""
+    from dtaianomaly_spark.rollup import tiers as T
+
+    lf = C.token_long_form(spark, "/root/testdata/sf0.001")
+    raw = T.rollup_relational(lf, 16, "raw")
+    m1 = T.compose_tier(raw, 60, "1m")
+    h1 = T.compose_tier(m1, 60, "1h")
+    tiered = raw.unionByName(m1).unionByName(h1)
+    series_n = C.documents_series(spark, "/root/testdata/sf0.001")
+    kept = T.apply_retention(tiered, series_n)
+
+    before = {r["tier"]: r["count"] for r in tiered.groupBy("tier").count().collect()}
+    after = {r["tier"]: r["count"] for r in kept.groupBy("tier").count().collect()}
+    assert after["1h"] == before["1h"]          # coarsest kept forever
+    assert after["raw"] < before["raw"]          # raw aged out
+    assert after["1m"] <= before["1m"]
+    # surviving raw buckets are within the horizon of their series head
+    viol = (
+        kept.filter("tier = 'raw'")
+        .join(series_n, "doc_id")
+        .filter(f"n - (bucket + 1) * 16 >= {T.RETENTION_TICKS['raw']}")
+        .count()
+    )
+    assert viol == 0
