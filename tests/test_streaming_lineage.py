@@ -100,3 +100,31 @@ def test_weight_balanced_repartition_reduces_skew(spark):
     rep = L.skew_report(arrays, 16)
     assert rep["balanced_imbalance"] <= rep["hash_imbalance"] * 1.05
     assert rep["balanced_imbalance"] < 1.6
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    """Two-phase salted aggregation must equal the plain groupBy exactly
+    (algebraic partial+final), while spreading the hot key over salts."""
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.plans.skew import salted_agg
+
+    # heavy tail: one key owns 90% of rows
+    df = spark.range(0, 100_000).select(
+        F.expr("CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 97) END").alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    got = salted_agg(
+        df, ["k"],
+        {"cnt": ("count", "v"), "vsum": ("sum", "v"),
+         "vmin": ("min", "v"), "vmax": ("max", "v")},
+        n_salts=8,
+    )
+    want = df.groupBy("k").agg(
+        F.count("v").alias("cnt"), F.sum("v").alias("vsum"),
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    hot = got.filter("k = 'hot'").collect()[0]
+    assert hot["cnt"] == 90_000
