@@ -273,13 +273,22 @@ def fit_sample_windows(
     optionally ``max_windows`` via even subsampling — kernel-matrix
     fits are quadratic in the sample). The collect is bounded regardless
     of table size."""
+    # numeric ids sample by value (stable across runs and partitionings);
+    # non-numeric ids (e.g. UCR series names) fall back to a hash key —
+    # try_cast, because ANSI mode throws on a malformed cast
+    key = F.coalesce(
+        F.expr("try_cast(doc_id AS BIGINT)"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_007)),
+    )
     rows = (
-        arrays.filter(F.col("doc_id").cast("long") % sample_mod == 0)
+        arrays.filter(key % sample_mod == 0)
         .orderBy("doc_id")
         .limit(max_series)
         .select("tokens")
         .collect()
     )
+    if not rows:  # tiny input missed by the 1-in-mod sample: take the head
+        rows = arrays.orderBy("doc_id").limit(max_series).select("tokens").collect()
     wins = [
         KW.sliding_window(np.asarray(r["tokens"], dtype=np.float64), window_size, stride)
         for r in rows

@@ -87,3 +87,42 @@ def ucr_as_datasets(long_form: DataFrame) -> DataFrame:
             F.expr("transform(_te, s -> s.label)").alias("y_test"),
         )
     )
+
+
+def ucr_dataset(spark: SparkSession, path: str, quantize: int = 1000):
+    """A UCR directory as a :class:`workflow.components.DataSet`:
+    train/test splits become canonical arrays frames (values quantized
+    to integer milli-units, the engine's token convention), test labels
+    become the long-form truth — so the component machinery
+    (Pipeline.fit on the NORMAL train split, decision_function +
+    metrics on test, the reference's semi-supervised flow,
+    Workflow.py:426-433) runs end-to-end on the archive format."""
+    from dtaianomaly_spark.workflow.components import DataSet
+
+    lf = load_ucr_directory(spark, path)
+
+    def arrays_of(cond, rebase):
+        part = lf.filter(cond).select(
+            F.col("series_id").alias("doc_id"),
+            (F.col("pos") - rebase).alias("_p"),
+            F.expr(f"CAST(round(value * {quantize}) AS INT)").alias("_v"),
+        )
+        return (
+            part.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("_p", "_v"))).alias("pv"))
+            .select(
+                "doc_id",
+                F.expr("transform(pv, s -> s._v)").alias("tokens"),
+                F.size("pv").cast("int").alias("n_tok"),
+            )
+        )
+
+    X_test = arrays_of(~F.col("is_train"), F.col("train_split"))
+    y_test = lf.filter(~F.col("is_train")).select(
+        F.col("series_id").alias("doc_id"),
+        (F.col("pos") - F.col("train_split")).cast("long").alias("pos"),
+        F.col("label").alias("truth"),
+    )
+    has_train = lf.filter("is_train").limit(1).count() > 0
+    X_train = arrays_of(F.col("is_train"), F.lit(0)) if has_train else None
+    return DataSet(X_test, y_test, X_train=X_train)

@@ -50,3 +50,42 @@ def test_ucr_as_datasets(spark, tmp_path):
     labels = d["y_test"]
     assert labels[70 - 40: 80 - 40] == [1] * 10
     assert sum(labels) == 10
+
+
+def test_ucr_dataset_end_to_end(spark, tmp_path):
+    """UCR directory -> DataSet -> EvaluationPipeline: fit on the normal
+    train split (semi-supervised flow), score test, evaluate metrics."""
+    import numpy as np
+
+    from dtaianomaly_spark.sources.ucr import ucr_dataset
+    from dtaianomaly_spark.workflow import components as CMP
+
+    rng = np.random.default_rng(9)
+    d = tmp_path / "ucr"
+    d.mkdir()
+    for i in range(3):
+        n, split = 400, 150
+        x = np.sin(np.arange(n) / 7.0) + rng.normal(0, 0.05, n)
+        a0, a1 = 250 + i * 10, 280 + i * 10
+        x[a0:a1] += 2.5
+        (d / f"series{i}_{split}_{a0}_{a1}.txt").write_text(
+            "\n".join(f"{v:.6f}" for v in x)
+        )
+
+    ds = ucr_dataset(spark, str(d))
+    assert ds.X_train is not None
+    assert CMP.Supervision.SEMI_SUPERVISED in ds.compatible_supervision()
+    assert ds.X_test.count() == 3
+    # test arrays are the post-split remainder
+    r = ds.X_test.collect()[0]
+    assert r["n_tok"] == 250
+
+    ep = CMP.EvaluationPipeline(
+        "Identity",
+        CMP.KMeansAnomalyDetector(window_size=16, stride=8, n_clusters=4),
+        ["AreaUnderROC"],
+    )
+    out = ep.run(ds)
+    # the detector fit ONLY normal data; the injected level shift in the
+    # test region must score as anomalous
+    assert out["AreaUnderROC"] > 0.7, out
