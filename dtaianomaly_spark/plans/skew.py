@@ -41,7 +41,13 @@ def salted_agg(
     "sum"/"count"/"min"/"max": e.g. ``{"cnt": ("count", "value"),
     "vsum": ("sum", "value")}``. Phase 1 groups by (keys..., salt) —
     the hot key spreads over ``n_salts`` reduce tasks; phase 2 groups by
-    keys over at most ``n_salts`` rows per key."""
+    keys over at most ``n_salts`` rows per key.
+
+    Exactness note: the salt uses ``monotonically_increasing_id`` so its
+    assignment varies with partition layout — harmless for INTEGER
+    sums/counts/min/max (associative and exact in any order), but a
+    float ``sum`` would become order-sensitive; quantize floats to
+    integers first (the engine-wide discipline)."""
     phase1_fns = {
         "sum": F.sum, "count": F.count, "min": F.min, "max": F.max,
     }
