@@ -294,6 +294,12 @@ def fit_sample_windows(
         for r in rows
         if len(r["tokens"]) >= window_size
     ]
+    if not wins:
+        raise ValueError(
+            f"window_size={window_size} exceeds the length of every sampled"
+            f" series ({len(rows)} sampled) — choose a smaller window or an"
+            " auto mode ('fft'/'acf'/'mwf'/'suss')"
+        )
     out = np.concatenate(wins, axis=0)
     if max_windows is not None and out.shape[0] > max_windows:
         idx = np.linspace(0, out.shape[0] - 1, max_windows).astype(np.int64)

@@ -224,6 +224,22 @@ def token_long_form_mv(spark: SparkSession, sf_dir: str, n_attrs: int = 2) -> Da
     )
 
 
+def long_to_arrays(long_form: DataFrame) -> DataFrame:
+    """Rebuild the canonical arrays shape (doc_id string, tokens
+    array<int>, n_tok int) from any (doc_id, pos, value) long form —
+    one hash aggregate. THE shared helper for every path that converts
+    back (workflow grid after preprocessing, the UCR DataSet bridge)."""
+    return (
+        long_form.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "value"))).alias("pv"))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr("transform(pv, s -> CAST(s.value AS INT))").alias("tokens"),
+            F.size("pv").cast("int").alias("n_tok"),
+        )
+    )
+
+
 def token_arrays_mv(spark: SparkSession, sf_dir: str, n_attrs: int = 2) -> DataFrame:
     """Per-row MULTIVARIATE array form (doc_id, tokens array<array<int>>
     time-major (n, d), n_tok): same integer derivation as

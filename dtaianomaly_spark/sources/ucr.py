@@ -101,19 +101,14 @@ def ucr_dataset(spark: SparkSession, path: str, quantize: int = 1000):
 
     lf = load_ucr_directory(spark, path)
 
+    from dtaianomaly_spark.sources.corpus import long_to_arrays
+
     def arrays_of(cond, rebase):
-        part = lf.filter(cond).select(
-            F.col("series_id").alias("doc_id"),
-            (F.col("pos") - rebase).alias("_p"),
-            F.expr(f"CAST(round(value * {quantize}) AS INT)").alias("_v"),
-        )
-        return (
-            part.groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("_p", "_v"))).alias("pv"))
-            .select(
-                "doc_id",
-                F.expr("transform(pv, s -> s._v)").alias("tokens"),
-                F.size("pv").cast("int").alias("n_tok"),
+        return long_to_arrays(
+            lf.filter(cond).select(
+                F.col("series_id").alias("doc_id"),
+                (F.col("pos") - rebase).alias("pos"),
+                F.expr(f"CAST(round(value * {quantize}) AS INT)").alias("value"),
             )
         )
 

@@ -67,16 +67,28 @@ def _make_update(b: int, ttl_ms: int | None):
             tail_list, next_pos = state.get
             tail = np.asarray(tail_list, dtype=np.float64)
             next_pos = int(next_pos)
+            cold_start = False
         else:
             tail = np.empty(0, dtype=np.float64)
             next_pos = 0
+            cold_start = True
 
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             batch = pd.concat(chunks).sort_values("pos")
             vals = batch["value"].to_numpy(dtype=np.float64)
             poss = batch["pos"].to_numpy(dtype=np.int64)
-            # causal contract: positions must continue where state left off
+            if cold_start:
+                # no state: either a genuinely new series OR one whose
+                # state the TTL evicted while idle. Accept ANY starting
+                # position — the evicted neighborhood is gone, so the
+                # first points after a resume score against a cold
+                # (NaN-padded) window, the standard monitoring trade
+                # for bounded state. Raising here would kill the whole
+                # streaming query the moment an idle series came back.
+                next_pos = int(poss[0])
+            # causal contract: positions must continue where state
+            # (or the cold start) left off
             expected = next_pos + np.arange(vals.shape[0])
             if not np.array_equal(poss, expected):
                 raise ValueError(

@@ -30,7 +30,6 @@ from typing import Optional, Union
 
 import numpy as np
 from pyspark.sql import DataFrame
-from pyspark.sql.functions import col as F_col
 
 from dtaianomaly_spark.kernels import detectors as KD
 from dtaianomaly_spark.kernels import windowing as KW
@@ -182,10 +181,20 @@ class _WindowModelDetector(SparkDetector):
         if isinstance(self.window_size, int):
             self.window_size_ = self.window_size
             return self.window_size_
+        from pyspark.sql import functions as F
+
+        # numeric ids sample by value; non-numeric (UCR names) by hash —
+        # try_cast, because ANSI mode throws on a malformed cast
+        key = F.coalesce(
+            F.expr("try_cast(doc_id AS BIGINT)"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_007)),
+        )
         rows = (
-            arrays.filter(F_col("doc_id").cast("long") % 20 == 0)
+            arrays.filter(key % 20 == 0)
             .orderBy("doc_id").limit(20).select("tokens").collect()
         )
+        if not rows:  # tiny input missed by the 1-in-20 sample
+            rows = arrays.orderBy("doc_id").limit(20).select("tokens").collect()
         ws = [
             KW.compute_window_size(
                 np.asarray(r["tokens"], dtype=np.float64),
@@ -428,7 +437,8 @@ class KShapeAnomalyDetector(_WindowModelDetector):
         self.check_is_fitted()
         from dtaianomaly_spark.kernels import detectors_ext as KX
 
-        model, w = self.model_, self.window_size
+        # fit-resolved window (auto modes like 'fft' resolve at fit)
+        model, w = self.model_, getattr(self, "window_size_", self.window_size)
 
         def per_series(x: np.ndarray) -> np.ndarray:
             d = KX.kshape_scores(x, model, w)
@@ -642,6 +652,10 @@ class EvaluationPipeline(PrettyPrintable):
     machinery (type tags / dicts, same as workflow_from_config)."""
 
     def __init__(self, preprocessor, detector: SparkDetector, metrics):
+        # keep the __init__ params as attributes so the PrettyPrintable
+        # canonical string (which reflects over the signature) works
+        self.preprocessor = preprocessor
+        self.detector = detector
         self.pipeline = Pipeline(preprocessor, detector)
         self.metrics = metrics if isinstance(metrics, list) else [metrics]
 

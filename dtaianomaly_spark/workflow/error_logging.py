@@ -24,14 +24,20 @@ def log_error(
     (created if missing) and return the file path."""
     os.makedirs(error_log_path, exist_ok=True)
     base = det_name or "cell"
+    # O_CREAT|O_EXCL reserves the name atomically — concurrent grid
+    # threads (n_jobs > 1) failing in the same second must not clobber
+    # each other's repro scripts
     n = 0
     while True:
         now = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
         suffix = f"-{n}" if n else ""
         file_path = f"{error_log_path}/{base}-{now}{suffix}.err"
-        if not os.path.exists(file_path):
+        try:
+            fd = os.open(file_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
             break
-        n += 1
+        except FileExistsError:
+            n += 1
 
     msg = (
         "An error occurred while running this grid cell!\n"

@@ -98,8 +98,12 @@ def _pp_ema(lf: DataFrame, alpha: float = 0.9) -> DataFrame:
     from dtaianomaly_spark.operators import preprocessing as PP
 
     arrays = _long_to_arrays(lf)
+    # cast the Arrow pass's string doc_id back to the INPUT's id type so
+    # the truth join key matches exactly — a hard 'long' cast would
+    # throw under ANSI for non-numeric ids (the UCR path)
+    id_type = dict(lf.dtypes)["doc_id"]
     out = PP.ema(arrays, alpha).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "pos", F.col("out"),
+        F.col("doc_id").cast(id_type).alias("doc_id"), "pos", F.col("out"),
     )
     return _join_truth(_milli(out), lf)
 
@@ -197,18 +201,10 @@ def build_preprocessor(entry) -> Tuple[str, Callable]:
 # ------------------------------------------------------------------ plumbing
 
 def _long_to_arrays(long_form: DataFrame) -> DataFrame:
-    """Rebuild the canonical arrays shape from a (preprocessed) long
-    form — one hash aggregate. Cells with Identity preprocessing skip
-    this (they reuse the source arrays, no extra shuffle)."""
-    return (
-        long_form.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "value"))).alias("pv"))
-        .select(
-            F.col("doc_id").cast("string").alias("doc_id"),
-            F.expr("transform(pv, s -> CAST(s.value AS INT))").alias("tokens"),
-            F.size("pv").cast("int").alias("n_tok"),
-        )
-    )
+    """Canonical arrays rebuild (shared helper in sources/corpus.py).
+    Cells with Identity preprocessing skip this (they reuse the source
+    arrays, no extra shuffle)."""
+    return C.long_to_arrays(long_form)
 
 
 def build_detector(name: str, kwargs: dict) -> SparkDetector:
@@ -317,11 +313,18 @@ class Workflow:
 
     # ---------------------------------------------------------------- cell
     def _run_cell(self, spark, sf_dir, arrays, base_long, pp_entry, det_entry):
-        pp_name, pp_fn = build_preprocessor(pp_entry)
         det_name, det_kwargs = det_entry
-        row = {"Dataset": sf_dir, "Preprocessor": pp_name, "Detector": det_name}
+        # component construction happens INSIDE the quarantine: a bad
+        # entry must fill the Error cell, not abort the grid
+        row = {
+            "Dataset": sf_dir,
+            "Preprocessor": str(pp_entry),
+            "Detector": det_name,
+        }
         t_total = time.perf_counter()
         try:
+            pp_name, pp_fn = build_preprocessor(pp_entry)
+            row["Preprocessor"] = pp_name
             detector = build_detector(det_name, det_kwargs)
             row["Detector"] = initialization_call_string(detector)
             pp_long = pp_fn(base_long)
@@ -470,12 +473,16 @@ def workflow_from_config(config: dict) -> Workflow:
         if t not in PROBA_METRICS and base not in ("Precision", "Recall", "FBeta"):
             raise ValueError(f"unknown metric type {t!r}")
 
+    threshold_defaults = {"FixedCutoff": 0.5, "ContaminationRate": 0.05, "TopN": 20}
     thresholds = []
     for entry in config.get("thresholds", [{"type": "TopN", "param": 20}]):
         t = entry["type"] if isinstance(entry, dict) else entry
-        if t not in ("FixedCutoff", "ContaminationRate", "TopN"):
+        if t not in threshold_defaults:
             raise ValueError(f"unknown threshold type {t!r}")
-        param = entry.get("param", 0.05) if isinstance(entry, dict) else 0.05
+        # per-kind default: a bare 'TopN' must not inherit the
+        # contamination rate (int(0.05) would silently mean top-0)
+        default = threshold_defaults[t]
+        param = entry.get("param", default) if isinstance(entry, dict) else default
         thresholds.append((t, param))
 
     return Workflow(

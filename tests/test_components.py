@@ -201,3 +201,39 @@ def test_predict_confidence_matches_operator(spark):
     assert got.keys() == want.keys() and len(got) > 0
     for k in got:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_kshape_auto_window_scores(spark):
+    """KShape with an auto window mode must use the fit-resolved window
+    at scoring (regression: it crashed with the mode string)."""
+    arrays = _arrays(spark)
+    det = CMP.KShapeAnomalyDetector(window_size="fft", stride=8, n_clusters=3)
+    det.fit(arrays)
+    assert isinstance(det.window_size_, int)
+    assert det.decision_function(arrays).count() > 0
+
+
+def test_auto_window_fit_on_string_ids(spark):
+    """Auto window resolution must handle non-numeric series ids (the
+    UCR path) — regression for the ANSI-mode cast crash."""
+    from pyspark.sql import functions as F
+
+    arrays = _arrays(spark).select(
+        F.concat(F.lit("ucr-"), "doc_id").alias("doc_id"), "tokens", "n_tok"
+    )
+    det = CMP.KMeansAnomalyDetector(window_size="fft", stride=8, n_clusters=3)
+    det.fit(arrays)
+    assert isinstance(det.window_size_, int) and det.window_size_ >= 10
+
+
+def test_fit_sample_rejects_too_large_window(spark):
+    from dtaianomaly_spark.operators.detectors import fit_sample_windows
+
+    with pytest.raises(ValueError, match="exceeds the length"):
+        fit_sample_windows(_arrays(spark), window_size=100_000, stride=16)
+
+
+def test_evaluation_pipeline_pretty_string(spark):
+    ep = CMP.EvaluationPipeline("Identity", CMP.MedianMethod(), ["AreaUnderROC"])
+    s = str(ep)  # regression: raised AttributeError
+    assert s.startswith("EvaluationPipeline(") and "MedianMethod()" in s

@@ -74,3 +74,39 @@ def test_out_of_order_points_rejected(spark, tmp_path):
             b=4, chunks=1,
         ).collect()
     assert "in-order contiguous" in str(ei.value)
+
+
+def test_cold_start_after_state_eviction_is_accepted(spark, tmp_path):
+    """A series resuming at pos > 0 with NO state (TTL evicted it) must
+    score from a cold window, not kill the query (regression)."""
+    import numpy as np
+
+    from dtaianomaly_spark.streaming.detect import stateful_median_scores
+
+    # single batch starting at pos 100 — the post-eviction resume shape
+    rows = [("a", 100 + p, float(p * 3 % 7)) for p in range(40)]
+    lf = spark.createDataFrame(rows, "doc_id string, pos long, value double")
+    src = str(tmp_path / "src")
+    lf.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(lf.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_median_scores(stream, 8, state_ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["pos"]: r["score"] for r in spark.read.parquet(out_dir).collect()}
+    assert len(got) == 40
+    # cold window == batch kernel on the values alone
+    from dtaianomaly_spark.kernels import detectors as KD
+
+    expect = KD.median_method_scores(
+        np.array([float(p * 3 % 7) for p in range(40)]), 8, 0
+    )
+    for i in range(40):
+        assert got[100 + i] == expect[i]

@@ -183,3 +183,31 @@ def test_error_log_writes_runnable_repro_script(spark, tmp_path):
     # the reconstruction reproduces the same failure
     with pytest.raises(ValueError, match="invalid stride"):
         exec(compile(src, path, "exec"), {"__name__": "__repro__"})
+
+
+def test_bad_component_entry_quarantines_not_aborts(spark):
+    """A malformed preprocessor/detector entry fills the Error cell
+    instead of killing the grid (the quarantine contract covers
+    component construction too)."""
+    wf = Workflow(
+        sources=["/root/testdata/sf0.001"],
+        preprocessors=[{"type": "NoSuchPreprocessor"}, "Identity"],
+        detectors=[("MedianMethod", {})],
+        metrics=["AreaUnderROC"],
+        thresholds=[],
+    )
+    result = wf.run(spark)
+    assert len(result) == 2
+    bad = result[result.Error != ""]
+    ok = result[result.Error == ""]
+    assert len(bad) == 1 and "NoSuchPreprocessor" in bad.iloc[0]["Error"]
+    assert len(ok) == 1
+
+
+def test_bare_string_threshold_gets_per_kind_default():
+    wf = workflow_from_config({"detectors": ["MedianMethod"], "thresholds": ["TopN"]})
+    assert wf.thresholds == [("TopN", 20)]
+    wf2 = workflow_from_config(
+        {"detectors": ["MedianMethod"], "thresholds": ["FixedCutoff", "ContaminationRate"]}
+    )
+    assert wf2.thresholds == [("FixedCutoff", 0.5), ("ContaminationRate", 0.05)]
