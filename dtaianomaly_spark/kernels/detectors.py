@@ -154,6 +154,259 @@ def _matrix_profile_self(x: np.ndarray, w: int) -> np.ndarray:
     return profile
 
 
+# --- generic row engines: sequential per-row distance profiles ----------
+#
+# Each engine yields, for query-window row i (called in order i=0,1,...),
+# the full distance row d(i, j) against every reference window j, with NO
+# exclusion applied (callers mask trivial matches). One engine per
+# (normalize, p) distance family; the same engines serve the univariate
+# normalize/p/k variants AND the mstump multivariate composition.
+
+class _ZnormEngine:
+    """z-normalized Euclidean rows via the STOMP rolling dot product
+    (Zhu et al., ICDM 2016). Flat-window convention matches stumpy:
+    both constant -> 0, one constant -> sqrt(w)."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, w: int):
+        self.x, self.y, self.w = x, y, w
+        self.n_q = x.shape[0] - w + 1
+        self.n_r = y.shape[0] - w + 1
+        self.mu_q, self.sig_q = _sliding_mean_std(x, w)
+        self.mu_r, self.sig_r = _sliding_mean_std(y, w)
+        nfft = 1 << int(np.ceil(np.log2(x.shape[0] + y.shape[0])))
+        fy = np.fft.rfft(y, nfft)
+        fq = np.fft.rfft(x[:w][::-1], nfft)
+        self.qt = np.fft.irfft(fy * fq, nfft)[w - 1 : w - 1 + self.n_r]
+        fx = np.fft.rfft(x, nfft)
+        fr = np.fft.rfft(y[:w][::-1], nfft)
+        self.qt_first_col = np.fft.irfft(fx * fr, nfft)[w - 1 : w - 1 + self.n_q]
+        eps = 1e-14
+        self.flat_q = self.sig_q < eps
+        self.flat_r = self.sig_r < eps
+        self.any_flat_r = bool(self.flat_r.any())
+        self.inv_q = 1.0 / np.where(self.flat_q, 1.0, self.sig_q)
+        self.winv_r = (1.0 / np.where(self.flat_r, 1.0, self.sig_r)) / w
+        self.flat_row = (
+            np.where(self.flat_r, 0.0, float(w)) if self.any_flat_r else None
+        )
+        self._buf = np.empty(self.n_r)
+
+    def row(self, i: int, out: Optional[np.ndarray] = None) -> np.ndarray:
+        """Distance row for query window ``i`` (sequential). Without
+        ``out``, the internal buffer is returned — valid until the next
+        ``row`` call; callers may mutate it freely."""
+        w, y, n_r, qt = self.w, self.y, self.n_r, self.qt
+        x = self.x
+        if out is None:
+            out = self._buf
+        if i > 0:
+            qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
+            qt[0] = self.qt_first_col[i]
+        np.multiply(self.mu_r, -w * self.mu_q[i], out=out)
+        out += qt
+        out *= self.winv_r
+        out *= self.inv_q[i]
+        np.clip(out, -1.0, 1.0, out=out)
+        np.subtract(1.0, out, out=out)
+        out *= 2.0 * w
+        if self.flat_q[i]:
+            if self.flat_row is not None:
+                np.copyto(out, self.flat_row)
+            else:
+                out.fill(float(w))
+        elif self.any_flat_r:
+            out[self.flat_r] = float(w)
+        np.maximum(out, 0.0, out=out)
+        np.sqrt(out, out=out)
+        return out
+
+
+class _Aamp2Engine:
+    """Non-normalized Euclidean (p=2) rows: d2(i,j) = ssq_x[i] + ssq_y[j]
+    - 2*QT(i,j), with QT maintained by the same rolling recurrence."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, w: int):
+        self.x, self.y, self.w = x, y, w
+        self.n_q = x.shape[0] - w + 1
+        self.n_r = y.shape[0] - w + 1
+        csq_x = np.concatenate([[0.0], np.cumsum(x * x)])
+        csq_y = np.concatenate([[0.0], np.cumsum(y * y)])
+        self.ssq_q = csq_x[w:] - csq_x[:-w]
+        self.ssq_r = csq_y[w:] - csq_y[:-w]
+        nfft = 1 << int(np.ceil(np.log2(x.shape[0] + y.shape[0])))
+        fy = np.fft.rfft(y, nfft)
+        fq = np.fft.rfft(x[:w][::-1], nfft)
+        self.qt = np.fft.irfft(fy * fq, nfft)[w - 1 : w - 1 + self.n_r]
+        fx = np.fft.rfft(x, nfft)
+        fr = np.fft.rfft(y[:w][::-1], nfft)
+        self.qt_first_col = np.fft.irfft(fx * fr, nfft)[w - 1 : w - 1 + self.n_q]
+
+    def row(self, i: int, out: Optional[np.ndarray] = None) -> np.ndarray:
+        w, y, n_r, qt = self.w, self.y, self.n_r, self.qt
+        x = self.x
+        if i > 0:
+            qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
+            qt[0] = self.qt_first_col[i]
+        d2 = self.ssq_q[i] + self.ssq_r - 2.0 * qt
+        res = np.sqrt(np.maximum(d2, 0.0))
+        if out is None:
+            return res
+        np.copyto(out, res)
+        return out
+
+
+class _AampPEngine:
+    """Non-normalized Minkowski p-norm rows by direct window arithmetic
+    (no recurrence exists for general p): O(w) per (i, j) cell — the
+    cost stumpy's aamp pays too; at scale the chunked distributed path
+    bounds per-task work."""
+
+    def __init__(self, x: np.ndarray, y: np.ndarray, w: int, p: float):
+        self.x, self.w, self.p = x, w, p
+        self.wins_r = np.lib.stride_tricks.sliding_window_view(y, w)
+        self.n_q = x.shape[0] - w + 1
+        self.n_r = y.shape[0] - w + 1
+
+    def row(self, i: int, out: Optional[np.ndarray] = None) -> np.ndarray:
+        d = np.abs(self.x[i : i + self.w] - self.wins_r)
+        res = (d ** self.p).sum(axis=1) ** (1.0 / self.p)
+        if out is None:
+            return res
+        np.copyto(out, res)
+        return out
+
+
+def _make_engine(x: np.ndarray, y: np.ndarray, w: int, normalize: bool, p: float):
+    if normalize:
+        # stumpy semantics: the z-normalized distance is always
+        # Euclidean; p only applies to the non-normalized (aamp) family
+        return _ZnormEngine(x, y, w)
+    if p == 2.0:
+        return _Aamp2Engine(x, y, w)
+    return _AampPEngine(x, y, w, p)
+
+
+def matrix_profile_general(
+    x: np.ndarray,
+    w: int,
+    x_ref: Optional[np.ndarray] = None,
+    normalize: bool = True,
+    p: float = 2.0,
+    k: int = 1,
+) -> np.ndarray:
+    """Univariate matrix profile with the reference's full parameter
+    surface (MatrixProfileDetector.py:33-114 -> stumpy.stump/aamp):
+    ``normalize=False`` switches to the non-normalized Minkowski
+    ``p``-norm distance, ``k`` takes the k-th smallest neighbor distance
+    (stump's ``[:, k-1]`` column), ``x_ref`` switches self-join (trivial
+    exclusion ceil(w/4)) to AB-join (no exclusion). ``p`` is ignored
+    when ``normalize=True``, exactly as stumpy ignores it. Windows with
+    fewer than ``k`` admissible neighbors return +inf (stumpy
+    convention)."""
+    import math
+
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    if normalize and k == 1:
+        return matrix_profile(x, w, x_ref)
+    self_join = x_ref is None
+    y = x if self_join else np.asarray(x_ref, dtype=np.float64).reshape(-1)
+    eng = _make_engine(x, y, w, normalize, p)
+    n_q, n_r = eng.n_q, eng.n_r
+    excl = int(math.ceil(w / 4)) if self_join else -1
+    profile = np.empty(n_q)
+    for i in range(n_q):
+        d = eng.row(i)  # internal buffer — mutating it here is allowed
+        if excl >= 0:
+            lo, hi = max(0, i - excl), min(n_r, i + excl + 1)
+            d[lo:hi] = np.inf
+        if k == 1:
+            m = d.min()
+        elif k <= d.shape[0]:
+            m = np.partition(d, k - 1)[k - 1]
+        else:
+            m = np.inf
+        profile[i] = m
+    if k == 1 and self_join:
+        # keep the k=1 edge convention of matrix_profile: a window with
+        # no admissible neighbor scores 0.0
+        profile[~np.isfinite(profile)] = 0.0
+    return profile
+
+
+def mstump_profile_sum(
+    X: np.ndarray,
+    w: int,
+    discords: bool = True,
+    normalize: bool = True,
+    p: float = 2.0,
+) -> np.ndarray:
+    """Sum over k = 1..d of the k-dimensional matrix profile, i.e. the
+    reference's multivariate self-join composition
+    ``np.sum(stumpy.mstump(X.T, m, discords=True)[0], axis=0)``
+    (MatrixProfileDetector.py:169-176).
+
+    mstump semantics (Yeh et al., mSTAMP, ICDM 2017; stumpy's public
+    implementation): for each window pair (i, j), the d per-dimension
+    z-normalized distances are sorted — DESCENDING when
+    ``discords=True`` — and the k-dimensional distance is the mean of
+    the first k; the k-dim profile at i is the min over admissible j
+    (trivial exclusion ceil(w/4)). The per-dimension rows come from d
+    parallel STOMP recurrences, so the whole composition is one
+    O(d·n²·log d) pass, no distance matrix materialized."""
+    import math
+
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    n, d = X.shape
+    l = n - w + 1
+    engines = [
+        _make_engine(np.ascontiguousarray(X[:, a]), np.ascontiguousarray(X[:, a]),
+                     w, normalize, p)
+        for a in range(d)
+    ]
+    excl = int(math.ceil(w / 4))
+    out = np.empty(l)
+    if d == 2:
+        # two-attribute fast path (the common case): the sorted pair is
+        # just (min, max), the 2-dim distance their mean — no sort, no
+        # cumsum, all ops into preallocated buffers
+        d0, d1 = np.empty(l), np.empty(l)
+        ext = np.empty(l)
+        mean = np.empty(l)
+        for i in range(l):
+            engines[0].row(i, out=d0)
+            engines[1].row(i, out=d1)
+            lo, hi = max(0, i - excl), min(l, i + excl + 1)
+            d0[lo:hi] = np.inf
+            d1[lo:hi] = np.inf
+            if discords:
+                np.maximum(d0, d1, out=ext)
+            else:
+                np.minimum(d0, d1, out=ext)
+            np.add(d0, d1, out=mean)
+            mean *= 0.5
+            out[i] = ext.min() + mean.min()
+        return out
+    inv_k = 1.0 / np.arange(1.0, d + 1.0)[:, None]
+    D = np.empty((d, l))
+    for i in range(l):
+        for a in range(d):
+            engines[a].row(i, out=D[a])
+        lo, hi = max(0, i - excl), min(l, i + excl + 1)
+        D[:, lo:hi] = np.inf
+        if d == 1:
+            out[i] = D[0].min()
+            continue
+        Ds = np.sort(D, axis=0)
+        if discords:
+            Ds = Ds[::-1]
+        # cumulative means down the sorted dims = the k-dim distances
+        Dk = np.cumsum(Ds, axis=0) * inv_k
+        out[i] = Dk.min(axis=1).sum()
+    return out
+
+
 def matrix_profile_ab_excl(
     x: np.ndarray, y: np.ndarray, w: int, delta: int, excl: int
 ) -> np.ndarray:
@@ -234,6 +487,78 @@ def matrix_profile_ab_excl_both(
         profile[i] = m  # +inf stays +inf (combiner's min ignores it)
         np.minimum(prof_y, d2, out=prof_y)
     return profile, prof_y
+
+
+def mstump_ab_excl_pair(
+    Xa: np.ndarray, Xb: np.ndarray, w: int, delta: int, excl: int,
+    discords: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """mstump building block for the chunked distributed MULTIVARIATE
+    matrix profile: for an unordered chunk pair (Xa, Xb) of ONE (n, d)
+    series, return per-k partial minima for both chunks —
+    ``P_a[k-1, i] = min_j D_k(i, j)`` over admissible j in Xb and the
+    symmetric ``P_b`` (the k-dim distance D_k is symmetric in (i, j),
+    so one pair pass serves both sides, like matrix_profile_ab_excl_both).
+
+    ``delta``/``excl`` reconstruct the monolithic trivial-match exclusion
+    in GLOBAL window coordinates (|i + delta - j| <= excl -> masked).
+    Because min over j distributes over any partition of j into chunks
+    FOR EACH k separately, min-combining the per-pair P_k rows and then
+    summing over k reproduces ``mstump_profile_sum`` exactly (up to the
+    STOMP recurrence's float noise). Rows with no admissible neighbor in
+    the pair hold +inf — the combiner's min ignores them."""
+    Xa = np.asarray(Xa, dtype=np.float64)
+    Xb = np.asarray(Xb, dtype=np.float64)
+    d = Xa.shape[1]
+    engines = [
+        _ZnormEngine(
+            np.ascontiguousarray(Xa[:, a]), np.ascontiguousarray(Xb[:, a]), w
+        )
+        for a in range(d)
+    ]
+    n_q = Xa.shape[0] - w + 1
+    n_r = Xb.shape[0] - w + 1
+    P_a = np.empty((d, n_q))
+    P_b = np.full((d, n_r), np.inf)
+    if d == 2:
+        d0, d1 = np.empty(n_r), np.empty(n_r)
+        ext = np.empty(n_r)
+        mean = np.empty(n_r)
+        for i in range(n_q):
+            engines[0].row(i, out=d0)
+            engines[1].row(i, out=d1)
+            lo = max(0, i + delta - excl)
+            hi = min(n_r, i + delta + excl + 1)
+            if lo < hi:
+                d0[lo:hi] = np.inf
+                d1[lo:hi] = np.inf
+            if discords:
+                np.maximum(d0, d1, out=ext)
+            else:
+                np.minimum(d0, d1, out=ext)
+            np.add(d0, d1, out=mean)
+            mean *= 0.5
+            P_a[0, i] = ext.min()
+            P_a[1, i] = mean.min()
+            np.minimum(P_b[0], ext, out=P_b[0])
+            np.minimum(P_b[1], mean, out=P_b[1])
+        return P_a, P_b
+    inv_k = 1.0 / np.arange(1.0, d + 1.0)[:, None]
+    D = np.empty((d, n_r))
+    for i in range(n_q):
+        for a in range(d):
+            engines[a].row(i, out=D[a])
+        lo = max(0, i + delta - excl)
+        hi = min(n_r, i + delta + excl + 1)
+        if lo < hi:
+            D[:, lo:hi] = np.inf
+        Ds = np.sort(D, axis=0)
+        if discords:
+            Ds = Ds[::-1]
+        Dk = np.cumsum(Ds, axis=0) * inv_k
+        P_a[:, i] = Dk.min(axis=1)
+        np.minimum(P_b, Dk, out=P_b)
+    return P_a, P_b
 
 
 # ----------------------------------------------------------------- KMeans

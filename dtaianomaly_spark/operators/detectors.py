@@ -50,14 +50,22 @@ SCORE_SCHEMA = StructType(
 )
 
 
-def _score_map(arrays: DataFrame, per_series: Callable[[np.ndarray], np.ndarray]) -> DataFrame:
+def _score_map(
+    arrays: DataFrame,
+    per_series: Callable[[np.ndarray], np.ndarray],
+    with_doc_id: bool = False,
+) -> DataFrame:
     """Shuffle-free per-series scoring: one Arrow pass, long-form out.
 
     ``tokens`` may be univariate (``array<int>`` -> (n,)) or multivariate
     time-major (``array<array<int>>`` -> (n, d)); the window kernels
     flatten (n, d) windows attribute-interleaved exactly like the
     reference (windowing_utils.py:33), so every windowed detector built
-    on this map handles (n, d) input unchanged."""
+    on this map handles (n, d) input unchanged.
+
+    ``with_doc_id=True`` calls ``per_series(x, doc_id)`` — for scorers
+    whose broadcast state is keyed per series (e.g. novelty AB-joins
+    against a per-series reference)."""
 
     def run(batches):
         for pdf in batches:
@@ -69,7 +77,7 @@ def _score_map(arrays: DataFrame, per_series: Callable[[np.ndarray], np.ndarray]
                     x = np.asarray(list(tokens), dtype=np.float64)
                 else:
                     x = np.asarray(tokens, dtype=np.float64)
-                s = per_series(x)
+                s = per_series(x, doc_id) if with_doc_id else per_series(x)
                 doc_ids.append(np.repeat(doc_id, x.shape[0]))
                 poss.append(np.arange(x.shape[0], dtype=np.int64))
                 outs.append(s)
@@ -87,39 +95,150 @@ def _score_map(arrays: DataFrame, per_series: Callable[[np.ndarray], np.ndarray]
     ).mapInPandas(run, SCORE_SCHEMA)
 
 
-def matrix_profile_scores(arrays: DataFrame, window_size: int) -> DataFrame:
+def mp_profile(
+    x: np.ndarray,
+    w: int,
+    x_ref: Optional[np.ndarray] = None,
+    normalize: bool = True,
+    p: float = 2.0,
+    k: int = 1,
+) -> np.ndarray:
+    """The reference's full matrix-profile branch structure
+    (MatrixProfileDetector.py:121-176) over one NumPy series:
+
+    * univariate self-join  -> stump semantics (normalize/p/k),
+    * univariate AB-join    -> stump with T_B (novelty),
+    * multivariate self-join -> mstump(discords=True) summed over k-dim
+      profiles (k/p-norm only via normalize=False, as stumpy),
+    * multivariate AB-join  -> per-attribute stump AB-joins summed
+      (the novelty branch, :153-168).
+    """
+    if x.ndim == 1 or x.shape[1] == 1:
+        xs = np.ascontiguousarray(x.reshape(-1))
+        ref = (
+            None if x_ref is None
+            else np.ascontiguousarray(np.asarray(x_ref, dtype=np.float64).reshape(-1))
+        )
+        return KD.matrix_profile_general(xs, w, ref, normalize=normalize, p=p, k=k)
+    if x_ref is None:
+        return KD.mstump_profile_sum(x, w, discords=True, normalize=normalize, p=p)
+    ref = np.asarray(x_ref, dtype=np.float64)
+    if ref.ndim == 1:
+        ref = ref[:, None]
+    if ref.shape[1] != x.shape[1]:
+        raise ValueError(
+            "Trying to detect anomalies with Matrix Profile using novelty=True,"
+            " but the number of attributes in the reference data is different"
+            f" from the test data: ({ref.shape[1]} != {x.shape[1]})!"
+        )
+    prof = None
+    for a in range(x.shape[1]):
+        pa = KD.matrix_profile_general(
+            np.ascontiguousarray(x[:, a]), w,
+            np.ascontiguousarray(ref[:, a]), normalize=normalize, p=p, k=k,
+        )
+        prof = pa if prof is None else prof + pa
+    return prof
+
+
+def matrix_profile_scores(
+    arrays: DataFrame, window_size: int,
+    normalize: bool = True, p: float = 2.0, k: int = 1,
+) -> DataFrame:
     """STOMP matrix-profile anomaly scores per observation
     (MatrixProfileDetector.py:116-178; per-window profile mapped back via
-    reverse_sliding_window with stride 1)."""
+    reverse_sliding_window with stride 1). Handles univariate AND
+    (n, d) multivariate series — the latter via the mstump composition."""
     w = window_size
 
     def per_series(x: np.ndarray) -> np.ndarray:
-        profile = KD.matrix_profile(x, w)
+        profile = mp_profile(x, w, normalize=normalize, p=p, k=k)
         return KW.reverse_sliding_window(profile, w, 1, x.shape[0])
 
     return _score_map(arrays, per_series)
 
 
-def matrix_profile_scores_mv(arrays_mv: DataFrame, window_size: int) -> DataFrame:
-    """Multivariate matrix-profile scores: per-attribute STOMP self-join
-    profiles SUMMED across attributes, then the stride-1 reverse window
-    map (MatrixProfileDetector.py:141-178 — the reference's per-attribute
-    stump composition; its self-join branch uses stumpy.mstump, whose
-    discord-sorted cumulative averaging we replace with the plain
-    attribute sum, the same composition its novelty branch uses).
+def matrix_profile_scores_mv(
+    arrays_mv: DataFrame, window_size: int,
+    normalize: bool = True, p: float = 2.0,
+) -> DataFrame:
+    """Multivariate matrix-profile scores, mstump-faithful: per window
+    pair the d per-attribute z-normalized distances are sorted descending
+    (discords=True), cumulatively averaged into the k-dimensional
+    distances, min-reduced over admissible neighbors per k, and the k-dim
+    profiles SUMMED — exactly
+    ``np.sum(stumpy.mstump(X.T, m, discords=True)[0], axis=0)``
+    (MatrixProfileDetector.py:169-176), then the stride-1 reverse window
+    map.
 
     Input: (doc_id, tokens array<array<int>> time-major (n, d), n_tok).
-    One Arrow pass per series — d kernel runs per series, no shuffle."""
+    One Arrow pass per series — d parallel STOMP recurrences, no shuffle."""
     w = window_size
 
     def per_series(x: np.ndarray) -> np.ndarray:
-        prof = None
-        for a in range(x.shape[1]):
-            p = KD.matrix_profile(np.ascontiguousarray(x[:, a]), w)
-            prof = p if prof is None else prof + p
+        prof = KD.mstump_profile_sum(x, w, discords=True, normalize=normalize, p=p)
         return KW.reverse_sliding_window(prof, w, 1, x.shape[0])
 
     return _score_map(arrays_mv, per_series)
+
+
+def collect_reference_arrays(
+    arrays: DataFrame, max_points: int = 20_000_000
+) -> dict:
+    """Driver-side collect of a reference corpus for novelty AB-joins:
+    ``{doc_id(str): np.ndarray (n,) or (n, d)}``. The reference detector
+    pickles its whole train series as ``X_reference_``
+    (MatrixProfileDetector.py:116-119); the distributed analog stores one
+    reference series PER doc_id and broadcasts the dict in the task
+    closure. Guarded by a cheap aggregate so an oversized corpus fails
+    fast with a clear message instead of OOMing the driver."""
+    total = arrays.agg(F.sum("n_tok").alias("t")).collect()[0]["t"] or 0
+    if total > max_points:
+        raise ValueError(
+            f"novelty reference corpus holds {total} points"
+            f" (> max_points={max_points}); fit on a bounded reference"
+            " split — the broadcast reference must fit executor memory"
+        )
+    out = {}
+    for r in arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).collect():
+        tokens = r["tokens"]
+        if len(tokens) and isinstance(tokens[0], (list, np.ndarray)):
+            out[r["doc_id"]] = np.asarray(list(tokens), dtype=np.float64)
+        else:
+            out[r["doc_id"]] = np.asarray(tokens, dtype=np.float64)
+    return out
+
+
+def matrix_profile_novelty_scores(
+    arrays: DataFrame, reference: dict, window_size,
+    normalize: bool = True, p: float = 2.0, k: int = 1,
+) -> DataFrame:
+    """Novelty (AB-join) matrix-profile scores: each test series joins
+    against ITS OWN reference series (same doc_id) from the broadcast
+    reference dict — the per-series reading of the reference's
+    ``novelty=True`` fit-then-score contract
+    (MatrixProfileDetector.py:122-168). An auto window mode ('fft'/...)
+    resolves per series from the REFERENCE series, mirroring the
+    reference's compute-at-fit. A test series with no reference raises
+    (scoring against nothing has no semantics)."""
+    spec = window_size
+
+    def per_series(x: np.ndarray, doc_id: str) -> np.ndarray:
+        ref = reference.get(doc_id)
+        if ref is None:
+            raise KeyError(
+                f"novelty scoring: no reference series for doc_id={doc_id!r}"
+            )
+        w = (
+            spec if isinstance(spec, int)
+            else KW.compute_window_size(ref, spec, default_window_size=16)
+        )
+        prof = mp_profile(x, w, x_ref=ref, normalize=normalize, p=p, k=k)
+        return KW.reverse_sliding_window(prof, w, 1, x.shape[0])
+
+    return _score_map(arrays, per_series, with_doc_id=True)
 
 
 def matrix_profile_distributed(
@@ -227,12 +346,21 @@ def matrix_profile_distributed(
         for pdf in batches:
             doc_ids, idxs, vals = [], [], []
 
-            def emit(doc_id, prof, off):
-                keep = np.isfinite(prof)
-                if keep.any():
-                    doc_ids.append(np.repeat(doc_id, int(keep.sum())))
-                    idxs.append(np.flatnonzero(keep) + int(off))
-                    vals.append(prof[keep])
+            def emit(doc_id, prof, off, keep_inf):
+                # cross pairs drop +inf (no admissible neighbor in that
+                # pair — the min-combine ignores them); SELF pairs keep
+                # them so every window owns at least one row, and the
+                # combine can coalesce an all-inf window to the
+                # monolithic kernel's 0.0 (same edge semantics for any
+                # monolithic_threshold)
+                keep = slice(None) if keep_inf else np.isfinite(prof)
+                kept = prof[keep]
+                if kept.shape[0]:
+                    doc_ids.append(np.repeat(doc_id, kept.shape[0]))
+                    idxs.append(
+                        np.arange(prof.shape[0], dtype=np.int64)[keep] + int(off)
+                    )
+                    vals.append(kept)
 
             for doc_id, off_a, tok_a, off_b, tok_b in zip(
                 pdf["doc_id"], pdf["off_a"], pdf["tok_a"],
@@ -242,12 +370,13 @@ def matrix_profile_distributed(
                 y = np.asarray(tok_b, dtype=np.float64)
                 if x.shape[0] < w or y.shape[0] < w:
                     continue
+                is_self = int(off_a) == int(off_b)
                 prof_a, prof_b = KD.matrix_profile_ab_excl_both(
                     x, y, w, int(off_a) - int(off_b), excl
                 )
-                emit(doc_id, prof_a, off_a)
-                if int(off_a) != int(off_b):  # self pair: both sides equal
-                    emit(doc_id, prof_b, off_b)
+                emit(doc_id, prof_a, off_a, keep_inf=is_self)
+                if not is_self:  # self pair: both sides equal
+                    emit(doc_id, prof_b, off_b, keep_inf=False)
             if doc_ids:
                 yield pd.DataFrame(
                     {
@@ -258,9 +387,18 @@ def matrix_profile_distributed(
                 )
 
     per_pair = pairs.mapInPandas(run, schema)
-    return small_prof.unionByName(
-        per_pair.groupBy("doc_id", "idx").agg(F.min("profile").alias("profile"))
+    combined = per_pair.groupBy("doc_id", "idx").agg(
+        F.min("profile").alias("profile")
+    ).select(
+        "doc_id", "idx",
+        # window with no admissible neighbor anywhere -> 0.0, matching
+        # the monolithic kernel (matrix_profile's isfinite fallback)
+        F.expr(
+            "CASE WHEN isnan(profile) OR profile = double('Infinity')"
+            " THEN 0.0 ELSE profile END"
+        ).alias("profile"),
     )
+    return small_prof.unionByName(combined)
 
 
 def fit_sample_windows(

@@ -25,6 +25,18 @@ Input contract: exactly-once points. Completion is detected by count
 bucket early with inflated stats — feed this operator from a source
 with exactly-once semantics (file source / Kafka with idempotent
 producers), as the batch tier assumes unique (doc_id, pos).
+
+Output contract (the ``final`` column): a bucket completed by count
+emits exactly ONE row with ``final=true`` (exactly-once input means a
+bucket's 16 positions arrive at most once, so it can complete at most
+once). A TTL flush emits the partial buckets with ``final=false`` — and
+if the series later REVIVES, the remaining points of an already-flushed
+bucket accumulate fresh state and flush again, so one (doc_id, bucket)
+may own SEVERAL ``final=false`` rows. Those rows are disjoint partials:
+downstream must either filter ``final=true`` (at-most-once complete
+buckets) or monoid-combine per (doc_id, bucket) — sum the cnt/sum/sumsq
+columns, min/max the min/max columns — which reconstructs the exact
+bucket stats regardless of how the flushes split it.
 """
 
 from __future__ import annotations
@@ -35,7 +47,7 @@ import pandas as pd
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, LongType, StringType, StructField, StructType,
 )
 
 BUCKET_TICKS = 16
@@ -50,6 +62,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("sumsq", LongType(), False),
         StructField("min", LongType(), False),
         StructField("max", LongType(), False),
+        StructField("final", BooleanType(), False),
     ]
 )
 
@@ -88,7 +101,7 @@ def _update(
         if open_b:
             yield pd.DataFrame(
                 [
-                    (doc_id, b, st[0], st[1], st[2], st[3], st[4])
+                    (doc_id, b, st[0], st[1], st[2], st[3], st[4], False)
                     for b, st in sorted(open_b.items())
                 ],
                 columns=OUTPUT_SCHEMA.names,
@@ -133,7 +146,7 @@ def _update(
     if done:
         yield pd.DataFrame(
             [
-                (doc_id, b, st[0], st[1], st[2], st[3], st[4])
+                (doc_id, b, st[0], st[1], st[2], st[3], st[4], True)
                 for b, st in sorted(done.items())
             ],
             columns=OUTPUT_SCHEMA.names,

@@ -467,23 +467,73 @@ class MedianMethod(SparkDetector):
 
 
 class MatrixProfileDetector(SparkDetector):
-    """MatrixProfileDetector.py:116-178 — STOMP self-join, no fit state.
-    An auto window mode resolves PER SERIES inside the Arrow pass (each
-    series gets its own window — the faithful distributed reading of the
-    reference's per-series `compute_window_size` at fit)."""
+    """MatrixProfileDetector.py:82-178 with the reference's FULL
+    parameter surface:
 
-    def __init__(self, window_size=32):
+    * ``normalize`` — False switches to the non-normalized Minkowski
+      ``p``-norm distance family (stumpy.aamp).
+    * ``p`` — the norm (non-normalized family only, as stumpy).
+    * ``k`` — the k-th nearest-neighbor distance (stump's ``[:, k-1]``).
+    * ``novelty`` — AB-join against the fitted reference corpus: ``fit``
+      collects a bounded per-doc_id reference dict (the distributed
+      analog of the reference pickling ``X_reference_``), broadcast in
+      the scoring closure; each test series joins its own reference.
+
+    Self-join mode is stateless; an auto window mode resolves PER SERIES
+    inside the Arrow pass (the faithful distributed reading of the
+    reference's per-series ``compute_window_size`` at fit — from the
+    reference series when ``novelty=True``). Multivariate series route
+    to the mstump(discords=True) composition (self-join) or the summed
+    per-attribute AB-joins (novelty), matching the reference's
+    branches."""
+
+    def __init__(self, window_size=32, normalize: bool = True,
+                 p: float = 2.0, k: int = 1, novelty: bool = False):
         _check_window(window_size)
+        # reference validation, MatrixProfileDetector.py:94-108
+        if not isinstance(normalize, bool):
+            raise TypeError("`normalize` should be boolean")
+        if not isinstance(p, (float, int)) or isinstance(p, bool):
+            raise TypeError("`p` should be numeric")
+        if p < 1.0:
+            raise ValueError("`p` is a p-norm, value should be higher than 1.")
+        if not isinstance(k, int) or isinstance(k, bool):
+            raise TypeError("`k` should be integer")
+        if k < 1:
+            raise ValueError("`k` should be strictly positive")
+        if not isinstance(novelty, bool):
+            raise TypeError("'novelty' should be a boolean")
         self.window_size = window_size
+        self.normalize = normalize
+        self.p = float(p)
+        self.k = k
+        self.novelty = novelty
+
+    def fit(self, arrays: DataFrame, y=None) -> "MatrixProfileDetector":
+        if self.novelty:
+            self.reference_ = DET.collect_reference_arrays(arrays)
+        return self
 
     def decision_function(self, arrays: DataFrame) -> DataFrame:
+        if self.novelty:
+            if not hasattr(self, "reference_"):
+                raise NotFittedError(
+                    "MatrixProfileDetector(novelty=True) is not fitted"
+                )
+            return DET.matrix_profile_novelty_scores(
+                arrays, self.reference_, self.window_size,
+                normalize=self.normalize, p=self.p, k=self.k,
+            )
         if isinstance(self.window_size, int):
-            return DET.matrix_profile_scores(arrays, self.window_size)
-        spec = self.window_size
+            return DET.matrix_profile_scores(
+                arrays, self.window_size,
+                normalize=self.normalize, p=self.p, k=self.k,
+            )
+        spec, normalize, p, k = self.window_size, self.normalize, self.p, self.k
 
         def per_series(x: np.ndarray) -> np.ndarray:
             w = KW.compute_window_size(x, spec, default_window_size=16)
-            prof = KD.matrix_profile(x, w)
+            prof = DET.mp_profile(x, w, normalize=normalize, p=p, k=k)
             return KW.reverse_sliding_window(prof, w, 1, x.shape[0])
 
         return DET._score_map(arrays, per_series)
@@ -496,8 +546,13 @@ class _LongFormBaseline(SparkDetector):
     def decision_function(self, arrays: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
+        # doc_id cast to string so baselines share the canonical
+        # (doc_id string, pos, score) SCORE_SCHEMA of every _score_map
+        # detector — truth joins must never lean on implicit
+        # string<->bigint key coercion
         long_form = arrays.select(
-            "doc_id", F.posexplode("tokens").alias("pos", "value")
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.posexplode("tokens").alias("pos", "value"),
         ).select("doc_id", F.col("pos").cast("long").alias("pos"))
         return self._scores(long_form)
 

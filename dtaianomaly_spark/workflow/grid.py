@@ -235,6 +235,32 @@ def _labeled(scored_truth: DataFrame, threshold: Tuple[str, float]) -> DataFrame
     raise ValueError(f"unknown threshold type {kind!r}")
 
 
+def _best_threshold_inner_sql(inner) -> str:
+    """The wrapped BinaryMetric of a BestThresholdMetric config entry ->
+    the SQL text (over tp/fp/fn/tn) maximized across candidate
+    thresholds. The reference accepts any BinaryMetric
+    (BestThresholdMetric.py:44-57); the single-sorted-pass SQL supports
+    the plain confusion metrics — a point-adjusted inner metric's
+    confusion depends on the run structure at each threshold, which this
+    pass does not enumerate, so it raises rather than silently
+    evaluating the wrong metric."""
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    if isinstance(inner, str):
+        inner = {"type": inner}
+    it = inner["type"]
+    if it == "Precision":
+        return EV.PRECISION_SQL
+    if it == "Recall":
+        return EV.RECALL_SQL
+    if it == "FBeta":
+        return EV.fbeta_sql(float(inner.get("beta", 1.0)))
+    raise ValueError(
+        f"BestThresholdMetric: unsupported inner metric type {it!r}"
+        " (supported: Precision, Recall, FBeta)"
+    )
+
+
 def metric_value(
     scored_truth: DataFrame, metric, threshold: Optional[Tuple[str, float]]
 ) -> float:
@@ -251,12 +277,9 @@ def metric_value(
         return _avg(EV.auc_pr(scored_truth), "auc_pr")
     if t == "BestThresholdMetric":
         inner = metric.get("metric", {"type": "FBeta"})
-        if isinstance(inner, str):
-            inner = {"type": inner}
-        beta = float(inner.get("beta", 1.0))
         return _avg(
             EV.best_threshold_metric(
-                scored_truth, EV.fbeta_sql(beta),
+                scored_truth, _best_threshold_inner_sql(inner),
                 max_nb_thresholds=int(metric.get("max_nb_thresholds", -1)),
             ),
             "best_metric",
@@ -472,6 +495,9 @@ def workflow_from_config(config: dict) -> Workflow:
         base = t.removeprefix("PointAdjusted")
         if t not in PROBA_METRICS and base not in ("Precision", "Recall", "FBeta"):
             raise ValueError(f"unknown metric type {t!r}")
+        if t == "BestThresholdMetric" and isinstance(m, dict):
+            # eager inner-metric validation: fail before any Spark job
+            _best_threshold_inner_sql(m.get("metric", {"type": "FBeta"}))
 
     threshold_defaults = {"FixedCutoff": 0.5, "ContaminationRate": 0.05, "TopN": 20}
     thresholds = []

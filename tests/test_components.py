@@ -54,6 +54,10 @@ def test_stateless_detectors_score_without_fit(spark):
     for det in (CMP.MedianMethod(), CMP.MatrixProfileDetector(window_size=16),
                 CMP.AlwaysNormal(), CMP.RandomDetector(seed=1)):
         out = det.decision_function(arrays)
+        # canonical SCORE_SCHEMA contract: every detector — baselines
+        # included — emits a STRING doc_id, so truth joins never rely on
+        # implicit string<->bigint key coercion
+        assert dict(out.dtypes)["doc_id"] == "string"
         assert out.count() > 0
 
 
@@ -237,3 +241,112 @@ def test_evaluation_pipeline_pretty_string(spark):
     ep = CMP.EvaluationPipeline("Identity", CMP.MedianMethod(), ["AreaUnderROC"])
     s = str(ep)  # regression: raised AttributeError
     assert s.startswith("EvaluationPipeline(") and "MedianMethod()" in s
+
+
+# ------------------------------------- MatrixProfileDetector full params
+
+def test_matrix_profile_param_validation():
+    """Constructor validation mirrors MatrixProfileDetector.py:94-108."""
+    MP = CMP.MatrixProfileDetector
+    with pytest.raises(TypeError, match="normalize"):
+        MP(window_size=16, normalize="yes")
+    with pytest.raises(TypeError, match="`p` should be numeric"):
+        MP(window_size=16, p="2")
+    with pytest.raises(TypeError, match="`p` should be numeric"):
+        MP(window_size=16, p=True)
+    with pytest.raises(ValueError, match="p-norm"):
+        MP(window_size=16, p=0.5)
+    with pytest.raises(TypeError, match="`k` should be integer"):
+        MP(window_size=16, k=1.5)
+    with pytest.raises(TypeError, match="`k` should be integer"):
+        MP(window_size=16, k=True)
+    with pytest.raises(ValueError, match="strictly positive"):
+        MP(window_size=16, k=0)
+    with pytest.raises(TypeError, match="novelty"):
+        MP(window_size=16, novelty=1)
+
+
+def test_matrix_profile_params_route_to_kernel(spark):
+    """normalize/p/k reach the kernel: component scores equal the kernel
+    oracle on a collected series, and differ across parameterizations."""
+    import numpy as np
+
+    from dtaianomaly_spark.kernels import detectors as KD
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) < 6")
+    series = {
+        r["doc_id"]: np.asarray(r["tokens"], dtype=np.float64)
+        for r in arrays.collect()
+    }
+    outs = {}
+    for name, kwargs in [
+        ("default", {}),
+        ("k2", {"k": 2}),
+        ("aamp", {"normalize": False}),
+        ("aamp_p3", {"normalize": False, "p": 3.0}),
+    ]:
+        det = CMP.MatrixProfileDetector(window_size=16, **kwargs)
+        got = {}
+        for r in det.decision_function(arrays).collect():
+            got.setdefault(r["doc_id"], {})[r["pos"]] = r["score"]
+        outs[name] = got
+        for doc_id, x in series.items():
+            prof = KD.matrix_profile_general(x, 16, **kwargs)
+            expect = KW.reverse_sliding_window(prof, 16, 1, x.shape[0])
+            out = np.array([got[str(doc_id)][p] for p in range(x.shape[0])])
+            assert np.allclose(out, expect, atol=1e-8), (name, doc_id)
+    base = outs["default"][next(iter(outs["default"]))]
+    for other in ("k2", "aamp", "aamp_p3"):
+        assert outs[other][next(iter(outs[other]))] != base, other
+
+
+def test_matrix_profile_novelty_fit_score_save_load(spark, tmp_path):
+    """novelty=True: fit collects the per-series reference, scoring is the
+    AB-join against each series' own reference, save/load reproduces
+    scores, and scoring before fit raises."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.kernels import detectors as KD
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) < 6")
+    # reference split = each series' first half (deterministic, per-series)
+    ref = arrays.select(
+        "doc_id",
+        F.expr("slice(tokens, 1, CAST(n_tok / 2 AS INT))").alias("tokens"),
+        F.expr("CAST(n_tok / 2 AS INT)").alias("n_tok"),
+    )
+
+    det = CMP.MatrixProfileDetector(window_size=16, novelty=True)
+    with pytest.raises(CMP.NotFittedError):
+        det.decision_function(arrays).count()
+    det.fit(ref)
+
+    got = {}
+    for r in det.decision_function(arrays).collect():
+        got.setdefault(r["doc_id"], {})[r["pos"]] = r["score"]
+    assert len(got) == 6
+
+    for r in arrays.collect():
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        xr = x[: x.shape[0] // 2]
+        prof = KD.matrix_profile_general(x, 16, x_ref=xr)
+        expect = KW.reverse_sliding_window(prof, 16, 1, x.shape[0])
+        out = np.array([got[str(r["doc_id"])][p] for p in range(x.shape[0])])
+        assert np.allclose(out, expect, atol=1e-8)
+
+    path = str(tmp_path / "mp_novelty")
+    det.save(path)
+    loaded = CMP.load_detector(path + ".dtai")
+    a = det.decision_function(arrays).orderBy("doc_id", "pos").collect()
+    b = loaded.decision_function(arrays).orderBy("doc_id", "pos").collect()
+    assert a == b
+
+
+def test_matrix_profile_novelty_reference_size_guard(spark):
+    from dtaianomaly_spark.operators.detectors import collect_reference_arrays
+
+    with pytest.raises(ValueError, match="max_points"):
+        collect_reference_arrays(_arrays(spark), max_points=10)

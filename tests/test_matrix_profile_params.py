@@ -1,0 +1,182 @@
+"""Matrix-profile parameter surface (normalize / p / k / AB-join) and the
+mstump multivariate composition, checked against NAIVE oracles written
+straight from the published definitions (explicit per-window
+z-normalization, O(n²·w) double loops, explicit sort-and-average across
+dimensions) — fully independent of the kernels' recurrences.
+
+Reference behavior being reproduced: MatrixProfileDetector.py:121-178
+(stumpy.stump / stumpy.aamp / stumpy.mstump(discords=True))."""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dtaianomaly_spark.kernels import detectors as KD
+
+
+# ------------------------------------------------------------ naive oracles
+
+def _znorm_dist(a: np.ndarray, b: np.ndarray) -> float:
+    """z-normalized Euclidean distance with the stumpy flat-window
+    convention: both constant -> 0, one constant -> sqrt(w)."""
+    sa, sb = a.std(), b.std()
+    eps = 1e-14
+    if sa < eps and sb < eps:
+        return 0.0
+    if sa < eps or sb < eps:
+        return math.sqrt(len(a))
+    za = (a - a.mean()) / sa
+    zb = (b - b.mean()) / sb
+    return float(np.sqrt(((za - zb) ** 2).sum()))
+
+
+def _p_dist(a: np.ndarray, b: np.ndarray, p: float) -> float:
+    return float((np.abs(a - b) ** p).sum() ** (1.0 / p))
+
+
+def _dist_matrix(x, y, w, normalize, p):
+    n_q, n_r = len(x) - w + 1, len(y) - w + 1
+    D = np.empty((n_q, n_r))
+    for i in range(n_q):
+        for j in range(n_r):
+            a, b = x[i : i + w], y[j : j + w]
+            D[i, j] = _znorm_dist(a, b) if normalize else _p_dist(a, b, p)
+    return D
+
+
+def _naive_profile(x, w, x_ref=None, normalize=True, p=2.0, k=1):
+    self_join = x_ref is None
+    y = x if self_join else x_ref
+    D = _dist_matrix(x, y, w, normalize, p)
+    excl = math.ceil(w / 4)
+    prof = np.empty(D.shape[0])
+    for i in range(D.shape[0]):
+        row = D[i].copy()
+        if self_join:
+            row[max(0, i - excl) : i + excl + 1] = np.inf
+        srt = np.sort(row)
+        prof[i] = srt[k - 1] if k <= len(srt) else np.inf
+    if k == 1 and self_join:
+        prof[~np.isfinite(prof)] = 0.0
+    return prof
+
+
+def _naive_mstump_sum(X, w, discords=True):
+    n, d = X.shape
+    l = n - w + 1
+    Ds = np.stack(
+        [_dist_matrix(X[:, a], X[:, a], w, True, 2.0) for a in range(d)]
+    )  # (d, l, l)
+    excl = math.ceil(w / 4)
+    out = np.zeros(l)
+    for i in range(l):
+        block = Ds[:, i, :].copy()
+        block[:, max(0, i - excl) : i + excl + 1] = np.inf
+        block = np.sort(block, axis=0)
+        if discords:
+            block = block[::-1]
+        for kk in range(d):
+            out[i] += block[: kk + 1].mean(axis=0).min()
+    return out
+
+
+def _series(n, seed, flat_run=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=n).cumsum()
+    if flat_run:
+        x[n // 3 : n // 3 + flat_run] = x[n // 3]
+    return x
+
+
+# ------------------------------------------------------------------- tests
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_znorm_self_join_kth_neighbor(k):
+    x = _series(120, seed=7)
+    got = KD.matrix_profile_general(x, 16, k=k)
+    np.testing.assert_allclose(got, _naive_profile(x, 16, k=k), atol=1e-8)
+
+
+def test_znorm_self_join_with_flat_windows():
+    x = _series(100, seed=3, flat_run=20)
+    got = KD.matrix_profile_general(x, 8, k=1)
+    np.testing.assert_allclose(got, _naive_profile(x, 8), atol=1e-8)
+    got2 = KD.matrix_profile_general(x, 8, k=2)
+    np.testing.assert_allclose(got2, _naive_profile(x, 8, k=2), atol=1e-8)
+
+
+@pytest.mark.parametrize("p", [1.0, 1.5, 2.0, 3.0])
+def test_non_normalized_p_norm_self_join(p):
+    x = _series(90, seed=11)
+    got = KD.matrix_profile_general(x, 12, normalize=False, p=p)
+    np.testing.assert_allclose(
+        got, _naive_profile(x, 12, normalize=False, p=p), atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("normalize,p,k", [
+    (True, 2.0, 1), (True, 2.0, 3), (False, 2.0, 1), (False, 1.5, 2),
+])
+def test_ab_join_novelty(normalize, p, k):
+    x = _series(80, seed=5)
+    ref = _series(110, seed=6)
+    got = KD.matrix_profile_general(x, 10, x_ref=ref, normalize=normalize, p=p, k=k)
+    np.testing.assert_allclose(
+        got, _naive_profile(x, 10, x_ref=ref, normalize=normalize, p=p, k=k),
+        atol=1e-8,
+    )
+
+
+def test_p_ignored_when_normalized():
+    """stumpy ignores p for the z-normalized family; the kernel must too."""
+    x = _series(70, seed=9)
+    a = KD.matrix_profile_general(x, 8, normalize=True, p=2.0)
+    b = KD.matrix_profile_general(x, 8, normalize=True, p=3.0)
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_mstump_sum_matches_naive(d):
+    rng = np.random.default_rng(21 + d)
+    X = rng.normal(size=(90, d)).cumsum(axis=0)
+    got = KD.mstump_profile_sum(X, 12, discords=True)
+    np.testing.assert_allclose(got, _naive_mstump_sum(X, 12, True), atol=1e-8)
+
+
+def test_mstump_motifs_mode_matches_naive():
+    rng = np.random.default_rng(33)
+    X = rng.normal(size=(80, 2)).cumsum(axis=0)
+    got = KD.mstump_profile_sum(X, 10, discords=False)
+    np.testing.assert_allclose(got, _naive_mstump_sum(X, 10, False), atol=1e-8)
+
+
+def test_mstump_d1_reduces_to_univariate():
+    x = _series(100, seed=13)
+    got = KD.mstump_profile_sum(x[:, None], 16)
+    expect = KD.matrix_profile(x, 16)
+    np.testing.assert_allclose(got, expect, atol=1e-10)
+
+
+def test_mstump_differs_from_plain_attribute_sum():
+    """The discord-sorted cumulative-average composition is NOT the plain
+    per-attribute profile sum (the round-2 deviation this kernel fixes)."""
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(120, 2)).cumsum(axis=0)
+    mstump = KD.mstump_profile_sum(X, 16)
+    plain = KD.matrix_profile(X[:, 0], 16) + KD.matrix_profile(X[:, 1], 16)
+    assert not np.allclose(mstump, plain)
+
+
+def test_general_matches_fast_path_k1():
+    """The generic engine path and the buffered STOMP fast path agree."""
+    x = _series(150, seed=17)
+    np.testing.assert_allclose(
+        KD.matrix_profile_general(x, 20, k=1),
+        KD.matrix_profile(x, 20),
+        atol=1e-10,
+    )

@@ -42,6 +42,11 @@ def test_sliding_window_mv_interleaves_like_reference(univariate_time_series):
 
 
 def test_matrix_profile_mv_matches_numpy_oracle(spark):
+    """The Spark mv path must equal the mstump-composition kernel
+    (mstump_profile_sum is itself pinned against a naive sort-and-average
+    oracle in test_matrix_profile_params.py) — NOT the plain
+    per-attribute sum, which is the reference's novelty-branch
+    composition only."""
     got = {}
     for r in (
         DET.matrix_profile_scores_mv(
@@ -54,12 +59,16 @@ def test_matrix_profile_mv_matches_numpy_oracle(spark):
         d = int(doc_id)
         n = len(scores)
         x = _mv_oracle(d, n)
-        prof = KD.matrix_profile(np.ascontiguousarray(x[:, 0]), 32) + KD.matrix_profile(
-            np.ascontiguousarray(x[:, 1]), 32
-        )
+        prof = KD.mstump_profile_sum(x, 32, discords=True)
         expect = KW.reverse_sliding_window(prof, 32, 1, n)
         out = np.array([scores[p] for p in range(n)])
         assert np.allclose(out, expect, atol=1e-9)
+        plain = KD.matrix_profile(
+            np.ascontiguousarray(x[:, 0]), 32
+        ) + KD.matrix_profile(np.ascontiguousarray(x[:, 1]), 32)
+        assert not np.allclose(
+            out, KW.reverse_sliding_window(plain, 32, 1, n)
+        ), "mv self-join must use the mstump composition, not the plain sum"
 
 
 def test_kmeans_mv_matches_numpy_oracle(spark):

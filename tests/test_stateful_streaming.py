@@ -50,8 +50,10 @@ def test_stateful_rollup_converges_to_batch(spark, tmp_path):
     q.awaitTermination(180)
 
     got = spark.read.parquet(out_dir)
-    # exactly-once per bucket
+    # exactly-once per bucket, all completed-by-count (no TTL flushes ran)
     assert got.groupBy("doc_id", "bucket").count().filter("count > 1").count() == 0
+    assert got.filter("NOT final").count() == 0
+    got = got.drop("final")
 
     # batch reference: full (16-point) buckets only — the tail bucket
     # never completes and must NOT have been emitted
@@ -117,9 +119,83 @@ def test_stateful_rollup_flushes_idle_series(spark, tmp_path):
     assert got.groupBy("doc_id", "bucket").count().filter("count > 1").count() == 0
     vals = {(r["doc_id"], r["bucket"]): r for r in got.collect()}
     full = vals[("doc-a", 0)]
-    assert (full["cnt"], full["sum"]) == (16, sum(p * 3 % 11 for p in range(16)))
+    assert (full["cnt"], full["sum"], full["final"]) == (
+        16, sum(p * 3 % 11 for p in range(16)), True
+    )
     part = vals[("doc-a", 1)]
     expect = [p * 3 % 11 for p in range(16, 20)]
-    assert (part["cnt"], part["sum"], part["min"], part["max"]) == (
-        4, sum(expect), min(expect), max(expect)
+    assert (part["cnt"], part["sum"], part["min"], part["max"], part["final"]) == (
+        4, sum(expect), min(expect), max(expect), False
     )
+
+
+def test_stateful_rollup_revival_rows_combine_monoidally(spark, tmp_path):
+    """A series that revives after a TTL flush re-emits the SAME bucket as
+    a second final=false partial; the documented contract is that the
+    rows are disjoint partials whose monoid combine (sum/sum/sum/min/max)
+    reconstructs the exact bucket stats, and that final=true rows stay
+    at-most-once per bucket."""
+    import time
+
+    from dtaianomaly_spark.streaming.stateful import stateful_bucket_rollup
+
+    def v(p):
+        return p * 7 % 13
+
+    src = str(tmp_path / "src")
+    first = spark.createDataFrame(
+        [("doc-r", p, v(p)) for p in range(16, 20)],
+        "doc_id string, pos long, value long",
+    )
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(first.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_bucket_rollup(stream, flush_after_ms=2000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # wait for the first TTL flush of the 4-point partial
+        flushed = False
+        for _ in range(60):
+            time.sleep(1)
+            try:
+                if spark.read.parquet(out_dir).filter("NOT final").count() >= 1:
+                    flushed = True
+                    break
+            except Exception:
+                continue
+        assert flushed, "first partial was never TTL-flushed"
+
+        # revival: the rest of bucket 1 arrives (12 points — completes the
+        # bucket's data but not its in-state count, so it TTL-flushes too)
+        spark.createDataFrame(
+            [("doc-r", p, v(p)) for p in range(20, 32)], first.schema
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        rows = []
+        for _ in range(60):
+            time.sleep(1)
+            try:
+                rows = spark.read.parquet(out_dir).collect()
+            except Exception:
+                continue
+            if len(rows) >= 2:
+                break
+    finally:
+        q.stop()
+
+    assert len(rows) == 2, f"expected two partial rows, got {rows}"
+    assert all(r["bucket"] == 1 and not r["final"] for r in rows)
+    expect = [v(p) for p in range(16, 32)]
+    assert sum(r["cnt"] for r in rows) == 16
+    assert sum(r["sum"] for r in rows) == sum(expect)
+    assert sum(r["sumsq"] for r in rows) == sum(e * e for e in expect)
+    assert min(r["min"] for r in rows) == min(expect)
+    assert max(r["max"] for r in rows) == max(expect)

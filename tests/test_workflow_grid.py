@@ -123,6 +123,61 @@ def test_grid_wide_registry_cells(spark):
         assert result[col].between(0, 1).all(), col
 
 
+def test_best_threshold_inner_metric_dispatch(spark):
+    """BestThresholdMetric must evaluate the WRAPPED metric, not always
+    F-beta: check Precision / Recall / FBeta(beta=2) against a brute-force
+    enumeration of every candidate label set, and reject unsupported
+    inner types eagerly."""
+    from dtaianomaly_spark.workflow.grid import metric_value
+
+    scores = [0.1, 0.4, 0.4, 0.7, 0.9, 0.2, 0.8]
+    truth = [0, 1, 0, 1, 0, 1, 1]
+    scored_truth = spark.createDataFrame(
+        [("1", i, float(s), t) for i, (s, t) in enumerate(zip(scores, truth))],
+        "doc_id string, pos long, score double, truth int",
+    )
+
+    def brute_best(metric_fn):
+        best = 0.0
+        label_sets = [
+            [1 if s >= c else 0 for s in scores] for c in sorted(set(scores))
+        ] + [[0] * len(scores)]
+        for labels in label_sets:
+            tp = sum(1 for l, t in zip(labels, truth) if l == 1 and t == 1)
+            fp = sum(1 for l, t in zip(labels, truth) if l == 1 and t == 0)
+            fn = sum(1 for l, t in zip(labels, truth) if l == 0 and t == 1)
+            best = max(best, metric_fn(tp, fp, fn))
+        return best
+
+    prec = lambda tp, fp, fn: tp / (tp + fp) if tp + fp else 0.0
+    rec = lambda tp, fp, fn: tp / (tp + fn) if tp + fn else 0.0
+    f2 = lambda tp, fp, fn: (
+        5.0 * tp / (5.0 * tp + fp + 4.0 * fn) if tp + fp + fn else 0.0
+    )
+    for inner, fn in [
+        ({"type": "Precision"}, prec),
+        ("Recall", rec),
+        ({"type": "FBeta", "beta": 2}, f2),
+    ]:
+        got = metric_value(
+            scored_truth, {"type": "BestThresholdMetric", "metric": inner}, None
+        )
+        assert got == pytest.approx(brute_best(fn), abs=1e-12), inner
+
+    with pytest.raises(ValueError, match="unsupported inner metric"):
+        metric_value(
+            scored_truth,
+            {"type": "BestThresholdMetric", "metric": "PointAdjustedPrecision"},
+            None,
+        )
+    with pytest.raises(ValueError, match="unsupported inner metric"):
+        workflow_from_config(
+            {"metrics": [
+                {"type": "BestThresholdMetric", "metric": {"type": "AreaUnderROC"}}
+            ]}
+        )
+
+
 def test_config_rejects_unknown_types():
     with pytest.raises(ValueError, match="unknown detector"):
         workflow_from_config({"detectors": [{"type": "NoSuchDetector"}]})
