@@ -265,18 +265,42 @@ def matrix_profile_distributed(
     tail decomposes into m(m+1)/2 independent pair tasks per series (the
     O(n²) of a self-join spread across executors); the combine is an
     exact min — equal to the monolithic profile up to STOMP's rolling-
-    recurrence float noise (tested ≤1e-6)."""
+    recurrence float noise (tested ≤1e-6).
+
+    MULTIVARIATE input (``tokens array<array<int>>``, time-major (n, d))
+    is detected from the schema and routes through the mstump pair
+    kernel: each chunk pair emits per-k partial minima
+    (kernels.detectors.mstump_ab_excl_pair — the k-dim distance is
+    symmetric and min-over-j distributes over chunks per k), the combine
+    is min per (doc_id, idx, k) then SUM over k — equal to the
+    monolithic ``mstump_profile_sum`` composition
+    (MatrixProfileDetector.py:169-176). Same chunk/pair plan shape, one
+    extra tiny aggregation level."""
     import math
+
+    from pyspark.sql.types import ArrayType, IntegerType
 
     w = window_size
     cw = chunk_windows
     if monolithic_threshold is None:
         monolithic_threshold = 4 * cw
 
+    is_mv = isinstance(
+        arrays.schema["tokens"].dataType.elementType, ArrayType
+    )
+
     schema = StructType(
         [
             StructField("doc_id", StringType(), False),
             StructField("idx", LongType(), False),
+            StructField("profile", DoubleType(), False),
+        ]
+    )
+    pair_schema = schema if not is_mv else StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("idx", LongType(), False),
+            StructField("k", IntegerType(), False),
             StructField("profile", DoubleType(), False),
         ]
     )
@@ -289,14 +313,22 @@ def matrix_profile_distributed(
     small = base.filter(n_windows <= monolithic_threshold)
     big = base.filter(n_windows > monolithic_threshold)
 
+    def _to_np(tokens):
+        if len(tokens) and isinstance(tokens[0], np.ndarray):
+            return np.asarray(list(tokens), dtype=np.float64)
+        return np.asarray(tokens, dtype=np.float64)
+
     def run_small(batches):
         for pdf in batches:
             doc_ids, idxs, vals = [], [], []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-                x = np.asarray(tokens, dtype=np.float64)
+                x = _to_np(tokens)
                 if x.shape[0] < w:
                     continue
-                prof = KD.matrix_profile(x, w)
+                prof = (
+                    KD.mstump_profile_sum(x, w) if x.ndim == 2
+                    else KD.matrix_profile(x, w)
+                )
                 doc_ids.append(np.repeat(doc_id, prof.shape[0]))
                 idxs.append(np.arange(prof.shape[0], dtype=np.int64))
                 vals.append(prof)
@@ -341,6 +373,64 @@ def matrix_profile_distributed(
     )
     # unordered pairs only: one kernel call serves both sides
     pairs = a.join(b, "doc_id").where(F.col("off_a") <= F.col("off_b"))
+
+    def run_mv(batches):
+        for pdf in batches:
+            doc_ids, idxs, ks, vals = [], [], [], []
+
+            def emit(doc_id, P, off, keep_inf):
+                # P: (d, n) per-k partial minima; long-form (idx, k) rows
+                d, n = P.shape
+                if keep_inf:
+                    flat = P.ravel()
+                    doc_ids.append(np.repeat(doc_id, flat.shape[0]))
+                    idxs.append(np.tile(np.arange(n, dtype=np.int64) + int(off), d))
+                    ks.append(np.repeat(np.arange(1, d + 1, dtype=np.int32), n))
+                    vals.append(flat)
+                    return
+                keep = np.isfinite(P)
+                cnt = int(keep.sum())
+                if cnt:
+                    kk, jj = np.nonzero(keep)
+                    doc_ids.append(np.repeat(doc_id, cnt))
+                    idxs.append(jj.astype(np.int64) + int(off))
+                    ks.append((kk + 1).astype(np.int32))
+                    vals.append(P[keep])
+
+            for doc_id, off_a, tok_a, off_b, tok_b in zip(
+                pdf["doc_id"], pdf["off_a"], pdf["tok_a"],
+                pdf["off_b"], pdf["tok_b"],
+            ):
+                Xa = _to_np(tok_a)
+                Xb = _to_np(tok_b)
+                if Xa.shape[0] < w or Xb.shape[0] < w:
+                    continue
+                is_self = int(off_a) == int(off_b)
+                P_a, P_b = KD.mstump_ab_excl_pair(
+                    Xa, Xb, w, int(off_a) - int(off_b), excl
+                )
+                emit(doc_id, P_a, off_a, keep_inf=is_self)
+                if not is_self:
+                    emit(doc_id, P_b, off_b, keep_inf=False)
+            if doc_ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_ids),
+                        "idx": np.concatenate(idxs),
+                        "k": np.concatenate(ks),
+                        "profile": np.concatenate(vals),
+                    }
+                )
+
+    if is_mv:
+        per_pair = pairs.mapInPandas(run_mv, pair_schema)
+        combined = (
+            per_pair.groupBy("doc_id", "idx", "k")
+            .agg(F.min("profile").alias("profile"))
+            .groupBy("doc_id", "idx")
+            .agg(F.sum("profile").alias("profile"))
+        )
+        return small_prof.unionByName(combined)
 
     def run(batches):
         for pdf in batches:

@@ -149,3 +149,53 @@ def test_retention_policy_tiers(spark):
         .count()
     )
     assert viol == 0
+
+
+def test_distributed_matrix_profile_mv_matches_monolithic(spark):
+    """Chunked multivariate path (mstump pair kernel, per-k min-combine
+    then sum over k) equals the monolithic mstump composition at two
+    different chunk sizes (VERDICT r2 item 4)."""
+    import pytest
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = C.token_arrays_mv(spark, SF_DIR).filter(F.col("doc_id") < 8)
+    refs = {}
+    for r in arrays.collect():
+        X = np.asarray([list(t) for t in r["tokens"]], dtype=np.float64)
+        refs[str(r["doc_id"])] = KD.mstump_profile_sum(X, 32)
+    assert any(len(v) > 300 for v in refs.values())  # chunked path exercised
+
+    for cw in (200, 333):
+        got = {}
+        for r in DET.matrix_profile_distributed(
+            arrays, 32, chunk_windows=cw, monolithic_threshold=300
+        ).collect():
+            got.setdefault(r["doc_id"], {})[r["idx"]] = r["profile"]
+        for doc_id, ref in refs.items():
+            out = np.array([got[doc_id][i] for i in range(ref.shape[0])])
+            assert np.allclose(out, ref, atol=1e-5), (cw, doc_id)
+
+
+def test_distributed_matrix_profile_chunked_emits_every_window(spark):
+    """Edge-semantics normalization (ADVICE r2): the chunked path must
+    emit a row for EVERY window — including windows whose exclusion zone
+    covers all neighbors — with the monolithic kernel's 0.0 fallback."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    # constant series: w=8 over n=24 -> 17 windows, excl=2; all pairwise
+    # distances are 0 (both-flat convention) so profiles are 0.0 —
+    # every window must appear exactly once regardless of routing
+    rows = [("c", list(range(5)) * 0 + [7] * 24, 24)]
+    arrays = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int"
+    )
+    for mono in (1, 1000):  # force chunked vs monolithic routing
+        got = (
+            DET.matrix_profile_distributed(
+                arrays, 8, chunk_windows=5, monolithic_threshold=mono
+            )
+            .orderBy("idx")
+            .collect()
+        )
+        assert [r["idx"] for r in got] == list(range(17)), mono
+        assert all(r["profile"] == 0.0 for r in got), mono
