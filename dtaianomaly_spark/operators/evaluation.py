@@ -337,3 +337,98 @@ def best_threshold_metric(
 def best_threshold_f1(scored_truth: DataFrame) -> DataFrame:
     """Max F1 over every candidate threshold. (BestThresholdMetric.py:58-118)"""
     return best_threshold_metric(scored_truth, F1_SQL, out_col="best_f1")
+
+
+def best_threshold_point_adjusted(
+    scored_truth: DataFrame,
+    metric_sql: str = F1_SQL,
+    out_col: str = "best_metric",
+) -> DataFrame:
+    """Max of a POINT-ADJUSTED confusion metric over every candidate
+    threshold, in ONE sorted pass — the composition the reference
+    expresses as ``BestThresholdMetric(PointAdjustedFBeta())``
+    (BestThresholdMetric.py:58-118 over
+    point_adjusted_binary_metrics.py:9-40).
+
+    Key identity making this single-pass: at threshold t, a ground-truth
+    event run is predicted iff ANY of its points scores >= t, i.e. iff
+    the run's MAX score >= t. So:
+
+    * pa_tp(t) = Σ run_size over runs with run_max >= t,
+    * pa_fn(t) = P − pa_tp(t),
+    * pa_fp(t) = count of truth=0 points with score >= t (negatives are
+      untouched by point adjustment), pa_tn(t) = N − pa_fp(t).
+
+    Both cumulative counts land in one descending RANGE-frame window
+    over a union of contribution rows (runs contribute run_size at
+    run_max; negatives contribute 1 at their score; every distinct score
+    contributes a zero row so each candidate cut exists) — the RANGE
+    frame includes ties, exactly the ``score >= t`` semantics. The t=1
+    empty prediction set is appended as (0, 0, P, N), as in
+    ``_threshold_confusions``. Candidate-cut equivalence to the
+    reference's midpoint enumeration is the same argument as there."""
+    # event segmentation: maximal runs of consecutive truth=1 (the same
+    # lag/cumsum trick as point_adjust)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    ev = scored_truth.select(
+        "doc_id", "pos", "truth", "score",
+        F.sum(
+            F.expr(
+                "CASE WHEN truth != coalesce(lag(truth) over "
+                "(partition by doc_id order by pos), -1) THEN 1 ELSE 0 END"
+            )
+        ).over(w).alias("event"),
+    )
+    run_stats = (
+        ev.filter("truth = 1")
+        .groupBy("doc_id", "event")
+        .agg(
+            F.max("score").alias("score"),
+            F.count("*").cast("long").alias("tp_add"),
+        )
+        .select("doc_id", "score", "tp_add", F.lit(0).cast("long").alias("fp_add"))
+    )
+    neg = scored_truth.filter("truth = 0").select(
+        "doc_id", "score",
+        F.lit(0).cast("long").alias("tp_add"),
+        F.lit(1).cast("long").alias("fp_add"),
+    )
+    zero_cuts = scored_truth.select("doc_id", "score").distinct().select(
+        "doc_id", "score",
+        F.lit(0).cast("long").alias("tp_add"),
+        F.lit(0).cast("long").alias("fp_add"),
+    )
+    contrib = run_stats.unionByName(neg).unionByName(zero_cuts)
+    wrange = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("score").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cum = contrib.select(
+        "doc_id", "score",
+        F.sum("tp_add").over(wrange).alias("tp"),
+        F.sum("fp_add").over(wrange).alias("fp"),
+    ).groupBy("doc_id", "score").agg(
+        F.max("tp").alias("tp"), F.max("fp").alias("fp")
+    )
+    totals = scored_truth.groupBy("doc_id").agg(
+        F.sum("truth").cast("long").alias("p"),
+        F.sum(F.expr("CASE WHEN truth = 0 THEN 1 ELSE 0 END"))
+        .cast("long").alias("n"),
+    )
+    cuts = cum.join(totals, "doc_id").select(
+        "doc_id", "tp", "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        (F.col("n") - F.col("fp")).alias("tn"),
+    )
+    empty_set = totals.select(
+        "doc_id",
+        F.lit(0).cast("long").alias("tp"),
+        F.lit(0).cast("long").alias("fp"),
+        F.col("p").alias("fn"),
+        F.col("n").alias("tn"),
+    )
+    all_cuts = cuts.unionByName(empty_set)
+    return all_cuts.groupBy("doc_id").agg(
+        F.max(F.expr(metric_sql)).alias(out_col)
+    )

@@ -20,7 +20,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SHINGLE_K = 8
-SHINGLE_LIMIT = 256  # shingle only the first N chars (cost bound)
+# Default shingling scope. ``None`` = shingle the ENTIRE document body —
+# the right default for near-dup detection (a head-prefix cap makes every
+# fuzzy-dedup signal blind to body-level duplication). For corpora with
+# multi-KB documents, bound cost with ``limit`` (hard prefix cap) or
+# ``stride`` (see the whole body at 1/stride the shingles) — both are
+# honest, documented cost/recall trades; stride keeps body coverage.
+SHINGLE_LIMIT = None
+SHINGLE_STRIDE = 1
 P31 = 2147483647  # 2^31 - 1
 N_HASHES = 16
 BAND_ROWS = 4  # 4 bands x 4 rows
@@ -31,14 +38,43 @@ _SHINGLE_HASH = (
     " % {p}"
 )
 
-SHINGLES_EXPR = (
-    "transform(sequence(1, greatest(least(length(text), {lim}) - {k} + 1, 1)),"
-    " i -> " + _SHINGLE_HASH + ")"
-).format(k=SHINGLE_K, lim=SHINGLE_LIMIT, p=P31)
+
+def shingles_expr(
+    limit: int | None = SHINGLE_LIMIT,
+    stride: int = SHINGLE_STRIDE,
+    k: int = SHINGLE_K,
+) -> str:
+    """Spark SQL text producing the k-gram shingle-hash array for a
+    ``text`` column. ``limit=None`` shingles the full document;
+    ``stride > 1`` samples every stride-th position (chunked full-text
+    mode — body coverage at reduced cost)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    lim = "length(text)" if limit is None else f"least(length(text), {int(limit)})"
+    bound = f"greatest({lim} - {k} + 1, 1)"
+    seq = (
+        f"sequence(1, {bound})" if stride == 1
+        else f"sequence(1, {bound}, {int(stride)})"
+    )
+    return f"transform({seq}, i -> " + _SHINGLE_HASH.format(k=k, p=P31) + ")"
+
+
+SHINGLES_EXPR = shingles_expr()
 
 
 def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Documents table, repartitioned up to the session parallelism when
+    the source has fewer input splits than cores: every downstream text
+    op multiplies per-doc work by ~300 (one md5 per shingle position), so
+    a single-file scan would otherwise pin the whole map phase to ONE
+    core (measured 8x on the shingle pass). The repartition shuffles only
+    the raw docs (KBs per row); at cluster scale the table has thousands
+    of splits and the guard is a no-op."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if _input_splits(docs) < par:
+        docs = docs.repartition(par)
+    return docs
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -54,20 +90,41 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_shingles(docs: DataFrame) -> DataFrame:
+def doc_shingles(
+    docs: DataFrame,
+    limit: int | None = SHINGLE_LIMIT,
+    stride: int = SHINGLE_STRIDE,
+) -> DataFrame:
     """(doc_id, shingles array<bigint>) — distinct k-gram hashes per doc,
-    computed entirely inside the row (no explode)."""
+    computed entirely inside the row (no explode). Full-body by default;
+    ``limit``/``stride`` bound cost for long-document corpora."""
     return docs.select(
         "doc_id",
-        F.expr(f"array_distinct({SHINGLES_EXPR})").alias("shingles"),
+        F.expr(f"array_distinct({shingles_expr(limit, stride)})").alias("shingles"),
     )
+
+
+def _input_splits(docs: DataFrame) -> int:
+    """Input-split proxy for the window-vs-anti strategy switch, WITHOUT
+    converting the plan to an RDD (``df.rdd.getNumPartitions()`` forces
+    an RDD conversion of the whole query plan): the number of underlying
+    input files. Derived frames with no file lineage fall back to the
+    session default parallelism."""
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        return len(files)
+    return docs.sparkSession.sparkContext.defaultParallelism
 
 
 MAX_SHINGLE_DF = 50  # drop shingles occurring in more docs (stop-shingles)
 
 
 def informative_shingles(
-    docs: DataFrame, max_df: int = MAX_SHINGLE_DF, strategy: str = "auto"
+    docs: DataFrame, max_df: int = MAX_SHINGLE_DF, strategy: str = "auto",
+    limit: int | None = SHINGLE_LIMIT, stride: int = SHINGLE_STRIDE,
 ) -> DataFrame:
     """Long form (doc_id, s) restricted to shingles with document
     frequency <= max_df. Stop-shingle removal is what makes EVERY
@@ -93,9 +150,11 @@ def informative_shingles(
     ``auto`` picks by input parallelism: a many-split scan implies the
     sort shuffle would dominate -> ``anti``; a handful of splits is the
     CPU-bound regime -> ``window``."""
-    all_long = doc_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
+    all_long = doc_shingles(docs, limit, stride).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
     if strategy == "auto":
-        strategy = "window" if docs.rdd.getNumPartitions() <= 8 else "anti"
+        strategy = "window" if _input_splits(docs) <= 8 else "anti"
     if strategy == "window":
         return (
             all_long.withColumn(
@@ -282,7 +341,7 @@ def dup_ngram_rate(docs: DataFrame) -> DataFrame:
     CPU dominates, few input splits); groupBy(s)+join avoids the full
     sort shuffle (wins at cluster scale, many splits)."""
     all_long = doc_shingles(docs).select("doc_id", F.explode("shingles").alias("s"))
-    if docs.rdd.getNumPartitions() <= 8:
+    if _input_splits(docs) <= 8:
         counted = all_long.withColumn(
             "df", F.count("*").over(Window.partitionBy("s"))
         )

@@ -116,6 +116,129 @@ def _make_update(b: int, ttl_ms: int | None):
     return update
 
 
+MP_STATE_SCHEMA = StructType(
+    [
+        StructField("tail", ArrayType(DoubleType()), True),
+        StructField("next_pos", LongType(), True),
+    ]
+)
+
+MP_SCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("idx", LongType(), False),
+        StructField("profile", DoubleType(), False),
+    ]
+)
+
+
+def _make_mp_update(w: int, horizon: int, ttl_ms: int | None):
+    tail_len = horizon + w - 1  # values needed to rescore the oldest lookback window
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            tail_list, next_pos = state.get
+            tail = np.asarray(tail_list, dtype=np.float64)
+            next_pos = int(next_pos)
+            cold_start = False
+        else:
+            tail = np.empty(0, dtype=np.float64)
+            next_pos = 0
+            cold_start = True
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+
+        batch = pd.concat(chunks).sort_values("pos")
+        vals = batch["value"].to_numpy(dtype=np.float64)
+        poss = batch["pos"].to_numpy(dtype=np.int64)
+        if cold_start:
+            # state evicted while idle: accept any resume position — the
+            # lookback before it is gone (bounded-state trade, same as
+            # the online MedianMethod)
+            next_pos = int(poss[0])
+        expected = next_pos + np.arange(vals.shape[0])
+        if not np.array_equal(poss, expected):
+            raise ValueError(
+                f"online left matrix profile requires in-order contiguous"
+                f" points; series {doc_id!r} expected pos {next_pos}, got"
+                f" {poss[:5].tolist()}..."
+            )
+        full = np.concatenate([tail, vals]) if tail.size else vals
+        base = next_pos - tail.shape[0]  # global position of full[0]
+        next_pos += vals.shape[0]
+        new_tail = full[-tail_len:] if full.shape[0] > tail_len else full
+        state.update((new_tail.tolist(), next_pos))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+        if full.shape[0] >= w:
+            # windows completed by THIS batch: global idx in
+            # [next_pos_before_batch - w + 1, last_value_pos - w + 1];
+            # the kernel over the suffix is bit-equal to the full-series
+            # kernel because every distance only reads window values
+            prof = KD.left_matrix_profile(full, w, horizon)
+            first_new_global = max(base, poss[0] - w + 1)
+            lo_loc = first_new_global - base
+            if lo_loc < prof.shape[0]:
+                out_idx = np.arange(lo_loc, prof.shape[0], dtype=np.int64) + base
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(doc_id, out_idx.shape[0]),
+                        "idx": out_idx,
+                        "profile": prof[lo_loc:],
+                    }
+                )
+
+    return update
+
+
+def stateful_left_matrix_profile(
+    stream_long_form,
+    window_size: int = 16,
+    horizon: int = 64,
+    state_ttl_ms: int | None = STATE_TTL_MS,
+):
+    """(doc_id, pos, value) point stream -> append stream of CAUSAL
+    matrix-profile window scores (doc_id, idx, profile): window idx is
+    emitted the moment its last point arrives, scored against the last
+    ``horizon`` past windows (kernels.detectors.left_matrix_profile).
+    Per-series state = the trailing ``horizon + window_size - 1`` raw
+    values + a position cursor — constant, independent of stream length.
+    Bit-equal to the batch kernel over the full series (the kernel's
+    direct window evaluation is suffix-invariant). Same input contract
+    and TTL semantics as ``stateful_median_scores``; pass
+    ``state_ttl_ms=None`` for finite ``availableNow`` replays.
+
+    CAVEAT vs the batch detector family: this is the LEFT profile (past
+    neighbors only) — the streaming-causal semantics — not the symmetric
+    self-join the batch MatrixProfileDetector computes; a window whose
+    nearest match comes later in the series scores differently."""
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1, got {horizon}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_mp_update(window_size, horizon, state_ttl_ms),
+        MP_SCORE_SCHEMA,
+        MP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stateful_median_scores(
     stream_long_form,
     neighborhood_size_before: int = 16,

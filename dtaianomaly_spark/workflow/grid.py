@@ -235,29 +235,51 @@ def _labeled(scored_truth: DataFrame, threshold: Tuple[str, float]) -> DataFrame
     raise ValueError(f"unknown threshold type {kind!r}")
 
 
-def _best_threshold_inner_sql(inner) -> str:
-    """The wrapped BinaryMetric of a BestThresholdMetric config entry ->
-    the SQL text (over tp/fp/fn/tn) maximized across candidate
-    thresholds. The reference accepts any BinaryMetric
-    (BestThresholdMetric.py:44-57); the single-sorted-pass SQL supports
-    the plain confusion metrics — a point-adjusted inner metric's
-    confusion depends on the run structure at each threshold, which this
-    pass does not enumerate, so it raises rather than silently
-    evaluating the wrong metric."""
+def _base_metric_sql(base: str, params: dict) -> str:
     from dtaianomaly_spark.operators import evaluation as EV
 
+    if base == "Precision":
+        return EV.PRECISION_SQL
+    if base == "Recall":
+        return EV.RECALL_SQL
+    if base == "FBeta":
+        return EV.fbeta_sql(float(params.get("beta", 1.0)))
+    raise ValueError(
+        f"BestThresholdMetric: unsupported inner metric type {base!r}"
+        " (supported: Precision, Recall, FBeta and their PointAdjusted"
+        " variants)"
+    )
+
+
+def _best_threshold_value(scored_truth, metric) -> float:
+    """BestThresholdMetric cell: dispatch the WRAPPED BinaryMetric — the
+    reference accepts any BinaryMetric (BestThresholdMetric.py:44-57).
+    Plain confusion metrics run the single-sorted-pass enumerator;
+    PointAdjusted inners run the run-max enumerator
+    (evaluation.best_threshold_point_adjusted), which has no
+    max_nb_thresholds subsampling (raise rather than silently ignore)."""
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    inner = metric.get("metric", {"type": "FBeta"})
     if isinstance(inner, str):
         inner = {"type": inner}
     it = inner["type"]
-    if it == "Precision":
-        return EV.PRECISION_SQL
-    if it == "Recall":
-        return EV.RECALL_SQL
-    if it == "FBeta":
-        return EV.fbeta_sql(float(inner.get("beta", 1.0)))
-    raise ValueError(
-        f"BestThresholdMetric: unsupported inner metric type {it!r}"
-        " (supported: Precision, Recall, FBeta)"
+    mx = int(metric.get("max_nb_thresholds", -1))
+    if it.startswith("PointAdjusted"):
+        sql = _base_metric_sql(it.removeprefix("PointAdjusted"), inner)
+        if mx != -1:
+            raise ValueError(
+                "BestThresholdMetric: max_nb_thresholds is not supported"
+                " for point-adjusted inner metrics"
+            )
+        return _avg(
+            EV.best_threshold_point_adjusted(scored_truth, sql), "best_metric"
+        )
+    return _avg(
+        EV.best_threshold_metric(
+            scored_truth, _base_metric_sql(it, inner), max_nb_thresholds=mx
+        ),
+        "best_metric",
     )
 
 
@@ -276,14 +298,7 @@ def metric_value(
     if t == "AreaUnderPR":
         return _avg(EV.auc_pr(scored_truth), "auc_pr")
     if t == "BestThresholdMetric":
-        inner = metric.get("metric", {"type": "FBeta"})
-        return _avg(
-            EV.best_threshold_metric(
-                scored_truth, _best_threshold_inner_sql(inner),
-                max_nb_thresholds=int(metric.get("max_nb_thresholds", -1)),
-            ),
-            "best_metric",
-        )
+        return _best_threshold_value(scored_truth, metric)
 
     point_adjusted = t.startswith("PointAdjusted")
     base = t.removeprefix("PointAdjusted")
@@ -497,7 +512,20 @@ def workflow_from_config(config: dict) -> Workflow:
             raise ValueError(f"unknown metric type {t!r}")
         if t == "BestThresholdMetric" and isinstance(m, dict):
             # eager inner-metric validation: fail before any Spark job
-            _best_threshold_inner_sql(m.get("metric", {"type": "FBeta"}))
+            inner = m.get("metric", {"type": "FBeta"})
+            if isinstance(inner, str):
+                inner = {"type": inner}
+            _base_metric_sql(
+                inner["type"].removeprefix("PointAdjusted"), inner
+            )
+            if (
+                inner["type"].startswith("PointAdjusted")
+                and int(m.get("max_nb_thresholds", -1)) != -1
+            ):
+                raise ValueError(
+                    "BestThresholdMetric: max_nb_thresholds is not"
+                    " supported for point-adjusted inner metrics"
+                )
 
     threshold_defaults = {"FixedCutoff": 0.5, "ContaminationRate": 0.05, "TopN": 20}
     thresholds = []

@@ -110,3 +110,78 @@ def test_cold_start_after_state_eviction_is_accepted(spark, tmp_path):
     )
     for i in range(40):
         assert got[100 + i] == expect[i]
+
+
+def _run_mp_stream(spark, tmp_path, rows, schema, w, horizon, chunks):
+    from dtaianomaly_spark.streaming.detect import stateful_left_matrix_profile
+
+    lf = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "mp_src")
+    bounds = np.linspace(0, max(r[1] for r in rows) + 1, chunks + 1).astype(int)
+    for lo, hi in zip(bounds, bounds[1:]):
+        lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "mp_out")
+    q = (
+        stateful_left_matrix_profile(
+            stream, window_size=w, horizon=horizon, state_ttl_ms=None
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "mp_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(out_dir)
+
+
+def test_streamed_left_matrix_profile_equals_batch_kernel(spark, tmp_path):
+    """Second stateful streaming detector (VERDICT r2 item 7): the causal
+    left matrix profile streamed over chunked in-order micro-batches is
+    BIT-equal (==) to the batch kernel over each full series — the
+    kernel's direct window evaluation is suffix-invariant by design."""
+    rng = np.random.default_rng(23)
+    series = {f"doc-{d}": rng.normal(0, 1, 151).cumsum() for d in range(4)}
+    # include a flat stretch: the flat-window conventions must survive
+    series["doc-flat"] = np.concatenate(
+        [np.full(40, 3.25), rng.normal(0, 1, 111).cumsum()]
+    )
+    rows = [
+        (doc, p, float(v))
+        for doc, vals in series.items()
+        for p, v in enumerate(vals)
+    ]
+    w, horizon = 16, 48
+    got = _run_mp_stream(
+        spark, tmp_path, rows, "doc_id string, pos long, value double",
+        w=w, horizon=horizon, chunks=5,
+    )
+    out = {(r["doc_id"], r["idx"]): r["profile"] for r in got.collect()}
+    n_win = 151 - w + 1
+    assert len(out) == 5 * n_win  # every window emitted exactly once
+    for doc, vals in series.items():
+        expect = KD.left_matrix_profile(vals, w, horizon)
+        for i in range(n_win):
+            assert out[(doc, i)] == expect[i], (doc, i)
+
+
+def test_left_matrix_profile_horizon_bounds_lookback():
+    """A motif repeated outside the horizon must NOT be found; inside it
+    must. Direct structural check of the horizon contract."""
+    rng = np.random.default_rng(7)
+    motif = rng.normal(0, 1, 16)
+    x = np.concatenate([motif, rng.normal(10, 0.1, 100).cumsum(), motif])
+    far = KD.left_matrix_profile(x, 16, horizon=20)
+    near = KD.left_matrix_profile(x, 16, horizon=2000)
+    i = len(x) - 16  # the repeated motif's window
+    assert near[i] < 1e-6       # exact repeat found with a wide horizon
+    assert far[i] > near[i] + 1.0  # out of horizon -> no match

@@ -149,6 +149,30 @@ def test_best_threshold_inner_metric_dispatch(spark):
             best = max(best, metric_fn(tp, fp, fn))
         return best
 
+    def brute_best_pa(metric_fn):
+        """Reference composition: threshold -> binary labels ->
+        point-adjust (any hit marks the whole truth run) -> metric."""
+        # truth runs as (start, end) inclusive
+        runs, start = [], None
+        for i, t in enumerate(truth + [0]):
+            if t == 1 and start is None:
+                start = i
+            elif t != 1 and start is not None:
+                runs.append((start, i - 1))
+                start = None
+        best = 0.0
+        for c in sorted(set(scores)) + [max(scores) + 1]:
+            labels = [1 if s >= c else 0 for s in scores]
+            for a, b in runs:
+                if any(labels[a : b + 1]):
+                    for j in range(a, b + 1):
+                        labels[j] = 1
+            tp = sum(1 for l, t in zip(labels, truth) if l == 1 and t == 1)
+            fp = sum(1 for l, t in zip(labels, truth) if l == 1 and t == 0)
+            fn = sum(1 for l, t in zip(labels, truth) if l == 0 and t == 1)
+            best = max(best, metric_fn(tp, fp, fn))
+        return best
+
     prec = lambda tp, fp, fn: tp / (tp + fp) if tp + fp else 0.0
     rec = lambda tp, fp, fn: tp / (tp + fn) if tp + fn else 0.0
     f2 = lambda tp, fp, fn: (
@@ -164,16 +188,26 @@ def test_best_threshold_inner_metric_dispatch(spark):
         )
         assert got == pytest.approx(brute_best(fn), abs=1e-12), inner
 
-    with pytest.raises(ValueError, match="unsupported inner metric"):
-        metric_value(
-            scored_truth,
-            {"type": "BestThresholdMetric", "metric": "PointAdjustedPrecision"},
-            None,
+    for inner, fn in [
+        ("PointAdjustedPrecision", prec),
+        ({"type": "PointAdjustedFBeta", "beta": 2}, f2),
+    ]:
+        got = metric_value(
+            scored_truth, {"type": "BestThresholdMetric", "metric": inner}, None
         )
+        assert got == pytest.approx(brute_best_pa(fn), abs=1e-12), inner
+
     with pytest.raises(ValueError, match="unsupported inner metric"):
         workflow_from_config(
             {"metrics": [
                 {"type": "BestThresholdMetric", "metric": {"type": "AreaUnderROC"}}
+            ]}
+        )
+    with pytest.raises(ValueError, match="max_nb_thresholds"):
+        workflow_from_config(
+            {"metrics": [
+                {"type": "BestThresholdMetric",
+                 "metric": "PointAdjustedFBeta", "max_nb_thresholds": 5}
             ]}
         )
 
