@@ -881,7 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
-        "pp_differencing", "pp_undersample_rate",
+        "pp_differencing", "pp_undersample_rate", "ev_sessionize",
     ]
 
     def key(k):

@@ -547,9 +547,47 @@ def left_matrix_profile(
     return prof
 
 
+def matrix_profile_ab_excl_topk(
+    x: np.ndarray, y: np.ndarray, w: int, delta: int, excl: int, k: int,
+    normalize: bool = True, p: float = 2.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Chunk-pair building block for the DISTRIBUTED k-th-NN matrix
+    profile: the k SMALLEST admissible distances per window, both sides
+    — ``P_a (n_q, k)`` sorted ascending (inf-padded when the pair offers
+    fewer than k admissible neighbors) and the symmetric ``P_b``. The
+    global k-th-smallest is recovered by min-merging per-pair top-k
+    lists (each pair's k smallest necessarily contain every global
+    top-k member that lives in that pair), so the combiner takes the
+    k-th smallest of the union. Same global-coordinate exclusion as
+    matrix_profile_ab_excl_both."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    y = np.asarray(y, dtype=np.float64).reshape(-1)
+    eng = _make_engine(x, y, w, normalize, p)
+    n_q, n_r = eng.n_q, eng.n_r
+    P_a = np.full((n_q, k), np.inf)
+    P_b = np.full((n_r, k), np.inf)
+    merged = np.empty((n_r, k + 1))
+    for i in range(n_q):
+        d = eng.row(i)
+        if excl >= 0:
+            lo = max(0, i + delta - excl)
+            hi = min(n_r, i + delta + excl + 1)
+            if lo < hi:
+                d[lo:hi] = np.inf
+        kk = min(k, d.shape[0])
+        part = np.partition(d, kk - 1)[:kk]
+        part.sort()
+        P_a[i, :kk] = part
+        merged[:, :k] = P_b
+        merged[:, k] = d
+        merged.sort(axis=1)
+        P_b[:] = merged[:, :k]
+    return P_a, P_b
+
+
 def mstump_ab_excl_pair(
     Xa: np.ndarray, Xb: np.ndarray, w: int, delta: int, excl: int,
-    discords: bool = True,
+    discords: bool = True, normalize: bool = True, p: float = 2.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """mstump building block for the chunked distributed MULTIVARIATE
     matrix profile: for an unordered chunk pair (Xa, Xb) of ONE (n, d)
@@ -569,8 +607,9 @@ def mstump_ab_excl_pair(
     Xb = np.asarray(Xb, dtype=np.float64)
     d = Xa.shape[1]
     engines = [
-        _ZnormEngine(
-            np.ascontiguousarray(Xa[:, a]), np.ascontiguousarray(Xb[:, a]), w
+        _make_engine(
+            np.ascontiguousarray(Xa[:, a]), np.ascontiguousarray(Xb[:, a]),
+            w, normalize, p,
         )
         for a in range(d)
     ]

@@ -244,6 +244,7 @@ def matrix_profile_novelty_scores(
 def matrix_profile_distributed(
     arrays: DataFrame, window_size: int, chunk_windows: int = 512,
     monolithic_threshold: int | None = None,
+    k: int = 1, normalize: bool = True, p: float = 2.0,
 ) -> DataFrame:
     """Chunked distributed matrix profile (SURVEY §4.2-5 — the custom
     physical strategy for series too long for one task): each series is
@@ -275,7 +276,15 @@ def matrix_profile_distributed(
     is min per (doc_id, idx, k) then SUM over k — equal to the
     monolithic ``mstump_profile_sum`` composition
     (MatrixProfileDetector.py:169-176). Same chunk/pair plan shape, one
-    extra tiny aggregation level."""
+    extra tiny aggregation level.
+
+    ``k > 1`` (the k-th-NN profile, univariate only — mstump has no k)
+    swaps the pair kernel for the top-k variant: each pair emits its k
+    smallest admissible distances per window (self pairs inf-padded for
+    coverage) and the combine takes the k-th smallest of the union —
+    exact, because every global top-k member is inside its own pair's
+    top-k. ``normalize``/``p`` select the distance family as in
+    ``matrix_profile_general``."""
     import math
 
     from pyspark.sql.types import ArrayType, IntegerType
@@ -288,6 +297,11 @@ def matrix_profile_distributed(
     is_mv = isinstance(
         arrays.schema["tokens"].dataType.elementType, ArrayType
     )
+    if is_mv and k != 1:
+        raise ValueError(
+            "k-th-NN matrix profile is univariate-only (the reference's"
+            " multivariate mstump branch takes no k)"
+        )
 
     schema = StructType(
         [
@@ -326,8 +340,11 @@ def matrix_profile_distributed(
                 if x.shape[0] < w:
                     continue
                 prof = (
-                    KD.mstump_profile_sum(x, w) if x.ndim == 2
-                    else KD.matrix_profile(x, w)
+                    KD.mstump_profile_sum(x, w, normalize=normalize, p=p)
+                    if x.ndim == 2
+                    else KD.matrix_profile_general(
+                        x, w, normalize=normalize, p=p, k=k
+                    )
                 )
                 doc_ids.append(np.repeat(doc_id, prof.shape[0]))
                 idxs.append(np.arange(prof.shape[0], dtype=np.int64))
@@ -407,7 +424,8 @@ def matrix_profile_distributed(
                     continue
                 is_self = int(off_a) == int(off_b)
                 P_a, P_b = KD.mstump_ab_excl_pair(
-                    Xa, Xb, w, int(off_a) - int(off_b), excl
+                    Xa, Xb, w, int(off_a) - int(off_b), excl,
+                    normalize=normalize, p=p,
                 )
                 emit(doc_id, P_a, off_a, keep_inf=is_self)
                 if not is_self:
@@ -461,12 +479,24 @@ def matrix_profile_distributed(
                 if x.shape[0] < w or y.shape[0] < w:
                     continue
                 is_self = int(off_a) == int(off_b)
-                prof_a, prof_b = KD.matrix_profile_ab_excl_both(
-                    x, y, w, int(off_a) - int(off_b), excl
-                )
-                emit(doc_id, prof_a, off_a, keep_inf=is_self)
-                if not is_self:  # self pair: both sides equal
-                    emit(doc_id, prof_b, off_b, keep_inf=False)
+                if k == 1 and normalize:
+                    prof_a, prof_b = KD.matrix_profile_ab_excl_both(
+                        x, y, w, int(off_a) - int(off_b), excl
+                    )
+                    emit(doc_id, prof_a, off_a, keep_inf=is_self)
+                    if not is_self:  # self pair: both sides equal
+                        emit(doc_id, prof_b, off_b, keep_inf=False)
+                else:
+                    # top-k lists per window, long-form (self pairs keep
+                    # the inf padding so every window owns >= k rows)
+                    P_a, P_b = KD.matrix_profile_ab_excl_topk(
+                        x, y, w, int(off_a) - int(off_b), excl, k,
+                        normalize=normalize, p=p,
+                    )
+                    for col in range(k):
+                        emit(doc_id, P_a[:, col], off_a, keep_inf=is_self)
+                        if not is_self:
+                            emit(doc_id, P_b[:, col], off_b, keep_inf=False)
             if doc_ids:
                 yield pd.DataFrame(
                     {
@@ -477,17 +507,30 @@ def matrix_profile_distributed(
                 )
 
     per_pair = pairs.mapInPandas(run, schema)
-    combined = per_pair.groupBy("doc_id", "idx").agg(
-        F.min("profile").alias("profile")
-    ).select(
-        "doc_id", "idx",
-        # window with no admissible neighbor anywhere -> 0.0, matching
-        # the monolithic kernel (matrix_profile's isfinite fallback)
-        F.expr(
-            "CASE WHEN isnan(profile) OR profile = double('Infinity')"
-            " THEN 0.0 ELSE profile END"
-        ).alias("profile"),
-    )
+    if k == 1:
+        combined = per_pair.groupBy("doc_id", "idx").agg(
+            F.min("profile").alias("profile")
+        ).select(
+            "doc_id", "idx",
+            # window with no admissible neighbor anywhere -> 0.0, matching
+            # the monolithic kernel (matrix_profile's isfinite fallback)
+            F.expr(
+                "CASE WHEN isnan(profile) OR profile = double('Infinity')"
+                " THEN 0.0 ELSE profile END"
+            ).alias("profile"),
+        )
+    else:
+        # k-th smallest of the union of per-pair top-k lists == the
+        # global k-th-NN distance; stays +inf when fewer than k
+        # admissible neighbors exist, matching matrix_profile_general
+        from pyspark.sql import Window as W
+
+        rk = W.partitionBy("doc_id", "idx").orderBy("profile")
+        combined = (
+            per_pair.withColumn("_rn", F.row_number().over(rk))
+            .filter(F.col("_rn") == k)
+            .select("doc_id", "idx", "profile")
+        )
     return small_prof.unionByName(combined)
 
 

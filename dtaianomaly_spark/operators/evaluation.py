@@ -342,6 +342,7 @@ def best_threshold_f1(scored_truth: DataFrame) -> DataFrame:
 def best_threshold_point_adjusted(
     scored_truth: DataFrame,
     metric_sql: str = F1_SQL,
+    max_nb_thresholds: int = -1,
     out_col: str = "best_metric",
 ) -> DataFrame:
     """Max of a POINT-ADJUSTED confusion metric over every candidate
@@ -366,7 +367,9 @@ def best_threshold_point_adjusted(
     frame includes ties, exactly the ``score >= t`` semantics. The t=1
     empty prediction set is appended as (0, 0, P, N), as in
     ``_threshold_confusions``. Candidate-cut equivalence to the
-    reference's midpoint enumeration is the same argument as there."""
+    reference's midpoint enumeration is the same argument as there;
+    ``max_nb_thresholds`` applies the same linspace index subsampling
+    over the ascending candidate list (j = trunc(k*(u+1)/(m+1)))."""
     # event segmentation: maximal runs of consecutive truth=1 (the same
     # lag/cumsum trick as point_adjust)
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -416,19 +419,49 @@ def best_threshold_point_adjusted(
         F.sum(F.expr("CASE WHEN truth = 0 THEN 1 ELSE 0 END"))
         .cast("long").alias("n"),
     )
-    cuts = cum.join(totals, "doc_id").select(
+    wasc = Window.partitionBy("doc_id").orderBy(F.col("score").asc())
+    wall = Window.partitionBy("doc_id")
+    cum_j = cum.select(
+        "doc_id", "tp", "fp",
+        (F.row_number().over(wasc) - 1).alias("j"),
+        F.count("*").over(wall).alias("u"),
+    )
+    empty_set = cum.groupBy("doc_id").agg(
+        F.lit(0).cast("long").alias("tp"),
+        F.lit(0).cast("long").alias("fp"),
+        F.count("*").alias("j"),  # j = u: the t=1 empty prediction set
+        F.count("*").alias("u"),
+    )
+    all_cuts = cum_j.unionByName(empty_set.select(cum_j.columns))
+    if max_nb_thresholds != -1:
+        if max_nb_thresholds <= 0:
+            raise ValueError(
+                "`max_nb_thresholds` must be strictly positive or equal to -1"
+            )
+        m = int(max_nb_thresholds)
+        sel = (
+            all_cuts.select("doc_id", "u")
+            .distinct()
+            .select(
+                "doc_id", "u",
+                F.explode(F.sequence(F.lit(1), F.lit(m))).alias("kk"),
+            )
+            .select(
+                "doc_id",
+                F.expr(
+                    f"CAST(kk * (CAST(u + 1 AS DOUBLE) / {float(m + 1)!r}) AS BIGINT)"
+                ).alias("j"),
+            )
+            .distinct()
+        )
+        all_cuts = all_cuts.where(F.expr(f"u + 1 > {m}")).join(
+            sel, ["doc_id", "j"]
+        ).unionByName(all_cuts.where(F.expr(f"u + 1 <= {m}")))
+    conf = all_cuts.join(totals, "doc_id").select(
         "doc_id", "tp", "fp",
         (F.col("p") - F.col("tp")).alias("fn"),
         (F.col("n") - F.col("fp")).alias("tn"),
     )
-    empty_set = totals.select(
-        "doc_id",
-        F.lit(0).cast("long").alias("tp"),
-        F.lit(0).cast("long").alias("fp"),
-        F.col("p").alias("fn"),
-        F.col("n").alias("tn"),
-    )
-    all_cuts = cuts.unionByName(empty_set)
-    return all_cuts.groupBy("doc_id").agg(
+    return conf.groupBy("doc_id").agg(
         F.max(F.expr(metric_sql)).alias(out_col)
     )

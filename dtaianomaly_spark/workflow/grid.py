@@ -256,8 +256,8 @@ def _best_threshold_value(scored_truth, metric) -> float:
     reference accepts any BinaryMetric (BestThresholdMetric.py:44-57).
     Plain confusion metrics run the single-sorted-pass enumerator;
     PointAdjusted inners run the run-max enumerator
-    (evaluation.best_threshold_point_adjusted), which has no
-    max_nb_thresholds subsampling (raise rather than silently ignore)."""
+    (evaluation.best_threshold_point_adjusted); both support the
+    reference's max_nb_thresholds linspace subsampling."""
     from dtaianomaly_spark.operators import evaluation as EV
 
     inner = metric.get("metric", {"type": "FBeta"})
@@ -267,13 +267,11 @@ def _best_threshold_value(scored_truth, metric) -> float:
     mx = int(metric.get("max_nb_thresholds", -1))
     if it.startswith("PointAdjusted"):
         sql = _base_metric_sql(it.removeprefix("PointAdjusted"), inner)
-        if mx != -1:
-            raise ValueError(
-                "BestThresholdMetric: max_nb_thresholds is not supported"
-                " for point-adjusted inner metrics"
-            )
         return _avg(
-            EV.best_threshold_point_adjusted(scored_truth, sql), "best_metric"
+            EV.best_threshold_point_adjusted(
+                scored_truth, sql, max_nb_thresholds=mx
+            ),
+            "best_metric",
         )
     return _avg(
         EV.best_threshold_metric(
@@ -518,14 +516,6 @@ def workflow_from_config(config: dict) -> Workflow:
             _base_metric_sql(
                 inner["type"].removeprefix("PointAdjusted"), inner
             )
-            if (
-                inner["type"].startswith("PointAdjusted")
-                and int(m.get("max_nb_thresholds", -1)) != -1
-            ):
-                raise ValueError(
-                    "BestThresholdMetric: max_nb_thresholds is not"
-                    " supported for point-adjusted inner metrics"
-                )
 
     threshold_defaults = {"FixedCutoff": 0.5, "ContaminationRate": 0.05, "TopN": 20}
     thresholds = []

@@ -38,7 +38,7 @@ def n_windows_32(spark):
 
 @pytest.mark.parametrize("name", DET_QUERIES)
 def test_detector_scores_complete_and_finite(spark, name, n_obs, n_windows_32):
-    if name == "det_matrix_profile_dist":
+    if name in ("det_matrix_profile_dist", "det_matrix_profile_mv_dist"):
         n_obs = n_windows_32  # per-WINDOW profile, not per-observation
     df = E.queries()[name](spark, SF_DIR)
     value_col = [c for c in df.columns if c not in ("doc_id", "pos")][0]

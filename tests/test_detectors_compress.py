@@ -199,3 +199,43 @@ def test_distributed_matrix_profile_chunked_emits_every_window(spark):
         )
         assert [r["idx"] for r in got] == list(range(17)), mono
         assert all(r["profile"] == 0.0 for r in got), mono
+
+
+def test_distributed_matrix_profile_kth_nn_matches_monolithic(spark):
+    """k>1 distributed path: per-pair top-k lists, combiner takes the
+    k-th smallest of the union — equals the monolithic k-th-NN profile
+    at two chunk sizes; non-normalized (aamp) distributed also checked."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = _small_arrays(spark, 8)
+    series = {
+        str(r["doc_id"]): np.asarray(r["tokens"], dtype=np.float64)
+        for r in arrays.collect()
+    }
+    for kwargs in ({"k": 3}, {"normalize": False, "p": 2.0},
+                   {"normalize": False, "p": 1.5, "k": 2}):
+        refs = {
+            d: KD.matrix_profile_general(x, 32, **kwargs)
+            for d, x in series.items()
+        }
+        for cw in (200, 350):
+            got = {}
+            for r in DET.matrix_profile_distributed(
+                arrays, 32, chunk_windows=cw, monolithic_threshold=300,
+                **kwargs,
+            ).collect():
+                got.setdefault(r["doc_id"], {})[r["idx"]] = r["profile"]
+            for d, ref in refs.items():
+                out = np.array([got[d][i] for i in range(ref.shape[0])])
+                fin = np.isfinite(ref)
+                assert np.array_equal(fin, np.isfinite(out)), (kwargs, cw, d)
+                assert np.allclose(out[fin], ref[fin], atol=1e-5), (kwargs, cw, d)
+
+
+def test_distributed_matrix_profile_mv_rejects_k(spark):
+    import pytest
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = C.token_arrays_mv(spark, SF_DIR).filter(F.col("doc_id") < 2)
+    with pytest.raises(ValueError, match="univariate-only"):
+        DET.matrix_profile_distributed(arrays, 32, k=2)

@@ -203,13 +203,56 @@ def test_best_threshold_inner_metric_dispatch(spark):
                 {"type": "BestThresholdMetric", "metric": {"type": "AreaUnderROC"}}
             ]}
         )
-    with pytest.raises(ValueError, match="max_nb_thresholds"):
-        workflow_from_config(
-            {"metrics": [
-                {"type": "BestThresholdMetric",
-                 "metric": "PointAdjustedFBeta", "max_nb_thresholds": 5}
-            ]}
+    # PA + max_nb_thresholds: a cap covering every candidate equals the
+    # full enumeration; a small cap equals the brute force of the same
+    # linspace index-selection rule
+    full = metric_value(
+        scored_truth,
+        {"type": "BestThresholdMetric", "metric": "PointAdjustedFBeta"},
+        None,
+    )
+    assert metric_value(
+        scored_truth,
+        {"type": "BestThresholdMetric", "metric": "PointAdjustedFBeta",
+         "max_nb_thresholds": 100},
+        None,
+    ) == pytest.approx(full, abs=1e-12)
+
+    def brute_pa_sub(metric_fn, m):
+        runs, start = [], None
+        for i, t in enumerate(truth + [0]):
+            if t == 1 and start is None:
+                start = i
+            elif t != 1 and start is not None:
+                runs.append((start, i - 1))
+                start = None
+        cuts = sorted(set(scores)) + [max(scores) + 1]  # + empty set
+        u = len(cuts) - 1
+        if u + 1 > m:
+            sel = {int(kk * ((u + 1) / (m + 1))) for kk in range(1, m + 1)}
+            cuts = [c for j, c in enumerate(cuts) if j in sel]
+        best = 0.0
+        for c in cuts:
+            labels = [1 if s >= c else 0 for s in scores]
+            for a, b in runs:
+                if any(labels[a : b + 1]):
+                    for j in range(a, b + 1):
+                        labels[j] = 1
+            tp = sum(1 for l, t in zip(labels, truth) if l == 1 and t == 1)
+            fp = sum(1 for l, t in zip(labels, truth) if l == 1 and t == 0)
+            fn = sum(1 for l, t in zip(labels, truth) if l == 0 and t == 1)
+            best = max(best, metric_fn(tp, fp, fn))
+        return best
+
+    f1 = lambda tp, fp, fn: 2.0 * tp / (2.0 * tp + fp + fn) if tp + fp + fn else 0.0
+    for m in (2, 3, 5):
+        got = metric_value(
+            scored_truth,
+            {"type": "BestThresholdMetric",
+             "metric": "PointAdjustedFBeta", "max_nb_thresholds": m},
+            None,
         )
+        assert got == pytest.approx(brute_pa_sub(f1, m), abs=1e-12), m
 
 
 def test_config_rejects_unknown_types():
