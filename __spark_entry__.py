@@ -426,6 +426,22 @@ def _q_dd_jaccard(spark, sf_dir):
     )
 
 
+def _q_dd_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: connected components over the
+    Jaccard >= 0.2 pair graph via min-label propagation; cluster_id =
+    min doc_id of the component, singletons keep their own id. The
+    DuckDB oracle reproduces it with a recursive label walk."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, sf_dir)
+    pairs = TX.jaccard_from_shingles(
+        _shared_shingles(spark, sf_dir), threshold=0.2
+    ).select("doc_a", "doc_b")
+    return TX.dedup_clusters(docs, pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 def _q_tx_lang_id(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
@@ -627,9 +643,14 @@ def _q_det_mp_mv_dist(spark, sf_dir):
     ≤1e-5 equivalence vs monolithic tested at two chunk sizes."""
     from dtaianomaly_spark.operators import detectors as DET
 
+    # default monolithic_threshold: same routing policy as the
+    # univariate dist query — chunking only pays once a single series
+    # outgrows several tasks' worth of work (forcing every ~1k-window
+    # series through the pair fan-out measured 2x slower than its own
+    # monolithic pass; the chunked path's correctness is pinned by the
+    # two-chunk-size equivalence tests)
     return DET.matrix_profile_distributed(
-        C.token_arrays_mv(spark, sf_dir), 32,
-        chunk_windows=512, monolithic_threshold=512,
+        C.token_arrays_mv(spark, sf_dir), 32, chunk_windows=512,
     )
 
 
@@ -822,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_pairs": _q_dd_lsh_pairs,
         "dd_simhash": _q_dd_simhash,
         "dd_jaccard": _q_dd_jaccard,
+        "dd_dup_clusters": _q_dd_dup_clusters,
         "tx_lang_id": _q_tx_lang_id,
         "tx_quality": _q_tx_quality,
         "tx_token_count": _q_tx_token_count,
@@ -882,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
         "pp_differencing", "pp_undersample_rate", "ev_sessionize",
+        "pp_paa32",
     ]
 
     def key(k):
@@ -1469,6 +1492,32 @@ JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter) >= 0.2
 """
 
+    dd_dup_clusters = f"""
+WITH RECURSIVE {_SHINGLES_LONG.lstrip()},
+{_RARE.lstrip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+    SELECT i.doc_a, i.doc_b FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter) >= 0.2
+),
+ed AS (SELECT doc_a AS a, doc_b AS b FROM jp
+       UNION SELECT doc_b, doc_a FROM jp),
+walk(doc, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, w.lab FROM walk w JOIN ed e ON w.doc = e.a
+)
+SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+FROM walk GROUP BY doc
+"""
+
     tx_lang_id = """
 WITH cnts AS (
     SELECT doc_id,
@@ -1980,6 +2029,7 @@ FROM agg
         "dd_lsh_pairs": dd_lsh_pairs,
         "dd_simhash": dd_simhash,
         "dd_jaccard": dd_jaccard,
+        "dd_dup_clusters": dd_dup_clusters,
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
         "tx_token_count": tx_token_count,

@@ -71,38 +71,13 @@ def matrix_profile(
         return _matrix_profile_self(x, w)
     y = np.asarray(x_ref, dtype=np.float64).reshape(-1)
 
-    n_q = x.shape[0] - w + 1  # query windows (rows)
-    n_r = y.shape[0] - w + 1  # reference windows (cols)
-    mu_q, sig_q = _sliding_mean_std(x, w)
-    mu_r, sig_r = _sliding_mean_std(y, w)
-
-    # first row of sliding dot products via correlation (O(n log n))
-    nfft = 1 << int(np.ceil(np.log2(x.shape[0] + y.shape[0])))
-    fy = np.fft.rfft(y, nfft)
-    fq = np.fft.rfft(x[:w][::-1], nfft)
-    qt = np.fft.irfft(fy * fq, nfft)[w - 1 : w - 1 + n_r]
-
-    profile = np.empty(n_q)
-    fx = np.fft.rfft(x, nfft)
-    fr = np.fft.rfft(y[:w][::-1], nfft)
-    qt_first_col = np.fft.irfft(fx * fr, nfft)[w - 1 : w - 1 + n_q]
-
-    eps = 1e-14
-    for i in range(n_q):
-        if i > 0:
-            qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
-            qt[0] = qt_first_col[i]
-        denom = w * sig_q[i] * sig_r
-        with np.errstate(invalid="ignore", divide="ignore"):
-            corr = (qt - w * mu_q[i] * mu_r) / np.where(denom < eps, np.nan, denom)
-        # constant windows: distance 0 vs constant, sqrt(w) vs non-constant
-        d2 = 2.0 * w * (1.0 - np.clip(corr, -1.0, 1.0))
-        if sig_q[i] < eps:
-            d2 = np.where(sig_r < eps, 0.0, w)
-        else:
-            d2 = np.where(sig_r < eps, w, d2)
-        dist = np.sqrt(np.maximum(d2, 0.0))
-        profile[i] = dist.min() if np.isfinite(dist).any() else 0.0
+    # AB-join (novelty): the buffered z-norm row engine — no exclusion
+    # zone, stumpy flat-window conventions inside the engine
+    eng = _ZnormEngine(x, y, w)
+    profile = np.empty(eng.n_q)
+    for i in range(eng.n_q):
+        m = eng.row(i).min()
+        profile[i] = m if np.isfinite(m) else 0.0
     return profile
 
 

@@ -328,6 +328,73 @@ def dedup_suite(
     }
 
 
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Transitive near-duplicate CLUSTERS from a pair list: connected
+    components with ``cluster_id = min(doc_id)`` of each component —
+    the artifact a curation pipeline actually consumes (keep one doc
+    per cluster); singleton docs are their own cluster.
+
+    Physical shape: synchronous min-label propagation — per iteration,
+    every node takes the min of its own label and its neighbors' labels
+    (one join + one hash aggregate per round), stopping at fixpoint.
+    Converges in graph-diameter rounds; near-dup components are
+    small-diameter cliques-ish clusters, so a handful of rounds
+    suffices in practice (``max_iter`` bounds the pathological chain).
+    Each round persists and materializes its label table, so lineage
+    stays O(1) per round and a re-used ``pairs`` input is not
+    recomputed. Only scalar convergence counts hit the driver. At
+    larger diameters the public alternating small-star/large-star
+    scheme (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") drops rounds to O(log n) — same join shape, so it slots
+    into this loop; min-propagation is kept for its determinism and
+    simplicity at the diameters dedup graphs exhibit."""
+    nodes = docs.select(F.col("doc_id").alias("doc"))
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        und.unionByName(
+            und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select("doc", F.col("doc").alias("label")).persist()
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            nb_min = (
+                edges.join(labels, edges["a"] == labels["doc"])
+                .groupBy("b")
+                .agg(F.min("label").alias("nb_min"))
+            )
+            new_labels = (
+                labels.join(nb_min, labels["doc"] == nb_min["b"], "left")
+                .select(
+                    "doc",
+                    F.least(
+                        F.col("label"), F.coalesce("nb_min", "label")
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc")
+                .filter("n.label != o.label")
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
 def dup_ngram_rate(docs: DataFrame) -> DataFrame:
     """Per-document duplicate-n-gram rate: the fraction of a doc's
     DISTINCT 8-gram shingles that occur in at least one other document —

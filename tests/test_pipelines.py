@@ -200,3 +200,23 @@ def test_dup_ngram_rate_bounds(spark):
     rows = TX.dup_ngram_rate(TX.load_docs(spark, "/root/testdata/sf0.001")).collect()
     assert len(rows) == 500
     assert all(0.0 <= r["dup_rate"] <= 1.0 and r["n_dup"] <= r["n_shingles"] for r in rows)
+
+
+def test_dedup_clusters_min_label_components(spark):
+    """Connected components via min-label propagation: chain, triangle,
+    singleton, and a two-hop bridge all resolve to the component min."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    # components: {0,1,2,3} chain, {5,6,7} triangle, {8,9} pair, {4} singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (6, 7), (5, 7), (9, 8)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in TX.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
