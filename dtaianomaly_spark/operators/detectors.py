@@ -221,12 +221,20 @@ def matrix_profile_novelty_scores(
     ``novelty=True`` fit-then-score contract
     (MatrixProfileDetector.py:122-168). An auto window mode ('fft'/...)
     resolves per series from the REFERENCE series, mirroring the
-    reference's compute-at-fit. A test series with no reference raises
-    (scoring against nothing has no semantics)."""
+    reference's compute-at-fit.
+
+    A SINGLE-series reference corpus scores EVERY test series against
+    that one series — exactly the reference's shape (it pickles one
+    ``X_reference_`` and joins any test series against it), and the
+    right semantics for train/test splits whose doc_ids differ (e.g.
+    the UCR bridge). With multiple reference series the join is by
+    doc_id, and a test series with no reference raises (scoring against
+    nothing has no semantics)."""
     spec = window_size
+    only = next(iter(reference.values())) if len(reference) == 1 else None
 
     def per_series(x: np.ndarray, doc_id: str) -> np.ndarray:
-        ref = reference.get(doc_id)
+        ref = only if only is not None else reference.get(doc_id)
         if ref is None:
             raise KeyError(
                 f"novelty scoring: no reference series for doc_id={doc_id!r}"

@@ -350,3 +350,34 @@ def test_matrix_profile_novelty_reference_size_guard(spark):
 
     with pytest.raises(ValueError, match="max_points"):
         collect_reference_arrays(_arrays(spark), max_points=10)
+
+
+def test_matrix_profile_novelty_single_reference_broadcast(spark):
+    """A one-series reference corpus (the reference's own shape — a
+    single pickled X_reference_) scores EVERY test series against that
+    series, even when doc_ids differ (train/test splits)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.kernels import detectors as KD
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    test_arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) < 4")
+    ref_arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) = 30").select(
+        F.lit("train-series").alias("doc_id"), "tokens", "n_tok"
+    )
+    ref_np = np.asarray(
+        ref_arrays.collect()[0]["tokens"], dtype=np.float64
+    )
+
+    det = CMP.MatrixProfileDetector(window_size=16, novelty=True).fit(ref_arrays)
+    got = {}
+    for r in det.decision_function(test_arrays).collect():
+        got.setdefault(r["doc_id"], {})[r["pos"]] = r["score"]
+    assert len(got) == 4
+    for r in test_arrays.collect():
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        prof = KD.matrix_profile(x, 16, x_ref=ref_np)
+        expect = KW.reverse_sliding_window(prof, 16, 1, x.shape[0])
+        out = np.array([got[str(r["doc_id"])][p] for p in range(x.shape[0])])
+        assert np.allclose(out, expect, atol=1e-8)
