@@ -338,6 +338,7 @@ class Workflow:
         thresholds: List[Tuple[str, float]],
         n_jobs: int = 1,
         error_log_path: Optional[str] = None,
+        trace_memory: bool = False,
     ):
         self.sources = sources
         self.preprocessors = preprocessors
@@ -346,6 +347,7 @@ class Workflow:
         self.thresholds = thresholds
         self.n_jobs = n_jobs
         self.error_log_path = error_log_path
+        self.trace_memory = trace_memory
 
     # ---------------------------------------------------------------- cell
     def _run_cell(self, spark, sf_dir, arrays, base_long, pp_entry, det_entry):
@@ -368,10 +370,28 @@ class Workflow:
                 arrays if pp_name == "Identity" else _long_to_arrays(pp_long)
             )
 
+            # Memory tracing mirrors the reference (Workflow.py:341-365,
+            # 392-399): tracemalloc peak of the DRIVER Python process
+            # around fit and the predict action. In this engine the fit
+            # work (bounded sample + NumPy solver) genuinely runs on the
+            # driver, so the fit column measures the real fit
+            # allocations; the predict column covers the driver side of
+            # the scoring action (executor memory shows up in the
+            # per-partition lineage metrics / Spark UI instead).
+            import tracemalloc
+
+            if self.trace_memory:
+                tracemalloc.start()
             t0 = time.perf_counter()
             detector.fit(pp_arrays)
             row["Runtime Fit [s]"] = round(time.perf_counter() - t0, 3)
+            if self.trace_memory:
+                _, peak = tracemalloc.get_traced_memory()
+                row["Peak Memory Fit [MB]"] = peak / 10**6
+                tracemalloc.stop()
 
+            if self.trace_memory:
+                tracemalloc.start()
             t0 = time.perf_counter()
             scored_truth = detector.decision_function(pp_arrays).join(
                 pp_long.select(
@@ -381,6 +401,13 @@ class Workflow:
             ).persist()
             scored_truth.count()  # force: predict time = the scoring pass
             row["Runtime Predict [s]"] = round(time.perf_counter() - t0, 3)
+            if self.trace_memory:
+                _, peak = tracemalloc.get_traced_memory()
+                row["Peak Memory Predict [MB]"] = peak / 10**6
+                tracemalloc.stop()
+                row["Peak Memory [MB]"] = max(
+                    row["Peak Memory Fit [MB]"], row["Peak Memory Predict [MB]"]
+                )
 
             try:
                 for m in self.metrics:
@@ -451,6 +478,11 @@ class Workflow:
             "Dataset", "Detector", "Preprocessor",
             "Runtime Fit [s]", "Runtime Predict [s]", "Runtime [s]",
         ]  # Workflow.py:255-266 column order
+        if self.trace_memory:
+            ordered += [
+                "Peak Memory Fit [MB]", "Peak Memory Predict [MB]",
+                "Peak Memory [MB]",
+            ]
         cols = [c for c in ordered if c in df.columns] + [
             c for c in df.columns if c not in ordered
         ]
@@ -537,4 +569,5 @@ def workflow_from_config(config: dict) -> Workflow:
         thresholds=thresholds,
         n_jobs=int(config.get("n_jobs", 1)),
         error_log_path=config.get("error_log_path"),
+        trace_memory=bool(config.get("trace_memory", False)),
     )

@@ -343,3 +343,35 @@ def test_bare_string_threshold_gets_per_kind_default():
         {"detectors": ["MedianMethod"], "thresholds": ["FixedCutoff", "ContaminationRate"]}
     )
     assert wf2.thresholds == [("FixedCutoff", 0.5), ("ContaminationRate", 0.05)]
+
+
+def test_trace_memory_columns(spark):
+    """trace_memory=True adds the reference's three tracemalloc peak
+    columns in the reference's order (Workflow.py:255-266, 341-365)."""
+    wf = workflow_from_config(
+        {
+            "dataloaders": ["/root/testdata/sf0.001"],
+            "detectors": [
+                {"type": "MedianMethod"},
+                {"type": "KMeansAnomalyDetector", "window_size": 16,
+                 "stride": 8, "n_clusters": 3},
+            ],
+            "metrics": ["AreaUnderROC"],
+            "trace_memory": True,
+        }
+    )
+    result = wf.run(spark)
+    assert list(result.columns[:9]) == [
+        "Dataset", "Detector", "Preprocessor",
+        "Runtime Fit [s]", "Runtime Predict [s]", "Runtime [s]",
+        "Peak Memory Fit [MB]", "Peak Memory Predict [MB]", "Peak Memory [MB]",
+    ]
+    assert (result["Error"] == "").all()
+    assert (result["Peak Memory Predict [MB]"] > 0).all()
+    assert (
+        result["Peak Memory [MB]"]
+        == result[["Peak Memory Fit [MB]", "Peak Memory Predict [MB]"]].max(axis=1)
+    ).all()
+    # the kmeans fit really allocates on the driver (sample + solver)
+    km = result[result.Detector.str.startswith("KMeans")]
+    assert (km["Peak Memory Fit [MB]"] > 0).all()
