@@ -478,6 +478,16 @@ def _q_ann_srp_topk(spark, sf_dir):
     return SIM.srp_lsh_topk(SIM.load_embeddings(spark, sf_dir))
 
 
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (product quantization + ADC + exact re-rank) — the
+    memory-scale ANN path (16 one-byte codes per 64-dim vector);
+    rows-only (float-iterative k-means fit), recall pinned vs the exact
+    brute force in tests/test_pipelines.py."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.ivfpq_topk(SIM.load_embeddings(spark, sf_dir), n_probe=8)
+
+
 def _q_rollup_retention(spark, sf_dir):
     """Tiered retention policy: raw ages out first, 1m lives longer,
     1h forever — the continuous-aggregate retention leg of the north
@@ -860,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ev_sessionize": _q_ev_sessionize,
         "ev_minute_rollup": _q_ev_minute_rollup,
         "ev_rate_anomaly": _q_ev_rate_anomaly,
