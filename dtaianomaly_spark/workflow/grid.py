@@ -441,16 +441,56 @@ class Workflow:
         row["Runtime [s]"] = round(time.perf_counter() - t_total, 3)
         return row
 
-    def run(self, spark: SparkSession) -> pd.DataFrame:
-        cells = []
-        for sf_dir in self.sources:
-            arrays = C.token_arrays(spark, sf_dir)
-            base_long = C.token_long_form(spark, sf_dir).withColumn(
+    def _source_frames(self, spark, entry):
+        """A dataloader entry -> (display name, arrays, long form with
+        truth). A plain string is a testdata sf directory (token corpus,
+        synthetic spike truth). A type-tagged dict mirrors the
+        reference's interpret_dataloaders (workflow_from_config.py:
+        134-176): ``UCRLoader`` (and ``directory`` of UCRLoaders) loads
+        the anomaly archive — real labels become the truth column, and
+        cells fit on the test series itself, the reference's
+        fit-*-on-test-data defaults."""
+        if isinstance(entry, str):
+            arrays = C.token_arrays(spark, entry)
+            base_long = C.token_long_form(spark, entry).withColumn(
                 "truth", F.expr(f"CASE WHEN {TRUTH_SPIKE} THEN 1 ELSE 0 END")
             )
+            return str(entry), arrays, base_long
+        t = entry.get("type")
+        if t == "UCRLoader" or (
+            t == "directory" and entry.get("base_type") == "UCRLoader"
+        ):
+            if "path" not in entry:
+                raise TypeError(f"Entry should have a path keyword: {entry}")
+            from dtaianomaly_spark.sources import ucr as U
+
+            ds = U.ucr_dataset(spark, entry["path"])
+            arrays = ds.X_test
+            base_long = (
+                arrays.select(
+                    "doc_id",
+                    F.posexplode("tokens").alias("pos", "value"),
+                    F.col("n_tok").alias("n"),
+                )
+                .select(
+                    "doc_id", F.col("pos").cast("long").alias("pos"),
+                    F.col("value").cast("long").alias("value"), "n",
+                )
+                .join(
+                    ds.y_test.select("doc_id", "pos", "truth"),
+                    ["doc_id", "pos"],
+                )
+            )
+            return f"{t}(path='{entry['path']}')", arrays, base_long
+        raise ValueError(f"Invalid data entry: {entry}")
+
+    def run(self, spark: SparkSession) -> pd.DataFrame:
+        cells = []
+        for source in self.sources:
+            name, arrays, base_long = self._source_frames(spark, source)
             for pp_entry in self.preprocessors:
                 for det_entry in self.detectors:
-                    cells.append((sf_dir, arrays, base_long, pp_entry, det_entry))
+                    cells.append((name, arrays, base_long, pp_entry, det_entry))
 
         if self.n_jobs <= 1:
             rows = [self._run_cell(spark, *cell) for cell in cells]
@@ -548,6 +588,22 @@ def workflow_from_config(config: dict) -> Workflow:
             _base_metric_sql(
                 inner["type"].removeprefix("PointAdjusted"), inner
             )
+
+    for entry in config.get("dataloaders", []):
+        # eager dataloader validation (interpret_dataloaders semantics,
+        # workflow_from_config.py:134-176)
+        if isinstance(entry, dict):
+            t = entry.get("type")
+            if t == "directory":
+                if entry.get("base_type") != "UCRLoader":
+                    raise ValueError(f"Invalid base type: {entry}")
+                if "path" not in entry:
+                    raise TypeError(f"Entry should have a path keyword: {entry}")
+            elif t == "UCRLoader":
+                if "path" not in entry:
+                    raise TypeError(f"Entry should have a path keyword: {entry}")
+            else:
+                raise ValueError(f"Invalid data entry: {entry}")
 
     threshold_defaults = {"FixedCutoff": 0.5, "ContaminationRate": 0.05, "TopN": 20}
     thresholds = []

@@ -375,3 +375,46 @@ def test_trace_memory_columns(spark):
     # the kmeans fit really allocates on the driver (sample + solver)
     km = result[result.Detector.str.startswith("KMeans")]
     assert (km["Peak Memory Fit [MB]"] > 0).all()
+
+
+def test_ucr_dataloader_entries_run_in_grid(spark, tmp_path):
+    """Type-tagged dataloader entries (interpret_dataloaders semantics,
+    workflow_from_config.py:134-176): a UCRLoader archive directory runs
+    through the grid with REAL labels as truth; detectors fit on the
+    test series (the reference's fit-*-on-test-data defaults)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(0, 1.0, 400)
+    vals[300:320] += 8.0  # injected anomaly inside the test split
+    (tmp_path / "004_UCR_Anomaly_gridD_200_300_320.txt").write_text(
+        "\n".join(f"{v:.6f}" for v in vals) + "\n"
+    )
+
+    wf = workflow_from_config(
+        {
+            "dataloaders": [{"type": "UCRLoader", "path": str(tmp_path)}],
+            "detectors": [{"type": "MedianMethod",
+                           "neighborhood_size_before": 20}],
+            "metrics": ["AreaUnderROC"],
+        }
+    )
+    result = wf.run(spark)
+    assert len(result) == 1
+    assert (result["Error"] == "").all(), result["Error"].tolist()
+    assert result["Dataset"].iloc[0].startswith("UCRLoader(path=")
+    # real labels drive the metric: a level-shift anomaly scores well
+    # above chance (MedianMethod flags the shift edges strongly and the
+    # interior moderately — 0.9+ needs a shape detector, not the point
+    # of this plumbing test)
+    assert result["AreaUnderROC"].iloc[0] > 0.65
+
+    with pytest.raises(ValueError, match="Invalid data entry"):
+        workflow_from_config({"dataloaders": [{"type": "NoSuchLoader"}]})
+    with pytest.raises(TypeError, match="path keyword"):
+        workflow_from_config({"dataloaders": [{"type": "UCRLoader"}]})
+    with pytest.raises(ValueError, match="Invalid base type"):
+        workflow_from_config(
+            {"dataloaders": [{"type": "directory", "path": "/x",
+                              "base_type": "Nope"}]}
+        )
