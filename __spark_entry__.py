@@ -442,6 +442,21 @@ def _q_dd_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_tx_curation_funnel(spark, sf_dir):
+    """End-to-end curation accounting: raw -> exact dedup -> transitive
+    near-dup cluster dedup -> quality filter, with doc + ws-token mass
+    per stage — the keep-rate report a training-data pipeline publishes.
+    Shares the persisted shingle stage; full DuckDB oracle (recursive
+    component walk + identical quality formula)."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, sf_dir)
+    pairs = TX.jaccard_from_shingles(
+        _shared_shingles(spark, sf_dir), threshold=0.2
+    ).select("doc_a", "doc_b")
+    return TX.curation_funnel(docs, pairs)
+
+
 def _q_tx_lang_id(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
@@ -854,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _q_dd_simhash,
         "dd_jaccard": _q_dd_jaccard,
         "dd_dup_clusters": _q_dd_dup_clusters,
+        "tx_curation_funnel": _q_tx_curation_funnel,
         "tx_lang_id": _q_tx_lang_id,
         "tx_quality": _q_tx_quality,
         "tx_token_count": _q_tx_token_count,
@@ -915,7 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
         "pp_differencing", "pp_undersample_rate", "ev_sessionize",
-        "pp_paa32",
+        "pp_paa32", "pp_undersample_nb",
     ]
 
     def key(k):
@@ -1529,6 +1545,61 @@ SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
 FROM walk GROUP BY doc
 """
 
+    tx_curation_funnel = f"""
+WITH RECURSIVE {_SHINGLES_LONG.lstrip()},
+{_RARE.lstrip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+    SELECT i.doc_a, i.doc_b FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter) >= 0.2
+),
+ed AS (SELECT doc_a AS a, doc_b AS b FROM jp
+       UNION SELECT doc_b, doc_a FROM jp),
+walk(doc, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, w.lab FROM walk w JOIN ed e ON w.doc = e.a
+),
+clusters AS (SELECT doc AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY doc),
+wq AS (
+    SELECT doc_id,
+        CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+        least(CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) / 100.0, 1.0)
+          * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / length(text)) AS quality
+    FROM documents
+),
+keep1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+keep2 AS (
+    SELECT MIN(c.doc_id) AS doc_id
+    FROM clusters c JOIN keep1 k ON c.doc_id = k.doc_id
+    GROUP BY c.cluster_id
+),
+keep3 AS (
+    SELECT w.doc_id FROM keep2 JOIN wq w ON keep2.doc_id = w.doc_id
+    WHERE w.quality >= 0.4
+)
+SELECT CAST(0 AS INT) AS stage_ord, 'raw' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens
+FROM wq
+UNION ALL
+SELECT CAST(1 AS INT), 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws_tokens) AS BIGINT)
+FROM wq JOIN keep1 ON wq.doc_id = keep1.doc_id
+UNION ALL
+SELECT CAST(2 AS INT), 'near_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws_tokens) AS BIGINT)
+FROM wq JOIN keep2 ON wq.doc_id = keep2.doc_id
+UNION ALL
+SELECT CAST(3 AS INT), 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(ws_tokens) AS BIGINT)
+FROM wq JOIN keep3 ON wq.doc_id = keep3.doc_id
+"""
+
     tx_lang_id = """
 WITH cnts AS (
     SELECT doc_id,
@@ -2041,6 +2112,7 @@ FROM agg
         "dd_simhash": dd_simhash,
         "dd_jaccard": dd_jaccard,
         "dd_dup_clusters": dd_dup_clusters,
+        "tx_curation_funnel": tx_curation_funnel,
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,
         "tx_token_count": tx_token_count,

@@ -395,6 +395,66 @@ def dedup_clusters(
         edges.unpersist()
 
 
+def curation_funnel(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    quality_min: float = 0.4,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Per-stage document/token accounting of the standard curation
+    pipeline — the number a data team actually reports:
+
+    0. ``raw``          — everything,
+    1. ``exact_dedup``  — keep the min doc_id of each identical-text
+                          (md5) group,
+    2. ``near_dedup``   — keep the min SURVIVING doc_id of each
+                          transitive near-dup component (Jaccard >=
+                          0.2 graph; exact duplicates have identical
+                          shingle sets, so clustering the full corpus
+                          and keeping the min kept member equals
+                          clustering the survivors),
+    3. ``quality``      — drop docs with quality < ``quality_min``.
+
+    Output: (stage_ord, stage, n_docs, n_tokens) — ws-token mass per
+    stage, all integer counts (oracle-exact). Stages compose as
+    semi-joins over the doc_id keep-sets, so the plan is a chain of
+    hash aggregates + broadcast-size joins; the only heavyweight input
+    is the near-dup pair list, which callers share from the persisted
+    shingle stage (``dedup_suite``)."""
+    if pairs is None:
+        pairs = jaccard_from_shingles(
+            informative_shingles(docs, max_df), threshold=0.2
+        ).select("doc_a", "doc_b")
+    wq = with_quality(docs).select("doc_id", "ws_tokens", "quality")
+    keep1 = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    clusters = dedup_clusters(docs, pairs)
+    keep2 = (
+        clusters.join(keep1, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    keep3 = keep2.join(wq, "doc_id").filter(
+        F.col("quality") >= quality_min
+    ).select("doc_id")
+
+    def stage(ord_, name, keep):
+        frame = wq if keep is None else wq.join(keep, "doc_id")
+        return frame.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("n_tokens"),
+        )
+
+    return (
+        stage(0, "raw", None)
+        .unionByName(stage(1, "exact_dedup", keep1))
+        .unionByName(stage(2, "near_dedup", keep2))
+        .unionByName(stage(3, "quality", keep3))
+    )
+
+
 def dup_ngram_rate(docs: DataFrame) -> DataFrame:
     """Per-document duplicate-n-gram rate: the fraction of a doc's
     DISTINCT 8-gram shingles that occur in at least one other document —

@@ -34,6 +34,8 @@ FAMILIES = [
     "det_baseline_random",  # coordinate-seeded RNG must ignore partitioning
     "dd_embed_neardup",   # LSH candidate generation + cosine threshold
     "ev_sessionize",      # lag-gap + cumulative session ids
+    "ev_best_pa_f1",      # run-max contributions + RANGE-frame cumulative
+    "dd_dup_clusters",    # iterative min-label propagation to fixpoint
 ]
 
 

@@ -248,3 +248,19 @@ def test_dedup_clusters_min_label_components(spark):
         for r in TX.dedup_clusters(docs, pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 5, 8: 8, 9: 8}
+
+
+def test_curation_funnel_monotone_and_consistent(spark):
+    """Funnel stages only shrink, raw totals match the corpus, and the
+    near-dedup keep-set is one doc per non-singleton cluster."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, "/root/testdata/sf0.001")
+    rows = {r["stage"]: r for r in TX.curation_funnel(docs).collect()}
+    assert set(rows) == {"raw", "exact_dedup", "near_dedup", "quality"}
+    assert rows["raw"]["n_docs"] == docs.count()
+    seq = [rows[s] for s in ("raw", "exact_dedup", "near_dedup", "quality")]
+    for a, b in zip(seq, seq[1:]):
+        assert b["n_docs"] <= a["n_docs"]
+        assert b["n_tokens"] <= a["n_tokens"]
+    assert rows["quality"]["n_docs"] > 0
