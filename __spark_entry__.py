@@ -382,17 +382,27 @@ def _q_dd_exact(spark, sf_dir):
 # are identical to the standalone operators (the stage is deterministic);
 # each query's DuckDB oracle still recomputes it from scratch.
 _SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_MAX = 4  # bound the persisted stages (one per sf_dir in use)
 
 
 def _shared_shingles(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
+    app = spark.sparkContext.applicationId
+    # entries from dead sessions hold no live executor storage but do
+    # hold driver references — drop them
+    for k in [k for k in _SHINGLE_CACHE if k[0] != app]:
+        del _SHINGLE_CACHE[k]
     key = (
-        spark.sparkContext.applicationId, sf_dir,
+        app, sf_dir,
         TX.SHINGLE_LIMIT, TX.SHINGLE_STRIDE, TX.MAX_SHINGLE_DF,
     )
     hit = _SHINGLE_CACHE.get(key)
     if hit is None:
+        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            # evict oldest (insertion order) and free its executor blocks
+            old_key = next(iter(_SHINGLE_CACHE))
+            _SHINGLE_CACHE.pop(old_key).unpersist()
         hit = TX.informative_shingles(TX.load_docs(spark, sf_dir)).persist()
         _SHINGLE_CACHE[key] = hit
     return hit

@@ -66,16 +66,23 @@ def matrix_profile(
     ``len(x) - w + 1``) of z-normalized Euclidean nearest-neighbor
     distances."""
     x = np.asarray(x, dtype=np.float64).reshape(-1)
+    n_q = x.shape[0] - w + 1
+    if n_q <= 0:
+        return np.zeros(0)
     self_join = x_ref is None
     if self_join:
         return _matrix_profile_self(x, w)
     y = np.asarray(x_ref, dtype=np.float64).reshape(-1)
+    if y.shape[0] - w + 1 <= 0:
+        # reference offers no window: no admissible neighbor anywhere —
+        # the 0.0 edge fallback, same as an all-excluded self-join row
+        return np.zeros(n_q)
 
     # AB-join (novelty): the buffered z-norm row engine — no exclusion
     # zone, stumpy flat-window conventions inside the engine
     eng = _ZnormEngine(x, y, w)
-    profile = np.empty(eng.n_q)
-    for i in range(eng.n_q):
+    profile = np.empty(n_q)
+    for i in range(n_q):
         m = eng.row(i).min()
         profile[i] = m if np.isfinite(m) else 0.0
     return profile
@@ -285,6 +292,13 @@ def matrix_profile_general(
         return matrix_profile(x, w, x_ref)
     self_join = x_ref is None
     y = x if self_join else np.asarray(x_ref, dtype=np.float64).reshape(-1)
+    n_q = x.shape[0] - w + 1
+    if n_q <= 0:
+        return np.zeros(0)
+    if y.shape[0] - w + 1 <= 0:
+        # no reference window: k=1 keeps the 0.0 edge fallback, k>1 the
+        # +inf fewer-than-k convention
+        return np.zeros(n_q) if k == 1 else np.full(n_q, np.inf)
     eng = _make_engine(x, y, w, normalize, p)
     n_q, n_r = eng.n_q, eng.n_r
     excl = int(math.ceil(w / 4)) if self_join else -1

@@ -191,8 +191,18 @@ def collect_reference_arrays(
     (MatrixProfileDetector.py:116-119); the distributed analog stores one
     reference series PER doc_id and broadcasts the dict in the task
     closure. Guarded by a cheap aggregate so an oversized corpus fails
-    fast with a clear message instead of OOMing the driver."""
-    total = arrays.agg(F.sum("n_tok").alias("t")).collect()[0]["t"] or 0
+    fast with a clear message instead of OOMing the driver; the guard
+    counts VALUES, not timesteps — a (n, d) multivariate reference
+    weighs d-fold."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(arrays.schema["tokens"].dataType.elementType, ArrayType):
+        size_expr = "aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + size(x))"
+    else:
+        size_expr = "CAST(size(tokens) AS BIGINT)"
+    total = (
+        arrays.agg(F.sum(F.expr(size_expr)).alias("t")).collect()[0]["t"] or 0
+    )
     if total > max_points:
         raise ValueError(
             f"novelty reference corpus holds {total} points"

@@ -293,33 +293,43 @@ def _threshold_confusions(
         (F.sum("cnt") - F.sum("pos_cnt")).alias("tn"),
     )
     cuts = cum.unionByName(empty_set.select(cum.columns))
-    if max_nb_thresholds != -1:
-        if max_nb_thresholds <= 0:
-            raise ValueError(
-                "`max_nb_thresholds` must be strictly positive or equal to -1"
-            )
-        m = int(max_nb_thresholds)
-        # reference: np.linspace(0, u+1, m+2, dtype=int)[1:-1] — float
-        # step k*(u+1)/(m+1) truncated toward zero
-        sel = (
-            cuts.select("doc_id", "u")
-            .distinct()
-            .select(
-                "doc_id", "u",
-                F.explode(F.sequence(F.lit(1), F.lit(m))).alias("k"),
-            )
-            .select(
-                "doc_id",
-                F.expr(
-                    f"CAST(k * (CAST(u + 1 AS DOUBLE) / {float(m + 1)!r}) AS BIGINT)"
-                ).alias("j"),
-            )
-            .distinct()
+    return _linspace_subsample_cuts(cuts, max_nb_thresholds)
+
+
+def _linspace_subsample_cuts(cuts: DataFrame, max_nb_thresholds: int) -> DataFrame:
+    """The reference's threshold subsampling, shared by every
+    best-threshold enumerator (plain and point-adjusted — ONE copy of
+    the parity-sensitive truncation formula): candidates are indexed
+    ``j`` over ``u + 1`` per series (distinct scores ascending + the
+    empty set at j = u); selected j = np.linspace(0, u+1, m+2,
+    dtype=int)[1:-1], i.e. float step k*(u+1)/(m+1) truncated toward
+    zero. ``cuts`` needs columns (doc_id, j, u); extra columns pass
+    through."""
+    if max_nb_thresholds == -1:
+        return cuts
+    if max_nb_thresholds <= 0:
+        raise ValueError(
+            "`max_nb_thresholds` must be strictly positive or equal to -1"
         )
-        cuts = cuts.where(F.expr(f"u + 1 > {m}")).join(
-            sel, ["doc_id", "j"]
-        ).unionByName(cuts.where(F.expr(f"u + 1 <= {m}")))
-    return cuts
+    m = int(max_nb_thresholds)
+    sel = (
+        cuts.select("doc_id", "u")
+        .distinct()
+        .select(
+            "doc_id", "u",
+            F.explode(F.sequence(F.lit(1), F.lit(m))).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST(k * (CAST(u + 1 AS DOUBLE) / {float(m + 1)!r}) AS BIGINT)"
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    return cuts.where(F.expr(f"u + 1 > {m}")).join(
+        sel, ["doc_id", "j"]
+    ).unionByName(cuts.where(F.expr(f"u + 1 <= {m}")))
 
 
 def best_threshold_metric(
@@ -432,31 +442,9 @@ def best_threshold_point_adjusted(
         F.count("*").alias("j"),  # j = u: the t=1 empty prediction set
         F.count("*").alias("u"),
     )
-    all_cuts = cum_j.unionByName(empty_set.select(cum_j.columns))
-    if max_nb_thresholds != -1:
-        if max_nb_thresholds <= 0:
-            raise ValueError(
-                "`max_nb_thresholds` must be strictly positive or equal to -1"
-            )
-        m = int(max_nb_thresholds)
-        sel = (
-            all_cuts.select("doc_id", "u")
-            .distinct()
-            .select(
-                "doc_id", "u",
-                F.explode(F.sequence(F.lit(1), F.lit(m))).alias("kk"),
-            )
-            .select(
-                "doc_id",
-                F.expr(
-                    f"CAST(kk * (CAST(u + 1 AS DOUBLE) / {float(m + 1)!r}) AS BIGINT)"
-                ).alias("j"),
-            )
-            .distinct()
-        )
-        all_cuts = all_cuts.where(F.expr(f"u + 1 > {m}")).join(
-            sel, ["doc_id", "j"]
-        ).unionByName(all_cuts.where(F.expr(f"u + 1 <= {m}")))
+    all_cuts = _linspace_subsample_cuts(
+        cum_j.unionByName(empty_set.select(cum_j.columns)), max_nb_thresholds
+    )
     conf = all_cuts.join(totals, "doc_id").select(
         "doc_id", "tp", "fp",
         (F.col("p") - F.col("tp")).alias("fn"),

@@ -347,22 +347,26 @@ def dedup_clusters(
     (one join + one hash aggregate per round), stopping at fixpoint.
     Converges in graph-diameter rounds; near-dup components are
     small-diameter cliques-ish clusters, so a handful of rounds
-    suffices in practice (``max_iter`` bounds the pathological chain).
-    Each round ``localCheckpoint``s its label table — iterative Spark
-    jobs that only persist still GROW their logical plan by one
-    join+aggregate per round (measured: the 25-round plan carried 800+
-    Exchange nodes and re-planning cost dominates at depth; truncating
-    the lineage keeps every round's plan O(1)). The trade is the
-    standard one: localCheckpoint blocks are executor-local, so a lost
-    executor forfeits the line­age needed to recompute them — a
-    production run at cluster scale points ``spark.checkpoint.dir`` at
-    durable storage and swaps in ``checkpoint()``. Only scalar
-    convergence counts hit the driver. At larger diameters the public
-    alternating small-star/large-star scheme (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") drops rounds to
-    O(log n) — same join shape, so it slots into this loop;
-    min-propagation is kept for its determinism and simplicity at the
-    diameters dedup graphs exhibit."""
+    suffices in practice; an unconverged exit at ``max_iter`` RAISES —
+    returning partial labels would split components silently (and
+    diverge from the fully-recursive SQL oracle).
+
+    Memory/plan discipline: each round persists its label table and
+    unpersists the previous round's; every ``_CHECKPOINT_EVERY`` rounds
+    the table is additionally ``localCheckpoint``ed — persist alone
+    still GROWS the logical plan by one join+aggregate per round
+    (measured: a 25-round persist-only plan carried 800+ Exchange
+    nodes), while checkpointing every round pins one un-unpersistable
+    block copy per round; the hybrid bounds BOTH plan depth and pinned
+    copies at the checkpoint interval. localCheckpoint blocks are
+    executor-local — a cluster run pointing at durable storage swaps in
+    ``checkpoint()``. Only scalar convergence counts hit the driver. At
+    larger diameters the public alternating small-star/large-star
+    scheme (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") drops rounds to O(log n) — same join shape, so it slots
+    into this loop; min-propagation is kept for its determinism and
+    simplicity at the diameters dedup graphs exhibit."""
+    _CHECKPOINT_EVERY = 5
     nodes = docs.select(F.col("doc_id").alias("doc"))
     und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
@@ -375,31 +379,43 @@ def dedup_clusters(
     labels = nodes.select("doc", F.col("doc").alias("label")).localCheckpoint(
         eager=True
     )
-    for _ in range(max_iter):
+    converged = False
+    to_unpersist = None
+    for it in range(max_iter):
         nb_min = (
             edges.join(labels, edges["a"] == labels["doc"])
             .groupBy("b")
             .agg(F.min("label").alias("nb_min"))
         )
-        new_labels = (
-            labels.join(nb_min, labels["doc"] == nb_min["b"], "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce("nb_min", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(
+            nb_min, labels["doc"] == nb_min["b"], "left"
+        ).select(
+            "doc",
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
         )
+        if (it + 1) % _CHECKPOINT_EVERY == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc")
             .filter("n.label != o.label")
             .count()
         )
+        if to_unpersist is not None:
+            to_unpersist.unpersist()
+        to_unpersist = new_labels if (it + 1) % _CHECKPOINT_EVERY else None
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter}"
+            " rounds — the pair graph has a component of larger diameter;"
+            " raise max_iter (rounds needed = component diameter)"
+        )
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
     )

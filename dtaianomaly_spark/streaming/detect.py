@@ -116,12 +116,8 @@ def _make_update(b: int, ttl_ms: int | None):
     return update
 
 
-MP_STATE_SCHEMA = StructType(
-    [
-        StructField("tail", ArrayType(DoubleType()), True),
-        StructField("next_pos", LongType(), True),
-    ]
-)
+# both stateful detectors share the (tail values, position cursor) state
+MP_STATE_SCHEMA = STATE_SCHEMA
 
 MP_SCORE_SCHEMA = StructType(
     [

@@ -15,7 +15,7 @@ import traceback
 def log_error(
     error_log_path: str,
     exception: Exception,
-    sf_dir: str,
+    source,
     det_name: str,
     det_kwargs: dict,
     pp_entry=None,
@@ -49,6 +49,20 @@ def log_error(
     commented = "# " + msg.replace("\n", "\n# ")
 
     pp_repr = repr(pp_entry if pp_entry is not None else "Identity")
+    # source reconstruction: a plain string is the token-corpus sf dir;
+    # a type-tagged dict (UCRLoader/...) replays through the grid's own
+    # dataloader interpreter so the repro uses the REAL source, not the
+    # display name
+    if isinstance(source, str):
+        src_code = f"""arrays = C.token_arrays(spark, {source!r})
+base_long = C.token_long_form(spark, {source!r}).withColumn(
+    "truth", F.expr("CASE WHEN " + grid.TRUTH_SPIKE + " THEN 1 ELSE 0 END")
+)"""
+    else:
+        src_code = (
+            "_, arrays, base_long = grid.Workflow([], [], [], [], [])."
+            f"_source_frames(spark, {source!r})"
+        )
     script = f"""{commented}
 
 from dtaianomaly_spark.session import get_spark
@@ -59,10 +73,7 @@ from dtaianomaly_spark.workflow import grid
 from pyspark.sql import functions as F
 
 spark = get_spark()
-arrays = C.token_arrays(spark, {sf_dir!r})
-base_long = C.token_long_form(spark, {sf_dir!r}).withColumn(
-    "truth", F.expr("CASE WHEN " + grid.TRUTH_SPIKE + " THEN 1 ELSE 0 END")
-)
+{src_code}
 
 _, pp_fn = grid.build_preprocessor({pp_repr})
 pp_long = pp_fn(base_long)

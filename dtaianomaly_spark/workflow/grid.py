@@ -348,14 +348,26 @@ class Workflow:
         self.n_jobs = n_jobs
         self.error_log_path = error_log_path
         self.trace_memory = trace_memory
+        if trace_memory and n_jobs > 1:
+            # tracemalloc is process-global; concurrent driver threads
+            # would stop each other's tracer mid-measurement (the
+            # reference sidesteps this with one PROCESS per job —
+            # multiprocessing.Pool — which a shared SparkSession can't)
+            raise ValueError(
+                "trace_memory=True requires n_jobs=1: tracemalloc is"
+                " process-global and grid cells would corrupt each"
+                " other's measurements"
+            )
 
     # ---------------------------------------------------------------- cell
-    def _run_cell(self, spark, sf_dir, arrays, base_long, pp_entry, det_entry):
+    def _run_cell(
+        self, spark, name, source, arrays, base_long, pp_entry, det_entry
+    ):
         det_name, det_kwargs = det_entry
         # component construction happens INSIDE the quarantine: a bad
         # entry must fill the Error cell, not abort the grid
         row = {
-            "Dataset": sf_dir,
+            "Dataset": name,
             "Preprocessor": str(pp_entry),
             "Detector": det_name,
         }
@@ -425,6 +437,16 @@ class Workflow:
                 scored_truth.unpersist()
             row["Error"] = ""
         except Exception as exc:  # quarantine, keep the grid alive
+            if self.trace_memory:
+                # the success path stops the tracer after each phase; a
+                # failing fit/predict must not leave the process-global
+                # tracer running (a still-armed tracer makes the NEXT
+                # cell's start() a no-op and inflates its peaks with
+                # this cell's)
+                import tracemalloc
+
+                if tracemalloc.is_tracing():
+                    tracemalloc.stop()
             row["Error"] = f"{type(exc).__name__}: {exc}"
             row["Traceback"] = traceback.format_exc(limit=3)
             if self.error_log_path:
@@ -433,7 +455,7 @@ class Workflow:
 
                 try:
                     row["Error File"] = log_error(
-                        self.error_log_path, exc, sf_dir,
+                        self.error_log_path, exc, source,
                         det_name, det_kwargs, pp_entry,
                     )
                 except OSError:
@@ -490,7 +512,9 @@ class Workflow:
             name, arrays, base_long = self._source_frames(spark, source)
             for pp_entry in self.preprocessors:
                 for det_entry in self.detectors:
-                    cells.append((name, arrays, base_long, pp_entry, det_entry))
+                    cells.append(
+                        (name, source, arrays, base_long, pp_entry, det_entry)
+                    )
 
         if self.n_jobs <= 1:
             rows = [self._run_cell(spark, *cell) for cell in cells]

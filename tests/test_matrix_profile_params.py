@@ -180,3 +180,23 @@ def test_general_matches_fast_path_k1():
         KD.matrix_profile(x, 20),
         atol=1e-10,
     )
+
+
+def test_short_series_and_reference_are_graceful():
+    """A reference (or query) shorter than the window must not crash the
+    Arrow task: empty profile for a short query, 0.0 (k=1) / +inf (k>1)
+    for a reference with no windows — regression for the engine refactor
+    which raised obscure numpy shape errors from novelty fits on short
+    train splits."""
+    x = _series(60, seed=2)
+    short = x[:10]
+    assert KD.matrix_profile(short, 16).shape == (0,)
+    assert KD.matrix_profile_general(short, 16, k=2).shape == (0,)
+    np.testing.assert_array_equal(
+        KD.matrix_profile(x, 16, x_ref=short), np.zeros(45)
+    )
+    np.testing.assert_array_equal(
+        KD.matrix_profile_general(x, 16, x_ref=short, normalize=False),
+        np.zeros(45),
+    )
+    assert np.all(np.isinf(KD.matrix_profile_general(x, 16, x_ref=short, k=2)))
