@@ -23,13 +23,16 @@ _NAME_RE = r"_(\d+)_(\d+)_(\d+)\.txt$"
 
 
 def load_ucr_directory(spark: SparkSession, path: str) -> DataFrame:
-    """Long form over every UCR file in ``path``:
+    """Long form over every UCR file in ``path`` (a directory, or one
+    ``.txt`` archive file — the per-dataset unit the reference's
+    ``from_directory`` enumerates):
     (series_id, pos, value, train_split, anomaly_start, anomaly_stop,
     is_train, label)."""
     # NOTE: must be the wholetext= kwarg — .option("wholetext", ...) is
     # silently ignored by the text source in Spark 4.1
+    pattern = path if path.endswith(".txt") else f"{path}/*.txt"
     raw = (
-        spark.read.text(f"{path}/*.txt", wholetext=True)
+        spark.read.text(pattern, wholetext=True)
         .select(
             F.input_file_name().alias("file"),
             F.col("value").alias("content"),

@@ -153,6 +153,115 @@ def _update(
         )
 
 
+def _make_compose_update(
+    buckets_per_coarse: int, points_per_coarse: int, flush_after_ms: int | None
+):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.exists:
+            buckets, cnts, sums, sumsqs, mins, maxs = state.get
+            open_b = {
+                b: [cnts[i], sums[i], sumsqs[i], mins[i], maxs[i]]
+                for i, b in enumerate(buckets)
+            }
+        else:
+            open_b = {}
+
+        if state.hasTimedOut:
+            state.remove()
+            if open_b:
+                yield pd.DataFrame(
+                    [
+                        (doc_id, b, st[0], st[1], st[2], st[3], st[4], False)
+                        for b, st in sorted(open_b.items())
+                    ],
+                    columns=OUTPUT_SCHEMA.names,
+                )
+            return
+
+        for pdf in pdfs:
+            for bucket, cnt, s, sq, mn, mx in zip(
+                pdf["bucket"], pdf["cnt"], pdf["sum"], pdf["sumsq"],
+                pdf["min"], pdf["max"],
+            ):
+                cb = int(bucket) // buckets_per_coarse
+                cur = open_b.get(cb)
+                if cur is None:
+                    open_b[cb] = [int(cnt), int(s), int(sq), int(mn), int(mx)]
+                else:
+                    cur[0] += int(cnt)
+                    cur[1] += int(s)
+                    cur[2] += int(sq)
+                    cur[3] = min(cur[3], int(mn))
+                    cur[4] = max(cur[4], int(mx))
+
+        done = {b: st for b, st in open_b.items() if st[0] >= points_per_coarse}
+        for b in done:
+            del open_b[b]
+
+        if open_b:
+            bs = sorted(open_b)
+            state.update(
+                (
+                    bs,
+                    [open_b[b][0] for b in bs],
+                    [open_b[b][1] for b in bs],
+                    [open_b[b][2] for b in bs],
+                    [open_b[b][3] for b in bs],
+                    [open_b[b][4] for b in bs],
+                )
+            )
+            if flush_after_ms is not None:
+                state.setTimeoutDuration(flush_after_ms)
+        else:
+            state.remove()
+
+        if done:
+            yield pd.DataFrame(
+                [
+                    (doc_id, b, st[0], st[1], st[2], st[3], st[4], True)
+                    for b, st in sorted(done.items())
+                ],
+                columns=OUTPUT_SCHEMA.names,
+            )
+
+    return update
+
+
+def stateful_tier_compose(
+    raw_bucket_stream,
+    buckets_per_coarse: int = 60,
+    points_per_coarse: int = 60 * BUCKET_TICKS,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """SECOND-LEVEL continuous aggregate: the completed-raw-bucket append
+    stream (output of :func:`stateful_bucket_rollup`) composes into the
+    1m tier online — coarse bucket = raw bucket div 60, partials merge
+    MONOIDALLY (sum/sum/sum/min/max — the same exact-integer partial
+    composition the batch tiers use, rollup/tiers.py), and a coarse row
+    emits the moment its point count completes. This is the streaming
+    twin of raw -> 1m tier composition: chaining both operators gives a
+    live rollup pipeline whose completed rows byte-match the batch 1m
+    tier (tested). Because the combine is a monoid over DISJOINT
+    partials, it is also correct when fed TTL-flushed partial raw rows
+    (``final=false``) — completion is by accumulated point count, not
+    row count. Same output contract (``final`` flag) and TTL semantics
+    as the raw operator."""
+    return raw_bucket_stream.groupBy("doc_id").applyInPandasWithState(
+        _make_compose_update(buckets_per_coarse, points_per_coarse, flush_after_ms),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stateful_bucket_rollup(stream_long_form, flush_after_ms: int | None = FLUSH_AFTER_MS):
     """points stream (doc_id, pos, value) -> append-mode stream of
     COMPLETED raw-tier buckets.

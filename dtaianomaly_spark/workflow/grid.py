@@ -30,6 +30,7 @@ reference's n_jobs); run serially for clean per-cell timing.
 
 from __future__ import annotations
 
+import os
 import time
 import traceback
 from typing import Callable, Dict, List, Optional, Tuple
@@ -506,9 +507,32 @@ class Workflow:
             return f"{t}(path='{entry['path']}')", arrays, base_long
         raise ValueError(f"Invalid data entry: {entry}")
 
+    @staticmethod
+    def _expand_sources(sources):
+        """``directory`` entries expand to ONE UCRLoader per archive
+        file — the reference's ``from_directory`` returns a list of
+        loaders, one grid row per dataset (workflow_from_config.py:
+        160-176); plain strings / UCRLoader entries pass through."""
+        out = []
+        for entry in sources:
+            if isinstance(entry, dict) and entry.get("type") == "directory":
+                import glob as _glob
+
+                files = sorted(_glob.glob(os.path.join(entry["path"], "*.txt")))
+                if not files:
+                    raise ValueError(
+                        f"directory dataloader matched no archive files: {entry}"
+                    )
+                out.extend(
+                    {"type": "UCRLoader", "path": f} for f in files
+                )
+            else:
+                out.append(entry)
+        return out
+
     def run(self, spark: SparkSession) -> pd.DataFrame:
         cells = []
-        for source in self.sources:
+        for source in self._expand_sources(self.sources):
             name, arrays, base_long = self._source_frames(spark, source)
             for pp_entry in self.preprocessors:
                 for det_entry in self.detectors:

@@ -199,3 +199,80 @@ def test_stateful_rollup_revival_rows_combine_monoidally(spark, tmp_path):
     assert sum(r["sumsq"] for r in rows) == sum(e * e for e in expect)
     assert min(r["min"] for r in rows) == min(expect)
     assert max(r["max"] for r in rows) == max(expect)
+
+
+def test_stateful_tier_compose_matches_batch_1m(spark, tmp_path):
+    """Two-level continuous aggregate: points -> (stateful) raw buckets
+    -> durable raw sink -> (stateful) 1m composition; completed 1m rows
+    must equal the batch 1m tier exactly (integer partial composition).
+    The intermediate sink is the production shape — the raw tier IS a
+    consumed output, and Spark restricts chaining two arbitrary stateful
+    operators in one query."""
+    from dtaianomaly_spark.streaming.stateful import (
+        stateful_bucket_rollup, stateful_tier_compose,
+    )
+
+    def v(doc, p):
+        return (doc * 31 + p * 7) % 23
+
+    rows = [
+        (f"doc-{d}", p, v(d, p)) for d in range(2) for p in range(2000)
+    ]
+    lf = spark.createDataFrame(rows, "doc_id string, pos long, value long")
+    src = str(tmp_path / "src")
+    # three in-order-agnostic chunks (bucket completion is count-based)
+    for cond in ("pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"):
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    raw_out = str(tmp_path / "raw_out")
+    q1 = (
+        stateful_bucket_rollup(
+            spark.readStream.schema(lf.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            flush_after_ms=None,
+        )
+        .writeStream.format("parquet")
+        .option("path", raw_out)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(180)
+
+    raw_schema = spark.read.parquet(raw_out).schema
+    q2 = (
+        stateful_tier_compose(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1).parquet(raw_out),
+            flush_after_ms=None,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "m1_out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "m1_out"))
+    assert got.filter("NOT final").count() == 0
+    assert got.groupBy("doc_id", "bucket").count().filter("count > 1").count() == 0
+
+    batch = (
+        lf.withColumn("bucket", (F.col("pos") / 960).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.sum(F.col("value") * F.col("value")).alias("sumsq"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .filter("cnt = 960")  # only COMPLETE 1m buckets stream out
+    )
+    g = got.drop("final")
+    assert g.exceptAll(batch).count() == 0
+    assert batch.exceptAll(g).count() == 0
+    assert g.count() == batch.count() == 2 * 2  # 2000 pts -> two full 1m buckets/doc

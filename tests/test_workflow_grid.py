@@ -418,3 +418,34 @@ def test_ucr_dataloader_entries_run_in_grid(spark, tmp_path):
             {"dataloaders": [{"type": "directory", "path": "/x",
                               "base_type": "Nope"}]}
         )
+
+
+def test_directory_dataloader_expands_per_dataset(spark, tmp_path):
+    """A 'directory' entry expands to one UCRLoader per archive file —
+    one grid row per dataset, mirroring the reference's from_directory
+    (workflow_from_config.py:160-176)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for name in (
+        "005_UCR_Anomaly_dirA_100_150_160.txt",
+        "006_UCR_Anomaly_dirB_80_120_130.txt",
+    ):
+        (tmp_path / name).write_text(
+            "\n".join(f"{v:.6f}" for v in rng.normal(0, 1, 250)) + "\n"
+        )
+    wf = workflow_from_config(
+        {
+            "dataloaders": [
+                {"type": "directory", "path": str(tmp_path),
+                 "base_type": "UCRLoader"}
+            ],
+            "detectors": [{"type": "MedianMethod"}],
+            "metrics": ["AreaUnderROC"],
+        }
+    )
+    result = wf.run(spark)
+    assert len(result) == 2  # one row per archive file
+    assert (result["Error"] == "").all(), result["Error"].tolist()
+    assert all("dirA" in d or "dirB" in d for d in result["Dataset"])
+    assert result["Dataset"].nunique() == 2
