@@ -200,3 +200,66 @@ def test_short_series_and_reference_are_graceful():
         np.zeros(45),
     )
     assert np.all(np.isinf(KD.matrix_profile_general(x, 16, x_ref=short, k=2)))
+
+
+# ---------------------------------------------------- property tests
+
+def test_matrix_profile_general_property_vs_naive():
+    """Hypothesis sweep: random series / window / distance family / k —
+    the engine-based kernel must match the naive O(n²·w) oracle."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(20, 90),
+        w=st.integers(4, 16),
+        k=st.integers(1, 3),
+        normalize=st.booleans(),
+        p=st.sampled_from([1.0, 1.5, 2.0, 3.0]),
+        ab=st.booleans(),
+    )
+    def check(seed, n, w, k, normalize, p, ab):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=n).cumsum()
+        ref = rng.normal(size=max(w, n // 2)).cumsum() if ab else None
+        got = KD.matrix_profile_general(
+            x, w, x_ref=ref, normalize=normalize, p=p, k=k
+        )
+        want = _naive_profile(x, w, x_ref=ref, normalize=normalize, p=p, k=k)
+        fin = np.isfinite(want)
+        assert np.array_equal(fin, np.isfinite(got))
+        np.testing.assert_allclose(got[fin], want[fin], atol=1e-7)
+
+    check()
+
+
+def test_left_matrix_profile_suffix_invariance_property():
+    """The streaming bit-equality contract as a property: evaluating the
+    left profile over ANY suffix long enough to cover the horizon must
+    reproduce the full-series values exactly (==)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        seed=st.integers(0, 10_000),
+        n=st.integers(60, 160),
+        w=st.integers(4, 12),
+        h=st.integers(4, 40),
+        cut=st.integers(0, 40),
+    )
+    def check(seed, n, w, h, cut):
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=n).cumsum()
+        full = KD.left_matrix_profile(x, w, horizon=h)
+        # suffix starting at `cut`, evaluating windows whose full
+        # lookback (h windows + w-1 values) lies inside the suffix
+        suffix = x[cut:]
+        sub = KD.left_matrix_profile(suffix, w, horizon=h)
+        first_covered = h + w - 1  # local window index with full lookback
+        for i_loc in range(first_covered, sub.shape[0]):
+            assert sub[i_loc] == full[cut + i_loc]
+
+    check()
