@@ -584,6 +584,20 @@ def _q_tx_lang_eval(spark, sf_dir):
     return TX.lang_id_eval(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_boilerplate(spark, sf_dir):
+    """C4-style boilerplate accounting over 8-word segments (df >= 3)."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.boilerplate_segments(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_char_rarity(spark, sf_dir):
+    """Corpus-fitted character-bigram rarity quality signal."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.char_bigram_rarity(TX.load_docs(spark, sf_dir))
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (k-means cells + n_probe rescore) —
     float-iterative fit, rows-only check; recall pinned in pytest."""
@@ -887,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
+        "tx_boilerplate": _q_tx_boilerplate,
+        "tx_char_rarity": _q_tx_char_rarity,
         "rollup_retention": _q_rollup_retention,
         "rel_q1_pricing": _q_rel_q1,
         "rel_q3_top_orders": _q_rel_q3,
@@ -937,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     promote = [
         "compress_roundtrip", "det_proba_median", "ev_minute_rollup",
         "ev_rate_anomaly", "mm_byte_histogram",
+        # new in round 3 (continuation): force first-round adjudication
+        "tx_boilerplate", "tx_char_rarity",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -1672,6 +1690,61 @@ SELECT doc_id, n_shingles, n_dup,
 FROM per_doc
 """
 
+    # C4-style boilerplate accounting: 8-word non-overlapping segments,
+    # df >= 3 -> boilerplate. Same md5 hash domain as the shingle family;
+    # every aggregate integer, one shared float formula.
+    tx_boilerplate = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+seg AS (
+    SELECT doc_id,
+           array_to_string(ws[(CAST(j AS INT) * 8 + 1):(CAST(j AS INT) * 8 + 8)], ' ') AS seg
+    FROM w,
+         LATERAL (SELECT UNNEST(range((len(ws) + 7) // 8)) AS j) g
+),
+hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(seg), 1, 15))::BIGINT % 2147483647 AS h,
+           CAST(length(seg) - length(replace(seg, ' ', '')) + 1 AS BIGINT) AS nw
+    FROM seg
+),
+dfs AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM hashed GROUP BY h),
+per_doc AS (
+    SELECT hashed.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_seg,
+           CAST(SUM(CASE WHEN dfs.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(nw) AS BIGINT) AS words_total,
+           CAST(SUM(CASE WHEN dfs.df >= 3 THEN 0 ELSE nw END) AS BIGINT) AS words_kept
+    FROM hashed JOIN dfs ON hashed.h = dfs.h
+    GROUP BY hashed.doc_id
+)
+SELECT doc_id, n_seg, n_boiler, words_total, words_kept,
+       CAST(n_boiler AS DOUBLE) / n_seg AS boiler_rate
+FROM per_doc
+"""
+
+    # corpus-fitted character-bigram rarity: integer-exact LM-style
+    # quality signal (rare = corpus count <= 16)
+    tx_char_rarity = """
+WITH bg AS (
+    SELECT d.doc_id, substr(d.text, CAST(g.i AS INT), 2) AS bg
+    FROM documents d,
+         LATERAL (SELECT UNNEST(range(1, length(d.text))) AS i) g
+    WHERE length(d.text) >= 2
+),
+cnts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg GROUP BY bg),
+per_doc AS (
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN cnts.cnt <= 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(cnts.cnt) AS BIGINT) AS freq_mass
+    FROM bg JOIN cnts ON bg.bg = cnts.bg
+    GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, n_rare, freq_mass,
+       CAST(n_rare AS DOUBLE) / n_bigrams AS rare_rate
+FROM per_doc
+"""
+
     tx_source_mix = """
 WITH grp AS (
     SELECT source, lang,
@@ -2130,6 +2203,8 @@ FROM agg
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
+        "tx_boilerplate": tx_boilerplate,
+        "tx_char_rarity": tx_char_rarity,
         "rollup_retention": rollup_retention,
         "rel_q1_pricing": rel_q1_pricing,
         "rel_q3_top_orders": rel_q3_top_orders,

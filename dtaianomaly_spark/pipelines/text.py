@@ -513,6 +513,116 @@ def dup_ngram_rate(docs: DataFrame) -> DataFrame:
     )
 
 
+SEG_WORDS = 8  # words per boilerplate segment
+SEG_DF_THRESHOLD = 3  # C4's "line appears >= 3 times" rule
+
+
+def boilerplate_segments(
+    docs: DataFrame,
+    seg_words: int = SEG_WORDS,
+    df_threshold: int = SEG_DF_THRESHOLD,
+) -> DataFrame:
+    """C4-style boilerplate removal accounting, transplanted from lines
+    to fixed-size word segments (this corpus has no newlines): split each
+    document into consecutive non-overlapping ``seg_words``-word
+    segments, count each segment's corpus frequency, and flag segments
+    occurring ``df_threshold``-or-more times as boilerplate. Returns
+    per-doc (n_seg, n_boiler, words_total, words_kept, boiler_rate) —
+    the bookkeeping a curation pipeline needs to decide and size the
+    removal pass. All counts integer-exact; one shared float formula.
+
+    Scale: segmentation is a map-side array HOF (zero shuffle); the only
+    shuffle is the segment-frequency aggregate, keyed on the segment
+    hash — the same shape as exact dedup, so it survives 100x. The
+    segment TEXT never shuffles, only its int64 hash."""
+    if seg_words < 1:
+        raise ValueError(f"seg_words must be >= 1, got {seg_words}")
+    # materialize the words array BEFORE the lambda: Catalyst does not
+    # CSE inside HOF lambdas, so an inline split() would re-tokenize the
+    # document once per segment (see dd_minhash's 16x lesson)
+    segs = (
+        f"transform(sequence(0, (size(ws) + {seg_words - 1})"
+        f" DIV {seg_words} - 1),"
+        f" j -> array_join(slice(ws, j * {seg_words} + 1, {seg_words}), ' '))"
+    )
+    seg_long = docs.select(
+        "doc_id", F.expr("split(text, ' ')").alias("ws")
+    ).select(
+        "doc_id", F.explode(F.expr(segs)).alias("seg")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substr(md5(seg), 1, 15), 16, 10) AS BIGINT) % {P31}"
+        ).alias("h"),
+        F.expr(
+            "CAST(length(seg) - length(replace(seg, ' ', '')) + 1 AS BIGINT)"
+        ).alias("nw"),
+    )
+    if _input_splits(docs) <= 8:
+        counted = seg_long.withColumn(
+            "df", F.count("*").over(Window.partitionBy("h"))
+        )
+    else:
+        df_tbl = seg_long.groupBy("h").agg(F.count("*").alias("df"))
+        counted = seg_long.join(df_tbl, "h")
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_seg"),
+        F.sum(
+            F.expr(f"CASE WHEN df >= {df_threshold} THEN 1 ELSE 0 END")
+        ).cast("long").alias("n_boiler"),
+        F.sum("nw").cast("long").alias("words_total"),
+        F.sum(
+            F.expr(f"CASE WHEN df >= {df_threshold} THEN 0 ELSE nw END")
+        ).cast("long").alias("words_kept"),
+    )
+    return per_doc.select(
+        "doc_id", "n_seg", "n_boiler", "words_total", "words_kept",
+        F.expr("CAST(n_boiler AS DOUBLE) / n_seg").alias("boiler_rate"),
+    )
+
+
+RARE_BIGRAM_THRESHOLD = 16  # corpus occurrences at/below which a bigram is "rare"
+
+
+def char_bigram_rarity(
+    docs: DataFrame, rare_threshold: int = RARE_BIGRAM_THRESHOLD
+) -> DataFrame:
+    """Statistical-LM-flavoured quality signal with exact integer
+    arithmetic: fit the unigram-of-character-bigrams model ON THE CORPUS
+    ITSELF (global occurrence count per character bigram), then score
+    each document by (a) its rare-bigram count — bigrams whose corpus
+    count is <= ``rare_threshold``, the integer analog of low-likelihood
+    n-grams — and (b) its total corpus-frequency mass. Documents with a
+    high ``rare_rate`` are the ones a perplexity filter would flag
+    (garbled text produces character combinations the corpus rarely
+    emits), computed without any cross-engine float-log risk.
+
+    Scale: the model IS the bigram count table — at most alphabet² rows
+    (≈1k here, bounded ~64k for bytes), so the score join broadcasts;
+    the only real shuffle is the count aggregate keyed on the bigram.
+    ``freq_mass`` is bounded by doc_bigrams x corpus_bigrams — fits
+    int64 through ~3x10^9 corpus bigrams; beyond that scale the mass
+    column should move to DECIMAL(38,0)."""
+    bigrams = (
+        "CASE WHEN length(text) >= 2 THEN"
+        " transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"
+        " ELSE array() END"
+    )
+    long = docs.select("doc_id", F.explode(F.expr(bigrams)).alias("bg"))
+    counts = long.groupBy("bg").agg(F.count("*").cast("long").alias("cnt"))
+    per_doc = long.join(F.broadcast(counts), "bg").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(
+            F.expr(f"CASE WHEN cnt <= {rare_threshold} THEN 1 ELSE 0 END")
+        ).cast("long").alias("n_rare"),
+        F.sum("cnt").cast("long").alias("freq_mass"),
+    )
+    return per_doc.select(
+        "doc_id", "n_bigrams", "n_rare", "freq_mass",
+        F.expr("CAST(n_rare AS DOUBLE) / n_bigrams").alias("rare_rate"),
+    )
+
+
 def source_mix(docs: DataFrame) -> DataFrame:
     """Corpus mixing statistics per (source, lang): document/char/token
     mass and the up/down-sampling weight that would equalize the mix

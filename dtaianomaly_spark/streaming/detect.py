@@ -201,6 +201,115 @@ def _make_mp_update(w: int, horizon: int, ttl_ms: int | None):
     return update
 
 
+def _make_fitted_update(w: int, score_fn, model, ttl_ms: int | None):
+    """Stateful scorer for a PRE-FITTED window model: state is the
+    trailing ``w - 1`` raw values + a position cursor; every window is
+    scored the moment its last point arrives."""
+    tail_len = w - 1
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            tail_list, next_pos = state.get
+            tail = np.asarray(tail_list, dtype=np.float64)
+            next_pos = int(next_pos)
+            cold_start = False
+        else:
+            tail = np.empty(0, dtype=np.float64)
+            next_pos = 0
+            cold_start = True
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+
+        batch = pd.concat(chunks).sort_values("pos")
+        vals = batch["value"].to_numpy(dtype=np.float64)
+        poss = batch["pos"].to_numpy(dtype=np.int64)
+        if cold_start:
+            # state evicted while idle: accept any resume position (the
+            # bounded-state trade shared by every online detector here)
+            next_pos = int(poss[0])
+        expected = next_pos + np.arange(vals.shape[0])
+        if not np.array_equal(poss, expected):
+            raise ValueError(
+                f"online window scoring requires in-order contiguous"
+                f" points; series {doc_id!r} expected pos {next_pos}, got"
+                f" {poss[:5].tolist()}..."
+            )
+        full = np.concatenate([tail, vals]) if tail.size else vals
+        base = next_pos - tail.shape[0]  # global position of full[0]
+        next_pos += vals.shape[0]
+        new_tail = full[-tail_len:] if full.shape[0] > tail_len else full
+        state.update((new_tail.tolist(), next_pos))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+        if full.shape[0] >= w:
+            # window idx completed by this batch: every start in
+            # [0, len(full)-w]; all of them end inside the new points
+            # because the retained tail is exactly w-1 values
+            from dtaianomaly_spark.kernels import windowing as KW
+
+            wins = KW.sliding_window(full, w, 1)
+            scores = score_fn(wins, model)
+            out_idx = np.arange(wins.shape[0], dtype=np.int64) + base
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_id, out_idx.shape[0]),
+                    "idx": out_idx,
+                    "profile": scores.astype(np.float64),
+                }
+            )
+
+    return update
+
+
+def stateful_fitted_window_scores(
+    stream_long_form,
+    window_size: int,
+    score_fn,
+    model,
+    state_ttl_ms: int | None = STATE_TTL_MS,
+):
+    """(doc_id, pos, value) point stream -> append stream of per-window
+    scores (doc_id, idx, profile) from a model FITTED IN BATCH and
+    shipped in the task closure — the fit-offline / score-online shape
+    every window-model detector (KMeans, IsolationForest, LOF, ...)
+    shares in production. ``score_fn(windows_matrix, model)`` is the SAME
+    kernel the batch ``operators.detectors.window_model_scores`` path
+    uses, applied to stride-1 causal windows, so the streamed per-window
+    scores are BIT-EQUAL to a batch ``score_fn(sliding_window(x, w, 1),
+    model)`` over the full series (tests/test_streaming_detect.py).
+
+    Per-series state = the trailing ``window_size - 1`` raw values + a
+    position cursor — constant, independent of stream length. Model
+    state is IMMUTABLE (fitted once, offline), which is what makes every
+    window's score independent of arrival batching. Same input contract
+    and TTL semantics as ``stateful_median_scores``."""
+    if window_size < 2:
+        raise ValueError(f"window_size must be >= 2, got {window_size}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_fitted_update(window_size, score_fn, model, state_ttl_ms),
+        MP_SCORE_SCHEMA,
+        MP_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stateful_left_matrix_profile(
     stream_long_form,
     window_size: int = 16,

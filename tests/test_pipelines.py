@@ -230,6 +230,50 @@ def test_dup_ngram_rate_bounds(spark):
     assert all(0.0 <= r["dup_rate"] <= 1.0 and r["n_dup"] <= r["n_shingles"] for r in rows)
 
 
+def test_boilerplate_segments_flags_shared_segments(spark):
+    """A segment pasted into >= 3 docs is boilerplate; unique tails are
+    kept; word accounting is conserved."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    boiler = "a b c d e f g h"  # exactly one 8-word segment
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " u0 v0 w0"),
+            (1, boiler + " u1 v1 w1"),
+            (2, boiler + " u2 v2 w2"),
+            (3, "x y z only unique words here none shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.boilerplate_segments(docs).collect()}
+    for d in (0, 1, 2):
+        r = out[d]
+        assert r["n_seg"] == 2 and r["n_boiler"] == 1
+        assert r["words_total"] == 11 and r["words_kept"] == 3
+        assert r["boiler_rate"] == 0.5
+    r = out[3]
+    assert r["n_boiler"] == 0 and r["words_kept"] == r["words_total"] == 12
+    assert r["n_seg"] == 2  # 8 + 4-word tail segment
+
+
+def test_char_bigram_rarity_flags_garbled_doc(spark):
+    """A doc of characters the rest of the corpus never emits must score
+    a strictly higher rare_rate than the repetitive majority docs."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    common = "the data the data the data the data the data"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(20)] + [(99, "qxzj qvkz zzqx jxqv")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.char_bigram_rarity(docs).collect()}
+    assert out[99]["rare_rate"] > out[0]["rare_rate"]
+    assert out[99]["n_rare"] == out[99]["n_bigrams"]  # every bigram rare
+    for r in out.values():
+        assert r["n_rare"] <= r["n_bigrams"]
+        assert r["freq_mass"] >= r["n_bigrams"]  # each bigram counts itself
+
+
 def test_dedup_clusters_min_label_components(spark):
     """Connected components via min-label propagation: chain, triangle,
     singleton, and a two-hop bridge all resolve to the component min."""

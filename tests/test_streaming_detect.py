@@ -174,6 +174,69 @@ def test_streamed_left_matrix_profile_equals_batch_kernel(spark, tmp_path):
             assert out[(doc, i)] == expect[i], (doc, i)
 
 
+def test_streamed_fitted_window_scores_equal_batch(spark, tmp_path):
+    """Fit-offline / score-online: a KMeans model fitted IN BATCH and an
+    IsolationForest likewise, each streamed over chunked micro-batches,
+    must reproduce the batch per-window kernel scores bit-equal — the
+    production shape for every window-model detector (model immutable,
+    windows formed causally from constant per-series state)."""
+    from dtaianomaly_spark.kernels import windowing as KW
+    from dtaianomaly_spark.streaming.detect import stateful_fitted_window_scores
+
+    rng = np.random.default_rng(31)
+    series = {f"doc-{d}": rng.normal(0, 1, 143).cumsum() for d in range(4)}
+    w = 12
+    train = np.concatenate(
+        [KW.sliding_window(v, w, 1) for v in series.values()], axis=0
+    )
+    models = {
+        "kmeans": (KD.kmeans_fit(train, 4, seed=7), KD.kmeans_score),
+        "iforest": (KD.iforest_fit(train, n_trees=20, seed=7), KD.iforest_score),
+    }
+    rows = [
+        (doc, p, float(v))
+        for doc, vals in series.items()
+        for p, v in enumerate(vals)
+    ]
+    lf = spark.createDataFrame(rows, "doc_id string, pos long, value double")
+
+    for name, (model, score_fn) in models.items():
+        src = str(tmp_path / f"{name}_src")
+        bounds = np.linspace(0, 143, 5).astype(int)
+        for lo, hi in zip(bounds, bounds[1:]):
+            lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(lf.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out_dir = str(tmp_path / f"{name}_out")
+        q = (
+            stateful_fitted_window_scores(
+                stream, w, score_fn, model, state_ttl_ms=None
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        out = {
+            (r["doc_id"], r["idx"]): r["profile"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        n_win = 143 - w + 1
+        assert len(out) == 4 * n_win, name
+        for doc, vals in series.items():
+            expect = score_fn(KW.sliding_window(vals, w, 1), model)
+            for i in range(n_win):
+                assert out[(doc, i)] == expect[i], (name, doc, i)
+
+
 def test_left_matrix_profile_horizon_bounds_lookback():
     """A motif repeated outside the horizon must NOT be found; inside it
     must. Direct structural check of the horizon contract."""
