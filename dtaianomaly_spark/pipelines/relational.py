@@ -133,6 +133,47 @@ def q5_region_revenue(
     )
 
 
+def q7_volume_shipping(
+    nation: DataFrame, supplier: DataFrame, customer: DataFrame,
+    orders: DataFrame, lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7 shape: cross-border shipping volume by (supplier nation,
+    customer nation, ship year) — the one query where the SAME dimension
+    table (nation) plays two roles against one fact pass. Both nation
+    maps and supplier/customer fold into broadcasts; the single
+    at-scale shuffle is lineitem↔orders, which on a cluster runs as a
+    bucketed/sort-merge pair on the order key (see plans/bucketing.py) —
+    at bench scale AQE turns it into a broadcast too. Revenue exact in
+    integer cents x basis points, as the whole relational suite."""
+    supp_nat = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_nat = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = lineitem.select(
+        "l_suppkey", "l_orderkey",
+        F.expr(_REVENUE).alias("rev"),
+        F.expr(
+            "CAST(date_format(CAST(l_shipdate AS TIMESTAMP), 'yyyy') AS BIGINT)"
+        ).alias("l_year"),
+    )
+    return (
+        li.join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_nat), F.col("o_custkey") == cust_nat.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("rev").alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
 def order_month_rollup(orders: DataFrame) -> DataFrame:
     """Orders rolled to calendar month (the relational twin of the
     token-tier rollup): counts + exact integer cent sums + shared-float

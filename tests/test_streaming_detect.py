@@ -237,6 +237,71 @@ def test_streamed_fitted_window_scores_equal_batch(spark, tmp_path):
                 assert out[(doc, i)] == expect[i], (name, doc, i)
 
 
+def test_streamed_alerts_equal_batch_decisions(spark, tmp_path):
+    """Full online alerting pipeline: fitted-model scores -> fixed
+    cutoff -> append alert stream. The alert SET (doc_id, idx) must
+    equal the batch decisions from the same model + threshold — the
+    stateless threshold stage composes with the stateful scorer without
+    re-batching."""
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.kernels import windowing as KW
+    from dtaianomaly_spark.streaming.detect import stateful_fitted_window_scores
+
+    rng = np.random.default_rng(43)
+    series = {f"doc-{d}": rng.normal(0, 1, 97).cumsum() for d in range(3)}
+    w = 10
+    train = np.concatenate(
+        [KW.sliding_window(v, w, 1) for v in series.values()], axis=0
+    )
+    model = KD.kmeans_fit(train, 3, seed=5)
+    # threshold fitted offline too: the 90th-percentile train score
+    tau = float(np.quantile(KD.kmeans_score(train, model), 0.9))
+
+    rows = [
+        (doc, p, float(v))
+        for doc, vals in series.items()
+        for p, v in enumerate(vals)
+    ]
+    lf = spark.createDataFrame(rows, "doc_id string, pos long, value double")
+    src = str(tmp_path / "al_src")
+    for lo, hi in ((0, 40), (40, 97)):
+        lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "al_out")
+    q = (
+        stateful_fitted_window_scores(
+            stream, w, KD.kmeans_score, model, state_ttl_ms=None
+        )
+        .filter(F.col("profile") > tau)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "al_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["idx"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expect = {
+        (doc, i)
+        for doc, vals in series.items()
+        for i, s in enumerate(KD.kmeans_score(KW.sliding_window(vals, w, 1), model))
+        if s > tau
+    }
+    assert expect, "threshold must fire on some window for the test to bite"
+    assert got == expect
+
+
 def test_left_matrix_profile_horizon_bounds_lookback():
     """A motif repeated outside the horizon must NOT be found; inside it
     must. Direct structural check of the horizon contract."""
