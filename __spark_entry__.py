@@ -563,6 +563,19 @@ def _q_rel_order_month(spark, sf_dir):
     return R.order_month_rollup(R.load(spark, sf_dir, "orders"))
 
 
+def _q_rel_q7(spark, sf_dir):
+    """TPC-H Q7-shape cross-border volume by nation pair x ship year."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q7_volume_shipping(
+        R.load(spark, sf_dir, "nation"),
+        R.load(spark, sf_dir, "supplier"),
+        R.load(spark, sf_dir, "customer"),
+        R.load(spark, sf_dir, "orders"),
+        R.load(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_tx_dup_ngram_rate(spark, sf_dir):
     """Per-doc duplicate-8-gram fraction (substring-dedup signal)."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -908,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q3_top_orders": _q_rel_q3,
         "rel_q5_region_revenue": _q_rel_q5,
         "rel_order_month": _q_rel_order_month,
+        "rel_q7_volume": _q_rel_q7,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
@@ -954,7 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_roundtrip", "det_proba_median", "ev_minute_rollup",
         "ev_rate_anomaly", "mm_byte_histogram",
         # new in round 3 (continuation): force first-round adjudication
-        "tx_boilerplate", "tx_char_rarity",
+        "tx_boilerplate", "tx_char_rarity", "rel_q7_volume",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -1880,6 +1894,23 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
 
+    rel_q7_volume = f"""
+WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+cn AS (SELECT c_custkey, n_name AS cust_nation
+       FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT supp_nation, cust_nation,
+       CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS l_year,
+       CAST(SUM({_REL_REV}) AS BIGINT) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN sn ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cn ON o_custkey = c_custkey
+WHERE supp_nation != cust_nation
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
     rel_order_month = """
 WITH g AS (
     SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS month,
@@ -2210,6 +2241,7 @@ FROM agg
         "rel_q3_top_orders": rel_q3_top_orders,
         "rel_q5_region_revenue": rel_q5_region_revenue,
         "rel_order_month": rel_order_month,
+        "rel_q7_volume": rel_q7_volume,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_srp_topk": ann_srp_topk,
         "dd_embed_neardup": dd_embed_neardup,

@@ -58,6 +58,22 @@ def _sliding_mean_std(x: np.ndarray, w: int) -> Tuple[np.ndarray, np.ndarray]:
     return mu, np.sqrt(np.maximum(var, 0.0))
 
 
+# Row-block size for the STOMP-family kernels: per-row NumPy call
+# overhead dominates at n ~ 1k, so distance rows are produced in
+# (B, n_r) blocks — the recurrence stays sequential, everything else
+# runs once per block. 64 rows x 2k cols x 8 B = 1 MiB per block.
+_BLOCK = 64
+
+
+def _block(n_r: int, d: int = 1) -> int:
+    """Row-block size for an ``(B, n_r)`` x ``d``-engine sweep, capped so
+    the block buffers stay ~2M doubles (16 MiB) even for very long
+    reference sides — keeps per-task memory flat when a monolithic
+    series is large while preserving the full 64-row amortization for
+    the common ~1k-window series."""
+    return max(1, min(_BLOCK, (1 << 21) // max(1, n_r * d)))
+
+
 def matrix_profile(
     x: np.ndarray, w: int, x_ref: Optional[np.ndarray] = None
 ) -> np.ndarray:
@@ -78,13 +94,15 @@ def matrix_profile(
         # the 0.0 edge fallback, same as an all-excluded self-join row
         return np.zeros(n_q)
 
-    # AB-join (novelty): the buffered z-norm row engine — no exclusion
+    # AB-join (novelty): the blocked z-norm row engine — no exclusion
     # zone, stumpy flat-window conventions inside the engine
     eng = _ZnormEngine(x, y, w)
     profile = np.empty(n_q)
-    for i in range(n_q):
-        m = eng.row(i).min()
-        profile[i] = m if np.isfinite(m) else 0.0
+    step = _block(eng.n_r)
+    for i0 in range(0, n_q, step):
+        i1 = min(i0 + step, n_q)
+        m = eng.rows(i0, i1).min(axis=1)
+        profile[i0:i1] = np.where(np.isfinite(m), m, 0.0)
     return profile
 
 
@@ -109,30 +127,37 @@ def _matrix_profile_self(x: np.ndarray, w: int) -> np.ndarray:
 
     excl = int(np.ceil(w / 4))
     profile = np.empty(n)
-    buf = np.empty(n)
-    d2 = np.empty(n)
     flat_row = np.where(flat, 0.0, float(w)) if any_flat else None
-    for i in range(n):
-        if i > 0:
-            qt[1:] = qt[:-1] - x[: n - 1] * x[i - 1] + x[w : w + n - 1] * x[i + w - 1]
-            qt[0] = qt_first[i]
-        np.multiply(mu, -w * mu[i], out=buf)
-        buf += qt
-        buf *= winv * inv[i]
-        np.clip(buf, -1.0, 1.0, out=buf)
-        np.subtract(1.0, buf, out=d2)
-        d2 *= 2.0 * w
+    step = _block(n)
+    QTs = np.empty((step, n))
+    for i0 in range(0, n, step):
+        i1 = min(i0 + step, n)
+        B = i1 - i0
+        for b in range(B):
+            i = i0 + b
+            if i > 0:
+                qt[1:] = qt[:-1] - x[: n - 1] * x[i - 1] + x[w : w + n - 1] * x[i + w - 1]
+                qt[0] = qt_first[i]
+            QTs[b] = qt
+        D = np.multiply(mu[None, :], (-w * mu[i0:i1])[:, None])
+        D += QTs[:B]
+        D *= winv[None, :] * inv[i0:i1, None]
+        np.clip(D, -1.0, 1.0, out=D)
+        np.subtract(1.0, D, out=D)
+        D *= 2.0 * w
         if any_flat:
-            if flat[i]:
-                np.copyto(d2, flat_row)
-            else:
-                d2[flat] = w
-        np.maximum(d2, 0.0, out=d2)
-        np.sqrt(d2, out=d2)
-        lo, hi = max(0, i - excl), min(n, i + excl + 1)
-        d2[lo:hi] = np.inf
-        m = d2.min()
-        profile[i] = m if np.isfinite(m) else 0.0
+            D[:, flat] = w
+            fq = flat[i0:i1]
+            if fq.any():
+                D[fq] = flat_row
+        np.maximum(D, 0.0, out=D)
+        np.sqrt(D, out=D)
+        for b in range(B):
+            i = i0 + b
+            lo, hi = max(0, i - excl), min(n, i + excl + 1)
+            D[b, lo:hi] = np.inf
+        m = D.min(axis=1)
+        profile[i0:i1] = np.where(np.isfinite(m), m, 0.0)
     return profile
 
 
@@ -202,6 +227,42 @@ class _ZnormEngine:
         np.sqrt(out, out=out)
         return out
 
+    def rows(self, i0: int, i1: int) -> np.ndarray:
+        """Distance rows ``i0..i1-1`` as an ``(i1-i0, n_r)`` block.
+        The QT recurrence stays sequential (3 vector ops per row); every
+        other op runs ONCE on the 2-D block, amortizing the ~10 small
+        NumPy calls per row that dominate at n ~ 1k. Elementwise op
+        sequence identical to :meth:`row` -> same values. Blocks must be
+        requested in increasing, contiguous order (like ``row``)."""
+        w, y, n_r = self.w, self.y, self.n_r
+        x, qt = self.x, self.qt
+        B = i1 - i0
+        QTs = np.empty((B, n_r))
+        for b in range(B):
+            i = i0 + b
+            if i > 0:
+                qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
+                qt[0] = self.qt_first_col[i]
+            QTs[b] = qt
+        out = np.multiply(self.mu_r[None, :], (-w * self.mu_q[i0:i1])[:, None])
+        out += QTs
+        out *= self.winv_r[None, :]
+        out *= self.inv_q[i0:i1, None]
+        np.clip(out, -1.0, 1.0, out=out)
+        np.subtract(1.0, out, out=out)
+        out *= 2.0 * w
+        if self.any_flat_r:
+            out[:, self.flat_r] = float(w)
+        fq = self.flat_q[i0:i1]
+        if fq.any():
+            if self.flat_row is not None:
+                out[fq] = self.flat_row
+            else:
+                out[fq] = float(w)
+        np.maximum(out, 0.0, out=out)
+        np.sqrt(out, out=out)
+        return out
+
 
 class _Aamp2Engine:
     """Non-normalized Euclidean (p=2) rows: d2(i,j) = ssq_x[i] + ssq_y[j]
@@ -236,6 +297,21 @@ class _Aamp2Engine:
         np.copyto(out, res)
         return out
 
+    def rows(self, i0: int, i1: int) -> np.ndarray:
+        """Blocked rows — see _ZnormEngine.rows."""
+        w, y, n_r = self.w, self.y, self.n_r
+        x, qt = self.x, self.qt
+        B = i1 - i0
+        QTs = np.empty((B, n_r))
+        for b in range(B):
+            i = i0 + b
+            if i > 0:
+                qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
+                qt[0] = self.qt_first_col[i]
+            QTs[b] = qt
+        d2 = self.ssq_q[i0:i1, None] + self.ssq_r[None, :] - 2.0 * QTs
+        return np.sqrt(np.maximum(d2, 0.0))
+
 
 class _AampPEngine:
     """Non-normalized Minkowski p-norm rows by direct window arithmetic
@@ -255,6 +331,14 @@ class _AampPEngine:
         if out is None:
             return res
         np.copyto(out, res)
+        return out
+
+    def rows(self, i0: int, i1: int) -> np.ndarray:
+        """Blocked rows: no recurrence exists for general p, so this is
+        the O(w)-per-cell direct evaluation row by row into one block."""
+        out = np.empty((i1 - i0, self.n_r))
+        for b in range(i1 - i0):
+            self.row(i0 + b, out=out[b])
         return out
 
 
@@ -303,18 +387,21 @@ def matrix_profile_general(
     n_q, n_r = eng.n_q, eng.n_r
     excl = int(math.ceil(w / 4)) if self_join else -1
     profile = np.empty(n_q)
-    for i in range(n_q):
-        d = eng.row(i)  # internal buffer — mutating it here is allowed
+    step = _block(n_r)
+    for i0 in range(0, n_q, step):
+        i1 = min(i0 + step, n_q)
+        D = eng.rows(i0, i1)  # fresh block — mutating it here is allowed
         if excl >= 0:
-            lo, hi = max(0, i - excl), min(n_r, i + excl + 1)
-            d[lo:hi] = np.inf
+            for b in range(i1 - i0):
+                i = i0 + b
+                lo, hi = max(0, i - excl), min(n_r, i + excl + 1)
+                D[b, lo:hi] = np.inf
         if k == 1:
-            m = d.min()
-        elif k <= d.shape[0]:
-            m = np.partition(d, k - 1)[k - 1]
+            profile[i0:i1] = D.min(axis=1)
+        elif k <= n_r:
+            profile[i0:i1] = np.partition(D, k - 1, axis=1)[:, k - 1]
         else:
-            m = np.inf
-        profile[i] = m
+            profile[i0:i1] = np.inf
     if k == 1 and self_join:
         # keep the k=1 edge convention of matrix_profile: a window with
         # no admissible neighbor scores 0.0
@@ -356,43 +443,48 @@ def mstump_profile_sum(
     ]
     excl = int(math.ceil(w / 4))
     out = np.empty(l)
+    step = _block(l, d)
     if d == 2:
         # two-attribute fast path (the common case): the sorted pair is
         # just (min, max), the 2-dim distance their mean — no sort, no
-        # cumsum, all ops into preallocated buffers
-        d0, d1 = np.empty(l), np.empty(l)
-        ext = np.empty(l)
-        mean = np.empty(l)
-        for i in range(l):
-            engines[0].row(i, out=d0)
-            engines[1].row(i, out=d1)
-            lo, hi = max(0, i - excl), min(l, i + excl + 1)
-            d0[lo:hi] = np.inf
-            d1[lo:hi] = np.inf
+        # cumsum, blocked rows from both engines
+        for i0 in range(0, l, step):
+            i1 = min(i0 + step, l)
+            D0 = engines[0].rows(i0, i1)
+            D1 = engines[1].rows(i0, i1)
+            for b in range(i1 - i0):
+                i = i0 + b
+                lo, hi = max(0, i - excl), min(l, i + excl + 1)
+                D0[b, lo:hi] = np.inf
+                D1[b, lo:hi] = np.inf
             if discords:
-                np.maximum(d0, d1, out=ext)
+                ext = np.maximum(D0, D1)
             else:
-                np.minimum(d0, d1, out=ext)
-            np.add(d0, d1, out=mean)
+                ext = np.minimum(D0, D1)
+            mean = np.add(D0, D1)
             mean *= 0.5
-            out[i] = ext.min() + mean.min()
+            out[i0:i1] = ext.min(axis=1) + mean.min(axis=1)
         return out
-    inv_k = 1.0 / np.arange(1.0, d + 1.0)[:, None]
-    D = np.empty((d, l))
-    for i in range(l):
+    inv_k = 1.0 / np.arange(1.0, d + 1.0)[:, None, None]
+    for i0 in range(0, l, step):
+        i1 = min(i0 + step, l)
+        B = i1 - i0
+        D = np.empty((d, B, l))
         for a in range(d):
-            engines[a].row(i, out=D[a])
-        lo, hi = max(0, i - excl), min(l, i + excl + 1)
-        D[:, lo:hi] = np.inf
+            D[a] = engines[a].rows(i0, i1)
+        for b in range(B):
+            i = i0 + b
+            lo, hi = max(0, i - excl), min(l, i + excl + 1)
+            D[:, b, lo:hi] = np.inf
         if d == 1:
-            out[i] = D[0].min()
+            out[i0:i1] = D[0].min(axis=1)
             continue
         Ds = np.sort(D, axis=0)
         if discords:
             Ds = Ds[::-1]
         # cumulative means down the sorted dims = the k-dim distances
         Dk = np.cumsum(Ds, axis=0) * inv_k
-        out[i] = Dk.min(axis=1).sum()
+        out[i0:i1] = Dk.min(axis=2).sum(axis=0)
     return out
 
 
@@ -446,35 +538,43 @@ def matrix_profile_ab_excl_both(
 
     profile = np.empty(n_q)
     prof_y = np.full(n_r, np.inf)
-    buf = np.empty(n_r)
-    d2 = np.empty(n_r)
-    for i in range(n_q):
-        if i > 0:
-            qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
-            qt[0] = qt_first_col[i]
-        np.multiply(mu_r, -w * mu_q[i], out=buf)
-        buf += qt
-        buf *= winv_r * inv_q[i]
-        np.clip(buf, -1.0, 1.0, out=buf)
-        np.subtract(1.0, buf, out=d2)
-        d2 *= 2.0 * w
-        if flat_q[i]:
+    step = _block(n_r)
+    QTs = np.empty((step, n_r))
+    for i0 in range(0, n_q, step):
+        i1 = min(i0 + step, n_q)
+        B = i1 - i0
+        for b in range(B):
+            i = i0 + b
+            if i > 0:
+                qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
+                qt[0] = qt_first_col[i]
+            QTs[b] = qt
+        D = np.multiply(mu_r[None, :], (-w * mu_q[i0:i1])[:, None])
+        D += QTs[:B]
+        D *= winv_r[None, :] * inv_q[i0:i1, None]
+        np.clip(D, -1.0, 1.0, out=D)
+        np.subtract(1.0, D, out=D)
+        D *= 2.0 * w
+        if any_flat_r:
+            D[:, flat_r] = w
+        fq = flat_q[i0:i1]
+        if fq.any():
             if flat_row is not None:
-                np.copyto(d2, flat_row)
+                D[fq] = flat_row
             else:
-                d2.fill(w)
-        elif any_flat_r:
-            d2[flat_r] = w
-        np.maximum(d2, 0.0, out=d2)
-        np.sqrt(d2, out=d2)
+                D[fq] = float(w)
+        np.maximum(D, 0.0, out=D)
+        np.sqrt(D, out=D)
         if excl >= 0:
-            lo = max(0, i + delta - excl)
-            hi = min(n_r, i + delta + excl + 1)
-            if lo < hi:
-                d2[lo:hi] = np.inf
-        m = d2.min()
-        profile[i] = m  # +inf stays +inf (combiner's min ignores it)
-        np.minimum(prof_y, d2, out=prof_y)
+            for b in range(B):
+                i = i0 + b
+                lo = max(0, i + delta - excl)
+                hi = min(n_r, i + delta + excl + 1)
+                if lo < hi:
+                    D[b, lo:hi] = np.inf
+        # +inf stays +inf (combiner's min ignores it)
+        profile[i0:i1] = D.min(axis=1)
+        np.minimum(prof_y, D.min(axis=0), out=prof_y)
     return profile, prof_y
 
 
@@ -555,22 +655,30 @@ def matrix_profile_ab_excl_topk(
     n_q, n_r = eng.n_q, eng.n_r
     P_a = np.full((n_q, k), np.inf)
     P_b = np.full((n_r, k), np.inf)
-    merged = np.empty((n_r, k + 1))
-    for i in range(n_q):
-        d = eng.row(i)
+    step = _block(n_r)
+    merged = np.empty((n_r, k + step))
+    for i0 in range(0, n_q, step):
+        i1 = min(i0 + step, n_q)
+        B = i1 - i0
+        D = eng.rows(i0, i1)
         if excl >= 0:
-            lo = max(0, i + delta - excl)
-            hi = min(n_r, i + delta + excl + 1)
-            if lo < hi:
-                d[lo:hi] = np.inf
-        kk = min(k, d.shape[0])
-        part = np.partition(d, kk - 1)[:kk]
-        part.sort()
-        P_a[i, :kk] = part
-        merged[:, :k] = P_b
-        merged[:, k] = d
-        merged.sort(axis=1)
-        P_b[:] = merged[:, :k]
+            for b in range(B):
+                i = i0 + b
+                lo = max(0, i + delta - excl)
+                hi = min(n_r, i + delta + excl + 1)
+                if lo < hi:
+                    D[b, lo:hi] = np.inf
+        kk = min(k, n_r)
+        part = np.partition(D, kk - 1, axis=1)[:, :kk]
+        part.sort(axis=1)
+        P_a[i0:i1, :kk] = part
+        # k smallest of (running P_b ∪ this block's columns) — same set
+        # the sequential per-row min-merge accumulates
+        m = merged[:, : k + B]
+        m[:, :k] = P_b
+        m[:, k:] = D.T
+        m.sort(axis=1)
+        P_b[:] = m[:, :k]
     return P_a, P_b
 
 
@@ -606,44 +714,49 @@ def mstump_ab_excl_pair(
     n_r = Xb.shape[0] - w + 1
     P_a = np.empty((d, n_q))
     P_b = np.full((d, n_r), np.inf)
+    step = _block(n_r, d)
     if d == 2:
-        d0, d1 = np.empty(n_r), np.empty(n_r)
-        ext = np.empty(n_r)
-        mean = np.empty(n_r)
-        for i in range(n_q):
-            engines[0].row(i, out=d0)
-            engines[1].row(i, out=d1)
+        for i0 in range(0, n_q, step):
+            i1 = min(i0 + step, n_q)
+            D0 = engines[0].rows(i0, i1)
+            D1 = engines[1].rows(i0, i1)
+            for b in range(i1 - i0):
+                i = i0 + b
+                lo = max(0, i + delta - excl)
+                hi = min(n_r, i + delta + excl + 1)
+                if lo < hi:
+                    D0[b, lo:hi] = np.inf
+                    D1[b, lo:hi] = np.inf
+            if discords:
+                ext = np.maximum(D0, D1)
+            else:
+                ext = np.minimum(D0, D1)
+            mean = np.add(D0, D1)
+            mean *= 0.5
+            P_a[0, i0:i1] = ext.min(axis=1)
+            P_a[1, i0:i1] = mean.min(axis=1)
+            np.minimum(P_b[0], ext.min(axis=0), out=P_b[0])
+            np.minimum(P_b[1], mean.min(axis=0), out=P_b[1])
+        return P_a, P_b
+    inv_k = 1.0 / np.arange(1.0, d + 1.0)[:, None, None]
+    for i0 in range(0, n_q, step):
+        i1 = min(i0 + step, n_q)
+        B = i1 - i0
+        D = np.empty((d, B, n_r))
+        for a in range(d):
+            D[a] = engines[a].rows(i0, i1)
+        for b in range(B):
+            i = i0 + b
             lo = max(0, i + delta - excl)
             hi = min(n_r, i + delta + excl + 1)
             if lo < hi:
-                d0[lo:hi] = np.inf
-                d1[lo:hi] = np.inf
-            if discords:
-                np.maximum(d0, d1, out=ext)
-            else:
-                np.minimum(d0, d1, out=ext)
-            np.add(d0, d1, out=mean)
-            mean *= 0.5
-            P_a[0, i] = ext.min()
-            P_a[1, i] = mean.min()
-            np.minimum(P_b[0], ext, out=P_b[0])
-            np.minimum(P_b[1], mean, out=P_b[1])
-        return P_a, P_b
-    inv_k = 1.0 / np.arange(1.0, d + 1.0)[:, None]
-    D = np.empty((d, n_r))
-    for i in range(n_q):
-        for a in range(d):
-            engines[a].row(i, out=D[a])
-        lo = max(0, i + delta - excl)
-        hi = min(n_r, i + delta + excl + 1)
-        if lo < hi:
-            D[:, lo:hi] = np.inf
+                D[:, b, lo:hi] = np.inf
         Ds = np.sort(D, axis=0)
         if discords:
             Ds = Ds[::-1]
         Dk = np.cumsum(Ds, axis=0) * inv_k
-        P_a[:, i] = Dk.min(axis=1)
-        np.minimum(P_b, Dk, out=P_b)
+        P_a[:, i0:i1] = Dk.min(axis=2)
+        np.minimum(P_b, Dk.min(axis=1), out=P_b)
     return P_a, P_b
 
 
