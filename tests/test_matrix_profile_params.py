@@ -263,3 +263,34 @@ def test_left_matrix_profile_suffix_invariance_property():
             assert sub[i_loc] == full[cut + i_loc]
 
     check()
+
+
+def test_engine_blocked_rows_match_row_loop():
+    """The blocked `rows(i0, i1)` sweep must reproduce the sequential
+    `row(i)` values exactly for every engine family — the contract the
+    blocked kernel call sites rest on. Fresh engine per mode because
+    both APIs advance the same QT recurrence."""
+    from dtaianomaly_spark.kernels.detectors import (
+        _Aamp2Engine, _AampPEngine, _ZnormEngine,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=120).cumsum()
+    y = rng.normal(size=90).cumsum()
+    x[20:30] = 3.0  # flat run on the query side
+    y[40:52] = -1.0  # flat run on the reference side
+    w = 8
+    makers = [
+        lambda: _ZnormEngine(x, y, w),
+        lambda: _Aamp2Engine(x, y, w),
+        lambda: _AampPEngine(x, y, w, 1.5),
+    ]
+    for make in makers:
+        seq = make()
+        expect = np.stack([seq.row(i).copy() for i in range(seq.n_q)])
+        blk = make()
+        got = np.empty_like(expect)
+        for i0 in range(0, blk.n_q, 7):  # odd block size incl. short tail
+            i1 = min(i0 + 7, blk.n_q)
+            got[i0:i1] = blk.rows(i0, i1)
+        np.testing.assert_array_equal(got, expect, err_msg=type(seq).__name__)
