@@ -611,6 +611,35 @@ def _q_tx_char_rarity(spark, sf_dir):
     return TX.char_bigram_rarity(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_decontam(spark, sf_dir):
+    """Benchmark decontamination: word-5-gram overlap of every training
+    doc against the held-out eval subset (broadcast eval n-gram set)."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.decontaminate(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_gopher(spark, sf_dir):
+    """Gopher-style quality rule filter: per-doc rule flags + keep."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.gopher_rules(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_mix_sample(spark, sf_dir):
+    """Deterministic mixture resampling to equal token mass per source."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.mixture_sample(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-25 tokens by count with doc freq."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.vocab_topk(TX.load_docs(spark, sf_dir))
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN (k-means cells + n_probe rescore) —
     float-iterative fit, rows-only check; recall pinned in pytest."""
@@ -916,6 +945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lang_eval": _q_tx_lang_eval,
         "tx_boilerplate": _q_tx_boilerplate,
         "tx_char_rarity": _q_tx_char_rarity,
+        "tx_decontam": _q_tx_decontam,
+        "tx_gopher": _q_tx_gopher,
+        "tx_mix_sample": _q_tx_mix_sample,
+        "tx_vocab_topk": _q_tx_vocab_topk,
         "rollup_retention": _q_rollup_retention,
         "rel_q1_pricing": _q_rel_q1,
         "rel_q3_top_orders": _q_rel_q3,
@@ -969,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rate_anomaly", "mm_byte_histogram",
         # new in round 3 (continuation): force first-round adjudication
         "tx_boilerplate", "tx_char_rarity", "rel_q7_volume",
+        "tx_decontam", "tx_gopher", "tx_mix_sample", "tx_vocab_topk",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -1759,6 +1793,120 @@ SELECT doc_id, n_bigrams, n_rare, freq_mass,
 FROM per_doc
 """
 
+    # benchmark decontamination: distinct word-5-grams per train doc vs
+    # the eval subset's n-gram set (doc_id % 97 == 0); same md5 hash
+    # domain as the shingle family, all counts integer
+    tx_decontam = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+    SELECT doc_id,
+           array_to_string(ws[(CAST(j AS INT) + 1):(CAST(j AS INT) + 5)], ' ') AS g
+    FROM w,
+         LATERAL (SELECT UNNEST(range(len(ws) - 4)) AS j) t
+),
+h AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h
+    FROM g
+),
+ev AS (SELECT DISTINCT h FROM h WHERE doc_id % 97 = 0),
+per_doc AS (
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+    FROM h LEFT JOIN ev ON h.h = ev.h
+    WHERE h.doc_id % 97 != 0
+    GROUP BY h.doc_id
+)
+SELECT doc_id, n_ngrams, n_hits,
+       CAST(n_hits AS DOUBLE) / n_ngrams AS contam_rate
+FROM per_doc
+"""
+
+    # Gopher-style rule filter: every rule an integer count or a float
+    # from one shared formula; flags as INT, conjunctive keep
+    tx_gopher = """
+WITH base AS (
+    SELECT doc_id,
+           ' ' || text || ' ' AS pt,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_words,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT) AS letters
+    FROM documents
+),
+m AS (
+    SELECT doc_id, words, distinct_words,
+           CAST(letters AS DOUBLE) / words AS mean_word_len,
+           CAST(words - distinct_words AS DOUBLE) / words AS dup_word_rate,
+           CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS BIGINT)
+           + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS BIGINT)
+           + CAST((length(pt) - length(replace(pt, ' value ', ''))) / 7 AS BIGINT)
+           + CAST((length(pt) - length(replace(pt, ' and ', ''))) / 5 AS BIGINT) AS stop_hits
+    FROM base
+)
+SELECT doc_id, words, distinct_words, mean_word_len, dup_word_rate, stop_hits,
+       CAST(words BETWEEN 20 AND 100000 AS INT) AS pass_words,
+       CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INT) AS pass_mwl,
+       CAST(dup_word_rate <= 0.75 AS INT) AS pass_dup,
+       CAST(stop_hits >= 1 AS INT) AS pass_stop,
+       CAST(words BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND dup_word_rate <= 0.75
+            AND stop_hits >= 1 AS INT) AS keep
+FROM m
+"""
+
+    # deterministic equal-token-mass mixture resampling: md5-uniform
+    # keep decision per doc, per-source audit row
+    tx_mix_sample = """
+WITH per_doc AS (
+    SELECT doc_id, source,
+           CAST((n_chars + 3) // 4 AS BIGINT) AS toks,
+           ('0x' || substr(md5(concat_ws(':', doc_id, 'mix')), 1, 13))::BIGINT
+           / CAST(4503599627370496 AS DOUBLE) AS u
+    FROM documents
+),
+mass AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS est_tokens
+    FROM per_doc GROUP BY source
+),
+floor_t AS (SELECT CAST(MIN(est_tokens) AS BIGINT) AS _min_mass FROM mass),
+rates AS (
+    SELECT source, n_docs, est_tokens,
+           CAST(_min_mass AS DOUBLE) / est_tokens AS keep_rate
+    FROM mass, floor_t
+),
+kept AS (
+    SELECT p.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(p.toks) AS BIGINT) AS kept_tokens
+    FROM per_doc p JOIN rates r ON p.source = r.source
+    WHERE p.u < r.keep_rate
+    GROUP BY p.source
+)
+SELECT r.source, r.n_docs, r.est_tokens, r.keep_rate,
+       CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k ON r.source = k.source
+"""
+
+    # vocabulary head: top-25 tokens by (count desc, token asc); df via
+    # distinct pre-aggregate (same shape as the Spark plan)
+    tx_vocab_topk = """
+WITH long AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+cnt AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM long GROUP BY word),
+dfq AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+    FROM (SELECT DISTINCT word, doc_id FROM long) GROUP BY word
+)
+SELECT c.word, c.cnt, d.df
+FROM cnt c JOIN dfq d ON c.word = d.word
+ORDER BY c.cnt DESC, c.word
+LIMIT 25
+"""
+
     tx_source_mix = """
 WITH grp AS (
     SELECT source, lang,
@@ -2236,6 +2384,10 @@ FROM agg
         "tx_lang_eval": tx_lang_eval,
         "tx_boilerplate": tx_boilerplate,
         "tx_char_rarity": tx_char_rarity,
+        "tx_decontam": tx_decontam,
+        "tx_gopher": tx_gopher,
+        "tx_mix_sample": tx_mix_sample,
+        "tx_vocab_topk": tx_vocab_topk,
         "rollup_retention": rollup_retention,
         "rel_q1_pricing": rel_q1_pricing,
         "rel_q3_top_orders": rel_q3_top_orders,

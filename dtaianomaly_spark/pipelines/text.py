@@ -769,3 +769,217 @@ def with_quality(docs: DataFrame) -> DataFrame:
             ),
         }
     )
+
+
+# ------------------------------------------------- corpus curation ops
+
+DECON_N_WORDS = 5  # word n-gram width for benchmark decontamination
+DECON_EVAL_MOD = 97  # doc_id % mod == 0 plays the held-out benchmark
+
+
+def decontaminate(
+    docs: DataFrame,
+    n_words: int = DECON_N_WORDS,
+    eval_mod: int = DECON_EVAL_MOD,
+) -> DataFrame:
+    """Benchmark decontamination accounting: flag training documents
+    that share word ``n_words``-grams with a held-out evaluation set
+    (here the deterministic subset ``doc_id % eval_mod == 0`` stands in
+    for the benchmark corpus). For every NON-eval document: its distinct
+    n-gram count, how many of those occur anywhere in the eval set, and
+    the contamination rate — the overlap report behind eval-leakage
+    filtering in every training-data pipeline.
+
+    Scale: n-grams are a map-side array HOF over the pre-split words
+    array (no CSE inside lambdas — ``ws`` materialized first); each
+    document's hashes are deduplicated map-side with ``array_distinct``
+    (no per-doc-distinct shuffle), and only the int64 md5 hash of each
+    n-gram ever shuffles, never the text. The eval n-gram set is tiny
+    relative to the corpus (a benchmark, not a training set), so its
+    distinct hashes BROADCAST to the train-side probe — the train
+    corpus never shuffles at all. All counts integer; one shared float
+    formula."""
+    if n_words < 1:
+        raise ValueError(f"n_words must be >= 1, got {n_words}")
+    gram_hashes = (
+        f"CASE WHEN size(ws) >= {n_words} THEN array_distinct("
+        f"transform(sequence(1, size(ws) - {n_words - 1}),"
+        f" j -> CAST(conv(substr(md5(array_join(slice(ws, j, {n_words}),"
+        f" ' ')), 1, 15), 16, 10) AS BIGINT) % {P31}))"
+        " ELSE array() END"
+    )
+    ngram_h = (
+        docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
+        .select("doc_id", F.explode(F.expr(gram_hashes)).alias("h"))
+    )
+    eval_set = (
+        ngram_h.where(F.expr(f"doc_id % {eval_mod} = 0"))
+        .select("h").distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        ngram_h.where(F.expr(f"doc_id % {eval_mod} != 0"))
+        .join(F.broadcast(eval_set), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_ngrams", "n_hits",
+        F.expr("CAST(n_hits AS DOUBLE) / n_ngrams").alias("contam_rate"),
+    )
+
+
+# Gopher-style rule bounds (Rae et al. 2021, table A1 — adapted to this
+# corpus's single-line space-separated text; each rule is an exact
+# integer/flag computation so the filter decisions replay bit-identically)
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_DUP_RATE = 0.75
+GOPHER_MIN_STOP_HITS = 1
+_STOPWORDS = ("the", "a", "value", "and")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document-quality rule filter: word count bounds,
+    mean-word-length bounds, duplicate-word rate cap (the repetition
+    signal), and minimum stop-word evidence — each rule an integer
+    count or a float derived from integer counts by one shared formula,
+    plus the conjunctive ``keep`` decision. Map-only (zero shuffle):
+    the whole filter is one projection over each document row, so it
+    runs at scan speed on any corpus size."""
+    stop_sum = " + ".join(
+        "CAST((length(pt) - length(replace(pt, ' {w} ', ''))) / {n} AS BIGINT)".format(
+            w=w, n=len(w) + 2
+        )
+        for w in _STOPWORDS
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("concat(' ', text, ' ')").alias("pt"),
+            F.expr("size(split(text, ' '))").cast("long").alias("words"),
+            F.expr("size(array_distinct(split(text, ' ')))")
+            .cast("long")
+            .alias("distinct_words"),
+            F.expr(
+                "CAST(length(text) - (size(split(text, ' ')) - 1) AS BIGINT)"
+            ).alias("letters"),
+        )
+        .select(
+            "doc_id", "words", "distinct_words",
+            F.expr("CAST(letters AS DOUBLE) / words").alias("mean_word_len"),
+            F.expr(
+                "CAST(words - distinct_words AS DOUBLE) / words"
+            ).alias("dup_word_rate"),
+            F.expr(stop_sum).alias("stop_hits"),
+        )
+        .select(
+            "doc_id", "words", "distinct_words", "mean_word_len",
+            "dup_word_rate", "stop_hits",
+            F.expr(
+                f"CAST(words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}"
+                " AS INT)"
+            ).alias("pass_words"),
+            F.expr(
+                f"CAST(mean_word_len BETWEEN {GOPHER_MIN_MWL} AND"
+                f" {GOPHER_MAX_MWL} AS INT)"
+            ).alias("pass_mwl"),
+            F.expr(
+                f"CAST(dup_word_rate <= {GOPHER_MAX_DUP_RATE} AS INT)"
+            ).alias("pass_dup"),
+            F.expr(
+                f"CAST(stop_hits >= {GOPHER_MIN_STOP_HITS} AS INT)"
+            ).alias("pass_stop"),
+        )
+        .withColumn(
+            "keep",
+            F.expr(
+                "CAST(pass_words = 1 AND pass_mwl = 1 AND pass_dup = 1"
+                " AND pass_stop = 1 AS INT)"
+            ),
+        )
+    )
+
+
+def mixture_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic mixture resampling to EQUAL token mass per source:
+    every source keeps documents with probability ``min_source_tokens /
+    source_tokens`` (the heaviest sources are downsampled to the
+    lightest), decided per document by the same coordinate-seeded md5
+    uniform the RandomDetector uses — so the sample is reproducible
+    under any partitioning, any cluster size, any retry. Returns the
+    per-source audit row (docs/tokens before, keep rate, docs/tokens
+    actually kept) a data-mixing pipeline publishes next to its config.
+
+    Scale: one hash aggregate for the per-source mass (20 rows), a
+    broadcast of those rates back onto the corpus (map-side), and one
+    re-aggregate of the kept mass — no shuffle ever carries text."""
+    per_doc = docs.select(
+        "doc_id", "source",
+        F.expr("CAST((n_chars + 3) DIV 4 AS BIGINT)").alias("toks"),
+        F.expr(
+            "CAST(conv(substr(md5(concat_ws(':', doc_id, 'mix')), 1, 13),"
+            " 16, 10) AS BIGINT) / CAST(4503599627370496 AS DOUBLE)"
+        ).alias("u"),
+    )
+    mass = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("est_tokens"),
+    )
+    floor = mass.agg(F.min("est_tokens").alias("_min_mass"))
+    rates = mass.crossJoin(F.broadcast(floor)).select(
+        "source", "n_docs", "est_tokens",
+        F.expr("CAST(_min_mass AS DOUBLE) / est_tokens").alias("keep_rate"),
+    )
+    kept = (
+        per_doc.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .where(F.expr("u < keep_rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("toks").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source", "n_docs", "est_tokens", "keep_rate",
+            F.coalesce("kept_docs", F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+VOCAB_TOP_K = 25
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace
+    tokens with their total count and document frequency — the
+    vocabulary/coverage report tokenizer training starts from. The
+    classic word-count shape: explode is map-side, the aggregate
+    partial-combines per partition before one shuffle keyed on the
+    token, df comes from a distinct (token, doc) pre-aggregate rather
+    than count(distinct) (no Expand blow-up), and the top-k is
+    TakeOrderedAndProject (no global sort). Deterministic total order:
+    count desc, then token asc."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    long = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("word")
+    )
+    cnt = long.groupBy("word").agg(F.count("*").cast("long").alias("cnt"))
+    df_tbl = (
+        long.select("word", "doc_id").distinct()
+        .groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    )
+    return (
+        cnt.join(df_tbl, "word")
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(k)
+    )

@@ -308,3 +308,86 @@ def test_curation_funnel_monotone_and_consistent(spark):
         assert b["n_docs"] <= a["n_docs"]
         assert b["n_tokens"] <= a["n_tokens"]
     assert rows["quality"]["n_docs"] > 0
+
+
+def test_decontaminate_flags_eval_copy(spark):
+    """A training doc that copies an eval doc's text verbatim must show
+    contamination ~1.0; unrelated docs with disjoint vocabulary show 0."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = spark.createDataFrame(
+        [
+            (0, eval_text),          # doc_id % 97 == 0 -> eval set
+            (1, eval_text),          # verbatim copy -> fully contaminated
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.decontaminate(rows).collect()}
+    assert set(out) == {1, 2}  # eval doc itself excluded
+    assert out[1]["n_hits"] == out[1]["n_ngrams"] > 0
+    assert out[1]["contam_rate"] == 1.0
+    assert out[2]["n_hits"] == 0 and out[2]["contam_rate"] == 0.0
+
+
+def test_gopher_rules_flags(spark):
+    """Rule flags respond to the right signals and keep is conjunctive."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    long_ok = "the " + " ".join(f"word{i}" for i in range(30))
+    short = "the cat"  # fails word-count bound
+    no_stop = " ".join(f"tok{i}" for i in range(30))  # no stop words
+    repeats = "the " + " ".join(["dup"] * 40)  # dup_word_rate ~ 1
+    rows = spark.createDataFrame(
+        [(0, long_ok), (1, short), (2, no_stop), (3, repeats)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.gopher_rules(rows).collect()}
+    assert out[0]["keep"] == 1
+    assert out[1]["pass_words"] == 0 and out[1]["keep"] == 0
+    assert out[2]["pass_stop"] == 0 and out[2]["keep"] == 0
+    assert out[3]["pass_dup"] == 0 and out[3]["keep"] == 0
+    for r in out.values():
+        expected = int(
+            r["pass_words"] and r["pass_mwl"] and r["pass_dup"] and r["pass_stop"]
+        )
+        assert r["keep"] == expected
+
+
+def test_mixture_sample_equalizes_and_bounds(spark):
+    """Lightest source keeps everything (rate 1.0); kept mass is bounded
+    by the per-source mass; the sample is deterministic across runs."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark)
+    rows = TX.mixture_sample(docs).collect()
+    assert len(rows) > 1
+    floor = min(r["est_tokens"] for r in rows)
+    for r in rows:
+        assert r["keep_rate"] == pytest.approx(floor / r["est_tokens"])
+        assert 0 <= r["kept_docs"] <= r["n_docs"]
+        assert 0 <= r["kept_tokens"] <= r["est_tokens"]
+    lightest = min(rows, key=lambda r: r["est_tokens"])
+    assert lightest["kept_docs"] == lightest["n_docs"]
+    again = {r["source"]: r for r in TX.mixture_sample(docs).collect()}
+    assert all(again[r["source"]] == r for r in rows)
+
+
+def test_vocab_topk_matches_pandas_wordcount(spark):
+    """Top-k head equals an exact pandas word count on the same corpus."""
+    from collections import Counter
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark)
+    pdf = docs.select("doc_id", "text").toPandas()
+    cnt, dfc = Counter(), Counter()
+    for t in pdf["text"]:
+        words = t.split(" ")
+        cnt.update(words)
+        dfc.update(set(words))
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = TX.vocab_topk(docs).collect()
+    assert [(r["word"], r["cnt"]) for r in got] == expect
+    assert all(r["df"] == dfc[r["word"]] for r in got)
