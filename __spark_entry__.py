@@ -676,6 +676,48 @@ def _q_ev_rate_anomaly(spark, sf_dir):
     return EVT.rate_anomaly(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_asof_join(spark, sf_dir):
+    """As-of join: each purchase enriched with the user's most recent
+    view at-or-before it (union-tagged window carry-forward — one
+    shuffle, no range join; operators/temporal_joins.py)."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.asof_view_before_purchase(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_range_join(spark, sf_dir):
+    """Range (interval) join: error-spike alert windows x all events,
+    minute-bucketed equi-join + residual BETWEEN (never all-pairs)."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.alert_window_counts(EVT.load_events(spark, sf_dir))
+
+
+def _q_rollup_refresh_incr(spark, sf_dir):
+    """Invalidation-driven incremental refresh of a materialized raw
+    rollup: docs with doc_id % 7 == 0 mutate (value+3 at pos % 17 == 0);
+    the refresh recomputes only those and keeps the rest — the oracle is
+    a FULL recompute over the mutated base, so the hash match proves
+    kept + recomputed == full (rollup/refresh.py)."""
+    from dtaianomaly_spark.rollup.refresh import incremental_refresh
+
+    lf = _spark_long_form(spark, sf_dir)
+    stale = T.rollup_relational(lf, 16, "raw")
+    mutated = lf.withColumn(
+        "value",
+        F.col("value")
+        + F.expr("CASE WHEN doc_id % 7 = 0 AND pos % 17 = 0 THEN 3 ELSE 0 END"),
+    )
+    return incremental_refresh(stale, mutated, "doc_id % 7 = 0", 16, "raw")
+
+
+def _q_rollup_distinct_merge(spark, sf_dir):
+    """Mergeable exact distinct-count rollup: 1h NDV composed by merging
+    the 1m tier's partial distinct sets (set union — distinct counts are
+    not additive, ndv_1m_sum exposes that)."""
+    return T.distinct_rollup(_spark_long_form(spark, sf_dir))
+
+
 def _q_mm_byte_histogram(spark, sf_dir):
     """Multimodal featurizer plumbing (binary payload -> fixed vector),
     exposed long-form (doc_id, bin, cnt) so the driver canonicalizer can
@@ -963,6 +1005,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": _q_ev_sessionize,
         "ev_minute_rollup": _q_ev_minute_rollup,
         "ev_rate_anomaly": _q_ev_rate_anomaly,
+        "ev_asof_join": _q_ev_asof_join,
+        "ev_range_join": _q_ev_range_join,
+        "rollup_refresh_incr": _q_rollup_refresh_incr,
+        "rollup_distinct_merge": _q_rollup_distinct_merge,
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
         "det_matrix_profile": _q_det_matrix_profile,
@@ -1003,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3 (continuation): force first-round adjudication
         "tx_boilerplate", "tx_char_rarity", "rel_q7_volume",
         "tx_decontam", "tx_gopher", "tx_mix_sample", "tx_vocab_topk",
+        # new in round 3 (final session): temporal joins + rollup maintenance
+        "ev_asof_join", "ev_range_join",
+        "rollup_refresh_incr", "rollup_distinct_merge",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2271,6 +2320,100 @@ seg AS (
 SELECT doc_id, SUM(dr * ptrap) AS auc_pr FROM seg GROUP BY doc_id
 """
 
+    ev_asof_join = """
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(floor(value * 1000) AS BIGINT) AS mval
+    FROM events
+),
+p AS (SELECT event_id, user_id, ts_us, mval FROM e WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts_us, mval FROM e WHERE event_type = 'view'),
+best AS (
+    SELECT p.event_id, MAX(v.ts_us) AS view_ts_us
+    FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
+    GROUP BY p.event_id
+)
+SELECT p.event_id, p.user_id, p.ts_us, p.mval,
+       b.view_ts_us,
+       ARG_MAX(v2.mval, v2.event_id) AS view_mval,
+       p.ts_us - b.view_ts_us AS gap_us
+FROM p
+JOIN best b ON p.event_id = b.event_id
+LEFT JOIN v v2 ON v2.user_id = p.user_id AND v2.ts_us = b.view_ts_us
+GROUP BY p.event_id, p.user_id, p.ts_us, p.mval, b.view_ts_us
+"""
+
+    ev_range_join = """
+WITH e AS (
+    SELECT event_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+),
+spikes AS (
+    SELECT CAST(ts_us // 60000000 AS BIGINT) AS spike_bucket
+    FROM e WHERE event_type = 'error'
+    GROUP BY 1 HAVING COUNT(*) >= 2
+),
+w AS (
+    SELECT spike_bucket,
+           (spike_bucket - 2) * 60000000 AS lo,
+           (spike_bucket + 3) * 60000000 - 1 AS hi
+    FROM spikes
+)
+SELECT w.spike_bucket, e.event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(e.ts_us) AS first_us, MAX(e.ts_us) AS last_us
+FROM w JOIN e ON e.ts_us BETWEEN w.lo AND w.hi
+GROUP BY w.spike_bucket, e.event_type
+"""
+
+    rollup_refresh_incr = f"""
+{C.TOKEN_SQL_CTE},
+mutated AS (
+    SELECT doc_id, pos,
+           value + CASE WHEN doc_id % 7 = 0 AND pos % 17 = 0
+                        THEN 3 ELSE 0 END AS value
+    FROM long_form
+),
+agg AS (
+    SELECT
+        doc_id,
+        CAST(pos // 16 AS BIGINT) AS bucket,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(value) AS BIGINT) AS sum,
+        CAST(SUM(value * value) AS BIGINT) AS sumsq,
+        CAST(MIN(value) AS BIGINT) AS min,
+        CAST(MAX(value) AS BIGINT) AS max,
+        CAST(ARG_MIN(value, pos) AS BIGINT) AS first,
+        CAST(ARG_MAX(value, pos) AS BIGINT) AS last
+    FROM mutated
+    GROUP BY doc_id, bucket
+)
+SELECT doc_id, 'raw' AS tier, bucket, cnt, sum, sumsq, min, max, first, last,
+       {_MEAN} AS mean, {_STD} AS std
+FROM agg
+"""
+
+    rollup_distinct_merge = f"""
+{C.TOKEN_SQL_CTE},
+fine AS (
+    SELECT DISTINCT doc_id, CAST(pos // 960 AS BIGINT) AS fbucket, value
+    FROM long_form
+),
+fine_ndv AS (
+    SELECT doc_id, CAST(fbucket // 60 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS ndv_1m_sum
+    FROM fine GROUP BY 1, 2
+),
+coarse AS (
+    SELECT doc_id, CAST(fbucket // 60 AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS ndv
+    FROM fine GROUP BY 1, 2
+)
+SELECT c.doc_id, c.bucket, c.ndv, f.ndv_1m_sum
+FROM coarse c JOIN fine_ndv f ON c.doc_id = f.doc_id AND c.bucket = f.bucket
+"""
+
     ev_rate_anomaly = """
 WITH b AS (
     SELECT event_type, epoch_us(ts) // 60000000 AS bucket,
@@ -2400,6 +2543,10 @@ FROM agg
         "ev_sessionize": ev_sessionize,
         "ev_minute_rollup": ev_minute_rollup,
         "ev_rate_anomaly": ev_rate_anomaly,
+        "ev_asof_join": ev_asof_join,
+        "ev_range_join": ev_range_join,
+        "rollup_refresh_incr": rollup_refresh_incr,
+        "rollup_distinct_merge": rollup_distinct_merge,
         "mm_byte_histogram": mm_byte_histogram,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,

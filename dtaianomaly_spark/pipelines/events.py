@@ -107,3 +107,78 @@ def rate_anomaly(events: DataFrame, neighborhood: int = 16) -> DataFrame:
             " - (CAST(_s AS DOUBLE) / _n) * (CAST(_s AS DOUBLE) / _n), 0.0)) END"
         ).alias("score"),
     )
+
+
+def _typed(events: DataFrame) -> DataFrame:
+    """Integer-exact event projection shared by the temporal joins."""
+    return events.select(
+        "event_id", "user_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        F.expr("CAST(floor(value * 1000) AS BIGINT)").alias("mval"),
+    )
+
+
+def asof_view_before_purchase(events: DataFrame) -> DataFrame:
+    """As-of join composition: every 'purchase' event is enriched with
+    the user's most recent 'view' event at-or-before it (ts, quantized
+    value, and the gap in µs). NULLs when the user never viewed before
+    buying. The operator is :func:`operators.temporal_joins.asof_join`
+    — one shuffle on user_id, no range join. Ties inside the build side
+    resolve to the greatest event_id."""
+    from dtaianomaly_spark.operators.temporal_joins import asof_join
+
+    e = _typed(events)
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "mval"
+    )
+    build = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us", "mval"
+    )
+    out = asof_join(
+        probe, build, on="user_id", ts="ts_us",
+        build_cols=["mval"], order_col="event_id", prefix="view_",
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "mval",
+        F.col("view_ts_us"),
+        F.col("view_mval"),
+        (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+
+
+ALERT_SPIKE_MIN = 2       # error events per minute that define a spike
+ALERT_PAD_MIN = 2         # alert window = spike minute ± 2 minutes
+
+
+def alert_window_counts(events: DataFrame) -> DataFrame:
+    """Range-join composition: minutes where the 'error' rate spikes
+    (>= ALERT_SPIKE_MIN events) become alert windows of
+    [spike-2min, spike+3min) in µs; every event of ANY type inside a
+    window is range-joined in and counted per (window, event_type) —
+    the "what else happened around the incident" query. The operator is
+    :func:`operators.temporal_joins.range_join_bucketed` (minute-
+    bucketed equi-join + residual BETWEEN, never all-pairs)."""
+    from dtaianomaly_spark.operators.temporal_joins import range_join_bucketed
+
+    minute = 60_000_000
+    e = _typed(events)
+    spikes = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy((F.col("ts_us") / minute).cast("long").alias("spike_bucket"))
+        .agg(F.count("*").alias("n_err"))
+        .filter(F.col("n_err") >= ALERT_SPIKE_MIN)
+    )
+    windows = spikes.select(
+        "spike_bucket",
+        ((F.col("spike_bucket") - ALERT_PAD_MIN) * minute).alias("lo"),
+        ((F.col("spike_bucket") + ALERT_PAD_MIN + 1) * minute - 1).alias("hi"),
+    )
+    joined = range_join_bucketed(
+        e.select("event_id", "event_type", "ts_us"),
+        windows, point_ts="ts_us", lo="lo", hi="hi", bucket_width=minute,
+    )
+    return joined.groupBy("spike_bucket", "event_type").agg(
+        F.count("*").alias("cnt"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )

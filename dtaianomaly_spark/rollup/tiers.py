@@ -311,3 +311,62 @@ def apply_retention(
         .filter(F.expr(f"CASE {cases} ELSE TRUE END"))
         .drop("n")
     )
+
+
+def distinct_rollup(
+    long_form: DataFrame, fine_ticks: int = 960, factor: int = 60
+) -> DataFrame:
+    """Mergeable exact distinct-count rollup: per-series distinct token
+    count at the coarse tier (fine_ticks * factor), composed by MERGING
+    the fine tier's partial distinct SETS — the set-union composition a
+    tiered store must use because distinct counts are not additive
+    (``ndv_1m_sum`` is returned alongside to expose exactly that).
+
+    Shape: the fine dedup (doc_id, fine bucket, value) is the mergeable
+    summary (its rows ARE the set elements); the coarse tier re-dedups
+    under the parent bucket. Both dedups hash-partition on doc_id-
+    prefixed keys, so the second reuses the first's clustering; state
+    is bounded by true NDV per bucket, never raw row count. The sketch
+    twin (:func:`distinct_rollup_sketch`) swaps the exact sets for HLL
+    registers when NDV itself is too large to carry.
+    """
+    fine = (
+        long_form
+        .select(
+            "doc_id",
+            (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
+            "value",
+        )
+        .distinct()
+    )
+    fine_ndv = fine.groupBy(
+        "doc_id", (F.col("fbucket") / factor).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("ndv_1m_sum"))
+    coarse = (
+        fine
+        .select("doc_id", (F.col("fbucket") / factor).cast("long").alias("bucket"), "value")
+        .distinct()
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("ndv"))
+    )
+    return coarse.join(fine_ndv, ["doc_id", "bucket"]).select(
+        "doc_id", "bucket", "ndv", "ndv_1m_sum"
+    )
+
+
+def distinct_rollup_sketch(
+    long_form: DataFrame, fine_ticks: int = 960, factor: int = 60, lgk: int = 12
+) -> DataFrame:
+    """HLL-sketch twin of :func:`distinct_rollup`: fine tier carries
+    ``hll_sketch_agg`` registers (fixed lgK bytes per bucket regardless
+    of NDV), coarse tier composes with ``hll_union_agg`` — the
+    mergeable-summary property that makes distinct counts roll up like
+    sums at 100 TB. Estimates only; the exact variant is the oracle."""
+    fine = long_form.groupBy(
+        "doc_id", (F.col("pos") / fine_ticks).cast("long").alias("fbucket")
+    ).agg(F.hll_sketch_agg(F.col("value"), F.lit(lgk)).alias("sk"))
+    return (
+        fine.groupBy("doc_id", (F.col("fbucket") / factor).cast("long").alias("bucket"))
+        .agg(F.hll_union_agg(F.col("sk")).alias("sk"))
+        .select("doc_id", "bucket", F.hll_sketch_estimate("sk").alias("ndv_est"))
+    )

@@ -1,0 +1,162 @@
+"""Temporal join operators (as-of join, range join) vs brute-force
+oracles, plus the rollup maintenance ops (incremental refresh,
+mergeable distinct rollup) vs full recomputes — all Spark-vs-Spark so
+they complement the driver's DuckDB adjudication of the same ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dtaianomaly_spark.operators.temporal_joins import asof_join, range_join_bucketed
+from dtaianomaly_spark.rollup.refresh import incremental_refresh
+from dtaianomaly_spark.rollup.tiers import (
+    distinct_rollup,
+    distinct_rollup_sketch,
+    rollup_relational,
+)
+from dtaianomaly_spark.sources.corpus import synthetic_corpus
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------- as-of join
+
+def _asof_frames(spark):
+    # key 1: interleaved; key 2: probe before any build; ties at ts=50
+    build = spark.createDataFrame(
+        [(1, 10, 100, 5), (1, 30, 101, 6), (1, 50, 102, 7), (1, 50, 103, 8),
+         (2, 90, 104, 9)],
+        "k long, t long, bid long, bv long",
+    )
+    probe = spark.createDataFrame(
+        [(1, 5, 200), (1, 30, 201), (1, 49, 202), (1, 50, 203), (1, 99, 204),
+         (2, 80, 205), (2, 95, 206), (3, 10, 207)],
+        "k long, t long, pid long",
+    )
+    return probe, build
+
+
+def test_asof_join_matches_bruteforce(spark):
+    probe, build = _asof_frames(spark)
+    out = asof_join(probe, build, on="k", ts="t", build_cols=["bv"],
+                    order_col="bid", prefix="m_")
+    got = {r["pid"]: (r["m_t"], r["m_bv"]) for r in out.collect()}
+    # brute force: greatest build.t <= probe.t, ties -> greatest bid
+    bres = [(r["k"], r["t"], r["bid"], r["bv"]) for r in build.collect()]
+    expect = {}
+    for k, t, pid in [(r["k"], r["t"], r["pid"]) for r in probe.collect()]:
+        cand = [b for b in bres if b[0] == k and b[1] <= t]
+        if not cand:
+            expect[pid] = (None, None)
+        else:
+            best = max(cand, key=lambda b: (b[1], b[2]))
+            expect[pid] = (best[1], best[3])
+    assert got == expect
+    # spot checks: inclusive tie at t=50 resolves to bid=103 (bv=8);
+    # probe-before-build and unseen key give NULLs
+    assert expect[203] == (50, 8) and got[203] == (50, 8)
+    assert got[205] == (None, None) and got[207] == (None, None)
+    assert out.count() == probe.count()
+
+
+def test_asof_join_single_shuffle(spark):
+    probe, build = _asof_frames(spark)
+    plan = asof_join(probe, build, on="k", ts="t", build_cols=["bv"],
+                     order_col="bid")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # key shuffle (+AQE coalesce), no join
+
+
+# ------------------------------------------------------------- range join
+
+def test_range_join_matches_bruteforce(spark):
+    pts = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(60)], "pid long, t long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 5, 35), (3, 35, 35), (4, 90, 120), (5, 200, 300)],
+        "wid long, lo long, hi long",
+    )
+    for width in (8, 16, 64):
+        got = _rows(
+            range_join_bucketed(pts, iv, "t", "lo", "hi", width), "wid", "pid"
+        )
+        brute = _rows(
+            iv.crossJoin(pts).filter(F.col("t").between(F.col("lo"), F.col("hi"))),
+            "wid", "pid",
+        )
+        assert got == brute, f"width={width}"
+        assert len(got) == len(set(got))  # exactly-once, no dedup needed
+
+
+def test_range_join_keyed(spark):
+    pts = spark.createDataFrame(
+        [(i, i % 3, i * 5 % 50) for i in range(40)], "pid long, g long, t long"
+    )
+    iv = spark.createDataFrame(
+        [(1, 0, 10, 40), (2, 1, 0, 20), (3, 2, 25, 49)],
+        "wid long, g long, lo long, hi long",
+    )
+    got = _rows(range_join_bucketed(pts, iv, "t", "lo", "hi", 16, on="g"),
+                "wid", "pid")
+    brute = _rows(
+        iv.join(pts, "g").filter(F.col("t").between(F.col("lo"), F.col("hi"))),
+        "wid", "pid",
+    )
+    assert got == brute
+
+
+# ------------------------------------------ incremental refresh / distinct
+
+@pytest.fixture(scope="module")
+def long_form(spark):
+    lf = synthetic_corpus(spark, n_series=40).select(
+        "doc_id", F.posexplode("tokens").alias("pos", "value")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"),
+             F.col("value").cast("long").alias("value")).persist()
+    lf.count()
+    yield lf
+    lf.unpersist()
+
+
+def test_incremental_refresh_equals_full(spark, long_form):
+    # different predicate/mutation than the driver query exercises
+    pred = "doc_id LIKE '%3'"
+    mutated = long_form.withColumn(
+        "value",
+        F.col("value")
+        + F.expr(f"CASE WHEN ({pred}) AND pos % 5 = 1 THEN 11 ELSE 0 END"),
+    )
+    stale = rollup_relational(long_form, 16, "raw")
+    inc = incremental_refresh(stale, mutated, pred, 16, "raw")
+    full = rollup_relational(mutated, 16, "raw")
+    cols = full.columns
+    assert _rows(inc, *cols) == _rows(full, *cols)
+    # the refresh really is partial: only predicate docs recompute
+    n_invalid = mutated.filter(F.expr(pred)).select("doc_id").distinct().count()
+    assert 0 < n_invalid < 40
+
+
+def test_distinct_rollup_exact_and_non_additive(spark, long_form):
+    out = distinct_rollup(long_form, fine_ticks=64, factor=4)
+    direct = long_form.groupBy(
+        "doc_id", (F.col("pos") / 256).cast("long").alias("bucket")
+    ).agg(F.countDistinct("value").alias("ndv"))
+    assert _rows(out, "doc_id", "bucket", "ndv") == _rows(
+        direct, "doc_id", "bucket", "ndv"
+    )
+    # merging partial distinct sets can only deflate vs summing partials
+    bad = out.filter(F.col("ndv") > F.col("ndv_1m_sum")).count()
+    assert bad == 0
+    # and on this corpus the difference is real (sum would overcount)
+    assert out.filter(F.col("ndv") < F.col("ndv_1m_sum")).count() > 0
+
+
+def test_distinct_rollup_sketch_tracks_exact(spark, long_form):
+    exact = {(r["doc_id"], r["bucket"]): r["ndv"] for r in
+             distinct_rollup(long_form, 64, 4).collect()}
+    est = {(r["doc_id"], r["bucket"]): r["ndv_est"] for r in
+           distinct_rollup_sketch(long_form, 64, 4, lgk=12).collect()}
+    assert set(est) == set(exact)
+    for k, nd in exact.items():
+        assert abs(est[k] - nd) <= max(2.0, 0.05 * nd), (k, nd, est[k])
