@@ -693,6 +693,31 @@ def _q_ev_range_join(spark, sf_dir):
     return EVT.alert_window_counts(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_asof_fwd(spark, sf_dir):
+    """Forward as-of join with tolerance: each click joined to the
+    user's next error within 10 minutes (time-to-failure)."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.asof_error_after_click(EVT.load_events(spark, sf_dir))
+
+
+def _q_rollup_refresh_tail(spark, sf_dir):
+    """Late-data (time-range) refresh: everything at/after pos 1500 is
+    invalidated (late points mutate there), the boundary bucket is
+    snapped DOWN so the straddling bucket recomputes whole; oracle is a
+    full recompute over the mutated base."""
+    from dtaianomaly_spark.rollup.refresh import refresh_tail
+
+    lf = _spark_long_form(spark, sf_dir)
+    stale = T.rollup_relational(lf, 16, "raw")
+    mutated = lf.withColumn(
+        "value",
+        F.col("value")
+        + F.expr("CASE WHEN pos >= 1500 AND pos % 3 = 0 THEN 5 ELSE 0 END"),
+    )
+    return refresh_tail(stale, mutated, 1500, 16, "raw")
+
+
 def _q_rollup_refresh_incr(spark, sf_dir):
     """Invalidation-driven incremental refresh of a materialized raw
     rollup: docs with doc_id % 7 == 0 mutate (value+3 at pos % 17 == 0);
@@ -1006,8 +1031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_minute_rollup": _q_ev_minute_rollup,
         "ev_rate_anomaly": _q_ev_rate_anomaly,
         "ev_asof_join": _q_ev_asof_join,
+        "ev_asof_fwd": _q_ev_asof_fwd,
         "ev_range_join": _q_ev_range_join,
         "rollup_refresh_incr": _q_rollup_refresh_incr,
+        "rollup_refresh_tail": _q_rollup_refresh_tail,
         "rollup_distinct_merge": _q_rollup_distinct_merge,
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
@@ -1050,8 +1077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_boilerplate", "tx_char_rarity", "rel_q7_volume",
         "tx_decontam", "tx_gopher", "tx_mix_sample", "tx_vocab_topk",
         # new in round 3 (final session): temporal joins + rollup maintenance
-        "ev_asof_join", "ev_range_join",
-        "rollup_refresh_incr", "rollup_distinct_merge",
+        "ev_asof_join", "ev_asof_fwd", "ev_range_join",
+        "rollup_refresh_incr", "rollup_refresh_tail", "rollup_distinct_merge",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2344,6 +2371,61 @@ LEFT JOIN v v2 ON v2.user_id = p.user_id AND v2.ts_us = b.view_ts_us
 GROUP BY p.event_id, p.user_id, p.ts_us, p.mval, b.view_ts_us
 """
 
+    ev_asof_fwd = """
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(floor(value * 1000) AS BIGINT) AS mval
+    FROM events
+),
+p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, ts_us, mval FROM e WHERE event_type = 'error'),
+best AS (
+    SELECT p.event_id, MIN(v.ts_us) AS raw_ts
+    FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us >= p.ts_us
+    GROUP BY p.event_id
+),
+tol AS (
+    SELECT p.event_id, p.user_id, p.ts_us,
+           CASE WHEN b.raw_ts - p.ts_us <= 600000000
+                THEN b.raw_ts ELSE NULL END AS err_ts_us
+    FROM p JOIN best b ON p.event_id = b.event_id
+)
+SELECT t.event_id, t.user_id, t.ts_us, t.err_ts_us,
+       ARG_MIN(v2.mval, v2.event_id) AS err_mval,
+       t.err_ts_us - t.ts_us AS ttf_us
+FROM tol t
+LEFT JOIN v v2 ON v2.user_id = t.user_id AND v2.ts_us = t.err_ts_us
+GROUP BY t.event_id, t.user_id, t.ts_us, t.err_ts_us
+"""
+
+    rollup_refresh_tail = f"""
+{C.TOKEN_SQL_CTE},
+mutated AS (
+    SELECT doc_id, pos,
+           value + CASE WHEN pos >= 1500 AND pos % 3 = 0
+                        THEN 5 ELSE 0 END AS value
+    FROM long_form
+),
+agg AS (
+    SELECT
+        doc_id,
+        CAST(pos // 16 AS BIGINT) AS bucket,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(value) AS BIGINT) AS sum,
+        CAST(SUM(value * value) AS BIGINT) AS sumsq,
+        CAST(MIN(value) AS BIGINT) AS min,
+        CAST(MAX(value) AS BIGINT) AS max,
+        CAST(ARG_MIN(value, pos) AS BIGINT) AS first,
+        CAST(ARG_MAX(value, pos) AS BIGINT) AS last
+    FROM mutated
+    GROUP BY doc_id, bucket
+)
+SELECT doc_id, 'raw' AS tier, bucket, cnt, sum, sumsq, min, max, first, last,
+       {_MEAN} AS mean, {_STD} AS std
+FROM agg
+"""
+
     ev_range_join = """
 WITH e AS (
     SELECT event_id, event_type,
@@ -2544,8 +2626,10 @@ FROM agg
         "ev_minute_rollup": ev_minute_rollup,
         "ev_rate_anomaly": ev_rate_anomaly,
         "ev_asof_join": ev_asof_join,
+        "ev_asof_fwd": ev_asof_fwd,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
+        "rollup_refresh_tail": rollup_refresh_tail,
         "rollup_distinct_merge": rollup_distinct_merge,
         "mm_byte_histogram": mm_byte_histogram,
         "compress_roundtrip": _rollup_oracle(16, "raw"),

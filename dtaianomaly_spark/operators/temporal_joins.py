@@ -45,47 +45,67 @@ def asof_join(
     build_cols: list[str],
     order_col: str,
     prefix: str = "b_",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """Left as-of join: each probe row gets the build row with the
-    greatest ``ts`` <= probe ``ts`` for the same ``on`` key (inclusive;
-    ties between probe and build at equal ts match, ties WITHIN the
-    build side at equal ts resolve to the greatest ``order_col`` —
-    deterministic under any partitioning).
+    greatest ``ts`` <= probe ``ts`` (``direction="backward"``) or the
+    smallest ``ts`` >= probe ``ts`` (``"forward"``) for the same ``on``
+    key. Both directions are inclusive: probe/build ties at equal ts
+    match. Ties WITHIN the build side at equal ts resolve to the
+    greatest ``order_col`` (backward) / smallest (forward) —
+    deterministic under any partitioning. ``tolerance`` (same unit as
+    ``ts``) nulls out matches further than that from the probe.
 
     Output = all probe columns + ``prefix+c`` for c in [ts] +
-    build_cols (NULL when no build row precedes the probe).
+    build_cols (NULL when nothing matches).
 
     One shuffle: the union is windowed per key ordered by
-    (ts, side, order_col) with build rows (side=0) sorting before probe
-    rows (side=1) at equal ts, and the build columns are carried
-    forward with last(ignorenulls=True).
+    (ts, match-preference, order), and the build columns are carried
+    with last(ignorenulls) over the preceding frame (backward) or
+    first(ignorenulls) over the following frame (forward).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
     carried = [ts] + build_cols
     b = build.select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_t"),
-        F.lit(0).alias("_side"),
+        # backward: build sorts BEFORE probe at equal ts (so the carry
+        # frame [unbounded, current] sees it); forward: AFTER.
+        F.lit(0 if back else 1).alias("_side"),
         F.col(order_col).cast("long").alias("_ord"),
+        F.lit(0).alias("_is_probe"),
         *[F.col(c).alias(f"_b_{c}") for c in carried],
         *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema],
     )
     p = probe.select(
         F.col(on).alias("_k"),
         F.col(ts).alias("_t"),
-        F.lit(1).alias("_side"),
+        F.lit(1 if back else 0).alias("_side"),
         F.lit(0).cast("long").alias("_ord"),
+        F.lit(1).alias("_is_probe"),
         *[F.lit(None).cast(build.schema[c].dataType).alias(f"_b_{c}") for c in carried],
         *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
     )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_t", "_side", "_ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("_k").orderBy("_t", "_side", "_ord")
+    if back:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     u = b.unionByName(p)
     for c in carried:
-        u = u.withColumn(f"_b_{c}", F.last(f"_b_{c}", ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).select(
+        u = u.withColumn(f"_b_{c}", pick(f"_b_{c}").over(w))
+    if tolerance is not None:
+        gap_ok = F.abs(F.col(f"_b_{ts}") - F.col("_t")) <= tolerance
+        for c in carried:
+            u = u.withColumn(
+                f"_b_{c}", F.when(gap_ok, F.col(f"_b_{c}"))
+            )
+    return u.filter(F.col("_is_probe") == 1).select(
         *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
         *[F.col(f"_b_{c}").alias(f"{prefix}{c}") for c in carried],
     )

@@ -182,3 +182,32 @@ def alert_window_counts(events: DataFrame) -> DataFrame:
         F.min("ts_us").alias("first_us"),
         F.max("ts_us").alias("last_us"),
     )
+
+
+ASOF_FWD_TOL_US = 600 * 1_000_000  # time-to-failure horizon: 10 minutes
+
+
+def asof_error_after_click(events: DataFrame) -> DataFrame:
+    """Forward as-of join with tolerance: each 'click' gets the user's
+    NEXT 'error' at-or-after it, nulled out when it is more than 10
+    minutes away — the time-to-failure enrichment. Ties inside the
+    build side resolve to the smallest event_id (forward direction)."""
+    from dtaianomaly_spark.operators.temporal_joins import asof_join
+
+    e = _typed(events)
+    probe = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    build = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us", "mval"
+    )
+    out = asof_join(
+        probe, build, on="user_id", ts="ts_us",
+        build_cols=["mval"], order_col="event_id", prefix="err_",
+        direction="forward", tolerance=ASOF_FWD_TOL_US,
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("err_ts_us"), F.col("err_mval"),
+        (F.col("err_ts_us") - F.col("ts_us")).alias("ttf_us"),
+    )

@@ -49,3 +49,33 @@ def incremental_refresh(
     )
     kept = materialized.filter(~F.expr(invalid_pred_sql))
     return kept.unionByName(recomputed)
+
+
+def refresh_tail(
+    materialized: DataFrame,
+    new_long_form: DataFrame,
+    from_pos: int,
+    bucket_ticks: int,
+    tier: str,
+) -> DataFrame:
+    """Time-range refresh — the LATE-DATA shape of continuous-aggregate
+    maintenance (TimescaleDB's refresh window): everything at or after
+    ``from_pos`` is invalidated (late/corrected points landed there),
+    everything strictly before stays materialized.
+
+    The invalidation boundary is snapped DOWN to a bucket edge: the
+    bucket containing ``from_pos`` straddles old and new data, so it
+    must be recomputed from base rows starting at ITS start, not at
+    ``from_pos`` — the classic off-by-one of windowed refresh. Kept
+    rows are ``bucket < from_pos div bucket_ticks``; recomputed rows
+    scan base ``pos >= bucket_start`` (a pushed-down range predicate —
+    partition pruning on a time-partitioned store).
+    """
+    boundary_bucket = from_pos // bucket_ticks
+    recomputed = rollup_relational(
+        new_long_form.filter(F.col("pos") >= boundary_bucket * bucket_ticks),
+        bucket_ticks,
+        tier,
+    )
+    kept = materialized.filter(F.col("bucket") < boundary_bucket)
+    return kept.unionByName(recomputed)

@@ -160,3 +160,51 @@ def test_distinct_rollup_sketch_tracks_exact(spark, long_form):
     assert set(est) == set(exact)
     for k, nd in exact.items():
         assert abs(est[k] - nd) <= max(2.0, 0.05 * nd), (k, nd, est[k])
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    probe, build = _asof_frames(spark)
+    out = asof_join(probe, build, on="k", ts="t", build_cols=["bv"],
+                    order_col="bid", prefix="m_", direction="forward")
+    got = {r["pid"]: (r["m_t"], r["m_bv"]) for r in out.collect()}
+    bres = [(r["k"], r["t"], r["bid"], r["bv"]) for r in build.collect()]
+    expect = {}
+    for k, t, pid in [(r["k"], r["t"], r["pid"]) for r in probe.collect()]:
+        cand = [b for b in bres if b[0] == k and b[1] >= t]
+        if not cand:
+            expect[pid] = (None, None)
+        else:
+            best = min(cand, key=lambda b: (b[1], b[2]))
+            expect[pid] = (best[1], best[3])
+    assert got == expect
+    # forward tie at t=50 resolves to SMALLEST bid (102 -> bv=7)
+    assert got[203] == (50, 7)
+    # tolerance nulls out matches further than 5 ticks
+    tol = asof_join(probe, build, on="k", ts="t", build_cols=["bv"],
+                    order_col="bid", prefix="m_", direction="forward",
+                    tolerance=5)
+    gt = {r["pid"]: (r["m_t"], r["m_bv"]) for r in tol.collect()}
+    for pid, (mt, mv) in expect.items():
+        pt = {200: 5, 201: 30, 202: 49, 203: 50, 204: 99,
+              205: 80, 206: 95, 207: 10}[pid]
+        if mt is not None and abs(mt - pt) <= 5:
+            assert gt[pid] == (mt, mv)
+        else:
+            assert gt[pid] == (None, None)
+
+
+def test_refresh_tail_equals_full(spark, long_form):
+    from dtaianomaly_spark.rollup.refresh import refresh_tail
+
+    # from_pos NOT on a bucket edge: the straddling bucket must recompute
+    for from_pos in (100, 105):
+        mutated = long_form.withColumn(
+            "value",
+            F.col("value")
+            + F.expr(f"CASE WHEN pos >= {from_pos} THEN 7 ELSE 0 END"),
+        )
+        stale = rollup_relational(long_form, 16, "raw")
+        inc = refresh_tail(stale, mutated, from_pos, 16, "raw")
+        full = rollup_relational(mutated, 16, "raw")
+        cols = full.columns
+        assert _rows(inc, *cols) == _rows(full, *cols), from_pos
