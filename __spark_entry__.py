@@ -127,6 +127,17 @@ def _q_gapfill_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with value imputation (locf + linear interpolate): every
+    5th 64-tick bucket is dropped WHOLE from the stream, then the dense
+    grid fills it with the carried-forward mean/last and the linearly
+    interpolated mean (TimescaleDB locf()/interpolate() semantics;
+    edges stay NULL)."""
+    lf = _spark_long_form(spark, sf_dir).filter(F.expr("(pos DIV 64) % 5 != 3"))
+    rolled = T.rollup_relational(lf, 64, "raw").drop("tier")
+    return T.gap_fill_modes(rolled, C.documents_series(spark, sf_dir), 64)
+
+
 def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MedianMethod anomaly scores (reference MedianMethod.py:82-107) as a
     pure window-aggregate plan: |x - mean(nbhd)| / std_pop(nbhd) over the
@@ -967,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_map_raw": _q_rollup_map_raw,
         "rollup_raw_mv": _q_rollup_raw_mv,
         "gapfill_1m": _q_gapfill_1m,
+        "gapfill_interp": _q_gapfill_interp,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
         "pp_minmax_scale": _q_pp_minmax,
@@ -1079,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3 (final session): temporal joins + rollup maintenance
         "ev_asof_join", "ev_asof_fwd", "ev_range_join",
         "rollup_refresh_incr", "rollup_refresh_tail", "rollup_distinct_merge",
+        "gapfill_interp",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2371,6 +2384,50 @@ LEFT JOIN v v2 ON v2.user_id = p.user_id AND v2.ts_us = b.view_ts_us
 GROUP BY p.event_id, p.user_id, p.ts_us, p.mval, b.view_ts_us
 """
 
+    gapfill_interp = f"""
+{C.TOKEN_SQL_CTE},
+kept AS (SELECT * FROM long_form WHERE (pos // 64) % 5 != 3),
+agg AS (
+    SELECT doc_id, CAST(pos // 64 AS BIGINT) AS bucket,
+        CAST(COUNT(value) AS BIGINT) AS cnt,
+        CAST(SUM(value) AS BIGINT) AS sum,
+        CAST(ARG_MAX(value, pos) AS BIGINT) AS last
+    FROM kept GROUP BY doc_id, bucket
+),
+grid AS (
+    SELECT s.doc_id, CAST(g.bucket AS BIGINT) AS bucket
+    FROM (SELECT doc_id, 64 + ((n_chars * 13) % 1985) AS n FROM documents) s,
+         LATERAL (SELECT UNNEST(range(0, CAST(CEIL(s.n / 64.0) AS BIGINT))) AS bucket) g
+),
+dense AS (
+    SELECT grid.doc_id, grid.bucket,
+           COALESCE(agg.cnt, 0) AS cnt,
+           CASE WHEN agg.cnt IS NULL THEN NULL
+                ELSE {_MEAN.replace('sum', 'agg.sum').replace('cnt', 'agg.cnt')}
+           END AS mean,
+           agg.last AS last
+    FROM grid LEFT JOIN agg ON grid.doc_id = agg.doc_id AND grid.bucket = agg.bucket
+),
+probed AS (
+    SELECT doc_id, bucket, cnt, mean, last,
+        last_value(mean IGNORE NULLS) OVER wb AS prev_mean,
+        last_value(CASE WHEN cnt > 0 THEN bucket END IGNORE NULLS) OVER wb AS prev_b,
+        first_value(mean IGNORE NULLS) OVER wf AS next_mean,
+        first_value(CASE WHEN cnt > 0 THEN bucket END IGNORE NULLS) OVER wf AS next_b,
+        last_value(last IGNORE NULLS) OVER wb AS locf_last
+    FROM dense
+    WINDOW wb AS (PARTITION BY doc_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY doc_id ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, bucket, cnt,
+       prev_mean AS locf_mean, locf_last,
+       {T.INTERP_SQL} AS interp_mean,
+       CAST(cnt = 0 AS INT) AS filled
+FROM probed
+"""
+
     ev_asof_fwd = """
 WITH e AS (
     SELECT event_id, user_id, event_type,
@@ -2627,6 +2684,7 @@ FROM agg
         "ev_rate_anomaly": ev_rate_anomaly,
         "ev_asof_join": ev_asof_join,
         "ev_asof_fwd": ev_asof_fwd,
+        "gapfill_interp": gapfill_interp,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
         "rollup_refresh_tail": rollup_refresh_tail,

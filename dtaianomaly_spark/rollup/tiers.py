@@ -370,3 +370,63 @@ def distinct_rollup_sketch(
         .agg(F.hll_union_agg(F.col("sk")).alias("sk"))
         .select("doc_id", "bucket", F.hll_sketch_estimate("sk").alias("ndv_est"))
     )
+
+
+# Shared verbatim by the Spark plan and the DuckDB oracle (bit-exact
+# IEEE-754): linear interpolation of the bucket mean between the
+# nearest observed buckets; observed buckets keep their own mean,
+# edges (no prev / no next) stay NULL — TimescaleDB interpolate()
+# semantics.
+INTERP_SQL = (
+    "CASE WHEN cnt > 0 THEN mean"
+    " WHEN prev_mean IS NULL OR next_mean IS NULL THEN NULL"
+    " ELSE prev_mean + (next_mean - prev_mean)"
+    " * (CAST(bucket - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))"
+    " END"
+)
+
+
+def gap_fill_modes(
+    rollup: DataFrame, series_n: DataFrame, bucket_ticks: int
+) -> DataFrame:
+    """Gap-fill with VALUE imputation — the locf()/interpolate() modes
+    of a continuous-aggregate engine on top of the plain zero-count
+    grid of :func:`gap_fill`:
+
+    * ``locf_mean`` / ``locf_last`` — last observation carried forward
+      (fills everything after the first observed bucket),
+    * ``interp_mean`` — linear interpolation between the nearest
+      observed buckets (edges stay NULL),
+    * ``filled`` — 1 for imputed buckets.
+
+    Two windows per series (backward carry, forward probe) over the
+    dense grid — the grid join already co-partitioned by doc_id, so
+    both windows reuse one shuffle.
+    """
+    from pyspark.sql import Window
+
+    dense = gap_fill(rollup, series_n, bucket_ticks)
+    wb = (
+        Window.partitionBy("doc_id").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("doc_id").orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("cnt") > 0, F.col("bucket"))
+    probed = dense.select(
+        "doc_id", "bucket", "cnt", "mean", "last",
+        F.last("mean", ignorenulls=True).over(wb).alias("prev_mean"),
+        F.last(obs_bucket, ignorenulls=True).over(wb).alias("prev_b"),
+        F.first("mean", ignorenulls=True).over(wf).alias("next_mean"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("next_b"),
+        F.last("last", ignorenulls=True).over(wb).alias("locf_last"),
+    )
+    return probed.select(
+        "doc_id", "bucket", "cnt",
+        F.col("prev_mean").alias("locf_mean"),
+        "locf_last",
+        F.expr(INTERP_SQL).alias("interp_mean"),
+        (F.col("cnt") == 0).cast("int").alias("filled"),
+    )
