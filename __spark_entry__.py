@@ -138,6 +138,12 @@ def _q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gap_fill_modes(rolled, C.documents_series(spark, sf_dir), 64)
 
 
+def _q_rollup_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(series, 1m bucket) top-3 token values by frequency
+    (deterministic tie-break: cnt DESC, value ASC)."""
+    return T.topk_tokens(_spark_long_form(spark, sf_dir), 960, 3)
+
+
 def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MedianMethod anomaly scores (reference MedianMethod.py:82-107) as a
     pure window-aggregate plan: |x - mean(nbhd)| / std_pop(nbhd) over the
@@ -696,6 +702,15 @@ def _q_ev_asof_join(spark, sf_dir):
     return EVT.asof_view_before_purchase(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_asof_skew(spark, sf_dir):
+    """Same purchase<-view enrichment through the skew-parallel two-level
+    as-of join (hour-bucketed windows + bucket-final carry) — adjudicated
+    against the SAME DuckDB oracle as ev_asof_join."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.asof_view_before_purchase(EVT.load_events(spark, sf_dir), skew=True)
+
+
 def _q_ev_range_join(spark, sf_dir):
     """Range (interval) join: error-spike alert windows x all events,
     minute-bucketed equi-join + residual BETWEEN (never all-pairs)."""
@@ -979,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_raw_mv": _q_rollup_raw_mv,
         "gapfill_1m": _q_gapfill_1m,
         "gapfill_interp": _q_gapfill_interp,
+        "rollup_topk_tokens": _q_rollup_topk_tokens,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
         "pp_minmax_scale": _q_pp_minmax,
@@ -1044,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rate_anomaly": _q_ev_rate_anomaly,
         "ev_asof_join": _q_ev_asof_join,
         "ev_asof_fwd": _q_ev_asof_fwd,
+        "ev_asof_skew": _q_ev_asof_skew,
         "ev_range_join": _q_ev_range_join,
         "rollup_refresh_incr": _q_rollup_refresh_incr,
         "rollup_refresh_tail": _q_rollup_refresh_tail,
@@ -1089,9 +1106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_boilerplate", "tx_char_rarity", "rel_q7_volume",
         "tx_decontam", "tx_gopher", "tx_mix_sample", "tx_vocab_topk",
         # new in round 3 (final session): temporal joins + rollup maintenance
-        "ev_asof_join", "ev_asof_fwd", "ev_range_join",
+        "ev_asof_join", "ev_asof_fwd", "ev_asof_skew", "ev_range_join",
         "rollup_refresh_incr", "rollup_refresh_tail", "rollup_distinct_merge",
-        "gapfill_interp",
+        "gapfill_interp", "rollup_topk_tokens",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2428,6 +2445,23 @@ SELECT doc_id, bucket, cnt,
 FROM probed
 """
 
+    rollup_topk_tokens = f"""
+{C.TOKEN_SQL_CTE},
+counted AS (
+    SELECT doc_id, CAST(pos // 960 AS BIGINT) AS bucket, value,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM long_form GROUP BY doc_id, bucket, value
+),
+ranked AS (
+    SELECT doc_id, bucket, value, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, bucket
+                              ORDER BY cnt DESC, value ASC) AS rnk
+    FROM counted
+)
+SELECT doc_id, bucket, value, cnt, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
     ev_asof_fwd = """
 WITH e AS (
     SELECT event_id, user_id, event_type,
@@ -2684,7 +2718,9 @@ FROM agg
         "ev_rate_anomaly": ev_rate_anomaly,
         "ev_asof_join": ev_asof_join,
         "ev_asof_fwd": ev_asof_fwd,
+        "ev_asof_skew": ev_asof_join,
         "gapfill_interp": gapfill_interp,
+        "rollup_topk_tokens": rollup_topk_tokens,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
         "rollup_refresh_tail": rollup_refresh_tail,

@@ -15,10 +15,11 @@ Scale design
   a last-non-null carry-forward of the build columns — exactly one
   shuffle on the key, linear work, and the sort is the same sort a
   time-partitioned store already maintains. Skewed keys: the window
-  needs total order per key, so salting cannot be applied blindly; for
-  a pathological key, pre-bucket by coarse time and carry the last
-  build row of bucket k-1 into bucket k (two passes) — documented
-  rather than implemented because the events keyspace is uniform.
+  needs total order per key, so salting cannot be applied blindly —
+  :func:`asof_join_skew` restores parallelism for hot keys with a
+  two-level scan-carry decomposition (windows on (key, time bucket),
+  bucket-final summaries carried across buckets), row-equal to
+  :func:`asof_join`.
 * **Range join** avoids the all-pairs explosion by bucketing time:
   each interval explodes to the coarse buckets it overlaps (bounded by
   interval length / bucket width), each point maps to exactly ONE
@@ -34,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bucketed"]
+__all__ = ["asof_join", "asof_join_skew", "range_join_bucketed"]
 
 
 def asof_join(
@@ -146,4 +147,105 @@ def range_join_bucketed(
         iv.join(pt, keys, "inner")
         .filter(F.col(point_ts).between(F.col(lo), F.col(hi)))
         .drop("_bucket")
+    )
+
+
+def asof_join_skew(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    ts: str,
+    build_cols: list[str],
+    order_col: str,
+    prefix: str = "b_",
+    direction: str = "backward",
+    tolerance: int | None = None,
+    bucket_width: int = 1_000_000,
+) -> DataFrame:
+    """Skew-parallel as-of join, row-equal to :func:`asof_join` (pinned
+    by tests over both directions, several widths, and ties straddling
+    bucket edges).
+
+    :func:`asof_join` windows per key, so one pathological key (a
+    device that emits half the stream) serializes into one task. Here
+    the window partitions on (key, ts div bucket_width) — a hot key
+    splits across time buckets and every bucket sorts independently.
+    The carry that the global window provided is restored with a
+    SECOND, summary-level pass: per (key, bucket) the build side
+    reduces to its bucket-final (backward: max (ts, order); forward:
+    bucket-first) row via max_by/min_by, and a window over the tiny
+    per-bucket summary frame (one row per occupied bucket, ordered by
+    bucket) carries it across bucket boundaries with an EXCLUSIVE
+    frame ([unbounded, -1] / [+1, unbounded]). Probe rows whose local
+    in-bucket carry is NULL take the incoming summary. Work per task
+    is O(bucket), the summary pass is O(#occupied buckets) — the
+    standard two-level scan-carry decomposition (parallel prefix).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    back = direction == "backward"
+    carried = [ts] + build_cols
+    pack = F.struct(*[F.col(f"_b_{c}").alias(c) for c in carried])
+    b = build.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(0 if back else 1).alias("_side"),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.lit(0).alias("_is_probe"),
+        *[F.col(c).alias(f"_b_{c}") for c in carried],
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema],
+    )
+    p = probe.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(1 if back else 0).alias("_side"),
+        F.lit(0).cast("long").alias("_ord"),
+        F.lit(1).alias("_is_probe"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(f"_b_{c}") for c in carried],
+        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
+    )
+    u = (
+        b.unionByName(p)
+        .withColumn("_bkt", (F.col("_t") / bucket_width).cast("long"))
+        .withColumn("_pack", F.when(F.col("_is_probe") == 0, pack))
+    )
+    # pass 1: in-bucket carry (parallel across (key, bucket))
+    wl = Window.partitionBy("_k", "_bkt").orderBy("_t", "_side", "_ord")
+    if back:
+        wl = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        local = F.last("_pack", ignorenulls=True)
+    else:
+        wl = wl.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        local = F.first("_pack", ignorenulls=True)
+    u = u.withColumn("_loc", local.over(wl))
+    # pass 2: bucket-final summaries, carried across buckets (exclusive)
+    key_order = F.struct(F.col("_t"), F.col("_ord"))
+    summary = (
+        u.filter(F.col("_is_probe") == 0)
+        .groupBy("_k", "_bkt")
+        .agg(
+            (F.max_by("_pack", key_order) if back
+             else F.min_by("_pack", key_order)).alias("_final")
+        )
+    )
+    buckets = u.select("_k", "_bkt").distinct().join(summary, ["_k", "_bkt"], "left")
+    ws = Window.partitionBy("_k").orderBy("_bkt")
+    if back:
+        ws = ws.rowsBetween(Window.unboundedPreceding, -1)
+        inc = F.last("_final", ignorenulls=True)
+    else:
+        ws = ws.rowsBetween(1, Window.unboundedFollowing)
+        inc = F.first("_final", ignorenulls=True)
+    incoming = buckets.select("_k", "_bkt", inc.over(ws).alias("_inc"))
+    out = (
+        u.filter(F.col("_is_probe") == 1)
+        .join(incoming, ["_k", "_bkt"])
+        .withColumn("_m", F.coalesce(F.col("_loc"), F.col("_inc")))
+    )
+    if tolerance is not None:
+        gap_ok = F.abs(F.col("_m")[ts] - F.col("_t")) <= tolerance
+        out = out.withColumn("_m", F.when(gap_ok, F.col("_m")))
+    return out.select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
     )

@@ -118,14 +118,17 @@ def _typed(events: DataFrame) -> DataFrame:
     )
 
 
-def asof_view_before_purchase(events: DataFrame) -> DataFrame:
+def asof_view_before_purchase(events: DataFrame, skew: bool = False) -> DataFrame:
     """As-of join composition: every 'purchase' event is enriched with
     the user's most recent 'view' event at-or-before it (ts, quantized
     value, and the gap in µs). NULLs when the user never viewed before
     buying. The operator is :func:`operators.temporal_joins.asof_join`
     — one shuffle on user_id, no range join. Ties inside the build side
-    resolve to the greatest event_id."""
-    from dtaianomaly_spark.operators.temporal_joins import asof_join
+    resolve to the greatest event_id. ``skew=True`` routes through the
+    two-level :func:`asof_join_skew` (hour-bucketed) instead — same
+    rows, hot keys parallelized; the driver adjudicates both paths
+    against ONE oracle."""
+    from dtaianomaly_spark.operators.temporal_joins import asof_join, asof_join_skew
 
     e = _typed(events)
     probe = e.filter(F.col("event_type") == "purchase").select(
@@ -134,10 +137,17 @@ def asof_view_before_purchase(events: DataFrame) -> DataFrame:
     build = e.filter(F.col("event_type") == "view").select(
         "event_id", "user_id", "ts_us", "mval"
     )
-    out = asof_join(
-        probe, build, on="user_id", ts="ts_us",
-        build_cols=["mval"], order_col="event_id", prefix="view_",
-    )
+    if skew:
+        out = asof_join_skew(
+            probe, build, on="user_id", ts="ts_us",
+            build_cols=["mval"], order_col="event_id", prefix="view_",
+            bucket_width=3_600_000_000,
+        )
+    else:
+        out = asof_join(
+            probe, build, on="user_id", ts="ts_us",
+            build_cols=["mval"], order_col="event_id", prefix="view_",
+        )
     return out.select(
         "event_id", "user_id", "ts_us", "mval",
         F.col("view_ts_us"),

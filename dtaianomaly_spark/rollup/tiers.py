@@ -430,3 +430,29 @@ def gap_fill_modes(
         F.expr(INTERP_SQL).alias("interp_mean"),
         (F.col("cnt") == 0).cast("int").alias("filled"),
     )
+
+
+def topk_tokens(long_form: DataFrame, bucket_ticks: int = 960, k: int = 3) -> DataFrame:
+    """Per-(series, bucket) top-k most frequent token values — the
+    heavy-hitters tier a token store keeps next to the numeric stats.
+    Exact: count per (doc_id, bucket, value) is a partial+final hash
+    aggregate, then one rank window per (doc_id, bucket) over the
+    already-aggregated (small) frame. Deterministic total order:
+    (cnt DESC, value ASC). At sketch scale the same shape runs on a
+    count-min/SpaceSaving summary; here NDV per bucket is bounded (the
+    token alphabet), so exact is the right call even at 100 TB."""
+    from pyspark.sql import Window
+
+    counted = long_form.groupBy(
+        "doc_id",
+        (F.col("pos") / bucket_ticks).cast("long").alias("bucket"),
+        "value",
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("doc_id", "bucket").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "bucket", "value", "cnt", "rnk")
+    )

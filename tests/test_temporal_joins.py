@@ -208,3 +208,31 @@ def test_refresh_tail_equals_full(spark, long_form):
         full = rollup_relational(mutated, 16, "raw")
         cols = full.columns
         assert _rows(inc, *cols) == _rows(full, *cols), from_pos
+
+
+def test_asof_join_skew_equals_plain(spark):
+    from dtaianomaly_spark.operators.temporal_joins import asof_join_skew
+
+    # adversarial data: one hot key (0) with many rows, ties at bucket
+    # edges (t multiples of width), empty buckets, key with no builds
+    build = spark.createDataFrame(
+        [(i % 3, (i * 13) % 200, 1000 + i, i) for i in range(120)]
+        + [(0, 64, 5000, 777), (0, 64, 5001, 778)],  # tie ON a bucket edge
+        "k long, t long, bid long, bv long",
+    ).filter(F.col("k") != 2)  # key 2: probes only
+    probe = spark.createDataFrame(
+        [(i % 3, (i * 7) % 205, 2000 + i) for i in range(150)],
+        "k long, t long, pid long",
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, 10):
+            ref = asof_join(probe, build, on="k", ts="t", build_cols=["bv"],
+                            order_col="bid", prefix="m_",
+                            direction=direction, tolerance=tol)
+            for width in (16, 64, 1000):
+                got = asof_join_skew(
+                    probe, build, on="k", ts="t", build_cols=["bv"],
+                    order_col="bid", prefix="m_", direction=direction,
+                    tolerance=tol, bucket_width=width)
+                assert _rows(got, "pid", "m_t", "m_bv") == \
+                    _rows(ref, "pid", "m_t", "m_bv"), (direction, tol, width)
