@@ -138,6 +138,24 @@ def _q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gap_fill_modes(rolled, C.documents_series(spark, sf_dir), 64)
 
 
+def _q_rollup_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram tier: 64-tick fine histograms
+    bin-wise summed into 960-tick coarse histograms. The oracle computes
+    the coarse histogram DIRECTLY from raw — the hash match proves
+    merge == direct (the property that lets percentile queries at the
+    coarse tier skip raw data entirely)."""
+    return T.hist_rollup(_spark_long_form(spark, sf_dir), 64, 15)
+
+
+def _q_rollup_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 per (series, 960-tick bucket) read off the MERGED
+    histogram tier (never the raw data): quantile = lower edge of the
+    first bin whose cumulative count reaches ceil(q*t); ranks are
+    integer-only ((t+1) div 2, (19t+19) div 20) so the estimate is
+    bit-exact against the oracle's identical arithmetic."""
+    return T.hist_quantiles(T.hist_rollup(_spark_long_form(spark, sf_dir), 64, 15))
+
+
 def _q_rollup_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(series, 1m bucket) top-3 token values by frequency
     (deterministic tie-break: cnt DESC, value ASC)."""
@@ -995,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_1m": _q_gapfill_1m,
         "gapfill_interp": _q_gapfill_interp,
         "rollup_topk_tokens": _q_rollup_topk_tokens,
+        "rollup_hist_merge": _q_rollup_hist_merge,
+        "rollup_hist_quantile": _q_rollup_hist_quantile,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
         "pp_minmax_scale": _q_pp_minmax,
@@ -1109,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_join", "ev_asof_fwd", "ev_asof_skew", "ev_range_join",
         "rollup_refresh_incr", "rollup_refresh_tail", "rollup_distinct_merge",
         "gapfill_interp", "rollup_topk_tokens",
+        "rollup_hist_merge", "rollup_hist_quantile",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2462,6 +2483,38 @@ SELECT doc_id, bucket, value, cnt, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= 3
 """
 
+    # coarse histogram computed DIRECTLY from raw (the Spark side merges
+    # fine-tier partials — the hash match proves merge == direct). Bin
+    # arithmetic is integer-only: clamp to [-128, 511], width 20.
+    _hist_direct = f"""
+{C.TOKEN_SQL_CTE},
+hist AS (
+    SELECT doc_id, CAST(pos // 960 AS BIGINT) AS bucket,
+           CAST((LEAST(511, GREATEST(-128, value)) + 128) // 20 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS bcnt
+    FROM long_form GROUP BY 1, 2, 3
+)
+"""
+
+    rollup_hist_merge = _hist_direct + """
+SELECT doc_id, bucket, bin, bcnt FROM hist
+"""
+
+    rollup_hist_quantile = _hist_direct + """
+, cum AS (
+    SELECT doc_id, bucket, bin, bcnt,
+           SUM(bcnt) OVER (PARTITION BY doc_id, bucket ORDER BY bin) AS cum,
+           SUM(bcnt) OVER (PARTITION BY doc_id, bucket) AS cnt
+    FROM hist
+)
+SELECT doc_id, bucket, CAST(MAX(cnt) AS BIGINT) AS cnt,
+       CAST(MIN(CASE WHEN cum >= (cnt + 1) // 2
+                     THEN -128 + bin * 20 END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN cum >= (cnt * 19 + 19) // 20
+                     THEN -128 + bin * 20 END) AS BIGINT) AS p95
+FROM cum GROUP BY doc_id, bucket
+"""
+
     ev_asof_fwd = """
 WITH e AS (
     SELECT event_id, user_id, event_type,
@@ -2721,6 +2774,8 @@ FROM agg
         "ev_asof_skew": ev_asof_join,
         "gapfill_interp": gapfill_interp,
         "rollup_topk_tokens": rollup_topk_tokens,
+        "rollup_hist_merge": rollup_hist_merge,
+        "rollup_hist_quantile": rollup_hist_quantile,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
         "rollup_refresh_tail": rollup_refresh_tail,

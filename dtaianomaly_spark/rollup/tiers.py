@@ -432,6 +432,92 @@ def gap_fill_modes(
     )
 
 
+# Histogram tier geometry. Token values live in [-105, 505] (corpus
+# derivation, sources/corpus.py); [-128, 512) with 32 bins gives an
+# integer bin width of 20 so the bin id is pure integer arithmetic —
+# bit-identical in Spark, DuckDB and NumPy (values are clamped into the
+# range first, making the floor division a non-negative truncation in
+# every engine).
+HIST_LO = -128
+HIST_HI = 512
+HIST_BINS = 32
+
+
+def hist_bin_expr(value="value", lo: int = HIST_LO, hi: int = HIST_HI,
+                  n_bins: int = HIST_BINS):
+    width = (hi - lo) // n_bins
+    if width * n_bins != hi - lo:
+        raise ValueError("histogram range must split into integer-width bins")
+    v = F.greatest(F.lit(lo), F.least(F.lit(hi - 1), F.col(value)))
+    return ((v - F.lit(lo)) / F.lit(width)).cast("long")
+
+
+def hist_rollup(
+    long_form: DataFrame, fine_ticks: int = 960, factor: int = 60,
+    lo: int = HIST_LO, hi: int = HIST_HI, n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram rollup: the fine tier keeps
+    per-(series, bucket, bin) counts — a FIXED-size summary (≤ n_bins
+    rows per bucket) that, unlike quantiles, composes to the coarse
+    tier by plain bin-wise addition. This is the summary a tiered store
+    carries so percentile queries at the 1h tier never touch raw data.
+    The coarse counts are exactly the direct-from-raw histogram (the
+    oracle computes it directly; the hash match proves merge == direct).
+    Both aggregations hash-partition on doc_id-prefixed keys, so the
+    coarse pass reuses the fine pass's clustering."""
+    fine = (
+        long_form
+        .select(
+            "doc_id",
+            (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
+            hist_bin_expr("value", lo, hi, n_bins).alias("bin"),
+        )
+        .groupBy("doc_id", "fbucket", "bin")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    return (
+        fine.groupBy(
+            "doc_id",
+            (F.col("fbucket") / factor).cast("long").alias("bucket"),
+            "bin",
+        )
+        .agg(F.sum("bcnt").alias("bcnt"))
+        .select("doc_id", "bucket", "bin", "bcnt")
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, lo: int = HIST_LO, hi: int = HIST_HI,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """p50/p95 per (series, coarse bucket) read off the merged histogram:
+    the quantile estimate is the LOWER EDGE of the first bin whose
+    cumulative count reaches the target rank — deterministic integer
+    output, rank itself integer (ceil(q·t) = (num·t + num - 1) // den
+    for q = num/den), so the oracle matches bit-for-bit. One window
+    cumsum per (doc_id, bucket) over the ≤ n_bins-row histogram frame;
+    the raw data is never touched — that is the point of carrying the
+    mergeable summary."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) // n_bins
+    wt = Window.partitionBy("doc_id", "bucket")
+    wc = wt.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        "doc_id", "bucket", "bin", "bcnt",
+        F.sum("bcnt").over(wc).alias("cum"),
+        F.sum("bcnt").over(wt).alias("cnt"),
+    )
+    edge = F.lit(lo) + F.col("bin") * F.lit(width)
+    r50 = F.expr("(cnt + 1) div 2")        # ceil(t/2), integer-only
+    r95 = F.expr("(cnt * 19 + 19) div 20")  # ceil(19t/20), integer-only
+    return cum.groupBy("doc_id", "bucket").agg(
+        F.max("cnt").alias("cnt"),
+        F.min(F.when(F.col("cum") >= r50, edge)).alias("p50"),
+        F.min(F.when(F.col("cum") >= r95, edge)).alias("p95"),
+    )
+
+
 def topk_tokens(long_form: DataFrame, bucket_ticks: int = 960, k: int = 3) -> DataFrame:
     """Per-(series, bucket) top-k most frequent token values — the
     heavy-hitters tier a token store keeps next to the numeric stats.

@@ -236,3 +236,60 @@ def test_asof_join_skew_equals_plain(spark):
                     tolerance=tol, bucket_width=width)
                 assert _rows(got, "pid", "m_t", "m_bv") == \
                     _rows(ref, "pid", "m_t", "m_bv"), (direction, tol, width)
+
+
+# ------------------------------------------------------ histogram tier
+
+def test_hist_rollup_merge_equals_direct(spark, long_form):
+    from dtaianomaly_spark.rollup.tiers import hist_bin_expr, hist_rollup
+
+    merged = hist_rollup(long_form, fine_ticks=16, factor=4)
+    direct = (
+        long_form.select(
+            "doc_id",
+            (F.col("pos") / 64).cast("long").alias("bucket"),
+            hist_bin_expr("value").alias("bin"),
+        )
+        .groupBy("doc_id", "bucket", "bin")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    cols = ("doc_id", "bucket", "bin", "bcnt")
+    assert _rows(merged, *cols) == _rows(direct, *cols)
+
+
+def test_hist_quantiles_vs_numpy_bruteforce(spark, long_form):
+    import numpy as np
+    from dtaianomaly_spark.rollup.tiers import (
+        HIST_BINS, HIST_HI, HIST_LO, hist_quantiles, hist_rollup,
+    )
+
+    width = (HIST_HI - HIST_LO) // HIST_BINS
+    got = _rows(
+        hist_quantiles(hist_rollup(long_form, fine_ticks=16, factor=4)),
+        "doc_id", "bucket", "cnt", "p50", "p95",
+    )
+    raw = long_form.select(
+        "doc_id", (F.col("pos") / 64).cast("long").alias("bucket"), "value"
+    ).collect()
+    groups = {}
+    for r in raw:
+        groups.setdefault((r.doc_id, r.bucket), []).append(r.value)
+    exp = []
+    for (d, b), vals in groups.items():
+        v = np.clip(np.asarray(vals), HIST_LO, HIST_HI - 1)
+        bins = (v - HIST_LO) // width
+        t = len(bins)
+        counts = np.bincount(bins, minlength=HIST_BINS)
+        cum = np.cumsum(counts)
+        p50_bin = int(np.argmax(cum >= (t + 1) // 2))
+        p95_bin = int(np.argmax(cum >= (t * 19 + 19) // 20))
+        exp.append((d, b, t, HIST_LO + p50_bin * width,
+                    HIST_LO + p95_bin * width))
+    assert got == sorted(exp)
+    # the estimate brackets the true quantile within one bin width
+    for (d, b, t, p50, p95) in got:
+        vals = np.sort(np.clip(np.asarray(groups[(d, b)]), HIST_LO, HIST_HI - 1))
+        true50 = vals[max(0, (t + 1) // 2 - 1)]
+        true95 = vals[max(0, (t * 19 + 19) // 20 - 1)]
+        assert p50 <= true50 < p50 + width
+        assert p95 <= true95 < p95 + width
