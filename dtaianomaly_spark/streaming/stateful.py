@@ -288,3 +288,138 @@ def stateful_bucket_rollup(stream_long_form, flush_after_ms: int | None = FLUSH_
         if flush_after_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# Streaming heavy hitters: the online twin of rollup/tiers.topk_tokens.
+# ------------------------------------------------------------------
+
+TOPK_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("value", LongType(), False),
+        StructField("cnt", LongType(), False),
+        StructField("rnk", LongType(), False),
+        StructField("final", BooleanType(), False),
+    ]
+)
+
+# per-series state: open buckets' exact per-value counts. The alphabet
+# is bounded (the token vocabulary), so the per-bucket map is a
+# fixed-size summary, same argument as the batch tier's exact top-k.
+TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType()), True),
+        StructField("values", ArrayType(ArrayType(LongType())), True),
+        StructField("counts", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
+def _topk_rows(doc_id, bucket, vc: dict, k: int | None, final: bool):
+    ranked = sorted(vc.items(), key=lambda it: (-it[1], it[0]))
+    if k is not None:
+        ranked = ranked[:k]
+    return [
+        (doc_id, bucket, v, c, r + 1, final)
+        for r, (v, c) in enumerate(ranked)
+    ]
+
+
+def _make_topk_update(bucket_ticks: int, k: int, flush_after_ms: int | None):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        open_b: dict[int, dict[int, int]] = {}
+        if state.exists:
+            buckets, valss, cntss = state.get
+            open_b = {
+                b: dict(zip(valss[i], cntss[i]))
+                for i, b in enumerate(buckets)
+            }
+
+        if state.hasTimedOut:
+            # idle series: flush the partial buckets' FULL value-count
+            # lists (rnk may exceed k) — unlike a top-k cut, the full
+            # list is a monoid (sum cnt per value, re-rank), so a
+            # revived series' re-flush stays exactly combinable.
+            state.remove()
+            rows = []
+            for b in sorted(open_b):
+                rows.extend(_topk_rows(doc_id, b, open_b[b], None, False))
+            if rows:
+                yield pd.DataFrame(rows, columns=TOPK_OUTPUT_SCHEMA.names)
+            return
+
+        for pdf in pdfs:
+            grouped = (
+                pdf.assign(bucket=pdf["pos"] // bucket_ticks)
+                .groupby(["bucket", "value"])
+                .size()
+            )
+            for (b, v), c in grouped.items():
+                vc = open_b.setdefault(int(b), {})
+                vc[int(v)] = vc.get(int(v), 0) + int(c)
+
+        done = {
+            b: vc for b, vc in open_b.items()
+            if sum(vc.values()) >= bucket_ticks
+        }
+        for b in done:
+            del open_b[b]
+
+        if open_b:
+            bs = sorted(open_b)
+            state.update(
+                (
+                    bs,
+                    [sorted(open_b[b]) for b in bs],
+                    [[open_b[b][v] for v in sorted(open_b[b])] for b in bs],
+                )
+            )
+            if flush_after_ms is not None:
+                state.setTimeoutDuration(flush_after_ms)
+        else:
+            state.remove()
+
+        rows = []
+        for b in sorted(done):
+            rows.extend(_topk_rows(doc_id, b, done[b], k, True))
+        if rows:
+            yield pd.DataFrame(rows, columns=TOPK_OUTPUT_SCHEMA.names)
+
+    return update
+
+
+def stateful_topk_tokens(
+    stream_long_form,
+    bucket_ticks: int = 960,
+    k: int = 3,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """points stream (doc_id, pos, value) -> append stream of per-bucket
+    top-k token values, the ONLINE twin of ``rollup/tiers.topk_tokens``:
+    per-series state holds each open bucket's exact per-value counts
+    (bounded by the token alphabet, the same boundedness argument as
+    the batch tier), a bucket's top-k rows (cnt DESC, value ASC — the
+    batch tie-break) emit exactly once when its ``bucket_ticks``-th
+    point arrives, and completed rows byte-match the batch operator on
+    the same points (tested). TTL flushes emit the partial buckets'
+    FULL value-count lists (``final=false``, rnk may exceed k): a
+    top-k cut of a partial is not mergeable, the full list is — sum
+    cnt per (doc_id, bucket, value) across flushes, re-rank, and the
+    exact batch answer reappears. Same timeout caveats as
+    :func:`stateful_bucket_rollup`."""
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_topk_update(bucket_ticks, k, flush_after_ms),
+        TOPK_OUTPUT_SCHEMA,
+        TOPK_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

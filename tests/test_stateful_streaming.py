@@ -276,3 +276,52 @@ def test_stateful_tier_compose_matches_batch_1m(spark, tmp_path):
     assert g.exceptAll(batch).count() == 0
     assert batch.exceptAll(g).count() == 0
     assert g.count() == batch.count() == 2 * 2  # 2000 pts -> two full 1m buckets/doc
+
+
+def test_stateful_topk_matches_batch(spark, tmp_path):
+    """Out-of-order chunked ingest: completed buckets' top-k rows equal
+    the batch topk_tokens on the same points (full buckets only)."""
+    from dtaianomaly_spark.rollup.tiers import topk_tokens
+    from dtaianomaly_spark.streaming.stateful import stateful_topk_tokens
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos", "value"
+    )
+    src = str(tmp_path / "src")
+    for cond in ["pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"]:
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_topk_tokens(stream, bucket_ticks=64, k=3, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.filter("NOT final").count() == 0
+    # exactly-once per (bucket, rank)
+    assert (
+        got.groupBy("doc_id", "bucket", "rnk").count().filter("count > 1").count()
+        == 0
+    )
+    got = got.drop("final")
+
+    full = (
+        lf.groupBy("doc_id", (F.col("pos") / 64).cast("long").alias("bucket"))
+        .count().filter("count = 64").drop("count")
+    )
+    batch = topk_tokens(lf, 64, 3).join(full, ["doc_id", "bucket"], "semi")
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    assert diff == 0
+    assert got.count() == batch.count() > 0
