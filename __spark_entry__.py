@@ -611,6 +611,29 @@ def _q_rel_q7(spark, sf_dir):
     )
 
 
+def _q_rel_q10(spark, sf_dir):
+    """TPC-H Q10-shape returned-item revenue per customer, top-20."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q10_returned_items(
+        R.load(spark, sf_dir, "customer"),
+        R.load(spark, sf_dir, "orders"),
+        R.load(spark, sf_dir, "lineitem"),
+        R.load(spark, sf_dir, "nation"),
+    )
+
+
+def _q_rel_q18(spark, sf_dir):
+    """TPC-H Q18-shape large-volume orders (filter on the aggregate)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q18_large_volume(
+        R.load(spark, sf_dir, "customer"),
+        R.load(spark, sf_dir, "orders"),
+        R.load(spark, sf_dir, "lineitem"),
+    )
+
+
 def _q_tx_dup_ngram_rate(spark, sf_dir):
     """Per-doc duplicate-8-gram fraction (substring-dedup signal)."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -1070,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q5_region_revenue": _q_rel_q5,
         "rel_order_month": _q_rel_order_month,
         "rel_q7_volume": _q_rel_q7,
+        "rel_q10_returns": _q_rel_q10,
+        "rel_q18_volume": _q_rel_q18,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
@@ -1130,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_refresh_incr", "rollup_refresh_tail", "rollup_distinct_merge",
         "gapfill_interp", "rollup_topk_tokens",
         "rollup_hist_merge", "rollup_hist_quantile",
+        "rel_q10_returns", "rel_q18_volume",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2186,6 +2212,48 @@ WHERE supp_nation != cust_nation
 GROUP BY supp_nation, cust_nation, l_year
 """
 
+    rel_q10_returns = f"""
+WITH ords AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE epoch_us(o_orderdate) >= 820454400000000
+      AND epoch_us(o_orderdate) < 828316800000000
+),
+li AS (
+    SELECT l_orderkey, {_REL_REV} AS rev FROM lineitem WHERE l_returnflag = 'R'
+),
+agg AS (
+    SELECT o_custkey, CAST(SUM(rev) AS BIGINT) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM li JOIN ords ON li.l_orderkey = ords.o_orderkey
+    GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       revenue, n_items
+FROM agg
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+    rel_q18_volume = """
+WITH qty AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS sum_qty_cents
+    FROM lineitem GROUP BY l_orderkey
+    HAVING sum_qty_cents > 15000
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       sum_qty_cents
+FROM qty
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+"""
+
     rel_order_month = """
 WITH g AS (
     SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS month,
@@ -2763,6 +2831,8 @@ FROM agg
         "rel_q5_region_revenue": rel_q5_region_revenue,
         "rel_order_month": rel_order_month,
         "rel_q7_volume": rel_q7_volume,
+        "rel_q10_returns": rel_q10_returns,
+        "rel_q18_volume": rel_q18_volume,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_srp_topk": ann_srp_topk,
         "dd_embed_neardup": dd_embed_neardup,

@@ -191,3 +191,88 @@ def order_month_rollup(orders: DataFrame) -> DataFrame:
         "month", "o_orderstatus", "n_orders", "sum_price",
         F.expr("CAST(sum_price AS DOUBLE) / n_orders").alias("avg_price"),
     )
+
+
+# 1996-01-01 / 1996-04-01 in epoch-microseconds
+Q10_LO_US = 820_454_400_000_000
+Q10_HI_US = 828_316_800_000_000
+
+
+def q10_returned_items(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    nation: DataFrame, topn: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer for
+    one quarter, top-N. Order-quarter filter pushes to the orders scan,
+    the return-flag filter to lineitem; customer+nation fold into one
+    broadcast; the fact side shuffles once (per-order aggregate is
+    fused into the final customer aggregate). Top-N is sort+limit →
+    TakeOrderedAndProject, deterministic tie-break on c_custkey."""
+    ords = orders.filter(
+        F.expr(
+            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) >= {Q10_LO_US}"
+            f" AND unix_micros(CAST(o_orderdate AS TIMESTAMP)) < {Q10_HI_US}"
+        )
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", F.expr(_REVENUE).alias("rev")
+    )
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        "c_custkey", "c_name",
+        F.expr(_CENTS.format(col="c_acctbal")).alias("acctbal_cents"),
+        F.col("n_name"),
+    )
+    agg = (
+        # quarter-filtered orders: small at bench scale (AQE broadcasts
+        # it), a genuine shuffle pair at 100 TB — don't pin a broadcast
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("revenue"), F.count("*").cast("long").alias("n_items"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("c_custkey", "c_name", "n_name", "acctbal_cents",
+                "revenue", "n_items")
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(topn)
+
+
+def q18_large_volume(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    qty_threshold_cents: int = 15_000, topn: int = 100,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customer — the group-then-semi-join pattern (aggregate
+    the fact table per order, filter on the AGGREGATE, then enrich).
+    The per-order quantity sum is the only fact-side shuffle; the
+    surviving keys (a tiny set — the HAVING is selective by design)
+    join orders/customer broadcast-side. Quantities exact in
+    centi-units. Top-N deterministic: (o_totalprice cents DESC,
+    o_orderkey)."""
+    qty = (
+        lineitem.select(
+            "l_orderkey", F.expr(_CENTS.format(col="l_quantity")).alias("qc")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("qc").alias("sum_qty_cents"))
+        .filter(F.col("sum_qty_cents") > qty_threshold_cents)
+    )
+    ords = orders.select(
+        "o_orderkey", "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("odate_us"),
+        F.expr(_CENTS.format(col="o_totalprice")).alias("totalprice_cents"),
+    )
+    out = (
+        # broadcast the AGGREGATED, HAVING-filtered side (tiny), never
+        # the full orders table
+        ords.join(F.broadcast(qty), ords.o_orderkey == qty.l_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "o_orderkey", "odate_us",
+                "totalprice_cents", "sum_qty_cents")
+    )
+    return out.orderBy(
+        F.col("totalprice_cents").desc(), F.col("o_orderkey")
+    ).limit(topn)
