@@ -156,6 +156,15 @@ def _q_rollup_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hist_quantiles(T.hist_rollup(_spark_long_form(spark, sf_dir), 64, 15))
 
 
+def _q_rollup_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter sketch tier (capacity m=8 over
+    a ~212-value alphabet — genuinely lossy): fine summaries truncate
+    to m counters, the coarse tier merges by est-sum + re-truncation.
+    Deterministic batch MG (order-free), so the oracle reproduces it
+    exactly; the est<=true<=est+err_bound guarantee is pytest-pinned."""
+    return T.topk_sketch(_spark_long_form(spark, sf_dir), 64, 15, 8)
+
+
 def _q_rollup_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(series, 1m bucket) top-3 token values by frequency
     (deterministic tie-break: cnt DESC, value ASC)."""
@@ -1038,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_topk_tokens": _q_rollup_topk_tokens,
         "rollup_hist_merge": _q_rollup_hist_merge,
         "rollup_hist_quantile": _q_rollup_hist_quantile,
+        "rollup_topk_sketch": _q_rollup_topk_sketch,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
         "pp_minmax_scale": _q_pp_minmax,
@@ -1155,7 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_refresh_incr", "rollup_refresh_tail", "rollup_distinct_merge",
         "gapfill_interp", "rollup_topk_tokens",
         "rollup_hist_merge", "rollup_hist_quantile",
-        "rel_q10_returns", "rel_q18_volume",
+        "rel_q10_returns", "rel_q18_volume", "rollup_topk_sketch",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2583,6 +2593,52 @@ SELECT doc_id, bucket, CAST(MAX(cnt) AS BIGINT) AS cnt,
 FROM cum GROUP BY doc_id, bucket
 """
 
+    rollup_topk_sketch = f"""
+{C.TOKEN_SQL_CTE},
+counted AS (
+    SELECT doc_id, CAST(pos // 64 AS BIGINT) AS fbucket, value,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM long_form GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, fbucket
+                                 ORDER BY cnt DESC, value ASC) AS rn
+    FROM counted
+),
+tf AS (SELECT doc_id, fbucket, cnt AS tf FROM ranked WHERE rn = 9),
+fine AS (
+    SELECT r.doc_id, r.fbucket, r.value,
+           r.cnt - COALESCE(tf.tf, 0) AS est
+    FROM ranked r LEFT JOIN tf USING (doc_id, fbucket)
+    WHERE r.rn <= 8 AND r.cnt - COALESCE(tf.tf, 0) > 0
+),
+grid AS (
+    SELECT c.doc_id, CAST(c.fbucket // 15 AS BIGINT) AS bucket,
+           CAST(SUM(COALESCE(tf.tf, 0)) AS BIGINT) AS tf_sum
+    FROM (SELECT DISTINCT doc_id, fbucket FROM counted) c
+    LEFT JOIN tf USING (doc_id, fbucket)
+    GROUP BY 1, 2
+),
+merged AS (
+    SELECT doc_id, CAST(fbucket // 15 AS BIGINT) AS bucket, value,
+           CAST(SUM(est) AS BIGINT) AS s
+    FROM fine GROUP BY 1, 2, 3
+),
+ranked2 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, bucket
+                                 ORDER BY s DESC, value ASC) AS rn
+    FROM merged
+),
+tc AS (SELECT doc_id, bucket, s AS tc FROM ranked2 WHERE rn = 9)
+SELECT r.doc_id, r.bucket, r.value,
+       CAST(r.s - COALESCE(tc.tc, 0) AS BIGINT) AS est,
+       CAST(g.tf_sum + COALESCE(tc.tc, 0) AS BIGINT) AS err_bound
+FROM ranked2 r
+LEFT JOIN tc USING (doc_id, bucket)
+JOIN grid g USING (doc_id, bucket)
+WHERE r.rn <= 8 AND r.s - COALESCE(tc.tc, 0) > 0
+"""
+
     ev_asof_fwd = """
 WITH e AS (
     SELECT event_id, user_id, event_type,
@@ -2846,6 +2902,7 @@ FROM agg
         "rollup_topk_tokens": rollup_topk_tokens,
         "rollup_hist_merge": rollup_hist_merge,
         "rollup_hist_quantile": rollup_hist_quantile,
+        "rollup_topk_sketch": rollup_topk_sketch,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
         "rollup_refresh_tail": rollup_refresh_tail,

@@ -542,3 +542,86 @@ def topk_tokens(long_form: DataFrame, bucket_ticks: int = 960, k: int = 3) -> Da
         .filter(F.col("rnk") <= k)
         .select("doc_id", "bucket", "value", "cnt", "rnk")
     )
+
+
+def topk_sketch(
+    long_form: DataFrame, fine_ticks: int = 64, factor: int = 15, m: int = 8
+) -> DataFrame:
+    """Mergeable heavy-hitter SKETCH tier — the bounded-memory twin of
+    :func:`topk_tokens` for alphabets too large to count exactly
+    (Misra-Gries in its deterministic, order-free batch form; merge
+    rule from Agarwal et al., "Mergeable Summaries", PODS'12 §3.2).
+
+    Fine tier: per (series, fine bucket) keep at most ``m`` counters —
+    subtract the (m+1)-th largest count from every value's count, keep
+    the positive remainders (``est``). Coarse tier: SUM the surviving
+    estimates per value across the bucket's fine summaries and apply
+    the same subtract-(m+1)-th-largest truncation. Both passes are pure
+    hash-aggregate + rank-window plans, no UDF, and the result is
+    partition-order invariant (unlike streaming MG) — which is what
+    makes it oracle-able.
+
+    Guarantees (pytest-verified): for EVERY value v of the coarse
+    bucket, ``est(v) <= true(v) <= est(v) + err_bound`` where
+    ``err_bound`` = sum of the fine-tier subtractions in the bucket
+    plus the coarse subtraction — so any v with
+    ``true(v) > err_bound`` is guaranteed present. With ``m`` at least
+    the alphabet size every subtraction is 0 and the sketch degrades
+    to the exact counts."""
+    from pyspark.sql import Window
+
+    counted = long_form.groupBy(
+        "doc_id",
+        (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
+        "value",
+    ).agg(F.count("*").alias("cnt"))
+    wf = Window.partitionBy("doc_id", "fbucket").orderBy(
+        F.col("cnt").desc(), F.col("value").asc()
+    )
+    ranked = counted.withColumn("rn", F.row_number().over(wf))
+    # (m+1)-th largest count per fine bucket (0 when <= m values)
+    tf = (
+        ranked.filter(F.col("rn") == m + 1)
+        .select("doc_id", "fbucket", F.col("cnt").alias("tf"))
+    )
+    fine = (
+        ranked.filter(F.col("rn") <= m)
+        .join(tf, ["doc_id", "fbucket"], "left")
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+        .withColumn("est", F.col("cnt") - F.col("tf"))
+        .filter(F.col("est") > 0)
+    )
+    bucket = (F.col("fbucket") / factor).cast("long").alias("bucket")
+    merged = (
+        fine.groupBy("doc_id", bucket, "value")
+        .agg(F.sum("est").alias("s"))
+    )
+    # total fine-tier deficit per coarse bucket: every fine bucket of
+    # the group contributes its subtraction (incl. buckets whose
+    # summaries emptied entirely) — hence from tf, not from `fine`
+    grid = (
+        counted.select("doc_id", "fbucket").distinct()
+        .join(tf, ["doc_id", "fbucket"], "left")
+        .groupBy("doc_id", (F.col("fbucket") / factor).cast("long").alias("bucket"))
+        .agg(F.sum(F.coalesce(F.col("tf"), F.lit(0))).alias("tf_sum"))
+    )
+    wc = Window.partitionBy("doc_id", "bucket").orderBy(
+        F.col("s").desc(), F.col("value").asc()
+    )
+    ranked2 = merged.withColumn("rn", F.row_number().over(wc))
+    tc = (
+        ranked2.filter(F.col("rn") == m + 1)
+        .select("doc_id", "bucket", F.col("s").alias("tc"))
+    )
+    return (
+        ranked2.filter(F.col("rn") <= m)
+        .join(tc, ["doc_id", "bucket"], "left")
+        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
+        .withColumn("est", F.col("s") - F.col("tc"))
+        .filter(F.col("est") > 0)
+        .join(grid, ["doc_id", "bucket"])
+        .select(
+            "doc_id", "bucket", "value", "est",
+            (F.col("tf_sum") + F.col("tc")).alias("err_bound"),
+        )
+    )

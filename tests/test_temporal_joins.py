@@ -293,3 +293,37 @@ def test_hist_quantiles_vs_numpy_bruteforce(spark, long_form):
         true95 = vals[max(0, (t * 19 + 19) // 20 - 1)]
         assert p50 <= true50 < p50 + width
         assert p95 <= true95 < p95 + width
+
+
+def test_topk_sketch_bounds_and_exact_degrade(spark, long_form):
+    from dtaianomaly_spark.rollup.tiers import topk_sketch
+
+    m = 4
+    sk = topk_sketch(long_form, fine_ticks=16, factor=4, m=m)
+    rows = sk.collect()
+    assert rows
+    true = {
+        (r.doc_id, r.bucket, r.value): r.cnt
+        for r in long_form.groupBy(
+            "doc_id", (F.col("pos") / 64).cast("long").alias("bucket"), "value"
+        ).agg(F.count("*").alias("cnt")).collect()
+    }
+    err_by_bucket = {}
+    for r in rows:
+        t = true[(r.doc_id, r.bucket, r.value)]
+        # underestimate, within the tracked bound
+        assert 0 < r.est <= t <= r.est + r.err_bound, r
+        err_by_bucket[(r.doc_id, r.bucket)] = r.err_bound
+    # completeness: any value with true count > err_bound must be present
+    present = {(r.doc_id, r.bucket, r.value) for r in rows}
+    for (d, b, v), t in true.items():
+        eb = err_by_bucket.get((d, b))
+        if eb is not None and t > eb:
+            assert (d, b, v) in present, (d, b, v, t, eb)
+
+    # m >= alphabet: every subtraction is 0 -> sketch == exact counts
+    big = topk_sketch(long_form, fine_ticks=16, factor=4, m=512)
+    got = {(r.doc_id, r.bucket, r.value): (r.est, r.err_bound)
+           for r in big.collect()}
+    assert set(got) == set(true)
+    assert all(got[k] == (t, 0) for k, t in true.items())
