@@ -107,10 +107,15 @@ def matrix_profile(
 
 
 def _matrix_profile_self(x: np.ndarray, w: int) -> np.ndarray:
-    """Self-join STOMP with preallocated row buffers and a masked
-    reciprocal instead of per-row nan-division — ~1.7x over the naive
-    row loop, numerically identical (same recurrence, same op order up
-    to distributivity on the scalar factor; verified ≤2e-15)."""
+    """Self-join STOMP exploiting the distance matrix's SYMMETRY: each
+    admissible pair (i, j), j > i + excl, is assembled exactly once —
+    row minima cover a window's later neighbors, an accumulated
+    column-minimum array covers its earlier ones — so the elementwise
+    distance work is n²/2, ~1.6x over the full-matrix row sweep. The
+    QT recurrence also only advances the still-needed column suffix.
+    Values match the naive per-pair loop to ~1e-9 (each pair's distance
+    now comes from the row recurrence of its SMALLER index — same
+    formula, drift-minimal accumulation order)."""
     n = x.shape[0] - w + 1
     mu, sig = _sliding_mean_std(x, w)
     eps = 1e-14
@@ -126,38 +131,48 @@ def _matrix_profile_self(x: np.ndarray, w: int) -> np.ndarray:
     qt_first = qt.copy()  # QT[0, :] == QT[:, 0] by symmetry
 
     excl = int(np.ceil(w / 4))
-    profile = np.empty(n)
+    rowmin = np.full(n, np.inf)
+    colmin = np.full(n, np.inf)
     flat_row = np.where(flat, 0.0, float(w)) if any_flat else None
     step = _block(n)
-    QTs = np.empty((step, n))
     for i0 in range(0, n, step):
         i1 = min(i0 + step, n)
         B = i1 - i0
-        for b in range(B):
+        # columns j < j0 are covered by earlier rows' colmin updates
+        j0 = i0
+        s = max(1, j0 - B)
+        D = np.empty((B, n - j0))  # contiguous: ufuncs on strided
+        for b in range(B):        # views cost ~2x
             i = i0 + b
             if i > 0:
-                qt[1:] = qt[:-1] - x[: n - 1] * x[i - 1] + x[w : w + n - 1] * x[i + w - 1]
-                qt[0] = qt_first[i]
-            QTs[b] = qt
-        D = np.multiply(mu[None, :], (-w * mu[i0:i1])[:, None])
-        D += QTs[:B]
-        D *= winv[None, :] * inv[i0:i1, None]
+                qt[s:] = (
+                    qt[s - 1 : -1]
+                    - x[s - 1 : n - 1] * x[i - 1]
+                    + x[s + w - 1 : w + n - 1] * x[i + w - 1]
+                )
+                if s == 1:
+                    qt[0] = qt_first[i]
+            D[b] = qt[j0:]
+        D += (-w * mu[i0:i1])[:, None] * mu[None, j0:]
+        D *= winv[None, j0:] * inv[i0:i1, None]
         np.clip(D, -1.0, 1.0, out=D)
         np.subtract(1.0, D, out=D)
         D *= 2.0 * w
         if any_flat:
-            D[:, flat] = w
+            D[:, flat[j0:]] = w
             fq = flat[i0:i1]
             if fq.any():
-                D[fq] = flat_row
+                D[fq] = flat_row[j0:]
         np.maximum(D, 0.0, out=D)
         np.sqrt(D, out=D)
         for b in range(B):
             i = i0 + b
-            lo, hi = max(0, i - excl), min(n, i + excl + 1)
-            D[b, lo:hi] = np.inf
-        m = D.min(axis=1)
-        profile[i0:i1] = np.where(np.isfinite(m), m, 0.0)
+            hi = min(n, i + excl + 1)
+            D[b, : hi - j0] = np.inf
+        rowmin[i0:i1] = D.min(axis=1)
+        np.minimum(colmin[j0:], D.min(axis=0), out=colmin[j0:])
+    m = np.minimum(rowmin, colmin)
+    profile = np.where(np.isfinite(m), m, 0.0)
     return profile
 
 
@@ -227,36 +242,46 @@ class _ZnormEngine:
         np.sqrt(out, out=out)
         return out
 
-    def rows(self, i0: int, i1: int) -> np.ndarray:
-        """Distance rows ``i0..i1-1`` as an ``(i1-i0, n_r)`` block.
-        The QT recurrence stays sequential (3 vector ops per row); every
-        other op runs ONCE on the 2-D block, amortizing the ~10 small
-        NumPy calls per row that dominate at n ~ 1k. Elementwise op
-        sequence identical to :meth:`row` -> same values. Blocks must be
-        requested in increasing, contiguous order (like ``row``)."""
+    def rows(self, i0: int, i1: int, j0: int = 0) -> np.ndarray:
+        """Distance rows ``i0..i1-1`` as an ``(i1-i0, n_r - j0)`` block
+        (columns ``j0..``). The QT recurrence stays sequential (3 vector
+        ops per row); every other op runs ONCE on the 2-D block,
+        amortizing the ~10 small NumPy calls per row that dominate at
+        n ~ 1k. Elementwise op sequence identical to :meth:`row` ->
+        same values. Blocks must be requested in increasing, contiguous
+        order (like ``row``). ``j0 > 0`` is for SYMMETRIC self-join
+        sweeps (mstump fast path): the recurrence then only advances
+        the column suffix that this and later blocks (with
+        non-decreasing ``j0``) can still read — after such a call,
+        earlier columns of the internal QT state are stale."""
         w, y, n_r = self.w, self.y, self.n_r
         x, qt = self.x, self.qt
         B = i1 - i0
-        QTs = np.empty((B, n_r))
+        s = max(1, j0 - B)
+        out = np.empty((B, n_r - j0))
         for b in range(B):
             i = i0 + b
             if i > 0:
-                qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
-                qt[0] = self.qt_first_col[i]
-            QTs[b] = qt
-        out = np.multiply(self.mu_r[None, :], (-w * self.mu_q[i0:i1])[:, None])
-        out += QTs
-        out *= self.winv_r[None, :]
+                qt[s:] = (
+                    qt[s - 1 : -1]
+                    - y[s - 1 : n_r - 1] * x[i - 1]
+                    + y[s + w - 1 : w + n_r - 1] * x[i + w - 1]
+                )
+                if s == 1:
+                    qt[0] = self.qt_first_col[i]
+            out[b] = qt[j0:]
+        out += (-w * self.mu_q[i0:i1])[:, None] * self.mu_r[None, j0:]
+        out *= self.winv_r[None, j0:]
         out *= self.inv_q[i0:i1, None]
         np.clip(out, -1.0, 1.0, out=out)
         np.subtract(1.0, out, out=out)
         out *= 2.0 * w
         if self.any_flat_r:
-            out[:, self.flat_r] = float(w)
+            out[:, self.flat_r[j0:]] = float(w)
         fq = self.flat_q[i0:i1]
         if fq.any():
             if self.flat_row is not None:
-                out[fq] = self.flat_row
+                out[fq] = self.flat_row[j0:]
             else:
                 out[fq] = float(w)
         np.maximum(out, 0.0, out=out)
@@ -447,23 +472,35 @@ def mstump_profile_sum(
     if d == 2:
         # two-attribute fast path (the common case): the sorted pair is
         # just (min, max), the 2-dim distance their mean — no sort, no
-        # cumsum, blocked rows from both engines
+        # cumsum, blocked rows from both engines. Per-attribute distances
+        # are SYMMETRIC, so each admissible pair is assembled once
+        # (columns j >= block start; row minima + accumulated column
+        # minima — same scheme as _matrix_profile_self, ~1.6x).
+        rmin_e = np.full(l, np.inf)
+        cmin_e = np.full(l, np.inf)
+        rmin_m = np.full(l, np.inf)
+        cmin_m = np.full(l, np.inf)
         for i0 in range(0, l, step):
             i1 = min(i0 + step, l)
-            D0 = engines[0].rows(i0, i1)
-            D1 = engines[1].rows(i0, i1)
+            j0 = i0
+            D0 = engines[0].rows(i0, i1, j0)
+            D1 = engines[1].rows(i0, i1, j0)
             for b in range(i1 - i0):
                 i = i0 + b
-                lo, hi = max(0, i - excl), min(l, i + excl + 1)
-                D0[b, lo:hi] = np.inf
-                D1[b, lo:hi] = np.inf
+                hi = min(l, i + excl + 1)
+                D0[b, : hi - j0] = np.inf
+                D1[b, : hi - j0] = np.inf
             if discords:
                 ext = np.maximum(D0, D1)
             else:
                 ext = np.minimum(D0, D1)
-            mean = np.add(D0, D1)
-            mean *= 0.5
-            out[i0:i1] = ext.min(axis=1) + mean.min(axis=1)
+            rmin_e[i0:i1] = np.minimum(rmin_e[i0:i1], ext.min(axis=1))
+            np.minimum(cmin_e[j0:], ext.min(axis=0), out=cmin_e[j0:])
+            D0 += D1
+            D0 *= 0.5
+            rmin_m[i0:i1] = np.minimum(rmin_m[i0:i1], D0.min(axis=1))
+            np.minimum(cmin_m[j0:], D0.min(axis=0), out=cmin_m[j0:])
+        out[:] = np.minimum(rmin_e, cmin_e) + np.minimum(rmin_m, cmin_m)
         return out
     inv_k = 1.0 / np.arange(1.0, d + 1.0)[:, None, None]
     for i0 in range(0, l, step):
