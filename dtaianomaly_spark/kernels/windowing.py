@@ -220,13 +220,17 @@ def multi_window_finder(x: np.ndarray, lower_bound: int, upper_bound: int) -> in
     sizes = np.arange(lower_bound, upper_bound, dtype=np.int64)
     if sizes.shape[0] == 0:
         return -1
-    # all moving means truncated to the shortest (largest-w) length
+    # all moving means truncated to the shortest (largest-w) length,
+    # built in ONE (n_sizes, shortest) gather off the prefix sums — the
+    # per-candidate loop was ~1000 small NumPy calls per series, the
+    # dominant cost of the mwf driver query
     shortest = x.shape[0] - sizes[-1] + 1
-    residuals = np.empty(sizes.shape[0])
-    for k, w in enumerate(sizes):
-        mm = (csum[w:] - csum[:-w]) / w
-        mm = mm[:shortest]
-        residuals[k] = np.log(np.abs(mm - mm.mean()).sum())
+    idx = np.arange(shortest)
+    MM = (csum[sizes[:, None] + idx[None, :]] - csum[idx[None, :]])
+    MM /= sizes[:, None].astype(np.float64)
+    MM -= MM.mean(axis=1, keepdims=True)
+    np.abs(MM, out=MM)
+    residuals = np.log(MM.sum(axis=1))
     local_min = (np.diff(np.sign(np.diff(residuals))) > 0).nonzero()[0] + 1
     if local_min.shape[0] == 0:
         return -1
