@@ -946,12 +946,16 @@ def _q_det_exceed_median(spark, sf_dir):
 def _q_compress_roundtrip(spark, sf_dir):
     """compress -> decompress must reproduce the raw-tier rollup EXACTLY,
     so the plain rollup oracle verifies the Gorilla/delta-of-delta codecs
-    end-to-end through SQL."""
+    end-to-end through SQL. Routed through the FUSED zero-shuffle
+    scan->encode path (the production write path) + the decode read
+    path; the groupBy/collect_list regroup variant (compress_tiers)
+    stays pinned by tests/test_detectors_compress.py round-trips."""
     from dtaianomaly_spark.rollup import compress as CMP
 
     arrays = C.token_arrays(spark, sf_dir)
-    rolled = T.rollup_tiers_map(arrays, tiers=("raw",))
-    restored = CMP.decompress_tiers(CMP.compress_tiers(rolled))
+    restored = CMP.decompress_tiers(
+        CMP.rollup_compress_map(arrays, tiers=("raw",))
+    )
     return restored.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "tier", "bucket", "cnt", "sum", "sumsq", "min", "max", "first", "last",
