@@ -575,19 +575,22 @@ def topk_sketch(
         (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
         "value",
     ).agg(F.count("*").alias("cnt"))
+    # the (m+1)-th largest count folds into the SAME window partitioning
+    # as the rank (max over rn > m) — no separate threshold frame, no
+    # join; after the fine aggregation every frame is <= m rows per
+    # bucket, so the remaining shuffles move only summary data
     wf = Window.partitionBy("doc_id", "fbucket").orderBy(
         F.col("cnt").desc(), F.col("value").asc()
     )
-    ranked = counted.withColumn("rn", F.row_number().over(wf))
-    # (m+1)-th largest count per fine bucket (0 when <= m values)
-    tf = (
-        ranked.filter(F.col("rn") == m + 1)
-        .select("doc_id", "fbucket", F.col("cnt").alias("tf"))
+    wfa = Window.partitionBy("doc_id", "fbucket")
+    ranked = counted.withColumn("rn", F.row_number().over(wf)).withColumn(
+        "tf",
+        F.coalesce(
+            F.max(F.when(F.col("rn") > m, F.col("cnt"))).over(wfa), F.lit(0)
+        ),
     )
     fine = (
         ranked.filter(F.col("rn") <= m)
-        .join(tf, ["doc_id", "fbucket"], "left")
-        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
         .withColumn("est", F.col("cnt") - F.col("tf"))
         .filter(F.col("est") > 0)
     )
@@ -598,25 +601,25 @@ def topk_sketch(
     )
     # total fine-tier deficit per coarse bucket: every fine bucket of
     # the group contributes its subtraction (incl. buckets whose
-    # summaries emptied entirely) — hence from tf, not from `fine`
+    # summaries emptied entirely) — hence from ranked's rn=1 carrier
+    # rows (one per fine bucket), not from `fine`
     grid = (
-        counted.select("doc_id", "fbucket").distinct()
-        .join(tf, ["doc_id", "fbucket"], "left")
+        ranked.filter(F.col("rn") == 1)
         .groupBy("doc_id", (F.col("fbucket") / factor).cast("long").alias("bucket"))
-        .agg(F.sum(F.coalesce(F.col("tf"), F.lit(0))).alias("tf_sum"))
+        .agg(F.sum("tf").alias("tf_sum"))
     )
     wc = Window.partitionBy("doc_id", "bucket").orderBy(
         F.col("s").desc(), F.col("value").asc()
     )
-    ranked2 = merged.withColumn("rn", F.row_number().over(wc))
-    tc = (
-        ranked2.filter(F.col("rn") == m + 1)
-        .select("doc_id", "bucket", F.col("s").alias("tc"))
+    wca = Window.partitionBy("doc_id", "bucket")
+    ranked2 = merged.withColumn("rn", F.row_number().over(wc)).withColumn(
+        "tc",
+        F.coalesce(
+            F.max(F.when(F.col("rn") > m, F.col("s"))).over(wca), F.lit(0)
+        ),
     )
     return (
         ranked2.filter(F.col("rn") <= m)
-        .join(tc, ["doc_id", "bucket"], "left")
-        .withColumn("tc", F.coalesce(F.col("tc"), F.lit(0)))
         .withColumn("est", F.col("s") - F.col("tc"))
         .filter(F.col("est") > 0)
         .join(grid, ["doc_id", "bucket"])
