@@ -36,6 +36,11 @@ FAMILIES = [
     "ev_sessionize",      # lag-gap + cumulative session ids
     "ev_best_pa_f1",      # run-max contributions + RANGE-frame cumulative
     "dd_dup_clusters",    # iterative min-label propagation to fixpoint
+    "rollup_topk_tokens",  # rank window with (cnt DESC, value ASC) tie-break
+    "rollup_topk_sketch",  # MG truncation thresholds from rank windows
+    "rollup_hist_quantile",  # window cumsum + first-bin-reaching-rank
+    "ev_asof_skew",       # two-level scan-carry across bucket boundaries
+    "rel_q18_volume",     # filter-on-aggregate + top-N tie-break
 ]
 
 
