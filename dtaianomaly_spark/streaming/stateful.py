@@ -423,3 +423,126 @@ def stateful_topk_tokens(
         if flush_after_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# Streaming histogram: the online twin of rollup/tiers.hist_rollup.
+# ------------------------------------------------------------------
+
+HIST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("bin", LongType(), False),
+        StructField("bcnt", LongType(), False),
+        StructField("final", BooleanType(), False),
+    ]
+)
+
+HIST_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType()), True),
+        StructField("bins", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
+def _make_hist_update(
+    bucket_ticks: int, lo: int, hi: int, n_bins: int,
+    flush_after_ms: int | None,
+):
+    width = (hi - lo) // n_bins
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        open_b: dict[int, list[int]] = {}
+        if state.exists:
+            buckets, binss = state.get
+            open_b = {b: list(binss[i]) for i, b in enumerate(buckets)}
+
+        def rows_of(items, final):
+            out = []
+            for b, bins in items:
+                out.extend(
+                    (doc_id, b, i, c, final)
+                    for i, c in enumerate(bins) if c > 0
+                )
+            return out
+
+        if state.hasTimedOut:
+            # partial histograms are a monoid (bin-wise sum): flushes of
+            # a revived series re-combine exactly downstream
+            state.remove()
+            rows = rows_of(sorted(open_b.items()), False)
+            if rows:
+                yield pd.DataFrame(rows, columns=HIST_OUTPUT_SCHEMA.names)
+            return
+
+        for pdf in pdfs:
+            clipped = pdf["value"].clip(lo, hi - 1)
+            grouped = (
+                pdf.assign(
+                    bucket=pdf["pos"] // bucket_ticks,
+                    bin=(clipped - lo) // width,
+                )
+                .groupby(["bucket", "bin"])
+                .size()
+            )
+            for (b, i), c in grouped.items():
+                bins = open_b.setdefault(int(b), [0] * n_bins)
+                bins[int(i)] += int(c)
+
+        done = {
+            b: bins for b, bins in open_b.items()
+            if sum(bins) >= bucket_ticks
+        }
+        for b in done:
+            del open_b[b]
+
+        if open_b:
+            bs = sorted(open_b)
+            state.update((bs, [open_b[b] for b in bs]))
+            if flush_after_ms is not None:
+                state.setTimeoutDuration(flush_after_ms)
+        else:
+            state.remove()
+
+        rows = rows_of(sorted(done.items()), True)
+        if rows:
+            yield pd.DataFrame(rows, columns=HIST_OUTPUT_SCHEMA.names)
+
+    return update
+
+
+def stateful_hist_rollup(
+    stream_long_form,
+    bucket_ticks: int = 960,
+    lo: int = -128,
+    hi: int = 512,
+    n_bins: int = 32,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """points stream (doc_id, pos, value) -> append stream of per-bucket
+    fixed-bin histograms, the ONLINE twin of ``rollup/tiers.hist_rollup``
+    (same clamp-then-integer-divide bin rule): state per open bucket is
+    the n_bins counter array (fixed size — the same boundedness that
+    makes the batch tier mergeable), a completed bucket's non-empty bins
+    emit exactly once when its ``bucket_ticks``-th point arrives, and
+    completed rows byte-match the batch histogram on the same points
+    (tested). Because bin counts are a plain monoid, TTL flushes of
+    partial buckets (``final=false``) re-combine exactly by bin-wise
+    sum — revival-safe, unlike a truncated summary. Same timeout
+    caveats as :func:`stateful_bucket_rollup`."""
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_hist_update(bucket_ticks, lo, hi, n_bins, flush_after_ms),
+        HIST_OUTPUT_SCHEMA,
+        HIST_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

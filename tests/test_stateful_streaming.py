@@ -325,3 +325,61 @@ def test_stateful_topk_matches_batch(spark, tmp_path):
     diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
     assert diff == 0
     assert got.count() == batch.count() > 0
+
+
+def test_stateful_hist_matches_batch(spark, tmp_path):
+    """Out-of-order chunked ingest: completed buckets' histogram rows
+    equal the batch hist_rollup bin counts on the same points."""
+    from dtaianomaly_spark.rollup.tiers import hist_bin_expr
+    from dtaianomaly_spark.streaming.stateful import stateful_hist_rollup
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos", "value"
+    )
+    src = str(tmp_path / "src")
+    for cond in ["pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"]:
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_hist_rollup(stream, bucket_ticks=64, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.filter("NOT final").count() == 0
+    assert (
+        got.groupBy("doc_id", "bucket", "bin").count().filter("count > 1").count()
+        == 0
+    )
+    got = got.drop("final")
+
+    full = (
+        lf.groupBy("doc_id", (F.col("pos") / 64).cast("long").alias("bucket"))
+        .count().filter("count = 64").drop("count")
+    )
+    batch = (
+        lf.select(
+            "doc_id",
+            (F.col("pos") / 64).cast("long").alias("bucket"),
+            hist_bin_expr("value").alias("bin"),
+        )
+        .groupBy("doc_id", "bucket", "bin")
+        .agg(F.count("*").alias("bcnt"))
+        .join(full, ["doc_id", "bucket"], "semi")
+        .select(*got.columns)
+    )
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    assert diff == 0
+    assert got.count() == batch.count() > 0
