@@ -322,19 +322,26 @@ class _Aamp2Engine:
         np.copyto(out, res)
         return out
 
-    def rows(self, i0: int, i1: int) -> np.ndarray:
-        """Blocked rows — see _ZnormEngine.rows."""
+    def rows(self, i0: int, i1: int, j0: int = 0) -> np.ndarray:
+        """Blocked rows — see _ZnormEngine.rows (incl. the ``j0``
+        symmetric-sweep contract)."""
         w, y, n_r = self.w, self.y, self.n_r
         x, qt = self.x, self.qt
         B = i1 - i0
-        QTs = np.empty((B, n_r))
+        s = max(1, j0 - B)
+        QTs = np.empty((B, n_r - j0))
         for b in range(B):
             i = i0 + b
             if i > 0:
-                qt[1:] = qt[:-1] - y[: n_r - 1] * x[i - 1] + y[w : w + n_r - 1] * x[i + w - 1]
-                qt[0] = self.qt_first_col[i]
-            QTs[b] = qt
-        d2 = self.ssq_q[i0:i1, None] + self.ssq_r[None, :] - 2.0 * QTs
+                qt[s:] = (
+                    qt[s - 1 : -1]
+                    - y[s - 1 : n_r - 1] * x[i - 1]
+                    + y[s + w - 1 : w + n_r - 1] * x[i + w - 1]
+                )
+                if s == 1:
+                    qt[0] = self.qt_first_col[i]
+            QTs[b] = qt[j0:]
+        d2 = self.ssq_q[i0:i1, None] + self.ssq_r[None, j0:] - 2.0 * QTs
         return np.sqrt(np.maximum(d2, 0.0))
 
 
@@ -358,12 +365,16 @@ class _AampPEngine:
         np.copyto(out, res)
         return out
 
-    def rows(self, i0: int, i1: int) -> np.ndarray:
+    def rows(self, i0: int, i1: int, j0: int = 0) -> np.ndarray:
         """Blocked rows: no recurrence exists for general p, so this is
-        the O(w)-per-cell direct evaluation row by row into one block."""
-        out = np.empty((i1 - i0, self.n_r))
+        the O(w)-per-cell direct evaluation row by row into one block.
+        ``j0`` slices the column suffix (stateless here — no recurrence
+        to keep valid)."""
+        out = np.empty((i1 - i0, self.n_r - j0))
         for b in range(i1 - i0):
-            self.row(i0 + b, out=out[b])
+            i = i0 + b
+            d = np.abs(self.x[i : i + self.w] - self.wins_r[j0:])
+            out[b] = (d ** self.p).sum(axis=1) ** (1.0 / self.p)
         return out
 
 
@@ -1050,7 +1061,7 @@ def _betainc_reg_vec(a: float, b: float, xv: np.ndarray) -> np.ndarray:
     each evaluated by :func:`_betacf_vec`."""
     import math
 
-    out = np.empty_like(xv)
+    out = np.full_like(xv, np.nan)  # NaN x stays NaN (scalar-path parity)
     out[xv <= 0.0] = 0.0
     out[xv >= 1.0] = 1.0
     mid = (xv > 0.0) & (xv < 1.0)

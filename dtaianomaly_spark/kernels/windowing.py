@@ -221,16 +221,23 @@ def multi_window_finder(x: np.ndarray, lower_bound: int, upper_bound: int) -> in
     if sizes.shape[0] == 0:
         return -1
     # all moving means truncated to the shortest (largest-w) length,
-    # built in ONE (n_sizes, shortest) gather off the prefix sums — the
+    # built as (block, shortest) gathers off the prefix sums — the
     # per-candidate loop was ~1000 small NumPy calls per series, the
-    # dominant cost of the mwf driver query
+    # dominant cost of the mwf driver query. Blocked (~2M doubles per
+    # gather, same budget as detectors._block) so a long series with a
+    # wide size range never materializes an unbounded matrix.
     shortest = x.shape[0] - sizes[-1] + 1
     idx = np.arange(shortest)
-    MM = (csum[sizes[:, None] + idx[None, :]] - csum[idx[None, :]])
-    MM /= sizes[:, None].astype(np.float64)
-    MM -= MM.mean(axis=1, keepdims=True)
-    np.abs(MM, out=MM)
-    residuals = np.log(MM.sum(axis=1))
+    residuals = np.empty(sizes.shape[0])
+    step = max(1, (1 << 21) // max(1, shortest))
+    for k0 in range(0, sizes.shape[0], step):
+        k1 = min(k0 + step, sizes.shape[0])
+        blk = sizes[k0:k1, None]
+        MM = csum[blk + idx[None, :]] - csum[idx[None, :]]
+        MM /= blk.astype(np.float64)
+        MM -= MM.mean(axis=1, keepdims=True)
+        np.abs(MM, out=MM)
+        residuals[k0:k1] = np.log(MM.sum(axis=1))
     local_min = (np.diff(np.sign(np.diff(residuals))) > 0).nonzero()[0] + 1
     if local_min.shape[0] == 0:
         return -1

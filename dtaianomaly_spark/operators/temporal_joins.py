@@ -59,10 +59,14 @@ def asof_join(
     ``ts``) nulls out matches further than that from the probe.
 
     Output = all probe columns + ``prefix+c`` for c in [ts] +
-    build_cols (NULL when nothing matches).
+    build_cols (NULL when nothing matches). The matched build row is
+    carried ATOMICALLY (one struct per row — pandas merge_asof
+    semantics): a NULL in a matched row's build column stays NULL
+    rather than leaking an older row's value. NULL join keys group
+    together, as in a window partition.
 
     One shuffle: the union is windowed per key ordered by
-    (ts, match-preference, order), and the build columns are carried
+    (ts, match-preference, order), and the packed build row is carried
     with last(ignorenulls) over the preceding frame (backward) or
     first(ignorenulls) over the following frame (forward).
     """
@@ -93,22 +97,22 @@ def asof_join(
     w = Window.partitionBy("_k").orderBy("_t", "_side", "_ord")
     if back:
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        pick = F.last("_pack", ignorenulls=True)
     else:
         w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-    u = b.unionByName(p)
-    for c in carried:
-        u = u.withColumn(f"_b_{c}", pick(f"_b_{c}").over(w))
+        pick = F.first("_pack", ignorenulls=True)
+    pack = F.struct(*[F.col(f"_b_{c}").alias(c) for c in carried])
+    u = (
+        b.unionByName(p)
+        .withColumn("_pack", F.when(F.col("_is_probe") == 0, pack))
+        .withColumn("_m", pick.over(w))
+    )
     if tolerance is not None:
-        gap_ok = F.abs(F.col(f"_b_{ts}") - F.col("_t")) <= tolerance
-        for c in carried:
-            u = u.withColumn(
-                f"_b_{c}", F.when(gap_ok, F.col(f"_b_{c}"))
-            )
+        gap_ok = F.abs(F.col("_m")[ts] - F.col("_t")) <= tolerance
+        u = u.withColumn("_m", F.when(gap_ok, F.col("_m")))
     return u.filter(F.col("_is_probe") == 1).select(
         *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
-        *[F.col(f"_b_{c}").alias(f"{prefix}{c}") for c in carried],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
     )
 
 
@@ -228,7 +232,22 @@ def asof_join_skew(
              else F.min_by("_pack", key_order)).alias("_final")
         )
     )
-    buckets = u.select("_k", "_bkt").distinct().join(summary, ["_k", "_bkt"], "left")
+    # NULL-safe joins throughout: plain asof_join groups NULL keys (and
+    # a NULL ts bucket) like any window partition — an equi-join would
+    # silently drop those probe rows
+    summary = summary.withColumnRenamed("_k", "_ks").withColumnRenamed(
+        "_bkt", "_bs"
+    )
+    buckets = (
+        u.select("_k", "_bkt").distinct()
+        .join(
+            summary,
+            F.col("_k").eqNullSafe(F.col("_ks"))
+            & F.col("_bkt").eqNullSafe(F.col("_bs")),
+            "left",
+        )
+        .select("_k", "_bkt", "_final")
+    )
     ws = Window.partitionBy("_k").orderBy("_bkt")
     if back:
         ws = ws.rowsBetween(Window.unboundedPreceding, -1)
@@ -236,10 +255,17 @@ def asof_join_skew(
     else:
         ws = ws.rowsBetween(1, Window.unboundedFollowing)
         inc = F.first("_final", ignorenulls=True)
-    incoming = buckets.select("_k", "_bkt", inc.over(ws).alias("_inc"))
+    incoming = buckets.select(
+        F.col("_k").alias("_ki"), F.col("_bkt").alias("_bi"),
+        inc.over(ws).alias("_inc"),
+    )
     out = (
         u.filter(F.col("_is_probe") == 1)
-        .join(incoming, ["_k", "_bkt"])
+        .join(
+            incoming,
+            F.col("_k").eqNullSafe(F.col("_ki"))
+            & F.col("_bkt").eqNullSafe(F.col("_bi")),
+        )
         .withColumn("_m", F.coalesce(F.col("_loc"), F.col("_inc")))
     )
     if tolerance is not None:

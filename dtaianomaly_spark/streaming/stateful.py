@@ -521,9 +521,9 @@ def _make_hist_update(
 def stateful_hist_rollup(
     stream_long_form,
     bucket_ticks: int = 960,
-    lo: int = -128,
-    hi: int = 512,
-    n_bins: int = 32,
+    lo: int | None = None,
+    hi: int | None = None,
+    n_bins: int | None = None,
     flush_after_ms: int | None = FLUSH_AFTER_MS,
 ):
     """points stream (doc_id, pos, value) -> append stream of per-bucket
@@ -536,7 +536,15 @@ def stateful_hist_rollup(
     (tested). Because bin counts are a plain monoid, TTL flushes of
     partial buckets (``final=false``) re-combine exactly by bin-wise
     sum — revival-safe, unlike a truncated summary. Same timeout
-    caveats as :func:`stateful_bucket_rollup`."""
+    caveats as :func:`stateful_bucket_rollup`.
+    Geometry defaults come from the batch tier's constants
+    (rollup/tiers.py HIST_LO/HIST_HI/HIST_BINS) — retuning the tier
+    retunes the streaming twin with it."""
+    from dtaianomaly_spark.rollup.tiers import HIST_BINS, HIST_HI, HIST_LO
+
+    lo = HIST_LO if lo is None else lo
+    hi = HIST_HI if hi is None else hi
+    n_bins = HIST_BINS if n_bins is None else n_bins
     return stream_long_form.groupBy("doc_id").applyInPandasWithState(
         _make_hist_update(bucket_ticks, lo, hi, n_bins, flush_after_ms),
         HIST_OUTPUT_SCHEMA,

@@ -327,3 +327,101 @@ def test_topk_sketch_bounds_and_exact_degrade(spark, long_form):
            for r in big.collect()}
     assert set(got) == set(true)
     assert all(got[k] == (t, 0) for k, t in true.items())
+
+
+def test_asof_join_atomic_row_carry_with_nulls(spark):
+    """The matched build row is carried atomically: a NULL build column
+    in the matched row stays NULL (pandas merge_asof semantics), and
+    NULL join keys group together like a window partition."""
+    build = spark.createDataFrame(
+        [(1, 10, 100, 5), (1, 20, 101, None), (None, 5, 102, 9)],
+        "k long, t long, bid long, bv long",
+    )
+    probe = spark.createDataFrame(
+        [(1, 25, 200), (None, 7, 201), (2, 9, 202)],
+        "k long, t long, pid long",
+    )
+    got = {
+        r.pid: (r.m_t, r.m_bv)
+        for r in asof_join(
+            probe, build, on="k", ts="t", build_cols=["bv"],
+            order_col="bid", prefix="m_",
+        ).collect()
+    }
+    # pid 200 matches the t=20 row whose bv IS NULL — no leak from t=10
+    assert got[200] == (20, None)
+    # NULL key matches the NULL-key build row
+    assert got[201] == (5, 9)
+    # no build for key 2
+    assert got[202] == (None, None)
+    assert len(got) == 3
+
+
+def test_asof_join_skew_nulls_equal_plain(spark):
+    from dtaianomaly_spark.operators.temporal_joins import asof_join_skew
+
+    build = spark.createDataFrame(
+        [(1, 10, 100, 5), (1, 20, 101, None), (None, 5, 102, 9),
+         (None, 200, 103, 4), (1, 150, 104, 7)],
+        "k long, t long, bid long, bv long",
+    )
+    probe = spark.createDataFrame(
+        [(1, 25, 200), (None, 7, 201), (2, 9, 202), (None, 300, 203),
+         (1, 149, 204)],
+        "k long, t long, pid long",
+    )
+    for direction in ("backward", "forward"):
+        for tol in (None, 30):
+            ref = asof_join(probe, build, on="k", ts="t", build_cols=["bv"],
+                            order_col="bid", prefix="m_",
+                            direction=direction, tolerance=tol)
+            for width in (16, 64):
+                got = asof_join_skew(
+                    probe, build, on="k", ts="t", build_cols=["bv"],
+                    order_col="bid", prefix="m_", direction=direction,
+                    tolerance=tol, bucket_width=width)
+                assert _rows(got, "pid", "m_t", "m_bv") == \
+                    _rows(ref, "pid", "m_t", "m_bv"), (direction, tol, width)
+
+
+def test_mstump_non_normalized_variants(spark):
+    """Regression: the d=2 symmetric fast path must serve the aamp
+    (normalize=False) engine family too, for every p."""
+    import numpy as np
+    from dtaianomaly_spark.kernels.detectors import mstump_profile_sum
+
+    rng = np.random.default_rng(7)
+    X = rng.integers(-50, 51, (120, 2)).astype(float)
+
+    def naive(X, w, normalize, p):
+        import math
+        n, d = X.shape
+        l = n - w + 1
+        excl = math.ceil(w / 4)
+        D = np.empty((d, l, l))
+        for a in range(d):
+            for i in range(l):
+                for j in range(l):
+                    u, v = X[i:i+w, a], X[j:j+w, a]
+                    if normalize:
+                        su, sv = u.std(), v.std()
+                        uz = (u - u.mean()) / su if su > 1e-14 else None
+                        vz = (v - v.mean()) / sv if sv > 1e-14 else None
+                        if uz is None and vz is None:
+                            D[a, i, j] = 0.0
+                        elif uz is None or vz is None:
+                            D[a, i, j] = math.sqrt(w)
+                        else:
+                            D[a, i, j] = np.sqrt(((uz - vz) ** 2).sum())
+                    else:
+                        D[a, i, j] = (np.abs(u - v) ** p).sum() ** (1.0 / p)
+        for i in range(l):
+            D[:, i, max(0, i - excl):i + excl + 1] = np.inf
+        ext = D.max(axis=0)
+        mean = D.mean(axis=0)
+        return ext.min(axis=1) + mean.min(axis=1)
+
+    for normalize, p in [(False, 2.0), (False, 1.5), (True, 2.0)]:
+        got = mstump_profile_sum(X, 10, normalize=normalize, p=p)
+        want = naive(X, 10, normalize, p)
+        np.testing.assert_allclose(got, want, atol=1e-8)
