@@ -156,6 +156,18 @@ def _q_rollup_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hist_quantiles(T.hist_rollup(_spark_long_form(spark, sf_dir), 64, 15))
 
 
+def _q_rollup_qsummary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile summary for UNBOUNDED value domains (weighted
+    order statistics, m=32): fine per-(series, 64-tick) summaries merge
+    to the 960-tick tier by weighted sort + re-prune at integer
+    cumulative-weight targets. Pure rank/count windows — integer-exact,
+    so the oracle reproduces it bit-for-bit; the |est_cdf - true_cdf|
+    <= err contract is pytest-pinned."""
+    from dtaianomaly_spark.rollup.qsummary import quantile_summary
+
+    return quantile_summary(_spark_long_form(spark, sf_dir), 64, 15, 32)
+
+
 def _q_rollup_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Misra-Gries heavy-hitter sketch tier (capacity m=8 over
     a ~212-value alphabet — genuinely lossy): fine summaries truncate
@@ -1052,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hist_merge": _q_rollup_hist_merge,
         "rollup_hist_quantile": _q_rollup_hist_quantile,
         "rollup_topk_sketch": _q_rollup_topk_sketch,
+        "rollup_qsummary": _q_rollup_qsummary,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
         "pp_minmax_scale": _q_pp_minmax,
@@ -1170,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp", "rollup_topk_tokens",
         "rollup_hist_merge", "rollup_hist_quantile",
         "rel_q10_returns", "rel_q18_volume", "rollup_topk_sketch",
+        "rollup_qsummary",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2597,6 +2611,63 @@ SELECT doc_id, bucket, CAST(MAX(cnt) AS BIGINT) AS cnt,
 FROM cum GROUP BY doc_id, bucket
 """
 
+    rollup_qsummary = f"""
+{C.TOKEN_SQL_CTE},
+base AS (
+    SELECT doc_id, CAST(pos // 64 AS BIGINT) AS fbucket, value
+    FROM long_form
+),
+ranked AS (
+    SELECT doc_id, fbucket, value,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, fbucket
+                              ORDER BY value) - 1 AS i,
+           COUNT(*) OVER (PARTITION BY doc_id, fbucket) AS n
+    FROM base
+),
+runs AS (
+    SELECT doc_id, fbucket, value, n,
+           CASE WHEN i < (n % LEAST(32, n)) * ((n // LEAST(32, n)) + 1)
+                THEN i // ((n // LEAST(32, n)) + 1)
+                ELSE (n % LEAST(32, n))
+                     + (i - (n % LEAST(32, n)) * ((n // LEAST(32, n)) + 1))
+                       // (n // LEAST(32, n))
+           END AS run
+    FROM ranked
+),
+fine AS (
+    SELECT doc_id, fbucket, run, MAX(value) AS value, COUNT(*) AS weight,
+           ((MAX(n) + LEAST(32, MAX(n)) - 1) // LEAST(32, MAX(n))) - 1
+               AS deficit
+    FROM runs GROUP BY 1, 2, 3
+),
+dsum AS (
+    SELECT doc_id, CAST(fbucket // 15 AS BIGINT) AS bucket,
+           SUM(deficit) AS dsum
+    FROM fine WHERE run = 0 GROUP BY 1, 2
+),
+merged AS (
+    SELECT doc_id, CAST(fbucket // 15 AS BIGINT) AS bucket, value, weight,
+           SUM(weight) OVER (PARTITION BY doc_id, fbucket // 15
+                             ORDER BY value, fbucket, run
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(weight) OVER (PARTITION BY doc_id, fbucket // 15) AS nn,
+           LEAST(32, COUNT(*) OVER (PARTITION BY doc_id, fbucket // 15)) AS me,
+           MAX(weight) OVER (PARTITION BY doc_id, fbucket // 15) AS maxw
+    FROM fine
+),
+pr AS (
+    SELECT m.doc_id, m.bucket, m.value, m.nn, m.me, m.maxw, d.dsum,
+           LEAST(m.me, ((m.cum + 1) * m.me - 1) // m.nn) AS hc,
+           LEAST(m.me, ((m.cum - m.weight + 1) * m.me - 1) // m.nn) AS hp
+    FROM merged m JOIN dsum d USING (doc_id, bucket)
+)
+SELECT doc_id, bucket, value,
+       CAST((hc * nn // me) - (hp * nn // me) AS BIGINT) AS weight,
+       CAST(dsum + ((nn + me - 1) // me) - 1 + maxw - 1 AS BIGINT) AS err
+FROM pr WHERE hc > hp
+"""
+
     rollup_topk_sketch = f"""
 {C.TOKEN_SQL_CTE},
 counted AS (
@@ -2907,6 +2978,7 @@ FROM agg
         "rollup_hist_merge": rollup_hist_merge,
         "rollup_hist_quantile": rollup_hist_quantile,
         "rollup_topk_sketch": rollup_topk_sketch,
+        "rollup_qsummary": rollup_qsummary,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
         "rollup_refresh_tail": rollup_refresh_tail,

@@ -425,3 +425,51 @@ def test_mstump_non_normalized_variants(spark):
         got = mstump_profile_sum(X, 10, normalize=normalize, p=p)
         want = naive(X, 10, normalize, p)
         np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+def test_quantile_summary_cdf_contract(spark, long_form):
+    """For every value: |est_cdf - true_cdf| <= err, Σ weight = count,
+    <= m rows per bucket; and the read-off quantile's true rank is
+    within err of its target."""
+    import numpy as np
+    from dtaianomaly_spark.rollup.qsummary import (
+        quantile_summary, summary_quantile,
+    )
+
+    m = 8
+    summ = quantile_summary(long_form, fine_ticks=16, factor=4, m=m)
+    rows = summ.collect()
+    assert rows
+    raw = {}
+    for r in long_form.select(
+        "doc_id", (F.col("pos") / 64).cast("long").alias("bucket"), "value"
+    ).collect():
+        raw.setdefault((r.doc_id, r.bucket), []).append(r.value)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault((r.doc_id, r.bucket), []).append(
+            (r.value, r.weight, r.err)
+        )
+    assert set(by_bucket) == set(raw)
+    for key, items in by_bucket.items():
+        vals = np.sort(np.asarray(raw[key]))
+        assert len(items) <= m
+        err = items[0][2]
+        assert all(it[2] == err for it in items)
+        assert sum(w for _, w, _ in items) == len(vals)
+        svals = np.array(sorted(v for v, _, _ in items))
+        wmap = dict((v, 0) for v, _, _ in items)
+        for v, w, _ in items:
+            wmap[v] += w
+        for probe in np.unique(np.concatenate([svals, vals[::3]])):
+            true = int((vals <= probe).sum())
+            est = sum(w for v, w in wmap.items() if v <= probe)
+            assert abs(true - est) <= err, (key, probe, true, est, err)
+
+    # p50 read-off: true rank of the reported value within err of target
+    p50 = summary_quantile(summ, 1, 2).collect()
+    for r in p50:
+        vals = np.sort(np.asarray(raw[(r.doc_id, r.bucket)]))
+        target = (len(vals) + 1) // 2
+        true_rank = int((vals <= r.q_value).sum())
+        assert abs(true_rank - target) <= r.err, (r, target, true_rank)
