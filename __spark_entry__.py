@@ -168,6 +168,20 @@ def _q_rollup_qsummary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_summary(_spark_long_form(spark, sf_dir), 64, 15, 32)
 
 
+def _q_rollup_qsummary_p50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median read off the merged quantile summary (raw data untouched):
+    first summary value whose cumulative weight reaches ceil(N/2);
+    integer-only, oracle-exact, true rank within err of the target
+    (pytest contract)."""
+    from dtaianomaly_spark.rollup.qsummary import (
+        quantile_summary, summary_quantile,
+    )
+
+    return summary_quantile(
+        quantile_summary(_spark_long_form(spark, sf_dir), 64, 15, 32), 1, 2
+    )
+
+
 def _q_rollup_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Misra-Gries heavy-hitter sketch tier (capacity m=8 over
     a ~212-value alphabet — genuinely lossy): fine summaries truncate
@@ -1065,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hist_quantile": _q_rollup_hist_quantile,
         "rollup_topk_sketch": _q_rollup_topk_sketch,
         "rollup_qsummary": _q_rollup_qsummary,
+        "rollup_qsummary_p50": _q_rollup_qsummary_p50,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
         "pp_minmax_scale": _q_pp_minmax,
@@ -1183,7 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp", "rollup_topk_tokens",
         "rollup_hist_merge", "rollup_hist_quantile",
         "rel_q10_returns", "rel_q18_volume", "rollup_topk_sketch",
-        "rollup_qsummary",
+        "rollup_qsummary", "rollup_qsummary_p50",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2668,6 +2683,26 @@ SELECT doc_id, bucket, value,
 FROM pr WHERE hc > hp
 """
 
+    _qsummary_cte = rollup_qsummary.strip()
+    rollup_qsummary_p50 = f"""
+WITH summ AS (
+{_qsummary_cte}
+),
+cum AS (
+    SELECT doc_id, bucket, value, err,
+           SUM(weight) OVER (PARTITION BY doc_id, bucket ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+           SUM(weight) OVER (PARTITION BY doc_id, bucket) AS nn
+    FROM summ
+)
+SELECT doc_id, bucket, CAST(MAX(nn) AS BIGINT) AS cnt,
+       CAST(MIN(CASE WHEN c >= (nn + 1) // 2 THEN value END) AS BIGINT)
+           AS q_value,
+       CAST(MAX(err) AS BIGINT) AS err
+FROM cum GROUP BY doc_id, bucket
+"""
+
     rollup_topk_sketch = f"""
 {C.TOKEN_SQL_CTE},
 counted AS (
@@ -2979,6 +3014,7 @@ FROM agg
         "rollup_hist_quantile": rollup_hist_quantile,
         "rollup_topk_sketch": rollup_topk_sketch,
         "rollup_qsummary": rollup_qsummary,
+        "rollup_qsummary_p50": rollup_qsummary_p50,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
         "rollup_refresh_tail": rollup_refresh_tail,
