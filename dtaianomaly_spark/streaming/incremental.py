@@ -112,6 +112,32 @@ class IncrementalRollup:
         paths = [r["path"] for r in self.committed().values()]
         return spark.read.schema(ROLLUP_SCHEMA).parquet(*paths)
 
+    # -- snapshot time travel ----------------------------------------------
+
+    def snapshots(self) -> list:
+        """Ordered commit records; record i is snapshot i+1 (the store
+        state after that commit). The commit LOG ORDER — not batch id —
+        is the snapshot sequence, exactly as an Iceberg metadata log."""
+        out = []
+        if os.path.exists(self.log_path):
+            with open(self.log_path) as f:
+                out = [json.loads(line) for line in f]
+        return out
+
+    def read_as_of(self, spark: SparkSession, snapshot: int) -> DataFrame:
+        """Time travel: the tier store exactly as it stood after the
+        ``snapshot``-th commit (0 = empty). Batch directories are
+        immutable once committed and the log is append-only, so an
+        as-of read is just the first ``snapshot`` manifest entries —
+        later appends can never change an earlier snapshot's content
+        (tested). ``snapshot`` beyond the log reads the full store."""
+        recs = self.snapshots()[: max(0, snapshot)]
+        if not recs:
+            return spark.createDataFrame([], ROLLUP_SCHEMA)
+        return spark.read.schema(ROLLUP_SCHEMA).parquet(
+            *[r["path"] for r in recs]
+        )
+
 
 def stream_rollup(
     spark: SparkSession, source_dir: str, store_dir: str, checkpoint_dir: str

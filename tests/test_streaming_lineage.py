@@ -128,3 +128,35 @@ def test_salted_agg_equals_plain_groupby(spark):
     assert want.exceptAll(got).count() == 0
     hot = got.filter("k = 'hot'").collect()[0]
     assert hot["cnt"] == 90_000
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """read_as_of(k) is the store exactly after the k-th commit, and an
+    earlier snapshot's content is immutable under later appends."""
+    from dtaianomaly_spark.streaming.incremental import IncrementalRollup
+
+    corpus = C.token_arrays(spark, SF_DIR).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens", "n_tok"
+    )
+    store = str(tmp_path / "store")
+    inc = IncrementalRollup(store, n_batches=5)
+    assert inc.run(corpus, fail_after=3) == 3
+
+    snap3 = _canon(inc.read_as_of(spark, 3))
+    recs = inc.snapshots()
+    assert len(recs) == 3
+    # snapshot 3 == union of the first three committed batch dirs
+    first3 = [r["path"] for r in recs]
+    direct = spark.read.schema(T.ROLLUP_SCHEMA).parquet(*first3)
+    assert snap3 == _canon(direct)
+    # prefix property: snapshot 2 ⊂ snapshot 3 (row multiset)
+    snap2 = _canon(inc.read_as_of(spark, 2))
+    assert len(snap2) < len(snap3)
+
+    # later appends must not change earlier snapshots
+    assert inc.run(corpus) == 2
+    assert _canon(inc.read_as_of(spark, 3)) == snap3
+    assert _canon(inc.read_as_of(spark, 2)) == snap2
+    # beyond-log snapshot == full store; snapshot 0 == empty
+    assert _canon(inc.read_as_of(spark, 99)) == _canon(inc.read_store(spark))
+    assert inc.read_as_of(spark, 0).count() == 0
