@@ -44,13 +44,16 @@ class IncrementalRollup:
     # -- commit log ---------------------------------------------------------
 
     def committed(self) -> dict:
-        """batch_id -> lineage record for every committed batch."""
+        """batch_id -> lineage record for every committed batch
+        (compaction records carry no batch id and are skipped here —
+        they matter for state replay, not for work-unit dedup)."""
         out = {}
         if os.path.exists(self.log_path):
             with open(self.log_path) as f:
                 for line in f:
                     rec = json.loads(line)
-                    out[rec["batch"]] = rec
+                    if rec.get("batch") is not None:
+                        out[rec["batch"]] = rec
         return out
 
     def _append_commit(self, rec: dict) -> None:
@@ -108,35 +111,73 @@ class IncrementalRollup:
                 break
         return processed
 
-    def read_store(self, spark: SparkSession) -> DataFrame:
-        paths = [r["path"] for r in self.committed().values()]
-        return spark.read.schema(ROLLUP_SCHEMA).parquet(*paths)
-
-    # -- snapshot time travel ----------------------------------------------
+    # -- snapshot time travel + compaction ----------------------------------
 
     def snapshots(self) -> list:
         """Ordered commit records; record i is snapshot i+1 (the store
         state after that commit). The commit LOG ORDER — not batch id —
-        is the snapshot sequence, exactly as an Iceberg metadata log."""
+        is the snapshot sequence, exactly as an Iceberg metadata log.
+        Two record kinds: batch commits (add a data directory) and
+        ``compact`` commits (REPLACE every directory live at that
+        point with one rewritten directory)."""
         out = []
         if os.path.exists(self.log_path):
             with open(self.log_path) as f:
                 out = [json.loads(line) for line in f]
         return out
 
+    def _paths_as_of(self, snapshot: int) -> list:
+        """Replay the first ``snapshot`` log records into the live data
+        directory set (compaction replaces, batch commits append)."""
+        paths = []
+        for rec in self.snapshots()[: max(0, snapshot)]:
+            if rec.get("kind") == "compact":
+                paths = [rec["path"]]
+            else:
+                paths.append(rec["path"])
+        return paths
+
     def read_as_of(self, spark: SparkSession, snapshot: int) -> DataFrame:
         """Time travel: the tier store exactly as it stood after the
-        ``snapshot``-th commit (0 = empty). Batch directories are
-        immutable once committed and the log is append-only, so an
-        as-of read is just the first ``snapshot`` manifest entries —
-        later appends can never change an earlier snapshot's content
-        (tested). ``snapshot`` beyond the log reads the full store."""
-        recs = self.snapshots()[: max(0, snapshot)]
-        if not recs:
+        ``snapshot``-th commit (0 = empty). Data directories are
+        immutable once committed and the log is append-only — a
+        compaction only ADDS a rewritten directory plus a log record,
+        so earlier snapshots keep reading the directories they always
+        did (tested). ``snapshot`` beyond the log reads the full
+        store."""
+        paths = self._paths_as_of(snapshot)
+        if not paths:
             return spark.createDataFrame([], ROLLUP_SCHEMA)
-        return spark.read.schema(ROLLUP_SCHEMA).parquet(
-            *[r["path"] for r in recs]
+        return spark.read.schema(ROLLUP_SCHEMA).parquet(*paths)
+
+    def read_store(self, spark: SparkSession) -> DataFrame:
+        """Current state = full log replay (honors compactions)."""
+        return self.read_as_of(spark, len(self.snapshots()))
+
+    def compact(self, spark: SparkSession, target_files: int = 4) -> str:
+        """Small-file maintenance: rewrite the CURRENT live directory
+        set into one ``compact=<n>/`` directory with ``target_files``
+        files, then commit a ``compact`` record — the Iceberg rewrite
+        pattern. Content is untouched (row-multiset equality tested);
+        pre-compaction snapshots still time-travel to the original
+        directories, which are never deleted or modified."""
+        snaps = self.snapshots()
+        live = self._paths_as_of(len(snaps))
+        if not live:
+            raise ValueError("nothing to compact: empty store")
+        out_dir = os.path.join(self.store_dir, f"compact={len(snaps)}")
+        df = spark.read.schema(ROLLUP_SCHEMA).parquet(*live)
+        df.coalesce(target_files).write.mode("overwrite").parquet(out_dir)
+        self._append_commit(
+            {
+                "kind": "compact",
+                "batch": None,
+                "path": out_dir,
+                "replaces": live,
+                "ts": time.time(),
+            }
         )
+        return out_dir
 
 
 def stream_rollup(

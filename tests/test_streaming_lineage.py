@@ -160,3 +160,33 @@ def test_snapshot_time_travel(spark, tmp_path):
     # beyond-log snapshot == full store; snapshot 0 == empty
     assert _canon(inc.read_as_of(spark, 99)) == _canon(inc.read_store(spark))
     assert inc.read_as_of(spark, 0).count() == 0
+
+
+def test_compaction_preserves_content_and_history(spark, tmp_path):
+    """compact() rewrites the live set into few files, content-equal;
+    pre-compaction snapshots still time-travel; resume logic ignores
+    the compact record."""
+    import glob
+
+    from dtaianomaly_spark.streaming.incremental import IncrementalRollup
+
+    corpus = C.token_arrays(spark, SF_DIR).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens", "n_tok"
+    )
+    store = str(tmp_path / "store")
+    inc = IncrementalRollup(store, n_batches=5)
+    inc.run(corpus)
+    before = _canon(inc.read_store(spark))
+    snap2 = _canon(inc.read_as_of(spark, 2))
+    n_files_before = len(glob.glob(f"{store}/batch=*/*.parquet"))
+
+    out_dir = inc.compact(spark, target_files=2)
+    after = _canon(inc.read_store(spark))
+    assert after == before
+    assert len(glob.glob(f"{out_dir}/*.parquet")) <= 2 < n_files_before
+    # pre-compaction snapshot unchanged
+    assert _canon(inc.read_as_of(spark, 2)) == snap2
+    # nothing to re-run: compaction is not a work unit
+    assert inc.run(corpus) == 0
+    # appends after compaction layer on top of the compacted state
+    assert len(inc.snapshots()) == 6
