@@ -1,0 +1,77 @@
+"""Physical-plan regression guards: the properties PLANS.md documents,
+asserted so they cannot silently rot — no row-at-a-time Python UDFs
+anywhere, shuffle-Exchange counts within each query's designed bound,
+filters pushed into the parquet scans, and the binary/token payloads
+pruned out of metadata-only scans."""
+
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (query, max shuffle Exchanges in the final plan). Bounds are the
+# DESIGNED plan shapes (PLANS.md), not aspirations — a bump means a
+# physical regression (lost broadcast, lost partitioning reuse).
+EXCHANGE_BOUNDS = [
+    ("rollup_raw", 1),
+    ("rollup_map_raw", 1),        # zero-shuffle map path (+corpus repartition)
+    ("rollup_topk_tokens", 2),
+    ("rollup_topk_sketch", 2),
+    ("rollup_hist_merge", 1),
+    ("rollup_hist_quantile", 2),
+    ("rollup_qsummary", 3),
+    ("median_method", 1),
+    ("ev_asof_join", 1),          # the one-shuffle as-of contract
+    ("ev_minute_rollup", 1),
+    ("rel_q1_pricing", 1),
+    ("rel_q5_region_revenue", 1),  # all dimension joins broadcast
+    ("rel_q18_volume", 1),         # aggregated side broadcast, 1 fact shuffle
+    ("compress_roundtrip", 1),     # fused zero-shuffle encode path
+]
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("name,bound", EXCHANGE_BOUNDS)
+def test_exchange_bound(spark, name, bound):
+    plan = _plan(E.queries()[name](spark, SF_DIR))
+    tree = plan.split("\n\n")[0]
+    n_ex = len(re.findall(r"\bExchange\b", tree))
+    assert n_ex <= bound, f"{name}: {n_ex} exchanges > designed {bound}\n{tree}"
+
+
+def test_no_row_python_udf_anywhere(spark):
+    """Every Python stage must be Arrow-vectorized (MapInArrow /
+    MapInPandas / FlatMapGroupsInPandas) — BatchEvalPython (row-at-a-
+    time pickling) is banned from the whole query surface."""
+    offenders = []
+    for name, fn in E.queries().items():
+        try:
+            plan = _plan(fn(spark, SF_DIR))
+        except Exception:  # noqa: BLE001 — plan-ability itself is
+            continue       # covered by the correctness tests
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"row-Python UDF stages in: {offenders}"
+
+
+def test_filters_and_pruning_reach_scans(spark):
+    # Q1's date filter is pushed into the lineitem scan
+    plan = _plan(E.queries()["rel_q1_pricing"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull", plan) or \
+        "PushedFilters: []" not in plan
+    # metadata-only multimodal query never reads the binary payload
+    plan = _plan(E.queries()["mm_frame_sample"](spark, SF_DIR))
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and all("payload" not in cols for cols in m)
