@@ -64,3 +64,26 @@ def test_result_invariant_under_partitioning(spark, name):
         spark.conf.set("spark.sql.shuffle.partitions", shuffled)
     assert base["n"] == alt["n"]
     assert base["h"] == alt["h"], f"{name}: result depends on partitioning"
+
+
+AQE_FAMILIES = [
+    "rollup_1h", "rollup_qsummary", "rollup_topk_sketch",
+    "ev_asof_join", "rel_q18_volume",
+]
+
+
+@pytest.mark.parametrize("name", AQE_FAMILIES)
+def test_result_invariant_under_aqe_toggle(spark, name):
+    """AQE re-plans (coalesced partitions, demoted broadcasts) must not
+    change any result — catches accidental dependence on the physical
+    partition layout that the shuffle-count toggle alone can miss."""
+    fn = E.queries()[name]
+    cur = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        on = _fingerprint(fn(spark, SF_DIR))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        off = _fingerprint(fn(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", cur)
+    assert on["n"] == off["n"] and on["h"] == off["h"], name
