@@ -38,6 +38,51 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "asof_join_skew", "range_join_bucketed"]
 
 
+def _tag_union(probe, build, on, ts, build_cols, order_col, back):
+    """Shared as-of prologue: union-tag probe+build into one frame with
+    the packed build-row struct (``_pack``) that both variants carry.
+    ``_side`` makes build sort BEFORE probe at equal ts for backward
+    (so the [unbounded, current] frame sees it), AFTER for forward.
+    Returns (union_df, carried_cols)."""
+    carried = [ts] + build_cols
+    b = build.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(0 if back else 1).alias("_side"),
+        F.col(order_col).cast("long").alias("_ord"),
+        F.lit(0).alias("_is_probe"),
+        *[F.col(c).alias(f"_b_{c}") for c in carried],
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema],
+    )
+    p = probe.select(
+        F.col(on).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(1 if back else 0).alias("_side"),
+        F.lit(0).cast("long").alias("_ord"),
+        F.lit(1).alias("_is_probe"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(f"_b_{c}") for c in carried],
+        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
+    )
+    pack = F.struct(*[F.col(f"_b_{c}").alias(c) for c in carried])
+    u = b.unionByName(p).withColumn(
+        "_pack", F.when(F.col("_is_probe") == 0, pack)
+    )
+    return u, carried
+
+
+def _project_matches(matched, probe, carried, ts, prefix, tolerance):
+    """Shared as-of epilogue: apply the tolerance null-out to the packed
+    match and project back to probe columns + prefixed build columns."""
+    out = matched
+    if tolerance is not None:
+        gap_ok = F.abs(F.col("_m")[ts] - F.col("_t")) <= tolerance
+        out = out.withColumn("_m", F.when(gap_ok, F.col("_m")))
+    return out.select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
+        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
+    )
+
+
 def asof_join(
     probe: DataFrame,
     build: DataFrame,
@@ -73,27 +118,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     back = direction == "backward"
-    carried = [ts] + build_cols
-    b = build.select(
-        F.col(on).alias("_k"),
-        F.col(ts).alias("_t"),
-        # backward: build sorts BEFORE probe at equal ts (so the carry
-        # frame [unbounded, current] sees it); forward: AFTER.
-        F.lit(0 if back else 1).alias("_side"),
-        F.col(order_col).cast("long").alias("_ord"),
-        F.lit(0).alias("_is_probe"),
-        *[F.col(c).alias(f"_b_{c}") for c in carried],
-        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema],
-    )
-    p = probe.select(
-        F.col(on).alias("_k"),
-        F.col(ts).alias("_t"),
-        F.lit(1 if back else 0).alias("_side"),
-        F.lit(0).cast("long").alias("_ord"),
-        F.lit(1).alias("_is_probe"),
-        *[F.lit(None).cast(build.schema[c].dataType).alias(f"_b_{c}") for c in carried],
-        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
-    )
+    u, carried = _tag_union(probe, build, on, ts, build_cols, order_col, back)
     w = Window.partitionBy("_k").orderBy("_t", "_side", "_ord")
     if back:
         w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -101,19 +126,8 @@ def asof_join(
     else:
         w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         pick = F.first("_pack", ignorenulls=True)
-    pack = F.struct(*[F.col(f"_b_{c}").alias(c) for c in carried])
-    u = (
-        b.unionByName(p)
-        .withColumn("_pack", F.when(F.col("_is_probe") == 0, pack))
-        .withColumn("_m", pick.over(w))
-    )
-    if tolerance is not None:
-        gap_ok = F.abs(F.col("_m")[ts] - F.col("_t")) <= tolerance
-        u = u.withColumn("_m", F.when(gap_ok, F.col("_m")))
-    return u.filter(F.col("_is_probe") == 1).select(
-        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
-        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
-    )
+    matched = u.withColumn("_m", pick.over(w)).filter(F.col("_is_probe") == 1)
+    return _project_matches(matched, probe, carried, ts, prefix, tolerance)
 
 
 def range_join_bucketed(
@@ -188,31 +202,8 @@ def asof_join_skew(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     back = direction == "backward"
-    carried = [ts] + build_cols
-    pack = F.struct(*[F.col(f"_b_{c}").alias(c) for c in carried])
-    b = build.select(
-        F.col(on).alias("_k"),
-        F.col(ts).alias("_t"),
-        F.lit(0 if back else 1).alias("_side"),
-        F.col(order_col).cast("long").alias("_ord"),
-        F.lit(0).alias("_is_probe"),
-        *[F.col(c).alias(f"_b_{c}") for c in carried],
-        *[F.lit(None).cast(t.dataType).alias(f"_p_{t.name}") for t in probe.schema],
-    )
-    p = probe.select(
-        F.col(on).alias("_k"),
-        F.col(ts).alias("_t"),
-        F.lit(1 if back else 0).alias("_side"),
-        F.lit(0).cast("long").alias("_ord"),
-        F.lit(1).alias("_is_probe"),
-        *[F.lit(None).cast(build.schema[c].dataType).alias(f"_b_{c}") for c in carried],
-        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
-    )
-    u = (
-        b.unionByName(p)
-        .withColumn("_bkt", (F.col("_t") / bucket_width).cast("long"))
-        .withColumn("_pack", F.when(F.col("_is_probe") == 0, pack))
-    )
+    u, carried = _tag_union(probe, build, on, ts, build_cols, order_col, back)
+    u = u.withColumn("_bkt", (F.col("_t") / bucket_width).cast("long"))
     # pass 1: in-bucket carry (parallel across (key, bucket))
     wl = Window.partitionBy("_k", "_bkt").orderBy("_t", "_side", "_ord")
     if back:
@@ -268,10 +259,4 @@ def asof_join_skew(
         )
         .withColumn("_m", F.coalesce(F.col("_loc"), F.col("_inc")))
     )
-    if tolerance is not None:
-        gap_ok = F.abs(F.col("_m")[ts] - F.col("_t")) <= tolerance
-        out = out.withColumn("_m", F.when(gap_ok, F.col("_m")))
-    return out.select(
-        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
-        *[F.col("_m")[c].alias(f"{prefix}{c}") for c in carried],
-    )
+    return _project_matches(out, probe, carried, ts, prefix, tolerance)

@@ -8,8 +8,12 @@ aggregate runs map-side partial first.
 Exactness discipline (see SNIPPETS/oracle rules): money/quantity
 doubles are quantized to integer cents (``floor(x * 100)``) BEFORE any
 aggregation, so sums are exact int64 and the derived averages are one
-shared float formula; timestamps compare via ``unix_micros(CAST(ts AS
-TIMESTAMP))`` == DuckDB ``epoch_us(ts)``.
+shared float formula; timestamp FILTERS compare the raw TIMESTAMP_NTZ
+column against an NTZ literal (pushes to the parquet scan — row-group
+skipping; enforced by tests/test_plan_hygiene.py) while timestamp
+OUTPUT columns use ``unix_micros(CAST(ts AS TIMESTAMP))`` == DuckDB
+``epoch_us(ts)``; the two forms agree at every boundary (monotone
+bijection, session tz UTC).
 
 At 100 TB: lineitem is the fact table — everything here is one pass
 over it with broadcast hash joins (no shuffle on the fact side except
@@ -21,11 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-# 1995-03-15 / 1998-09-02 in epoch-microseconds (timestamps are read
-# TIMESTAMP_NTZ; session tz UTC — see spark-perf-pitfalls)
-CUTOFF_Q1_US = 904_694_400_000_000
-CUTOFF_Q3_US = 795_225_600_000_000
 
 _CENTS = "CAST(floor({col} * 100) AS BIGINT)"
 _REVENUE = (
@@ -41,8 +40,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1 shape: shipped-before cutoff, grouped pricing summary.
     All sums exact integer cents; averages one shared float formula."""
+    # direct TIMESTAMP_NTZ comparison (not unix_micros(CAST(...)), which
+    # blocks pushdown): the date predicate reaches the parquet scan as
+    # LessThanOrEqual(l_shipdate, ...) -> row-group min/max skipping;
+    # boundary-equivalent to the epoch-micros form (monotone bijection)
     filtered = lineitem.filter(
-        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) <= {CUTOFF_Q1_US}")
+        F.expr("l_shipdate <= TIMESTAMP_NTZ'1998-09-02 00:00:00'")
     )
     agg = filtered.groupBy("l_returnflag", "l_linestatus").agg(
         F.count("*").cast("long").alias("count_order"),
@@ -75,10 +78,10 @@ def q3_top_orders(
     per-order aggregate."""
     cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = orders.filter(
-        F.expr(f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) < {CUTOFF_Q3_US}")
+        F.expr("o_orderdate < TIMESTAMP_NTZ'1995-03-15 00:00:00'")
     ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     li = lineitem.filter(
-        F.expr(f"unix_micros(CAST(l_shipdate AS TIMESTAMP)) > {CUTOFF_Q3_US}")
+        F.expr("l_shipdate > TIMESTAMP_NTZ'1995-03-15 00:00:00'")
     ).select("l_orderkey", F.expr(_REVENUE).alias("rev"))
     joined = (
         li.join(
@@ -193,11 +196,6 @@ def order_month_rollup(orders: DataFrame) -> DataFrame:
     )
 
 
-# 1996-01-01 / 1996-04-01 in epoch-microseconds
-Q10_LO_US = 820_454_400_000_000
-Q10_HI_US = 828_316_800_000_000
-
-
 def q10_returned_items(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
     nation: DataFrame, topn: int = 20,
@@ -210,8 +208,8 @@ def q10_returned_items(
     TakeOrderedAndProject, deterministic tie-break on c_custkey."""
     ords = orders.filter(
         F.expr(
-            f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) >= {Q10_LO_US}"
-            f" AND unix_micros(CAST(o_orderdate AS TIMESTAMP)) < {Q10_HI_US}"
+            "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'"
+            " AND o_orderdate < TIMESTAMP_NTZ'1996-04-01 00:00:00'"
         )
     ).select("o_orderkey", "o_custkey")
     li = lineitem.filter(F.col("l_returnflag") == "R").select(

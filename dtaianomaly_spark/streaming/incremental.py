@@ -47,14 +47,11 @@ class IncrementalRollup:
         """batch_id -> lineage record for every committed batch
         (compaction records carry no batch id and are skipped here —
         they matter for state replay, not for work-unit dedup)."""
-        out = {}
-        if os.path.exists(self.log_path):
-            with open(self.log_path) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    if rec.get("batch") is not None:
-                        out[rec["batch"]] = rec
-        return out
+        return {
+            r["batch"]: r
+            for r in self.snapshots()
+            if r.get("batch") is not None
+        }
 
     def _append_commit(self, rec: dict) -> None:
         """Atomic append: copy-on-write + rename (POSIX rename is atomic;

@@ -54,23 +54,35 @@ def test_exchange_bound(spark, name, bound):
 def test_no_row_python_udf_anywhere(spark):
     """Every Python stage must be Arrow-vectorized (MapInArrow /
     MapInPandas / FlatMapGroupsInPandas) — BatchEvalPython (row-at-a-
-    time pickling) is banned from the whole query surface."""
-    offenders = []
+    time pickling) is banned from the whole query surface. The ban is
+    only meaningful if it actually inspects the surface, so a minimum
+    checked-count is asserted too (a build error in one query must not
+    silently exempt it — or all of them)."""
+    offenders, checked = [], 0
     for name, fn in E.queries().items():
         try:
             plan = _plan(fn(spark, SF_DIR))
         except Exception:  # noqa: BLE001 — plan-ability itself is
             continue       # covered by the correctness tests
+        checked += 1
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"row-Python UDF stages in: {offenders}"
+    assert checked >= 100, f"ban inspected only {checked} plans"
 
 
 def test_filters_and_pruning_reach_scans(spark):
-    # Q1's date filter is pushed into the lineitem scan
+    # Q1's DATE COMPARISON (not merely IsNotNull) is pushed into the
+    # lineitem scan — unix_micros(CAST(...)) forms silently lose this
     plan = _plan(E.queries()["rel_q1_pricing"](spark, SF_DIR))
-    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull", plan) or \
-        "PushedFilters: []" not in plan
+    assert re.search(
+        r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan
+    ), plan[:2000]
+    # Q10's order-date range pushes both bounds into the orders scan
+    plan = _plan(E.queries()["rel_q10_returns"](spark, SF_DIR))
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan
+    ) and re.search(r"LessThan\(o_orderdate", plan), plan[:2000]
     # metadata-only multimodal query never reads the binary payload
     plan = _plan(E.queries()["mm_frame_sample"](spark, SF_DIR))
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
