@@ -136,3 +136,43 @@ def summary_quantile(summary: DataFrame, q_num: int, q_den: int) -> DataFrame:
         F.min(F.when(F.col("_cum") >= rank, F.col("value"))).alias("q_value"),
         F.max("err").alias("err"),
     )
+
+
+# ---------------------------------------------------------------- NumPy form
+# The same construction as plain arrays, for the STREAMING state operator
+# (streaming/quantile.py) and for tests that need a driver-side oracle.
+
+def np_fine_summary(values, m: int):
+    """Sorted batch -> (reps, weights, deficit): balanced runs, run max
+    as representative, deficit = ceil(n/m_eff) - 1 (one partial run)."""
+    import numpy as np
+
+    a = np.sort(np.asarray(values, dtype=np.int64))
+    n = a.shape[0]
+    me = min(m, n)
+    bounds = [(i * n) // me for i in range(me + 1)]
+    reps = a[np.array(bounds[1:]) - 1]
+    ws = np.diff(bounds)
+    return reps, ws.astype(np.int64), (n + me - 1) // me - 1
+
+
+def np_merge_prune(parts, m: int):
+    """Weighted merge of summaries + re-prune to m at balanced integer
+    cumulative-weight targets. Returns (reps, weights, prune_slack)
+    where prune_slack = (ceil(N/m_eff)-1) + (max merged weight - 1) —
+    the additive CDF-error cost of THIS merge step."""
+    import numpy as np
+
+    v = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    N = int(w.sum())
+    me = min(m, v.shape[0])
+    cum = np.cumsum(w)
+    targets = np.array([(i * N) // me for i in range(1, me + 1)])
+    idx = np.searchsorted(cum, targets, side="left")
+    reps = v[idx]
+    ws = np.diff(np.concatenate([[0], targets]))
+    slack = (N + me - 1) // me - 1 + int(w.max()) - 1
+    return reps, ws.astype(np.int64), slack
