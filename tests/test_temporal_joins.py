@@ -473,3 +473,60 @@ def test_quantile_summary_cdf_contract(spark, long_form):
         target = (len(vals) + 1) // 2
         true_rank = int((vals <= r.q_value).sum())
         assert abs(true_rank - target) <= r.err, (r, target, true_rank)
+
+
+# ------------------------------------------------- property-based skew asof
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+
+if _HAS_HYPOTHESIS:
+    _row = st.tuples(
+        st.one_of(st.none(), st.integers(0, 2)),       # key (incl. NULL)
+        st.integers(-5, 120),                          # ts
+        st.one_of(st.none(), st.integers(-9, 9)),      # build value
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        build_rows=st.lists(_row, min_size=0, max_size=25),
+        probe_rows=st.lists(_row, min_size=1, max_size=25),
+        direction=st.sampled_from(["backward", "forward"]),
+        tolerance=st.sampled_from([None, 7]),
+        width=st.sampled_from([8, 32]),
+    )
+    def test_asof_skew_equivalence_property(
+        spark, build_rows, probe_rows, direction, tolerance, width
+    ):
+        """Randomized frames (NULL keys, NULL build values, duplicate
+        timestamps, ties on bucket edges): skew variant == plain."""
+        from dtaianomaly_spark.operators.temporal_joins import asof_join_skew
+
+        build = spark.createDataFrame(
+            [(k, t, i, v) for i, (k, t, v) in enumerate(build_rows)],
+            "k long, t long, bid long, bv long",
+        )
+        probe = spark.createDataFrame(
+            [(k, t, 1000 + i) for i, (k, t, _) in enumerate(probe_rows)],
+            "k long, t long, pid long",
+        )
+        ref = asof_join(
+            probe, build, on="k", ts="t", build_cols=["bv"],
+            order_col="bid", prefix="m_", direction=direction,
+            tolerance=tolerance,
+        )
+        got = asof_join_skew(
+            probe, build, on="k", ts="t", build_cols=["bv"],
+            order_col="bid", prefix="m_", direction=direction,
+            tolerance=tolerance, bucket_width=width,
+        )
+        assert _rows(got, "pid", "m_t", "m_bv") == _rows(ref, "pid", "m_t", "m_bv")
