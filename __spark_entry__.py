@@ -2285,7 +2285,7 @@ WITH qty AS (
            CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
                AS sum_qty_cents
     FROM lineitem GROUP BY l_orderkey
-    HAVING sum_qty_cents > 15000
+    HAVING sum_qty_cents > 25000
 )
 SELECT c_custkey, c_name, o_orderkey,
        CAST(epoch_us(o_orderdate) AS BIGINT) AS odate_us,

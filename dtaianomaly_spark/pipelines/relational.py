@@ -237,16 +237,18 @@ def q10_returned_items(
 
 def q18_large_volume(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
-    qty_threshold_cents: int = 15_000, topn: int = 100,
+    qty_threshold_cents: int = 25_000, topn: int = 100,
 ) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
     with their customer — the group-then-semi-join pattern (aggregate
     the fact table per order, filter on the AGGREGATE, then enrich).
-    The per-order quantity sum is the only fact-side shuffle; the
-    surviving keys (a tiny set — the HAVING is selective by design)
-    join orders/customer broadcast-side. Quantities exact in
-    centi-units. Top-N deterministic: (o_totalprice cents DESC,
-    o_orderkey)."""
+    The per-order quantity sum is the only fact-side shuffle. The
+    HAVING keeps ~1.4%% of orders at this threshold — selective, but a
+    fixed FRACTION of a 100 TB orders table is not broadcast-small in
+    absolute terms, so the join strategy is left to AQE (runtime stats
+    broadcast it exactly when the surviving set really is small) rather
+    than pinned. Quantities exact in centi-units. Top-N deterministic:
+    (o_totalprice cents DESC, o_orderkey)."""
     qty = (
         lineitem.select(
             "l_orderkey", F.expr(_CENTS.format(col="l_quantity")).alias("qc")
@@ -261,9 +263,7 @@ def q18_large_volume(
         F.expr(_CENTS.format(col="o_totalprice")).alias("totalprice_cents"),
     )
     out = (
-        # broadcast the AGGREGATED, HAVING-filtered side (tiny), never
-        # the full orders table
-        ords.join(F.broadcast(qty), ords.o_orderkey == qty.l_orderkey)
+        ords.join(qty, ords.o_orderkey == qty.l_orderkey)
         .join(
             F.broadcast(customer.select("c_custkey", "c_name")),
             F.col("o_custkey") == F.col("c_custkey"),

@@ -143,17 +143,23 @@ def summary_quantile(summary: DataFrame, q_num: int, q_den: int) -> DataFrame:
 # (streaming/quantile.py) and for tests that need a driver-side oracle.
 
 def np_fine_summary(values, m: int):
-    """Sorted batch -> (reps, weights, deficit): balanced runs, run max
-    as representative, deficit = ceil(n/m_eff) - 1 (one partial run)."""
+    """Sorted batch -> (reps, weights, deficit): balanced runs with the
+    REMAINDER FRONT-LOADED (np.array_split layout — the first n%m runs
+    take the extra element), run max as representative, deficit =
+    ceil(n/m_eff) - 1 (one partial run). Identical run layout to the
+    relational fine tier (quantile_summary), so this IS a driver-side
+    oracle for one fine bucket."""
     import numpy as np
 
     a = np.sort(np.asarray(values, dtype=np.int64))
     n = a.shape[0]
     me = min(m, n)
-    bounds = [(i * n) // me for i in range(me + 1)]
-    reps = a[np.array(bounds[1:]) - 1]
-    ws = np.diff(bounds)
-    return reps, ws.astype(np.int64), (n + me - 1) // me - 1
+    q, rem = divmod(n, me)
+    ws = np.full(me, q, dtype=np.int64)
+    ws[:rem] += 1
+    ends = np.cumsum(ws)
+    reps = a[ends - 1]
+    return reps, ws, (n + me - 1) // me - 1
 
 
 def np_merge_prune(parts, m: int):

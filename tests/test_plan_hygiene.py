@@ -22,17 +22,17 @@ SF_DIR = "/root/testdata/sf0.001"
 EXCHANGE_BOUNDS = [
     ("rollup_raw", 1),
     ("rollup_map_raw", 1),        # zero-shuffle map path (+corpus repartition)
-    ("rollup_topk_tokens", 2),
+    ("rollup_topk_tokens", 1),
     ("rollup_topk_sketch", 2),
     ("rollup_hist_merge", 1),
-    ("rollup_hist_quantile", 2),
-    ("rollup_qsummary", 3),
+    ("rollup_hist_quantile", 1),
+    ("rollup_qsummary", 2),
     ("median_method", 1),
     ("ev_asof_join", 1),          # the one-shuffle as-of contract
     ("ev_minute_rollup", 1),
     ("rel_q1_pricing", 1),
     ("rel_q5_region_revenue", 1),  # all dimension joins broadcast
-    ("rel_q18_volume", 1),         # aggregated side broadcast, 1 fact shuffle
+    ("rel_q18_volume", 1),         # one fact-side shuffle (AQE join)
     ("compress_roundtrip", 1),     # fused zero-shuffle encode path
 ]
 
