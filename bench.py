@@ -206,7 +206,7 @@ def _one_pinned(cpus: int) -> dict:
     return json.loads(lines[-1])
 
 
-def run_scaling(lo: int = 2, hi: int = 8, runs: int = 3) -> dict:
+def run_scaling(lo: int = 2, hi: int = 8, runs: int = 5) -> dict:
     """N → 4N cores on the same input (the sandbox stand-in for N → 4N
     executors). Best-of-``runs`` fresh-JVM runs per level: the sandbox VM
     has ±30% noise from co-tenants, and peak throughput is the capability
