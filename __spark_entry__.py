@@ -182,6 +182,19 @@ def _q_rollup_qsummary_p50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_qsummary_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 read off the merged quantile summary — the contamination-rate
+    cutoff shape (ContaminationRate at 5%), served from the summary tier
+    without touching raw data; integer-only rank, oracle-exact."""
+    from dtaianomaly_spark.rollup.qsummary import (
+        quantile_summary, summary_quantile,
+    )
+
+    return summary_quantile(
+        quantile_summary(_spark_long_form(spark, sf_dir), 64, 15, 32), 19, 20
+    )
+
+
 def _q_rollup_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable Misra-Gries heavy-hitter sketch tier (capacity m=8 over
     a ~212-value alphabet — genuinely lossy): fine summaries truncate
@@ -1080,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_topk_sketch": _q_rollup_topk_sketch,
         "rollup_qsummary": _q_rollup_qsummary,
         "rollup_qsummary_p50": _q_rollup_qsummary_p50,
+        "rollup_qsummary_p95": _q_rollup_qsummary_p95,
         "median_method": _q_median_method,
         "pp_standard_scale": _q_pp_standard,
         "pp_minmax_scale": _q_pp_minmax,
@@ -1198,7 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp", "rollup_topk_tokens",
         "rollup_hist_merge", "rollup_hist_quantile",
         "rel_q10_returns", "rel_q18_volume", "rollup_topk_sketch",
-        "rollup_qsummary", "rollup_qsummary_p50",
+        "rollup_qsummary", "rollup_qsummary_p50", "rollup_qsummary_p95",
     ]
     demote = [
         "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
@@ -2703,6 +2717,25 @@ SELECT doc_id, bucket, CAST(MAX(nn) AS BIGINT) AS cnt,
 FROM cum GROUP BY doc_id, bucket
 """
 
+    rollup_qsummary_p95 = f"""
+WITH summ AS (
+{_qsummary_cte}
+),
+cum AS (
+    SELECT doc_id, bucket, value, err,
+           SUM(weight) OVER (PARTITION BY doc_id, bucket ORDER BY value
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+           SUM(weight) OVER (PARTITION BY doc_id, bucket) AS nn
+    FROM summ
+)
+SELECT doc_id, bucket, CAST(MAX(nn) AS BIGINT) AS cnt,
+       CAST(MIN(CASE WHEN c >= (nn * 19 + 19) // 20 THEN value END) AS BIGINT)
+           AS q_value,
+       CAST(MAX(err) AS BIGINT) AS err
+FROM cum GROUP BY doc_id, bucket
+"""
+
     rollup_topk_sketch = f"""
 {C.TOKEN_SQL_CTE},
 counted AS (
@@ -3015,6 +3048,7 @@ FROM agg
         "rollup_topk_sketch": rollup_topk_sketch,
         "rollup_qsummary": rollup_qsummary,
         "rollup_qsummary_p50": rollup_qsummary_p50,
+        "rollup_qsummary_p95": rollup_qsummary_p95,
         "ev_range_join": ev_range_join,
         "rollup_refresh_incr": rollup_refresh_incr,
         "rollup_refresh_tail": rollup_refresh_tail,
