@@ -154,12 +154,14 @@ def range_join_bucketed(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.col(lo) / bucket_width).cast("long"),
-                (F.col(hi) / bucket_width).cast("long"),
+                F.floor(F.col(lo) / bucket_width).cast("long"),
+                F.floor(F.col(hi) / bucket_width).cast("long"),
             )
         ),
     )
-    pt = points.withColumn("_bucket", (F.col(point_ts) / bucket_width).cast("long"))
+    pt = points.withColumn(
+        "_bucket", F.floor(F.col(point_ts) / bucket_width).cast("long")
+    )
     keys = ["_bucket"] + ([on] if on else [])
     return (
         iv.join(pt, keys, "inner")
@@ -203,7 +205,10 @@ def asof_join_skew(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     back = direction == "backward"
     u, carried = _tag_union(probe, build, on, ts, build_cols, order_col, back)
-    u = u.withColumn("_bkt", (F.col("_t") / bucket_width).cast("long"))
+    # floor division (not cast-truncation toward zero): negative and
+    # positive timestamps around t=0 must land in DIFFERENT buckets so
+    # the bucket population stays uniform for epoch-relative data
+    u = u.withColumn("_bkt", F.floor(F.col("_t") / bucket_width).cast("long"))
     # pass 1: in-bucket carry (parallel across (key, bucket))
     wl = Window.partitionBy("_k", "_bkt").orderBy("_t", "_side", "_ord")
     if back:

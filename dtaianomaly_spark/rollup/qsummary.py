@@ -148,10 +148,25 @@ def np_fine_summary(values, m: int):
     take the extra element), run max as representative, deficit =
     ceil(n/m_eff) - 1 (one partial run). Identical run layout to the
     relational fine tier (quantile_summary), so this IS a driver-side
-    oracle for one fine bucket."""
+    oracle for one fine bucket.
+
+    INTEGER DOMAIN: the summary tracks the token domain (int64 values,
+    int64 ranks — that's what makes the read-off oracle-exact).
+    Non-integral float input raises instead of silently truncating;
+    callers with real-valued scores quantize first (fixed-point scale)
+    and own the scale factor."""
     import numpy as np
 
-    a = np.sort(np.asarray(values, dtype=np.int64))
+    a = np.asarray(values)
+    if a.dtype.kind == "f" and (
+        not np.all(np.isfinite(a)) or np.any(a != np.trunc(a))
+    ):
+        raise ValueError(
+            "quantile summary is integer-domain (token values / integer"
+            " ranks); quantize real-valued scores to fixed-point before"
+            " feeding the tracker instead of relying on truncation"
+        )
+    a = np.sort(a.astype(np.int64))
     n = a.shape[0]
     me = min(m, n)
     q, rem = divmod(n, me)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from dtaianomaly_spark.rollup.tiers import rollup_relational
 
-__all__ = ["incremental_refresh"]
+__all__ = ["incremental_refresh", "refresh_tail"]
 
 
 def incremental_refresh(

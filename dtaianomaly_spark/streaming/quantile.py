@@ -101,7 +101,14 @@ def stateful_quantile_tracker(
 ):
     """(doc_id, value) stream -> append stream of running q-quantile
     estimates (default p95, the ContaminationRate-style cutoff) with an
-    explicit error bound, from m-entry bounded state per series."""
+    explicit error bound, from m-entry bounded state per series.
+
+    INTEGER DOMAIN: values must be integral (the token domain the batch
+    tier serves — int64 values and int64 ranks keep the read-off
+    oracle-exact). Real-valued anomaly scores must be quantized to
+    fixed-point by the caller (e.g. ``CAST(score * 10^6 AS BIGINT)``);
+    non-integral floats raise in the state update rather than being
+    silently truncated."""
     return stream_long_form.groupBy("doc_id").applyInPandasWithState(
         _make_quantile_update(m, q_num, q_den),
         QUANTILE_OUTPUT_SCHEMA,

@@ -448,6 +448,16 @@ class Workflow:
 
                 if tracemalloc.is_tracing():
                     tracemalloc.stop()
+                # a cell failing between phases leaves a PARTIAL memory
+                # column set (e.g. Fit recorded, Predict missing) — fill
+                # the gaps with NaN so every trace_memory row has the
+                # same shape in the result frame
+                for col in (
+                    "Peak Memory Fit [MB]",
+                    "Peak Memory Predict [MB]",
+                    "Peak Memory [MB]",
+                ):
+                    row.setdefault(col, float("nan"))
             row["Error"] = f"{type(exc).__name__}: {exc}"
             row["Traceback"] = traceback.format_exc(limit=3)
             if self.error_log_path:

@@ -64,3 +64,19 @@ def test_quantile_tracker_within_bound(spark, tmp_path):
         # the accumulated bound stays useful: < 25% of n at 4 merges
         # with m=64 (state is 64 entries vs n up to ~2k values)
         assert r.err < max(8, n // 4), (doc_id, r.err, n)
+
+
+def test_fine_summary_rejects_non_integral_floats():
+    """Integer-domain contract: integral floats pass (exact cast),
+    fractional or non-finite floats raise instead of truncating."""
+    import numpy as np
+    import pytest
+
+    from dtaianomaly_spark.rollup.qsummary import np_fine_summary
+
+    reps, ws, d = np_fine_summary(np.array([3.0, 1.0, 2.0]), m=2)
+    assert reps.tolist() == [2, 3] and ws.tolist() == [2, 1] and d == 1
+    with pytest.raises(ValueError, match="integer-domain"):
+        np_fine_summary(np.array([1.5, 2.0]), m=2)
+    with pytest.raises(ValueError, match="integer-domain"):
+        np_fine_summary(np.array([1.0, np.nan]), m=2)

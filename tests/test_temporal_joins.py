@@ -238,6 +238,54 @@ def test_asof_join_skew_equals_plain(spark):
                     _rows(ref, "pid", "m_t", "m_bv"), (direction, tol, width)
 
 
+def test_asof_skew_negative_ts_floor_buckets(spark):
+    """Epoch-relative (negative) timestamps: floor-division bucketing
+    keeps buckets uniform around t=0 (cast-truncation used to fold
+    [-width, width) into one triple-width bucket 0) and results still
+    equal the plain as-of join."""
+    from dtaianomaly_spark.operators.temporal_joins import asof_join_skew
+
+    build = spark.createDataFrame(
+        [(i % 2, (i * 13) % 200 - 100, 1000 + i, i) for i in range(80)],
+        "k long, t long, bid long, bv long",
+    )
+    probe = spark.createDataFrame(
+        [(i % 2, (i * 7) % 205 - 102, 2000 + i) for i in range(90)],
+        "k long, t long, pid long",
+    )
+    for direction in ("backward", "forward"):
+        ref = asof_join(probe, build, on="k", ts="t", build_cols=["bv"],
+                        order_col="bid", prefix="m_", direction=direction)
+        got = asof_join_skew(
+            probe, build, on="k", ts="t", build_cols=["bv"],
+            order_col="bid", prefix="m_", direction=direction,
+            bucket_width=16)
+        assert _rows(got, "pid", "m_t", "m_bv") == \
+            _rows(ref, "pid", "m_t", "m_bv"), direction
+    # the floor rule itself: -1 and +1 land in different width-16 buckets
+    from pyspark.sql import functions as FF
+    r = spark.createDataFrame([(-1,), (1,)], "t long").select(
+        FF.floor(FF.col("t") / 16).cast("long").alias("b")
+    ).collect()
+    assert {x["b"] for x in r} == {-1, 0}
+
+
+def test_range_join_negative_intervals(spark):
+    pts = spark.createDataFrame(
+        [(i, (i * 11) % 120 - 60) for i in range(60)], "pid long, t long"
+    )
+    iv = spark.createDataFrame(
+        [(1, -50, -10), (2, -20, 25), (3, 5, 59), (4, -60, -60)],
+        "wid long, lo long, hi long",
+    )
+    got = _rows(range_join_bucketed(pts, iv, "t", "lo", "hi", 16), "wid", "pid")
+    brute = _rows(
+        iv.crossJoin(pts).filter(F.col("t").between(F.col("lo"), F.col("hi"))),
+        "wid", "pid",
+    )
+    assert got == brute
+
+
 # ------------------------------------------------------ histogram tier
 
 def test_hist_rollup_merge_equals_direct(spark, long_form):

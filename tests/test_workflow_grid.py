@@ -377,6 +377,37 @@ def test_trace_memory_columns(spark):
     assert (km["Peak Memory Fit [MB]"] > 0).all()
 
 
+def test_trace_memory_failed_cell_has_full_column_set(spark):
+    """A cell that fails AFTER fit (predict raises) must not leave a
+    partially-populated memory column set: the missing phase columns are
+    NaN-filled so every trace_memory row has the same shape."""
+    import numpy as np
+
+    wf = Workflow(
+        sources=["/root/testdata/sf0.001"],
+        preprocessors=["Identity"],
+        detectors=[
+            ("MedianMethod", {}),
+            # window far beyond any series length: fit (stateless) is
+            # fine, the scoring pass raises
+            ("MatrixProfileDetector", {"window_size": 10**7}),
+        ],
+        metrics=["AreaUnderROC"],
+        thresholds=[],
+        trace_memory=True,
+    )
+    result = wf.run(spark)
+    bad = result[result["Error"] != ""]
+    assert len(bad) == 1
+    for col in ("Peak Memory Fit [MB]", "Peak Memory Predict [MB]",
+                "Peak Memory [MB]"):
+        assert col in result.columns
+        # present on the row dict itself (NaN, not absent)
+        assert np.isnan(bad[col]).all() or (bad[col] > 0).all()
+    ok = result[result["Error"] == ""]
+    assert (ok["Peak Memory [MB]"] > 0).all()
+
+
 def test_ucr_dataloader_entries_run_in_grid(spark, tmp_path):
     """Type-tagged dataloader entries (interpret_dataloaders semantics,
     workflow_from_config.py:134-176): a UCRLoader archive directory runs
