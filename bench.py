@@ -154,12 +154,36 @@ def run_headline() -> dict:
         big_points, big_sec = flagship_over(spark, big, iters=max(ITER, 6))
 
         total = 0.0
+        loadavg: dict[str, float] = {}
         for name, fn in qs.items():
             # heavy Arrow-kernel detectors: one timed run is enough
             iters = 1 if name.startswith("det_") else 2
+            # 1-min loadavg at query start: this shared VM has co-tenant
+            # bursts — a slow reading with loadavg >> our own worker count
+            # is noise, not a regression (see BENCH drift analysis, r3→r4)
+            loadavg[name] = round(os.getloadavg()[0], 1)
             _, dt = _time_count(lambda: fn(spark, SF_DIR), iters=iters)
             timings[name] = round(dt, 3)
             total += dt
+
+        # long-series reverse-window probe (stride 1, nw ~ 2e5): pins the
+        # O(nw) prefix-sum build — the r3 aggregate()-concat accumulator
+        # was O(nw^2) and would take minutes here instead of ~1s
+        from dtaianomaly_spark.operators.windows import reverse_scores
+
+        n_long, w_long = 200_000, 32
+
+        def long_rev():
+            ws = spark.range(n_long - w_long + 1).select(
+                F.lit("s").alias("doc_id"), F.col("id").alias("idx"),
+                (F.col("id") % 97).alias("score"),
+            )
+            sn = spark.createDataFrame(
+                [("s", n_long)], "doc_id string, n long"
+            )
+            return reverse_scores(ws, sn, w_long, 1)
+
+        rev_rows, rev_sec = _time_count(long_rev, iters=2)
         arrays = C.token_arrays(spark, SF_DIR)
         n_tokens = arrays.agg(F.sum("n_tok")).collect()[0][0]
         points, sec = flagship_over(spark, arrays)
@@ -171,6 +195,11 @@ def run_headline() -> dict:
             "unit": "points/sec",
             "queries_total_sec": round(total, 3),
             "queries": timings,
+            "loadavg": loadavg,
+            "sw_reverse_long_n": n_long,
+            "sw_reverse_long_rows": rev_rows,
+            "sw_reverse_long_sec": round(rev_sec, 3),
+            "sw_reverse_long_points_per_sec": round(rev_rows / rev_sec, 1),
             "sf": _sf_of(SF_DIR),
             "cpus": CPUS,
             "rollup_points": points,

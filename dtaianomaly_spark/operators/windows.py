@@ -98,18 +98,28 @@ def reverse_scores(
     whole mapping is a single doc-level join + per-row element_at — no
     row-level shuffle of the n-sized position grid at all."""
     w, s = window_size, stride
-    # per-series prefix-sum array: cs[k] (1-based) = Σ score[idx < k]
+    # per-series prefix-sum array: cs[k] (1-based) = Σ score[idx < k].
+    # Built O(nw) per series: a running-sum window (one pass over the
+    # sorted partition) then collect_list — NOT an aggregate() lambda
+    # concat'ing the accumulator, which copies the array every step and
+    # makes the build O(nw²) (fatal at 100× series length). The window's
+    # hash partitioning on doc_id is the same one the groupBy needs, so
+    # this stays a single exchange.
+    running = Window.partitionBy("doc_id").orderBy("idx")
     per_doc = (
-        win_scores.groupBy("doc_id")
+        win_scores.select(
+            "doc_id", "idx", F.sum("score").over(running).alias("cs")
+        )
+        .groupBy("doc_id")
         .agg(
-            F.sort_array(F.collect_list(F.struct("idx", "score"))).alias("ws")
+            F.sort_array(F.collect_list(F.struct("idx", "cs"))).alias("wcs")
         )
         .select(
             "doc_id",
-            F.expr("size(ws)").cast("long").alias("nw"),
+            F.expr("size(wcs)").cast("long").alias("nw"),
             F.expr(
-                "aggregate(ws, array(CAST(0 AS BIGINT)),"
-                " (acc, x) -> concat(acc, array(element_at(acc, -1) + x.score)))"
+                "concat(array(CAST(0 AS BIGINT)),"
+                " transform(wcs, x -> CAST(x.cs AS BIGINT)))"
             ).alias("cs0"),  # cs0[1] = 0, cs0[k+1] = csum[k]
         )
     )

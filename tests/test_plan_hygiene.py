@@ -34,6 +34,8 @@ EXCHANGE_BOUNDS = [
     ("rel_q5_region_revenue", 1),  # all dimension joins broadcast
     ("rel_q18_volume", 1),         # one fact-side shuffle (AQE join)
     ("compress_roundtrip", 1),     # fused zero-shuffle encode path
+    ("sw_reverse", 2),             # running-sum window reuses the groupBy
+                                   # partitioning; + the series_n join
 ]
 
 
