@@ -931,7 +931,9 @@ def _q_det_mp_novelty(spark, sf_dir):
     """Novelty (AB-join) matrix profile: fit on each series' first half,
     score the full series against its own reference
     (MatrixProfileDetector.py:122-168, novelty=True); rows-only,
-    kernel-oracle equivalence in tests/test_components.py."""
+    kernel-oracle equivalence in tests/test_components.py. Per-doc_id
+    references pair via the distributed cogroup join — no driver collect
+    of the reference corpus, no broadcast dict."""
     from dtaianomaly_spark.operators import detectors as DET
 
     arrays = _arrays_long_docid(spark, sf_dir)
@@ -940,8 +942,7 @@ def _q_det_mp_novelty(spark, sf_dir):
         F.expr("slice(tokens, 1, CAST(n_tok / 2 AS INT))").alias("tokens"),
         F.expr("CAST(n_tok / 2 AS INT)").alias("n_tok"),
     )
-    reference = DET.collect_reference_arrays(ref)
-    return DET.matrix_profile_novelty_scores(arrays, reference, 32)
+    return DET.matrix_profile_novelty_scores_join(arrays, ref, 32)
 
 
 def _q_det_kmeans_mv(spark, sf_dir):

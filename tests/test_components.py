@@ -345,6 +345,53 @@ def test_matrix_profile_novelty_fit_score_save_load(spark, tmp_path):
     assert a == b
 
 
+def test_matrix_profile_novelty_join_equals_dict(spark):
+    """The distributed cogroup novelty join (no driver collect, no
+    broadcast reference dict) returns EXACTLY the dict form's scores —
+    for int and auto window sizes, and for k>1 / aamp variants."""
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) < 5")
+    ref = arrays.select(
+        "doc_id",
+        F.expr("slice(tokens, 1, CAST(n_tok / 2 AS INT))").alias("tokens"),
+        F.expr("CAST(n_tok / 2 AS INT)").alias("n_tok"),
+    )
+    reference = DET.collect_reference_arrays(ref)
+    for kwargs in (
+        {},
+        {"normalize": False, "p": 1.0},
+        {"k": 2},
+    ):
+        for ws in (16, "fft"):
+            a = (
+                DET.matrix_profile_novelty_scores(arrays, reference, ws, **kwargs)
+                .orderBy("doc_id", "pos").collect()
+            )
+            b = (
+                DET.matrix_profile_novelty_scores_join(arrays, ref, ws, **kwargs)
+                .orderBy("doc_id", "pos").collect()
+            )
+            assert a == b, (ws, kwargs)
+
+
+def test_matrix_profile_novelty_join_missing_reference_raises(spark):
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) < 4")
+    ref = arrays.filter("CAST(doc_id AS BIGINT) < 2").select(
+        "doc_id",
+        F.expr("slice(tokens, 1, CAST(n_tok / 2 AS INT))").alias("tokens"),
+        "n_tok",
+    )
+    with pytest.raises(Exception, match="no reference series"):
+        DET.matrix_profile_novelty_scores_join(arrays, ref, 16).count()
+
+
 def test_matrix_profile_novelty_reference_size_guard(spark):
     from dtaianomaly_spark.operators.detectors import collect_reference_arrays
 
