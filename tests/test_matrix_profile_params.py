@@ -294,3 +294,55 @@ def test_engine_blocked_rows_match_row_loop():
             i1 = min(i0 + 7, blk.n_q)
             got[i0:i1] = blk.rows(i0, i1)
         np.testing.assert_array_equal(got, expect, err_msg=type(seq).__name__)
+
+
+# ---------------------------------------------------- mv + k adjudication
+# Reference behavior when MatrixProfileDetector(k=...) meets multivariate
+# input (MatrixProfileDetector.py:139-176), pinned branch by branch:
+#
+# * mv SELF-JOIN (:169-175): stumpy.mstump takes NO k parameter — the
+#   reference silently drops k. The engine matches: mp_profile ignores k
+#   on the mstump branch.
+# * mv NOVELTY (:153-167): k IS forwarded to each per-attribute
+#   stumpy.stump AB-join and the k-th neighbor column [:, k-1] is taken.
+#   The engine matches: mp_profile forwards k per attribute.
+# * the reference then runs np.sum(matrix_profiles, axis=0) on an array
+#   it filled as (n_windows, d) — on ITS novelty branch axis=0 sums over
+#   WINDOWS, yielding a d-length vector that cannot feed
+#   reverse_sliding_window (a latent shape bug; the self-join branch's
+#   mstump output is (d, n_windows), where axis=0 is correct). The
+#   engine implements the evident intent — sum over ATTRIBUTES — which
+#   is the only reading that produces per-window profiles; pinned below.
+
+
+def test_mv_self_join_silently_ignores_k_like_the_reference():
+    from dtaianomaly_spark.operators.detectors import mp_profile
+
+    rng = np.random.default_rng(51)
+    X = rng.normal(size=(100, 2)).cumsum(axis=0)
+    np.testing.assert_array_equal(
+        mp_profile(X, 12, k=1), mp_profile(X, 12, k=3)
+    )
+
+
+def test_mv_novelty_forwards_k_per_attribute_sums_over_attributes():
+    from dtaianomaly_spark.operators.detectors import mp_profile
+
+    rng = np.random.default_rng(52)
+    X = rng.normal(size=(80, 3)).cumsum(axis=0)
+    R = rng.normal(size=(120, 3)).cumsum(axis=0)
+    for k in (1, 2):
+        got = mp_profile(X, 10, x_ref=R, k=k)
+        manual = sum(
+            KD.matrix_profile_general(
+                np.ascontiguousarray(X[:, a]), 10,
+                np.ascontiguousarray(R[:, a]), k=k,
+            )
+            for a in range(3)
+        )
+        assert got.shape == (80 - 10 + 1,)  # per-WINDOW, never d-length
+        np.testing.assert_allclose(got, manual, atol=1e-8)
+    # k really changes the mv novelty profile (it is forwarded, not dropped)
+    assert not np.allclose(
+        mp_profile(X, 10, x_ref=R, k=1), mp_profile(X, 10, x_ref=R, k=2)
+    )
