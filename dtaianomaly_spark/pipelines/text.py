@@ -446,19 +446,37 @@ def curation_funnel(
     semi-joins over the doc_id keep-sets, so the plan is a chain of
     hash aggregates + broadcast-size joins; the only heavyweight input
     is the near-dup pair list, which callers share from the persisted
-    shingle stage (``dedup_suite``)."""
+    shingle stage (``dedup_suite``).
+
+    The shared frames are MATERIALIZED (``localCheckpoint``, like the
+    cluster loop this funnel already runs eagerly): ``wq`` feeds all
+    four stage aggregates and ``keep1``/``keep2`` feed both their own
+    stage and the next keep-set's build — left lazy, the four-stage
+    union re-derives the quality scan and the whole dedup chain per
+    stage (measured 53 exchanges unrolled; checkpointed, the final plan
+    is four aggregates + semi-joins over materialized keep-sets, bounded
+    in test_plan_hygiene.py). The checkpointed frames are one narrow row
+    per document — the same footprint persist() would cache; a cluster
+    deployment pointing at durable storage swaps in ``checkpoint()``."""
     if pairs is None:
         pairs = jaccard_from_shingles(
             informative_shingles(docs, max_df), threshold=0.2
         ).select("doc_a", "doc_b")
-    wq = with_quality(docs).select("doc_id", "ws_tokens", "quality")
-    keep1 = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    wq = (
+        with_quality(docs).select("doc_id", "ws_tokens", "quality")
+        .localCheckpoint(eager=True)
+    )
+    keep1 = (
+        exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     clusters = dedup_clusters(docs, pairs)
     keep2 = (
         clusters.join(keep1, "doc_id")
         .groupBy("cluster_id")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     keep3 = keep2.join(wq, "doc_id").filter(
         F.col("quality") >= quality_min
