@@ -869,10 +869,17 @@ def _q_mm_byte_histogram(spark, sf_dir):
 
 
 def _q_mm_frame_sample(spark, sf_dir):
+    """Decoded frame sampling: per doc, a multi-frame BMP video payload
+    is synthesized, walked frame-by-frame via each BMP's file-size
+    field, the sampled frames DECODED (pure-NumPy 24-bit BMP parser),
+    and per-frame pixel stats emitted. Oracle integrates the synthetic
+    pixels' closed form — byte-exact loop proof."""
     from dtaianomaly_spark.pipelines import multimodal as MM
     from dtaianomaly_spark.pipelines import text as TX
 
-    return MM.frame_sample(MM.with_payload(TX.load_docs(spark, sf_dir)))
+    return MM.frame_sample_decoded(
+        MM.with_video_payload(TX.load_docs(spark, sf_dir))
+    )
 
 
 # Detector + compression queries -------------------------------------------
@@ -2966,6 +2973,38 @@ SELECT doc_id,
 FROM pos GROUP BY doc_id, bin
 """
 
+    # decoded-frame pixel stats: the Spark side encodes real 24-bit BMP
+    # frames, walks the concatenated payload by each BMP's file-size
+    # field, DECODES the sampled frames and aggregates pixels; the
+    # oracle integrates the closed-form pixel formula directly
+    # (pipelines/multimodal.py PX_FORMULA + _video_dims) — byte-exact
+    # proof the encode->walk->decode->stat loop is lossless
+    mm_frame_sample = """
+WITH dims AS (
+    SELECT doc_id,
+           2 + doc_id % 5 AS F,
+           4 + doc_id % 3 AS h,
+           5 + doc_id % 4 AS w
+    FROM documents
+),
+sampled AS (
+    SELECT d.doc_id, d.h, d.w,
+           CAST((j.j * d.F) // LEAST(4, d.F) AS BIGINT) AS frame_idx
+    FROM dims d,
+         LATERAL (SELECT UNNEST(range(LEAST(4, d.F))) AS j) j
+)
+SELECT s.doc_id, s.frame_idx,
+       CAST(s.h AS BIGINT) AS h, CAST(s.w AS BIGINT) AS w,
+       CAST(SUM((s.doc_id*31 + s.frame_idx*97 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_sum,
+       CAST(MIN((s.doc_id*31 + s.frame_idx*97 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_min,
+       CAST(MAX((s.doc_id*31 + s.frame_idx*97 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_max
+FROM sampled s,
+     LATERAL (SELECT UNNEST(range(s.h)) AS y) y,
+     LATERAL (SELECT UNNEST(range(s.w)) AS x) x,
+     LATERAL (SELECT UNNEST(range(3)) AS c) c
+GROUP BY s.doc_id, s.frame_idx, s.h, s.w
+"""
+
     rollup_raw_mv = f"""
 {C.MV_SQL_CTE},
 agg AS (
@@ -3063,6 +3102,7 @@ FROM agg
         "rollup_refresh_tail": rollup_refresh_tail,
         "rollup_distinct_merge": rollup_distinct_merge,
         "mm_byte_histogram": mm_byte_histogram,
+        "mm_frame_sample": mm_frame_sample,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,
     }

@@ -1,13 +1,19 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, decoded / featurized via Arrow-batched Python.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(``decode_image`` raises ``NotImplementedError``; ``byte_histogram`` is
-the deterministic fake featurizer standing in for it) — but the
-Spark-side plumbing is real and what a production pipeline needs:
-binary column in/out, schema'd struct metadata, ``mapInPandas`` with
-Arrow binary transfer, per-batch vectorization, and deterministic
-frame-sampling over the byte stream.
+REAL DECODE: uncompressed 24-bit BMP is decoded with a pure-NumPy
+parser (``decode_image``/``decode_bmp`` — public file-format knowledge,
+no codec library), so ``frame_sample_decoded`` samples ACTUAL decoded
+frames from a concatenated-BMP "video" payload and emits per-frame
+pixel statistics (oracle-checked: the synthetic frames' pixels follow a
+closed-form formula DuckDB can integrate directly). Compressed formats
+(JPEG/PNG/H.264) still need codec libraries absent from this container
+— ``decode_image`` raises a clear error for those, and
+``byte_histogram`` remains the codec-free featurizer stand-in.
+
+The Spark-side plumbing is what a production pipeline needs: binary
+column in/out, schema'd struct metadata, ``mapInPandas`` with Arrow
+binary transfer, per-batch vectorization, deterministic frame-sampling.
 
 At scale: payloads are the dominant bytes — the plumbing never shuffles
 them (map-only featurize), and metadata-only queries prune the binary
@@ -16,6 +22,7 @@ column at the parquet scan (check ReadSchema in .explain).
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -58,14 +65,83 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real image decode — requires an image codec library not present in
-    this container. The pipeline wiring (schema, batching, partitioning)
-    is exercised through :func:`byte_histogram` instead."""
+# --------------------------------------------------------- BMP codec
+# Uncompressed 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER), pure
+# NumPy — the one mainstream image format decodable without a codec
+# library. Layout is public knowledge: 14-byte file header ("BM", file
+# size, pixel-data offset), 40-byte info header (dims, planes, bpp,
+# compression), pixel rows bottom-up (top-down when height < 0), BGR
+# byte order, each row zero-padded to a 4-byte boundary.
+
+_BMP_FILE_HEADER = 14
+_BMP_INFO_HEADER = 40
+_BMP_OFFSET = _BMP_FILE_HEADER + _BMP_INFO_HEADER
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP bytes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got shape {a.shape}")
+    h, w, _ = a.shape
+    row_raw = w * 3
+    stride = (row_raw + 3) // 4 * 4
+    size_image = stride * h
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_OFFSET + size_image, 0, 0, _BMP_OFFSET
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII",
+        _BMP_INFO_HEADER, w, h, 1, 24, 0, size_image, 2835, 2835, 0, 0,
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_raw] = a[::-1, :, ::-1].reshape(h, row_raw)  # bottom-up BGR
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (h, w, 3) uint8 RGB array.
+
+    Handles both bottom-up (height > 0) and top-down (height < 0) pixel
+    order and the 4-byte row padding. Raises ``ValueError`` with the
+    offending field for anything that is not a plain 24-bit
+    BI_RGB bitmap."""
+    if len(payload) < _BMP_OFFSET or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h_signed, _, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, _BMP_FILE_HEADER
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"only uncompressed 24-bit BMP is supported (bpp={bpp},"
+            f" compression={compression}); compressed image formats need"
+            " a codec library not present in this environment"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    end = data_offset + stride * h
+    if len(payload) < end:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_offset).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode for formats parsable without a codec library:
+    uncompressed 24-bit BMP (pure NumPy). Compressed formats raise with
+    a clear message — swap in a real codec (Pillow/ffmpeg) outside this
+    container; every caller is agnostic to which decoder runs."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires a codec library (e.g. Pillow) not "
-        "available in this environment; use byte_histogram as the "
-        "deterministic stand-in featurizer"
+        "only uncompressed BMP decodes without a codec library;"
+        " JPEG/PNG/video formats require Pillow/ffmpeg, not available"
+        " in this environment"
     )
 
 
@@ -98,6 +174,115 @@ def byte_histogram_long(payloads: DataFrame) -> DataFrame:
         wide.select("doc_id", F.posexplode("hist").alias("bin", "cnt"))
         .where(F.col("cnt") > 0)
         .select("doc_id", F.col("bin").cast("long").alias("bin"), "cnt")
+    )
+
+
+# ------------------------------------------------ decoded frame sampling
+# A deterministic multi-frame "video" payload: F uncompressed BMP frames
+# concatenated. Pixel values follow a CLOSED-FORM formula of
+# (doc_id, frame, y, x, channel), so a SQL oracle can integrate the
+# decoded statistics without ever touching bytes — the encode->walk->
+# decode->stat loop is verified end to end.
+
+PX_FORMULA = "(doc_id*31 + f*97 + y*131 + x*17 + c*59) % 256"
+
+
+def _video_dims(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, height, width) for a doc's synthetic video."""
+    return 2 + doc_id % 5, 4 + doc_id % 3, 5 + doc_id % 4
+
+
+def _video_frame(doc_id: int, f: int, h: int, w: int) -> np.ndarray:
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((doc_id * 31 + f * 97 + y * 131 + x * 17 + c * 59) % 256).astype(
+        np.uint8
+    )
+
+
+def with_video_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic multi-frame BMP video payload per doc
+    (2-6 frames, 4-6 x 5-8 px — tiny but real bitmaps) plus typed
+    metadata. Pixels follow ``PX_FORMULA``."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("n_frames", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf, h, w = _video_dims(d)
+                payload = b"".join(
+                    encode_bmp(_video_frame(d, f, h, w)) for f in range(nf)
+                )
+                out.append((d, payload, nf))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "payload", "n_frames"])
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+DECODED_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("h", LongType(), False),
+        StructField("w", LongType(), False),
+        StructField("px_sum", LongType(), False),
+        StructField("px_min", LongType(), False),
+        StructField("px_max", LongType(), False),
+    ]
+)
+
+
+def frame_sample_decoded(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample min(n_frames, F) evenly spaced frames from each
+    concatenated-BMP video payload (frame j of m samples source frame
+    ``j*F//m`` — distinct and increasing), DECODE each sampled frame,
+    and emit per-frame pixel statistics. The walk uses each BMP's own
+    file-size field to find the next frame — no frame index table.
+
+    Map-only: payload bytes never shuffle; one Arrow task decodes a
+    batch of payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                offsets = []
+                off = 0
+                while off < len(payload):
+                    if payload[off:off + 2] != b"BM":
+                        raise ValueError(
+                            f"doc {doc_id}: bad frame magic at offset {off}"
+                        )
+                    size = struct.unpack_from("<I", payload, off + 2)[0]
+                    offsets.append((off, size))
+                    off += size
+                F_ = len(offsets)
+                m = min(n_frames, F_)
+                for j in range(m):
+                    f = j * F_ // m
+                    start, size = offsets[f]
+                    img = decode_bmp(payload[start:start + size])
+                    out.append(
+                        (
+                            int(doc_id), f, img.shape[0], img.shape[1],
+                            int(img.sum(dtype=np.int64)),
+                            int(img.min()), int(img.max()),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=DECODED_FRAME_SCHEMA.names)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, DECODED_FRAME_SCHEMA
     )
 
 

@@ -34,11 +34,68 @@ def test_byte_histogram_conserves_bytes(spark):
         assert r["n_bytes"] == n_chars[r["doc_id"]]  # ascii text: bytes == chars
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_rejects_compressed_formats():
     from dtaianomaly_spark.pipelines import multimodal as MM
 
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError, match="codec"):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_bmp_roundtrip_and_edge_layouts():
+    """Pure-NumPy BMP codec: encode->decode is identity across widths
+    that exercise every row-padding residue (w*3 % 4 in {0,1,2,3}),
+    top-down (negative height) decodes, and malformed payloads raise
+    with the offending field."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 2), (4, 3), (5, 4), (7, 5), (16, 16)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(MM.decode_bmp(MM.encode_bmp(img)), img), (h, w)
+        assert np.array_equal(MM.decode_image(MM.encode_bmp(img)), img)
+    # top-down variant: flip rows, negate the height field
+    import struct
+
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    buf = bytearray(MM.encode_bmp(img[::-1]))
+    h_field = struct.unpack_from("<i", buf, 22)[0]
+    struct.pack_into("<i", buf, 22, -h_field)
+    assert np.array_equal(MM.decode_bmp(bytes(buf)), img)
+    # malformed payloads
+    with pytest.raises(ValueError, match="magic"):
+        MM.decode_bmp(b"XX" + bytes(60))
+    with pytest.raises(ValueError, match="bpp=32"):
+        bad = bytearray(MM.encode_bmp(img))
+        struct.pack_into("<H", bad, 28, 32)
+        MM.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_bmp(MM.encode_bmp(img)[:-4])
+
+
+def test_frame_sample_decoded_matches_formula(spark):
+    """Decoded-frame sampling: per-doc frame count is min(4, F), sampled
+    indices follow j*F//m, and the decoded pixel stats equal the
+    closed-form synthesis recomputed in NumPy."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    docs = _docs(spark).filter("doc_id < 25")
+    got = MM.frame_sample_decoded(
+        MM.with_video_payload(docs), n_frames=4
+    ).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in range(25):
+        nf, h, w = MM._video_dims(d)
+        m = min(4, nf)
+        rows = sorted(by_doc[d], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == [j * nf // m for j in range(m)]
+        for r in rows:
+            img = MM._video_frame(d, r["frame_idx"], h, w)
+            assert (r["h"], r["w"]) == img.shape[:2]
+            assert r["px_sum"] == int(img.sum(dtype=np.int64))
+            assert r["px_min"] == int(img.min())
+            assert r["px_max"] == int(img.max())
 
 
 def test_frame_sample_shape(spark):
