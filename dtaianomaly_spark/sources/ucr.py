@@ -22,15 +22,61 @@ from pyspark.sql import functions as F
 _NAME_RE = r"_(\d+)_(\d+)_(\d+)\.txt$"
 
 
-def load_ucr_directory(spark: SparkSession, path: str) -> DataFrame:
+def _check_file_sizes(spark: SparkSession, pattern: str, max_file_bytes: int) -> None:
+    """Fail fast (with every offender listed) if any file matching
+    ``pattern`` exceeds the wholetext one-row-per-file bound. Uses the
+    Hadoop FileSystem of the path, so local, HDFS and object-store URIs
+    all work; listing is a metadata operation, no data is read."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    if statuses is None:
+        return  # no match: let the text source raise its own clear error
+    offenders = [
+        (str(s.getPath()), int(s.getLen()))
+        for s in statuses
+        if s.isFile() and int(s.getLen()) > max_file_bytes
+    ]
+    if offenders:
+        listing = ", ".join(f"{p} ({n / 2**20:.0f} MB)" for p, n in offenders)
+        raise ValueError(
+            f"{len(offenders)} UCR file(s) exceed max_file_bytes="
+            f"{max_file_bytes} ({max_file_bytes / 2**20:.0f} MB): {listing}."
+            " wholetext materializes a whole file per task, so oversized"
+            " series must be split into per-segment files (the chunked"
+            " matrix-profile path consumes segments natively) or ingested"
+            " line-per-row with an explicit position column; raise"
+            " max_file_bytes only if executors have the task memory for it"
+        )
+
+
+def load_ucr_directory(
+    spark: SparkSession, path: str, max_file_bytes: int = 256 << 20
+) -> DataFrame:
     """Long form over every UCR file in ``path`` (a directory, or one
     ``.txt`` archive file — the per-dataset unit the reference's
     ``from_directory`` enumerates):
     (series_id, pos, value, train_split, anomaly_start, anomaly_stop,
-    is_train, label)."""
+    is_train, label).
+
+    SCALE BOUND: ``wholetext`` materializes each file as ONE row (one
+    task, one JVM string) — that is what preserves line order, which IS
+    the time axis, and it is the right shape for the archive's
+    file-per-series layout (the reference's ``np.loadtxt`` holds the
+    same bytes in one process anyway). It caps the usable file size at
+    executor-task memory, so files are checked against
+    ``max_file_bytes`` (default 256 MB ≈ 25M float lines, 100x the
+    largest real UCR series) BEFORE the scan and oversized ones fail
+    fast with a clear message instead of OOMing an executor mid-job.
+    A multi-GB single series does not fit this source's contract —
+    split it into per-segment files (the chunked-MP path consumes
+    segments natively) or ingest via a line-per-row format that carries
+    an explicit position column."""
     # NOTE: must be the wholetext= kwarg — .option("wholetext", ...) is
     # silently ignored by the text source in Spark 4.1
     pattern = path if path.endswith(".txt") else f"{path}/*.txt"
+    _check_file_sizes(spark, pattern, max_file_bytes)
     raw = (
         spark.read.text(pattern, wholetext=True)
         .select(

@@ -89,3 +89,29 @@ def test_ucr_dataset_end_to_end(spark, tmp_path):
     # the detector fit ONLY normal data; the injected level shift in the
     # test region must score as anomalous
     assert out["AreaUnderROC"] > 0.7, out
+
+
+def test_ucr_oversized_file_guard(spark, tmp_path):
+    """wholetext materializes one row per file: files beyond
+    max_file_bytes must fail fast with the offender listed, BEFORE any
+    executor task OOMs; compliant files load unchanged under the same
+    bound."""
+    import pytest
+
+    from dtaianomaly_spark.sources.ucr import load_ucr_directory
+
+    small = tmp_path / "001_UCR_Anomaly_x_10_20_25.txt"
+    small.write_text("\n".join(str(float(i)) for i in range(40)) + "\n")
+    big = tmp_path / "002_UCR_Anomaly_y_10_20_25.txt"
+    big.write_text("\n".join(str(float(i)) for i in range(5000)) + "\n")
+
+    with pytest.raises(ValueError, match=r"max_file_bytes.*002_UCR_Anomaly_y"):
+        load_ucr_directory(spark, str(tmp_path), max_file_bytes=1024)
+
+    # under the default bound both load; line order (the time axis) intact
+    lf = load_ucr_directory(spark, str(tmp_path))
+    assert lf.count() == 40 + 5000
+    rows = (
+        lf.filter("series_id like '001%'").orderBy("pos").limit(3).collect()
+    )
+    assert [r["value"] for r in rows] == [0.0, 1.0, 2.0]
