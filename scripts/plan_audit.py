@@ -18,6 +18,11 @@ def main():
     rows = []
     for name, q in E.queries().items():
         try:
+            # isolate each query's plan: a cache left materialized by an
+            # earlier query (e.g. the funnel's shared shingle stage) makes
+            # later plans expand the cached subtree in explain output and
+            # inflates their exchange counts non-comparably
+            spark.catalog.clearCache()
             df = q(spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
@@ -26,7 +31,11 @@ def main():
             rows.append((name, "ERR", "", str(ex)[:60]))
             continue
         exchanges = len(re.findall(r"\bExchange\b", plan.split("\n\n")[0]))
-        arrow = bool(re.search(r"MapInArrow|MapInPandas|FlatMapGroupsInPandas", plan))
+        arrow = bool(
+            re.search(
+                r"MapInArrow|MapInPandas|FlatMap(Co)?GroupsInPandas", plan
+            )
+        )
         cols = sorted(
             {
                 c
