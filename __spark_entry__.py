@@ -689,6 +689,16 @@ def _q_tx_dup_ngram_rate(spark, sf_dir):
     return TX.dup_ngram_rate(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_substring_dedup(spark, sf_dir):
+    """Span-level exact substring dedup (Lee et al. 2022 at word
+    granularity): 8-word grams occurring >1x in the corpus mark their
+    covered positions; covered words are removed. Oracle checks the
+    exact CLEANED TEXT per doc (string equality), not just counts."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.substring_dedup(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_source_mix(spark, sf_dir):
     """Corpus mixing stats per (source, lang) + equalizing weights."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -1143,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_count": _q_tx_token_count,
         "tx_fingerprint": _q_tx_fingerprint,
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
+        "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
         "tx_boilerplate": _q_tx_boilerplate,
@@ -1947,6 +1958,45 @@ SELECT doc_id,
        CAST(SUM(ascii(substr(text, CAST(i AS INT), 1))
            * ((i * 2654435761) % 2147483648)) AS BIGINT) AS fp
 FROM pos GROUP BY doc_id
+"""
+
+    # span-level substring dedup: 8-word grams with corpus count >= 2
+    # mark their covered positions; the oracle rebuilds the exact cleaned
+    # text (string equality) from the same rule
+    tx_substring_dedup = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (
+    SELECT w.doc_id, CAST(g.p AS BIGINT) AS p, ws[g.p] AS word
+    FROM ws w, LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS p) g
+),
+grams AS (
+    SELECT w.doc_id, CAST(g.i AS BIGINT) AS start,
+           array_to_string(ws[g.i : g.i + 7], ' ') AS gram
+    FROM ws w, LATERAL (SELECT UNNEST(range(1, len(ws) - 8 + 2)) AS i) g
+    WHERE len(ws) >= 8
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+covered AS (
+    SELECT DISTINCT g.doc_id, g.start + o.o AS p
+    FROM grams g JOIN dup USING (gram),
+         LATERAL (SELECT UNNEST(range(8)) AS o) o
+),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words FROM words GROUP BY doc_id),
+ncov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM covered GROUP BY doc_id),
+kept AS (
+    SELECT w.doc_id, w.p, w.word
+    FROM words w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.p
+),
+cleaned AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS cleaned_text
+    FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_words,
+       COALESCE(ncov.n_covered, 0) AS n_covered,
+       COALESCE(cleaned.cleaned_text, '') AS cleaned_text
+FROM n
+LEFT JOIN ncov ON n.doc_id = ncov.doc_id
+LEFT JOIN cleaned ON n.doc_id = cleaned.doc_id
 """
 
     tx_dup_ngram_rate = f"""
@@ -3064,6 +3114,7 @@ FROM agg
         "tx_token_count": tx_token_count,
         "tx_fingerprint": tx_fingerprint,
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
+        "tx_substring_dedup": tx_substring_dedup,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
         "tx_boilerplate": tx_boilerplate,

@@ -531,6 +531,90 @@ def dup_ngram_rate(docs: DataFrame) -> DataFrame:
     )
 
 
+SPAN_WORDS = 8  # words per duplicated span (substring dedup granularity)
+
+
+def substring_dedup(docs: DataFrame, w: int = SPAN_WORDS) -> DataFrame:
+    """Span-level exact substring dedup — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    semantics at word granularity: every ``w``-word gram occurring MORE
+    THAN ONCE in the corpus (in another document or again in the same
+    one) marks all ``w`` word positions it covers; covered positions
+    are removed and the survivors re-joined in order. This is the
+    span-REMOVAL pass that doc-level dedup (exact/MinHash/SimHash)
+    cannot express — a mostly-unique document keeps its unique prose
+    and loses only the plagiarized/boilerplate spans.
+
+    Output: (doc_id, n_words, n_covered, cleaned_text) — integer
+    counts plus the exact cleaned text (oracle: string equality).
+
+    Scale shape: gram construction is a map-side array HOF (the words
+    array is materialized once per row — no CSE inside HOF lambdas);
+    the shuffles are the gram-frequency aggregate (map-side partial,
+    keyed on the gram), the coverage distinct, and the anti-join —
+    the inverted-index shape of :func:`dup_ngram_rate`, which
+    survives 100x. Single pass: removal can create new w-gram
+    adjacencies, which a second pass would also remove; Lee et al.
+    remove byte ranges found in the ORIGINAL corpus, as here."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    ws = docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
+    words = ws.select(
+        "doc_id", F.posexplode("ws").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    # sequence(1, 0) DESCENDS in Spark SQL — guard short docs explicitly
+    gram_expr = (
+        f"CASE WHEN size(ws) >= {w} THEN"
+        f" transform(sequence(1, size(ws) - {w} + 1),"
+        f" i -> array_join(slice(ws, i, {w}), ' '))"
+        " ELSE array() END"
+    )
+    grams = ws.select(
+        "doc_id", F.posexplode(F.expr(gram_expr)).alias("s0", "gram")
+    ).select("doc_id", (F.col("s0") + 1).alias("start"), "gram")
+    dup = (
+        grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(w - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    kept = words.join(covered, ["doc_id", "p"], "left_anti")
+    n = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words")
+    )
+    ncov = covered.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_covered")
+    )
+    cleaned = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, word))),"
+                " s -> s.word)"
+            ),
+        ).alias("cleaned_text")
+    )
+    return (
+        n.join(ncov, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 SEG_WORDS = 8  # words per boilerplate segment
 SEG_DF_THRESHOLD = 3  # C4's "line appears >= 3 times" rule
 

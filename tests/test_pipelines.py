@@ -448,3 +448,35 @@ def test_vocab_topk_matches_pandas_wordcount(spark):
     got = TX.vocab_topk(docs).collect()
     assert [(r["word"], r["cnt"]) for r in got] == expect
     assert all(r["df"] == dfc[r["word"]] for r in got)
+
+
+def test_substring_dedup_known_spans(spark):
+    """Hand-built corpus: an 8-word span shared by two docs is removed
+    from BOTH (span dedup keeps neither copy — Lee et al. semantics);
+    a same-doc repeat is removed too; unique prose survives in order."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    span = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (0, f"x1 x2 {span} y1 y2"),
+            (1, f"z1 z2 z3 {span}"),
+            (2, f"{span} m1 {span}"),          # same-doc repeat
+            (3, "u1 u2 u3 u4 u5 u6 u7"),       # < 8 words: no grams
+            (4, span),                          # fully covered
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TX.substring_dedup(docs, w=8).collect()
+    }
+    assert got[0]["cleaned_text"] == "x1 x2 y1 y2"
+    assert got[1]["cleaned_text"] == "z1 z2 z3"
+    assert got[2]["cleaned_text"] == "m1"
+    assert got[3]["cleaned_text"] == "u1 u2 u3 u4 u5 u6 u7"
+    assert got[3]["n_covered"] == 0
+    assert got[4]["cleaned_text"] == "" and got[4]["n_covered"] == 8
+    for r in got.values():
+        kept_words = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert kept_words == r["n_words"] - r["n_covered"]
