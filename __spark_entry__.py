@@ -699,6 +699,17 @@ def _q_tx_substring_dedup(spark, sf_dir):
     return TX.substring_dedup(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: rational-idf BM25 top-10 per query (queries =
+    first-5-word bags of the 8 lowest doc_ids). Inverted-index join —
+    only docs sharing a query term are scored. Oracle bit-matches the
+    float scores (shared IEEE +-*/ formula, sorted-term fold)."""
+    from dtaianomaly_spark.pipelines import retrieval as RET
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return RET.bm25_topk(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_source_mix(spark, sf_dir):
     """Corpus mixing stats per (source, lang) + equalizing weights."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -1154,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": _q_tx_fingerprint,
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_substring_dedup": _q_tx_substring_dedup,
+        "tx_bm25_topk": _q_tx_bm25_topk,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
         "tx_boilerplate": _q_tx_boilerplate,
@@ -1997,6 +2009,50 @@ SELECT n.doc_id, n.n_words,
 FROM n
 LEFT JOIN ncov ON n.doc_id = ncov.doc_id
 LEFT JOIN cleaned ON n.doc_id = cleaned.doc_id
+"""
+
+    # rational-idf BM25: the per-term contribution formula is imported
+    # from the engine module and embedded VERBATIM — integer aggregates,
+    # IEEE +-*/ only (no libm), sorted-term left fold — so the float
+    # scores hash-match bit for bit
+    from dtaianomaly_spark.pipelines.retrieval import BM25_CONTRIB_SQL
+
+    tx_bm25_topk = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, UNNEST(ws) AS word FROM ws),
+tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM words GROUP BY doc_id, word),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM words GROUP BY doc_id),
+scalars AS (SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS W
+            FROM dl),
+dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+qterms AS (
+    SELECT w.doc_id AS qid, UNNEST(list_distinct(ws[1:5])) AS word
+    FROM ws w WHERE w.doc_id < 8
+),
+base AS (
+    SELECT q.qid, t.doc_id, q.word AS term, t.tf, f.df, d.dl, s.N, s.W
+    FROM qterms q
+    JOIN tf t ON t.word = q.word
+    JOIN dfreq f ON f.word = q.word
+    JOIN dl d ON d.doc_id = t.doc_id
+    CROSS JOIN scalars s
+),
+cand AS (SELECT qid, doc_id, term, {BM25_CONTRIB_SQL} AS contrib FROM base),
+scored AS (
+    SELECT qid, doc_id,
+           list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS score
+    FROM cand GROUP BY qid, doc_id
+),
+ranked AS (
+    SELECT qid,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+           doc_id, score
+    FROM scored
+)
+SELECT qid, rnk, doc_id, score FROM ranked WHERE rnk <= 10
 """
 
     tx_dup_ngram_rate = f"""
@@ -3115,6 +3171,7 @@ FROM agg
         "tx_fingerprint": tx_fingerprint,
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_substring_dedup": tx_substring_dedup,
+        "tx_bm25_topk": tx_bm25_topk,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
         "tx_boilerplate": tx_boilerplate,

@@ -1,0 +1,113 @@
+"""Lexical retrieval: BM25-style top-k document search over the corpus —
+the inverted-index complement to the vector-ANN family
+(pipelines/similarity.py). A training-data pipeline needs both: ANN for
+embedding-space dedup/search, lexical retrieval for decontamination
+lookups, eval-set mining, and quality auditing ("which documents contain
+this benchmark phrase").
+
+Scoring is the BM25 shape (k1 = 6/5, b = 3/4) with a LOG-FREE rational
+idf: ``idf(t) = (N - df + 0.5) / (df + 0.5)`` — the Robertson/Sparck
+Jones ratio WITHOUT the ln. Per term this is a strictly monotone
+transform of canonical BM25 idf (ln is monotone), so single-term
+rankings are identical; multi-term sums weight rare terms more
+aggressively than the ln form. The trade is deliberate: ln is a libm
+call whose last-ulp rounding differs across engines, while this form
+needs only IEEE +-*/ over integer aggregates — so the whole score is
+bit-reproducible between Spark and any oracle engine (the repo's
+float-formula discipline). With k1 = 6/5 and b = 3/4 the per-term
+contribution reduces to an integer-ratio expression:
+
+    contrib = (2N - 2df + 1)/(2df + 1) * 22*tf*W / (10*W*tf + 3*W + 9*dl*N)
+
+(derived by multiplying tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+through by 10*W, with avgdl = W/N; all symbols integer corpus
+aggregates). Per-document scores fold the per-term contributions in
+SORTED TERM ORDER — float addition is not associative, so a fixed fold
+order is what makes the sum reproducible.
+
+Physical shape at 100 TB: tf/df/dl are map-side-combined hash
+aggregates; candidate generation joins query terms against the tf table
+on the term (inverted-index join — only documents containing at least
+one query term are ever scored, never a corpus scan per query); the
+1-row corpus-scalar frame broadcasts; top-k is a per-query window over
+the candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ONE shared formula, used verbatim by the Spark plan and embedded in the
+# DuckDB oracle: integer inputs, IEEE +-*/ only, fully parenthesized so
+# both engines build the identical expression tree. No bare decimal
+# literals (Spark parses `2.0` as DECIMAL).
+BM25_CONTRIB_SQL = (
+    "(CAST(2*N - 2*df + 1 AS DOUBLE) / (2*df + 1))"
+    " * (CAST(22 * tf AS DOUBLE) * W)"
+    " / (CAST(10 * W AS DOUBLE) * tf + CAST(3 * W AS DOUBLE)"
+    " + CAST(9 AS DOUBLE) * dl * N)"
+)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 8,
+    query_terms: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query under the rational-idf BM25 score.
+
+    Queries are derived deterministically from the corpus itself: the
+    ``n_queries`` lowest doc_ids contribute their first ``query_terms``
+    distinct words as the query bag (a stand-in for an external query
+    table — swap in any (qid, term) frame).
+
+    Output: (qid, rank, doc_id, score) — rank 1..k per query, ties on
+    score broken by doc_id for full determinism."""
+    ws = docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
+    words = ws.select(
+        "doc_id", F.explode("ws").alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("W"),
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    qterms = ws.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.expr(f"array_distinct(slice(ws, 1, {int(query_terms)}))")
+        ).alias("word"),
+    )
+    cand = (
+        qterms.join(tf, "word")
+        .join(dfreq, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "qid", "doc_id", F.col("word").alias("term"),
+            F.expr(BM25_CONTRIB_SQL).alias("contrib"),
+        )
+    )
+    scored = cand.groupBy("qid", "doc_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(term,"
+            " contrib))), s -> s.contrib), CAST(0 AS DOUBLE),"
+            " (a, x) -> a + x)"
+        ).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "qid", F.row_number().over(w).cast("long").alias("rnk"),
+            "doc_id", "score",
+        )
+        .filter(F.col("rnk") <= k)
+    )

@@ -480,3 +480,27 @@ def test_substring_dedup_known_spans(spark):
     for r in got.values():
         kept_words = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
         assert kept_words == r["n_words"] - r["n_covered"]
+
+
+def test_bm25_topk_invariants(spark):
+    """Rational-idf BM25: per query the ranks are dense 1..k, scores
+    non-increasing and positive, and every returned doc contains at
+    least one query term (inverted-index candidates only)."""
+    from dtaianomaly_spark.pipelines import retrieval as RET
+
+    docs = _docs(spark)
+    got = RET.bm25_topk(docs, n_queries=4, query_terms=5, k=10).collect()
+    texts = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert all(s > 0 for s in scores)
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        qset = set(texts[qid][:5])
+        for r in rows:
+            assert qset & set(texts[r["doc_id"]]), (qid, r["doc_id"])
