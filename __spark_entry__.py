@@ -233,6 +233,25 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's one-sided CUSUM (drift k=60, threshold h=300) as two
+    running window aggregates via the prefix-min identity — relational,
+    integer-exact, one exchange. Alarms fire on the corpus's +400 token
+    spikes."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.cusum_scores(_spark_long_form(spark, sf_dir), 60, 300)
+
+
+def _q_pp_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003, alphabet 4, 32-pos segments):
+    series-z-normalized segment means quantized at Gaussian equiprobable
+    breakpoints; bit-reproducible (shared IEEE-only formulas)."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return PP.sax_symbols(_spark_long_form(spark, sf_dir), 32)
+
+
 # Preprocessor queries ----------------------------------------------------
 
 def _q_pp_standard(spark, sf_dir):
@@ -1166,6 +1185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_bm25_topk": _q_tx_bm25_topk,
+        "det_cusum": _q_det_cusum,
+        "pp_sax": _q_pp_sax,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
         "tx_boilerplate": _q_tx_boilerplate,
@@ -1312,6 +1333,56 @@ SELECT doc_id, pos,
     CASE WHEN {_STD} = 0.0 THEN 0.0
          ELSE abs(CAST(value AS DOUBLE) - ({_MEAN})) / ({_STD}) END AS score
 FROM stats
+"""
+
+    # Page's CUSUM via the prefix-min identity — integer-exact end to end
+    cusum = f"""
+{C.TOKEN_SQL_CTE},
+pref AS (
+    SELECT doc_id, pos,
+           CAST(SUM(value - 60) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS pref
+    FROM long_form
+),
+cus AS (
+    SELECT doc_id, pos,
+           CAST(pref - LEAST(0, MIN(pref) OVER (PARTITION BY doc_id
+                ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                ROW)) AS BIGINT) AS cusum
+    FROM pref
+)
+SELECT doc_id, pos, cusum,
+       CAST(CASE WHEN cusum > 300 THEN 1 ELSE 0 END AS INT) AS alarm
+FROM cus
+"""
+
+    # SAX: shared z/symbol formulas imported from the engine module
+    from dtaianomaly_spark.operators.preprocessing import (
+        SAX_SYMBOL_SQL, SAX_Z_SQL,
+    )
+
+    sax = f"""
+{C.TOKEN_SQL_CTE},
+seg_agg AS (
+    SELECT doc_id, CAST(pos // 32 AS BIGINT) AS seg,
+           CAST(COUNT(value) AS BIGINT) AS seg_cnt,
+           CAST(SUM(value) AS BIGINT) AS seg_sum
+    FROM long_form GROUP BY doc_id, seg
+),
+st AS (
+    SELECT doc_id, CAST(COUNT(value) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS BIGINT) AS sum,
+           CAST(SUM(value * value) AS BIGINT) AS sumsq
+    FROM long_form GROUP BY doc_id
+),
+sstats AS (SELECT doc_id, {_MEAN} AS mean, {_STD} AS std FROM st),
+z AS (
+    SELECT g.doc_id, g.seg, g.seg_cnt, g.seg_sum, s.mean, s.std,
+           {SAX_Z_SQL} AS z
+    FROM seg_agg g JOIN sstats s ON g.doc_id = s.doc_id
+)
+SELECT doc_id, seg, seg_cnt, CAST({SAX_SYMBOL_SQL} AS INT) AS symbol FROM z
 """
 
     _F1 = ("CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 "
@@ -3172,6 +3243,8 @@ FROM agg
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_substring_dedup": tx_substring_dedup,
         "tx_bm25_topk": tx_bm25_topk,
+        "det_cusum": cusum,
+        "pp_sax": sax,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
         "tx_boilerplate": tx_boilerplate,

@@ -259,6 +259,40 @@ def matrix_profile_novelty_scores(
     return _score_map(arrays, per_series, with_doc_id=True)
 
 
+def cusum_scores(long_form: DataFrame, k: int, h: int) -> DataFrame:
+    """Page's one-sided CUSUM change detector (Page 1954) over the
+    integer long form: ``s_i = max(0, s_{i-1} + value_i - k)``, alarm
+    when ``s_i > h``.
+
+    The recurrence looks inherently sequential, but the classic
+    prefix-min identity makes it RELATIONAL: with
+    ``pref_i = Σ_{j<=i} (value_j - k)``,
+
+        s_i = pref_i - min(0, min_{j<=i} pref_j)
+
+    so the whole detector is two running window aggregates over one
+    (doc_id, pos) partition order — ONE exchange, zero UDF, exact
+    integer arithmetic end to end (oracle-able). Output:
+    (doc_id, pos, cusum, alarm)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pref = long_form.select(
+        "doc_id", "pos",
+        F.sum(F.expr(f"value - {int(k)}")).over(w).cast("long").alias("pref"),
+    )
+    return pref.select(
+        "doc_id", "pos",
+        (F.col("pref") - F.least(F.lit(0), F.min("pref").over(w)))
+        .cast("long").alias("cusum"),
+    ).select(
+        "doc_id", "pos", "cusum",
+        (F.col("cusum") > h).cast("int").alias("alarm"),
+    )
+
+
 def matrix_profile_novelty_scores_join(
     arrays: DataFrame, reference_arrays: DataFrame, window_size,
     normalize: bool = True, p: float = 2.0, k: int = 1,

@@ -225,6 +225,60 @@ def paa(long_form: DataFrame, n_frames: int) -> DataFrame:
     return agg.select("doc_id", "frame", "cnt", "sum", F.expr(MEAN_SQL).alias("out"))
 
 
+# SAX z-score -> symbol mapping for alphabet size 4 (Lin et al. 2003,
+# "A Symbolic Representation of Time Series": Gaussian equiprobable
+# breakpoints, i.e. the standard-normal quartiles ±0.6745 and 0). The
+# breakpoint constant is spelled as an integer RATIO so both engines
+# build the identical correctly-rounded double — shared verbatim with
+# the DuckDB oracle.
+SAX_SYMBOL_SQL = (
+    "CASE WHEN std = CAST(0 AS DOUBLE) THEN 1 "
+    "WHEN z < CAST(0 AS DOUBLE) - CAST(6745 AS DOUBLE) / 10000 THEN 0 "
+    "WHEN z < CAST(0 AS DOUBLE) THEN 1 "
+    "WHEN z < CAST(6745 AS DOUBLE) / 10000 THEN 2 "
+    "ELSE 3 END"
+)
+SAX_Z_SQL = (
+    "CASE WHEN std = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) "
+    "ELSE (CAST(seg_sum AS DOUBLE) / seg_cnt - mean) / std END"
+)
+
+
+def sax_symbols(long_form: DataFrame, seg_len: int = 32) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003), alphabet size 4: per series,
+    z-normalize by the SERIES mean/std (population), average into
+    fixed-length ``seg_len`` segments (the PAA step on a fixed grid),
+    and quantize each segment mean at the Gaussian equiprobable
+    breakpoints. Output: (doc_id, seg, seg_cnt, symbol).
+
+    Fully relational and integer-fed: segment and series statistics are
+    integer sums; the z and symbol formulas are single shared float
+    expressions (IEEE ops only), so the symbols are bit-reproducible
+    against a SQL oracle. Two hash aggregates on the same doc_id-keyed
+    data + one co-partitioned join — the rollup tier's scale shape."""
+    seg_agg = long_form.select(
+        "doc_id", F.expr(f"pos DIV {int(seg_len)}").alias("seg"), "value"
+    ).groupBy("doc_id", "seg").agg(
+        F.count("value").cast("long").alias("seg_cnt"),
+        F.sum("value").cast("long").alias("seg_sum"),
+    )
+    series = long_form.groupBy("doc_id").agg(
+        F.count("value").cast("long").alias("cnt"),
+        F.sum("value").cast("long").alias("sum"),
+        F.sum(F.expr("value * value")).cast("long").alias("sumsq"),
+    ).select(
+        "doc_id", F.expr(MEAN_SQL).alias("mean"), F.expr(STD_SQL).alias("std")
+    )
+    return (
+        seg_agg.join(series, "doc_id")
+        .withColumn("z", F.expr(SAX_Z_SQL))
+        .select(
+            "doc_id", "seg", "seg_cnt",
+            F.expr(SAX_SYMBOL_SQL).cast("int").alias("symbol"),
+        )
+    )
+
+
 def ema(arrays: DataFrame, alpha: float) -> DataFrame:
     """Exponential moving average per series — inherently sequential, so
     it runs as the shared NumPy kernel (log2(n) affine-scan) inside one

@@ -150,3 +150,29 @@ def test_ema_operator_matches_sequential_recursion(spark, series):
             y[t] = 0.9 * y[t - 1] + 0.1 * x[t]
         out = np.array([got[doc_id][p] for p in range(x.shape[0])])
         assert np.allclose(out, y, rtol=1e-9, atol=1e-6), f"doc {doc_id}"
+
+
+def test_cusum_equals_naive_recurrence(spark):
+    """The relational prefix-min form equals Page's sequential recurrence
+    s_i = max(0, s_{i-1} + x_i - k) computed naively in NumPy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators.detectors import cusum_scores
+    from dtaianomaly_spark.sources import corpus as C
+
+    lf = C.token_long_form(spark, "/root/testdata/sf0.001").filter(
+        "CAST(doc_id AS BIGINT) < 6"
+    )
+    got = {}
+    for r in cusum_scores(lf, 60, 300).collect():
+        got.setdefault(r["doc_id"], {})[r["pos"]] = (r["cusum"], r["alarm"])
+    series = {}
+    for r in lf.collect():
+        series.setdefault(r["doc_id"], {})[r["pos"]] = r["value"]
+    assert len(got) == 6
+    for doc_id, vals in series.items():
+        s = 0
+        for pos in sorted(vals):
+            s = max(0, s + vals[pos] - 60)
+            assert got[doc_id][pos] == (s, int(s > 300)), (doc_id, pos)
