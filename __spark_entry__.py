@@ -729,6 +729,14 @@ def _q_tx_bm25_topk(spark, sf_dir):
     return RET.bm25_topk(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_source_drift(spark, sf_dir):
+    """Per-source unigram chi-square drift vs the corpus distribution —
+    full-vocabulary cells, sorted-word fold, bit-exact float statistic."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.source_drift(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_source_mix(spark, sf_dir):
     """Corpus mixing stats per (source, lang) + equalizing weights."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -1187,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bm25_topk": _q_tx_bm25_topk,
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,
+        "tx_source_drift": _q_tx_source_drift,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
         "tx_boilerplate": _q_tx_boilerplate,
@@ -2124,6 +2133,34 @@ ranked AS (
     FROM scored
 )
 SELECT qid, rnk, doc_id, score FROM ranked WHERE rnk <= 10
+"""
+
+    from dtaianomaly_spark.pipelines.text import CHI2_CONTRIB_SQL
+
+    tx_source_drift = f"""
+WITH words AS (
+    SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
+),
+sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS o
+       FROM words GROUP BY source, word),
+vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+          FROM words GROUP BY word),
+totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS st
+           FROM words GROUP BY source),
+grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS ct FROM words),
+cells AS (
+    SELECT t.source, v.word, t.st, v.cw, g.ct,
+           CAST(COALESCE(s.o, 0) AS BIGINT) AS o
+    FROM totals t CROSS JOIN vocab v CROSS JOIN grand g
+    LEFT JOIN sw s ON s.source = t.source AND s.word = v.word
+),
+contribs AS (
+    SELECT source, word, st, {CHI2_CONTRIB_SQL} AS contrib FROM cells
+)
+SELECT source, CAST(MAX(st) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       list_reduce(list(contrib ORDER BY word), (a, b) -> a + b) AS chi2
+FROM contribs GROUP BY source
 """
 
     tx_dup_ngram_rate = f"""
@@ -3245,6 +3282,7 @@ FROM agg
         "tx_bm25_topk": tx_bm25_topk,
         "det_cusum": cusum,
         "pp_sax": sax,
+        "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
         "tx_boilerplate": tx_boilerplate,

@@ -615,6 +615,64 @@ def substring_dedup(docs: DataFrame, w: int = SPAN_WORDS) -> DataFrame:
     )
 
 
+# chi-square cell contribution for the source-drift statistic: integer
+# inputs (o = observed count, st = source total, cw = corpus word count,
+# ct = corpus total), IEEE +-*/ only — shared verbatim with the oracle.
+CHI2_CONTRIB_SQL = (
+    "((CAST(o AS DOUBLE) - CAST(st AS DOUBLE) * cw / ct)"
+    " * (CAST(o AS DOUBLE) - CAST(st AS DOUBLE) * cw / ct))"
+    " / (CAST(st AS DOUBLE) * cw / ct)"
+)
+
+
+def source_drift(docs: DataFrame) -> DataFrame:
+    """Per-source unigram distribution drift: Pearson's chi-square
+    statistic of each source's word distribution against the corpus-wide
+    distribution — the monitoring number behind "did source X's content
+    shift this snapshot" in a mixture pipeline. Cells span the FULL
+    corpus vocabulary per source (absent words contribute (0-e)²/e, as
+    chi-square requires), expected counts from integer aggregates, and
+    the per-source sum folds cells in sorted word order — so the float
+    statistic is bit-reproducible against a SQL oracle.
+
+    Output: (source, n_tokens, n_cells, chi2); dof = n_cells - 1.
+
+    Scale shape: word counts are map-side-combined aggregates; the
+    source x vocab grid is |sources| * |vocab| rows (a broadcast of the
+    per-source totals against the vocab table), linear in vocabulary —
+    never in corpus size."""
+    words = docs.select(
+        "source", F.explode(F.expr("split(text, ' ')")).alias("word")
+    )
+    sw = words.groupBy("source", "word").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("cw"))
+    totals = words.groupBy("source").agg(
+        F.count("*").cast("long").alias("st")
+    )
+    grand = words.agg(F.count("*").cast("long").alias("ct"))
+    cells = (
+        F.broadcast(totals).crossJoin(vocab)
+        .join(sw, ["source", "word"], "left")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source", "word", "st", "cw", "ct",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+        .withColumn("contrib", F.expr(CHI2_CONTRIB_SQL))
+    )
+    return cells.groupBy("source").agg(
+        F.max("st").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(word,"
+            " contrib))), s -> s.contrib), CAST(0 AS DOUBLE),"
+            " (a, x) -> a + x)"
+        ).alias("chi2"),
+    )
+
+
 SEG_WORDS = 8  # words per boilerplate segment
 SEG_DF_THRESHOLD = 3  # C4's "line appears >= 3 times" rule
 

@@ -363,3 +363,105 @@ def stateful_median_scores(
         if state_ttl_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------------------- CUSUM
+# The smallest possible stateful detector: per-series state is ONE
+# integer (the running CUSUM value) plus the position cursor. The batch
+# twin (operators/detectors.py:cusum_scores) computes the same values
+# relationally via the prefix-min identity; the streamed values are
+# bit-equal because the recurrence carries exactly through the scalar
+# state (verified in tests/test_streaming_detect.py).
+
+CUSUM_SCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("cusum", LongType(), False),
+        StructField("alarm", LongType(), False),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", LongType(), True),
+        StructField("next_pos", LongType(), True),
+    ]
+)
+
+
+def _make_cusum_update(k: int, h: int, ttl_ms: int | None):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            s0, next_pos = (int(v) for v in state.get)
+            cold_start = False
+        else:
+            s0, next_pos = 0, 0
+            cold_start = True
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("pos")
+            vals = batch["value"].to_numpy(dtype=np.int64)
+            poss = batch["pos"].to_numpy(dtype=np.int64)
+            if cold_start:
+                # TTL-evicted series resume from s = 0 (the bounded-state
+                # trade, same as the online MedianMethod's cold window)
+                next_pos = int(poss[0])
+            expected = next_pos + np.arange(vals.shape[0])
+            if not np.array_equal(poss, expected):
+                raise ValueError(
+                    f"streaming CUSUM requires in-order contiguous points;"
+                    f" series {doc_id!r} expected pos {next_pos}, got"
+                    f" {poss[:5].tolist()}..."
+                )
+            # batch-local prefix-min identity WITH carry-in: seed the
+            # prefixes at s0 (>= 0), clamp against min(0, running min)
+            pref = s0 + np.cumsum(vals - k)
+            run_min = np.minimum.accumulate(np.minimum(pref, 0))
+            s = pref - run_min
+            state.update((int(s[-1]), int(poss[-1]) + 1))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_id, s.shape[0]),
+                    "pos": poss,
+                    "cusum": s,
+                    "alarm": (s > h).astype(np.int64),
+                }
+            )
+        else:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+
+    return update
+
+
+def stateful_cusum(
+    stream_long_form, k: int, h: int, state_ttl_ms: int | None = STATE_TTL_MS
+):
+    """(doc_id, pos, value) stream -> append stream of Page CUSUM values
+    + alarms, bit-equal to the batch cusum_scores over the full series.
+    O(1) state per series (one integer + the position cursor)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_cusum_update(k, h, state_ttl_ms),
+        CUSUM_SCORE_SCHEMA,
+        CUSUM_STATE_SCHEMA,
+        "append",
+        timeout,
+    )

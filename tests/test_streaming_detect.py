@@ -313,3 +313,54 @@ def test_left_matrix_profile_horizon_bounds_lookback():
     i = len(x) - 16  # the repeated motif's window
     assert near[i] < 1e-6       # exact repeat found with a wide horizon
     assert far[i] > near[i] + 1.0  # out of horizon -> no match
+
+
+def test_streamed_cusum_equals_batch_operator(spark, tmp_path):
+    """O(1)-state streaming CUSUM over chunked in-order micro-batches is
+    bit-equal to the relational batch operator (prefix-min identity) over
+    each full series — the scalar state carries the recurrence exactly."""
+    from dtaianomaly_spark.operators.detectors import cusum_scores
+    from dtaianomaly_spark.streaming.detect import stateful_cusum
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for d in range(4):
+        vals = rng.integers(-105, 106, 160)
+        vals[40 + d * 7] += 400  # spike per series
+        rows += [(f"doc-{d}", p, int(v)) for p, v in enumerate(vals)]
+    schema = "doc_id string, pos long, value long"
+    lf = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "cu_src")
+    bounds = np.linspace(0, 160, 5).astype(int)
+    for lo, hi in zip(bounds, bounds[1:]):
+        lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "cu_out")
+    q = (
+        stateful_cusum(stream, k=60, h=300, state_ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "cu_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["pos"]): (r["cusum"], r["alarm"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == 4 * 160
+    batch = {
+        (r["doc_id"], r["pos"]): (r["cusum"], r["alarm"])
+        for r in cusum_scores(lf, 60, 300).collect()
+    }
+    assert got == batch
+    assert any(a for _, a in got.values())  # the spikes really alarm
