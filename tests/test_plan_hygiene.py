@@ -39,6 +39,12 @@ EXCHANGE_BOUNDS = [
     ("tx_curation_funnel", 6),     # 4 stage aggregates over checkpointed
                                    # keep-sets (was 53 when the dedup
                                    # chain unrolled per stage)
+    ("det_cusum", 1),              # two running windows share one
+                                   # (doc_id, pos) partition order
+    ("pp_sax", 2),                 # segment agg + series agg, join
+                                   # co-partitioned on doc_id
+    ("det_matrix_profile_novelty", 2),  # equi-join of the two series
+                                        # tables, then map-only scoring
 ]
 
 
