@@ -1000,6 +1000,22 @@ def _q_det_mp_novelty(spark, sf_dir):
     return DET.matrix_profile_novelty_scores_join(arrays, ref, 32)
 
 
+def _q_det_motif_topk(spark, sf_dir):
+    """Top-3 non-overlapping motif pairs per series (profile minima with
+    the ceil(w/4) exclusion zone); rows-only, naive-oracle pytest."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.motif_topk(_arrays_long_docid(spark, sf_dir), 32, k=3)
+
+
+def _q_det_discord_topk(spark, sf_dir):
+    """Top-3 non-overlapping discords per series (window-level anomaly
+    report); rows-only, naive-oracle pytest."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.discord_topk(_arrays_long_docid(spark, sf_dir), 32, k=3)
+
+
 def _q_det_kmeans_mv(spark, sf_dir):
     """KMeans over attribute-interleaved multivariate windows
     (windowing_utils.py:33 flatten); rows-only."""
@@ -1251,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_kmeans_mv": _q_det_kmeans_mv,
         "det_matrix_profile_mv_dist": _q_det_mp_mv_dist,
         "det_matrix_profile_novelty": _q_det_mp_novelty,
+        "det_motif_topk": _q_det_motif_topk,
+        "det_discord_topk": _q_det_discord_topk,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

@@ -1131,3 +1131,75 @@ def exceed_confidence(
     cutoff = np.quantile(test, 1.0 - contamination)
     predicted_anomaly = test >= cutoff
     return np.where(predicted_anomaly, conf, 1.0 - conf)
+
+
+# --- motif / discord extraction -----------------------------------------
+# The other half of the matrix-profile literature (Yeh et al., ICDM 2016
+# 'Matrix Profile I'): the profile's MINIMA are motifs (best-repeated
+# subsequences), its MAXIMA are discords. Extraction applies the standard
+# exclusion zone (ceil(w/4)) around every reported window so the top-k
+# are non-overlapping.
+
+def matrix_profile_pair_index(x: np.ndarray, w: int):
+    """Self-join matrix profile WITH nearest-neighbor indices:
+    (profile, nn_idx) arrays of length n-w+1. Full-row blocked sweep
+    (the symmetric kernel drops index information, so motif extraction
+    pays the 1.6x full matrix); exclusion zone ceil(w/4) applied."""
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    n = x.shape[0] - w + 1
+    if n <= 0:
+        return np.zeros(0), np.zeros(0, dtype=np.int64)
+    eng = _ZnormEngine(x, x, w)
+    excl = int(np.ceil(w / 4))
+    profile = np.empty(n)
+    nn = np.empty(n, dtype=np.int64)
+    step = _block(n)
+    for i0 in range(0, n, step):
+        i1 = min(i0 + step, n)
+        D = eng.rows(i0, i1)
+        for b in range(i1 - i0):
+            i = i0 + b
+            lo, hi = max(0, i - excl), min(n, i + excl + 1)
+            D[b, lo:hi] = np.inf
+        nn[i0:i1] = D.argmin(axis=1)
+        profile[i0:i1] = D[np.arange(i1 - i0), nn[i0:i1] ]
+    bad = ~np.isfinite(profile)
+    if bad.any():
+        profile[bad] = 0.0
+        nn[bad] = -1
+    return profile, nn
+
+
+def top_motifs(profile: np.ndarray, nn: np.ndarray, k: int, excl: int):
+    """Top-k non-overlapping motif PAIRS from (profile, nn): ascending
+    profile order; a pair is taken if BOTH windows are >= excl away from
+    every previously reported window. Returns [(idx_a, idx_b, dist)]."""
+    used: list[int] = []
+    out = []
+    for i in np.argsort(profile, kind="stable"):
+        j = nn[i]
+        if j < 0:
+            continue
+        a, b = int(min(i, j)), int(max(i, j))
+        if any(abs(a - u) < excl or abs(b - u) < excl for u in used):
+            continue
+        out.append((a, b, float(profile[i])))
+        used += [a, b]
+        if len(out) == k:
+            break
+    return out
+
+
+def top_discords(profile: np.ndarray, k: int, excl: int):
+    """Top-k non-overlapping discords: descending profile order with the
+    exclusion zone. Returns [(idx, dist)]."""
+    used: list[int] = []
+    out = []
+    for i in np.argsort(profile, kind="stable")[::-1]:
+        if any(abs(int(i) - u) < excl for u in used):
+            continue
+        out.append((int(i), float(profile[i])))
+        used.append(int(i))
+        if len(out) == k:
+            break
+    return out

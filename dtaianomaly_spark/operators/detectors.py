@@ -259,6 +259,79 @@ def matrix_profile_novelty_scores(
     return _score_map(arrays, per_series, with_doc_id=True)
 
 
+MOTIF_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("rank", LongType(), False),
+        StructField("idx_a", LongType(), False),
+        StructField("idx_b", LongType(), False),
+        StructField("dist", DoubleType(), False),
+    ]
+)
+
+DISCORD_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("rank", LongType(), False),
+        StructField("idx", LongType(), False),
+        StructField("dist", DoubleType(), False),
+    ]
+)
+
+
+def motif_topk(arrays: DataFrame, window_size: int, k: int = 3) -> DataFrame:
+    """Top-k non-overlapping MOTIF pairs per series (Yeh et al., ICDM
+    2016 'Matrix Profile I'): the profile's smallest entries with the
+    standard ceil(w/4) exclusion zone around every reported window.
+    One shuffle-free Arrow pass; output
+    (doc_id, rank, idx_a, idx_b, dist)."""
+    w = window_size
+    excl = int(np.ceil(w / 4))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                prof, nn = KD.matrix_profile_pair_index(x, w)
+                for r, (a, b, d) in enumerate(
+                    KD.top_motifs(prof, nn, k, excl), start=1
+                ):
+                    out.append((doc_id, r, a, b, d))
+            if out:
+                yield pd.DataFrame(out, columns=MOTIF_SCHEMA.names)
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, MOTIF_SCHEMA)
+
+
+def discord_topk(arrays: DataFrame, window_size: int, k: int = 3) -> DataFrame:
+    """Top-k non-overlapping DISCORDS per series — the window-level
+    anomaly report (vs the per-observation scores of
+    matrix_profile_scores); same Arrow pass shape. Output
+    (doc_id, rank, idx, dist)."""
+    w = window_size
+    excl = int(np.ceil(w / 4))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                prof = KD.matrix_profile(x, w)
+                for r, (i, d) in enumerate(
+                    KD.top_discords(prof, k, excl), start=1
+                ):
+                    out.append((doc_id, r, i, d))
+            if out:
+                yield pd.DataFrame(out, columns=DISCORD_SCHEMA.names)
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, DISCORD_SCHEMA)
+
+
 def cusum_scores(long_form: DataFrame, k: int, h: int) -> DataFrame:
     """Page's one-sided CUSUM change detector (Page 1954) over the
     integer long form: ``s_i = max(0, s_{i-1} + value_i - k)``, alarm

@@ -346,3 +346,57 @@ def test_mv_novelty_forwards_k_per_attribute_sums_over_attributes():
     assert not np.allclose(
         mp_profile(X, 10, x_ref=R, k=1), mp_profile(X, 10, x_ref=R, k=2)
     )
+
+
+# ------------------------------------------------- motif / discord extraction
+
+def _naive_pair_matrix(x, w):
+    """Full admissible z-norm distance matrix, inf inside the exclusion."""
+    n = len(x) - w + 1
+    excl = int(np.ceil(w / 4))
+    D = np.full((n, n), np.inf)
+    for i in range(n):
+        a = x[i:i + w]
+        az = (a - a.mean()) / (a.std() if a.std() > 1e-14 else 1.0)
+        for j in range(n):
+            if abs(i - j) < excl:
+                continue
+            b = x[j:j + w]
+            bz = (b - b.mean()) / (b.std() if b.std() > 1e-14 else 1.0)
+            D[i, j] = np.sqrt(((az - bz) ** 2).sum())
+    return D
+
+
+def test_pair_index_matches_naive():
+    rng = np.random.default_rng(61)
+    x = rng.normal(0, 1, 140).cumsum()
+    prof, nn = KD.matrix_profile_pair_index(x, 12)
+    D = _naive_pair_matrix(x, 12)
+    np.testing.assert_allclose(prof, D.min(axis=1), atol=1e-6)
+    # argmin may differ only where distances tie within tolerance
+    for i in range(len(prof)):
+        assert abs(D[i, nn[i]] - D[i].min()) < 1e-6
+
+
+def test_top_motifs_and_discords_respect_exclusion():
+    rng = np.random.default_rng(62)
+    motif = rng.normal(0, 1, 16)
+    x = np.concatenate(
+        [motif, rng.normal(0, 1, 60).cumsum(), motif, rng.normal(0, 1, 40)]
+    )
+    prof, nn = KD.matrix_profile_pair_index(x, 16)
+    excl = 4
+    motifs = KD.top_motifs(prof, nn, 3, excl)
+    # the planted exact repeat is the #1 motif pair
+    assert motifs[0][0] == 0 and motifs[0][1] == 16 + 60
+    assert motifs[0][2] < 1e-6
+    reported = [m[0] for m in motifs] + [m[1] for m in motifs]
+    for i, a in enumerate(reported):
+        for b in reported[:i]:
+            assert abs(a - b) >= excl, (a, b)
+    discords = KD.top_discords(prof, 3, excl)
+    assert all(
+        abs(discords[i][0] - discords[j][0]) >= excl
+        for i in range(3) for j in range(i)
+    )
+    assert discords[0][1] >= discords[1][1] >= discords[2][1]
