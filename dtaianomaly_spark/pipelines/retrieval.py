@@ -69,24 +69,36 @@ def bm25_topk(
     words = ws.select(
         "doc_id", F.explode("ws").alias("word")
     )
-    tf = words.groupBy("doc_id", "word").agg(
-        F.count("*").cast("long").alias("tf")
-    )
     dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     scalars = dl.agg(
         F.count("*").cast("long").alias("N"),
         F.sum("dl").cast("long").alias("W"),
     )
-    dfreq = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
     qterms = ws.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("qid"),
         F.explode(
             F.expr(f"array_distinct(slice(ws, 1, {int(query_terms)}))")
         ).alias("word"),
     )
+    # THE scale move: restrict the corpus word stream to the QUERY
+    # vocabulary BEFORE any aggregation — tf/df are then built over
+    # query-term postings only, never over the full corpus vocabulary.
+    # df semantics are unchanged (docs containing the word), just
+    # computed for the words that matter. The vocabulary is bounded by
+    # n_queries * query_terms, so collecting it to the driver and
+    # filtering with a literal IN list is a map-side predicate (the
+    # same bounded-collect contract as the driver-fit ANN centroids).
+    qv = [
+        r["word"] for r in qterms.select("word").distinct().collect()
+    ]
+    wq = words.filter(F.col("word").isin(qv))
+    tf = wq.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
     cand = (
         qterms.join(tf, "word")
-        .join(dfreq, "word")
+        .join(F.broadcast(dfreq), "word")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select(
