@@ -263,6 +263,12 @@ def frame_sample_decoded(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
                             f"doc {doc_id}: bad frame magic at offset {off}"
                         )
                     size = struct.unpack_from("<I", payload, off + 2)[0]
+                    if size < _BMP_OFFSET:
+                        raise ValueError(
+                            f"doc {doc_id}: frame size field {size} at"
+                            f" offset {off} is smaller than the BMP"
+                            " headers — corrupt stream"
+                        )
                     offsets.append((off, size))
                     off += size
                 F_ = len(offsets)

@@ -553,7 +553,11 @@ def substring_dedup(docs: DataFrame, w: int = SPAN_WORDS) -> DataFrame:
     the shuffles are the gram-frequency aggregate (map-side partial,
     keyed on the gram), the coverage distinct, and the anti-join —
     the inverted-index shape of :func:`dup_ngram_rate`, which
-    survives 100x. Single pass: removal can create new w-gram
+    survives 100x. Unlike the fuzzy-dedup shingles there is NO df cap:
+    the hottest grams are exactly the spans that most need removing.
+    The dup-side of the gram join is one row per gram, so a mega-hot
+    gram makes a classic one-row-build skew join — AQE's skew-join
+    split handles it (the occurrences side splits across tasks). Single pass: removal can create new w-gram
     adjacencies, which a second pass would also remove; Lee et al.
     remove byte ranges found in the ORIGINAL corpus, as here."""
     if w < 1:
