@@ -987,8 +987,9 @@ def _q_det_mp_novelty(spark, sf_dir):
     score the full series against its own reference
     (MatrixProfileDetector.py:122-168, novelty=True); rows-only,
     kernel-oracle equivalence in tests/test_components.py. Per-doc_id
-    references pair via the distributed cogroup join — no driver collect
-    of the reference corpus, no broadcast dict."""
+    references pair via the distributed equi-join + mapInPandas (cogroup
+    was measured 3.6x slower) — no driver collect of the reference
+    corpus, no broadcast dict."""
     from dtaianomaly_spark.operators import detectors as DET
 
     arrays = _arrays_long_docid(spark, sf_dir)
@@ -2127,7 +2128,8 @@ scalars AS (SELECT CAST(COUNT(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS W
 dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
 qterms AS (
     SELECT w.doc_id AS qid, UNNEST(list_distinct(ws[1:5])) AS word
-    FROM ws w WHERE w.doc_id < 8
+    FROM ws w
+    WHERE w.doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 8)
 ),
 base AS (
     SELECT q.qid, t.doc_id, q.word AS term, t.tf, f.df, d.dl, s.N, s.W

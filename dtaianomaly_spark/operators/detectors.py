@@ -404,8 +404,9 @@ def matrix_profile_novelty_scores_join(
     def run(batches):
         for pdf in batches:
             doc_ids, poss, outs = [], [], []
-            for doc_id, tokens, ref_tokens in zip(
-                pdf["doc_id"], pdf["tokens"], pdf["_ref_tokens"]
+            for doc_id, tokens, ref_tokens, nref in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["_ref_tokens"],
+                pdf["_nref"],
             ):
                 if ref_tokens is None or (
                     isinstance(ref_tokens, float) and pd.isna(ref_tokens)
@@ -413,6 +414,15 @@ def matrix_profile_novelty_scores_join(
                     raise KeyError(
                         "novelty scoring: no reference series for"
                         f" doc_id={doc_id!r}"
+                    )
+                if int(nref) != 1:
+                    # the dict form could never hold two references per
+                    # doc_id; a duplicated reference row here would fan
+                    # the join out and silently double-emit scores
+                    raise ValueError(
+                        f"novelty scoring: {int(nref)} reference series"
+                        f" for doc_id={doc_id!r} — deduplicate the"
+                        " reference frame (one series per doc_id)"
                     )
                 x, ref = as_np(tokens), as_np(ref_tokens)
                 w = (
@@ -440,9 +450,21 @@ def matrix_profile_novelty_scores_join(
     test = arrays.select(
         F.col("doc_id").cast("string").alias("doc_id"), "tokens"
     )
-    ref = reference_arrays.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("tokens").alias("_ref_tokens"),
+    # pre-aggregate the reference to one row per doc_id WITH the row
+    # count: a duplicated reference series must raise in the UDF, never
+    # fan the join out into silently double-emitted scores. The groupBy
+    # supplies the join's partitioning, so the exchange count is
+    # unchanged.
+    ref = (
+        reference_arrays.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("tokens").alias("_ref_tokens"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("_ref_tokens").alias("_ref_tokens"),
+            F.count("*").alias("_nref"),
+        )
     )
     return test.join(ref, "doc_id", "left").mapInPandas(run, SCORE_SCHEMA)
 

@@ -74,7 +74,15 @@ def bm25_topk(
         F.count("*").cast("long").alias("N"),
         F.sum("dl").cast("long").alias("W"),
     )
-    qterms = ws.filter(F.col("doc_id") < n_queries).select(
+    # the n_queries LOWEST doc_ids (not `doc_id < n_queries` — corpora
+    # whose ids don't start at 0 must still yield n_queries queries);
+    # bounded orderBy().limit() collect, same contract as qv below
+    qids = [
+        r["doc_id"]
+        for r in docs.select("doc_id").orderBy("doc_id").limit(n_queries)
+        .collect()
+    ]
+    qterms = ws.filter(F.col("doc_id").isin(qids)).select(
         F.col("doc_id").alias("qid"),
         F.explode(
             F.expr(f"array_distinct(slice(ws, 1, {int(query_terms)}))")

@@ -29,7 +29,8 @@ import pandas as pd
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 from dtaianomaly_spark.kernels import detectors as KD
@@ -378,7 +379,10 @@ CUSUM_SCORE_SCHEMA = StructType(
         StructField("doc_id", StringType(), False),
         StructField("pos", LongType(), False),
         StructField("cusum", LongType(), False),
-        StructField("alarm", LongType(), False),
+        # IntegerType to match the batch twin exactly (cusum_scores casts
+        # alarm to int) — a lambda-architecture unionByName of both
+        # outputs must not hit an int-vs-bigint schema conflict
+        StructField("alarm", IntegerType(), False),
     ]
 )
 
@@ -437,7 +441,7 @@ def _make_cusum_update(k: int, h: int, ttl_ms: int | None):
                     "doc_id": np.repeat(doc_id, s.shape[0]),
                     "pos": poss,
                     "cusum": s,
-                    "alarm": (s > h).astype(np.int64),
+                    "alarm": (s > h).astype(np.int32),
                 }
             )
         else:

@@ -174,6 +174,11 @@ def series_plot_frame(scored_truth, doc_id, max_points: int = 1_000_000):
             " downsample (e.g. PAA / SamplingRateUnderSampler) before"
             " plotting"
         )
+    if not rows:
+        raise KeyError(
+            f"no rows for doc_id={doc_id!r} in the scored frame —"
+            " check the series id"
+        )
     cols = rows[0].asDict().keys() if rows else []
     out = {}
     for c in cols:

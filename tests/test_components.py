@@ -346,7 +346,7 @@ def test_matrix_profile_novelty_fit_score_save_load(spark, tmp_path):
 
 
 def test_matrix_profile_novelty_join_equals_dict(spark):
-    """The distributed cogroup novelty join (no driver collect, no
+    """The distributed equi-join novelty form (no driver collect, no
     broadcast reference dict) returns EXACTLY the dict form's scores —
     for int and auto window sizes, and for k>1 / aamp variants."""
     from pyspark.sql import functions as F
@@ -428,3 +428,19 @@ def test_matrix_profile_novelty_single_reference_broadcast(spark):
         expect = KW.reverse_sliding_window(prof, 16, 1, x.shape[0])
         out = np.array([got[str(r["doc_id"])][p] for p in range(x.shape[0])])
         assert np.allclose(out, expect, atol=1e-8)
+
+
+def test_matrix_profile_novelty_join_duplicate_reference_raises(spark):
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators import detectors as DET
+
+    arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) < 3")
+    ref = arrays.select(
+        "doc_id",
+        F.expr("slice(tokens, 1, 32)").alias("tokens"),
+        F.lit(32).alias("n_tok"),
+    )
+    dup_ref = ref.unionByName(ref.filter("CAST(doc_id AS BIGINT) = 1"))
+    with pytest.raises(Exception, match="reference series"):
+        DET.matrix_profile_novelty_scores_join(arrays, dup_ref, 16).count()

@@ -504,3 +504,19 @@ def test_bm25_topk_invariants(spark):
         qset = set(texts[qid][:5])
         for r in rows:
             assert qset & set(texts[r["doc_id"]]), (qid, r["doc_id"])
+
+
+def test_bm25_uses_lowest_doc_ids_not_literal_range(spark):
+    """Queries are the n_queries LOWEST doc_ids — a corpus whose ids
+    start at 1000 still yields full results."""
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.pipelines import retrieval as RET
+
+    docs = _docs(spark).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    got = RET.bm25_topk(docs, n_queries=3, query_terms=5, k=5).collect()
+    qids = {r["qid"] for r in got}
+    assert qids == {1000, 1001, 1002}
+    assert all(r["doc_id"] >= 1000 for r in got)

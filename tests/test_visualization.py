@@ -116,3 +116,15 @@ def test_series_plot_frame_bridge(spark):
     assert np.array_equal(out["pos"], np.arange(n))  # pos-ordered
     with pytest.raises(ValueError, match="max_points"):
         V.series_plot_frame(lf, 1, max_points=10)
+
+
+def test_series_plot_frame_unknown_doc_raises(spark):
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.sources import corpus as C
+
+    lf = C.token_long_form(spark, "/root/testdata/sf0.001").filter(
+        "CAST(doc_id AS BIGINT) < 2"
+    ).select("doc_id", "pos", F.col("value").cast("double").alias("score"))
+    with pytest.raises(KeyError, match="no rows"):
+        V.series_plot_frame(lf, 999999)
