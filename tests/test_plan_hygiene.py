@@ -43,8 +43,10 @@ EXCHANGE_BOUNDS = [
                                    # (doc_id, pos) partition order
     ("pp_sax", 2),                 # segment agg + series agg, join
                                    # co-partitioned on doc_id
-    ("det_matrix_profile_novelty", 2),  # equi-join of the two series
-                                        # tables, then map-only scoring
+    ("det_matrix_profile_novelty", 3),  # equi-join of the two series
+                                        # tables (+1 for the duplicate-
+                                        # reference guard aggregate),
+                                        # then map-only scoring
 ]
 
 
