@@ -243,6 +243,16 @@ def _q_det_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DET.cusum_scores(_spark_long_form(spark, sf_dir), 60, 300)
 
 
+def _q_pp_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (period 32, centered
+    33-point trend MA): trend/seasonal/remainder per position, edges
+    NULL per the textbook convention; float components from shared
+    IEEE formulas + sorted folds — bit-exact vs the oracle."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return PP.classical_decompose(_spark_long_form(spark, sf_dir), 32)
+
+
 def _q_pp_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization (Lin et al. 2003, alphabet 4, 32-pos segments):
     series-z-normalized segment means quantized at Gaussian equiprobable
@@ -1212,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bm25_topk": _q_tx_bm25_topk,
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,
+        "pp_decompose": _q_pp_decompose,
         "tx_source_drift": _q_tx_source_drift,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,
@@ -1411,6 +1422,46 @@ z AS (
     FROM seg_agg g JOIN sstats s ON g.doc_id = s.doc_id
 )
 SELECT doc_id, seg, seg_cnt, CAST({SAX_SYMBOL_SQL} AS INT) AS symbol FROM z
+"""
+
+    # classical decomposition: trend from integer window sums, seasonal
+    # phase means and the re-centering mean as sorted float folds
+    decompose = f"""
+{C.TOKEN_SQL_CTE},
+st AS (
+    SELECT doc_id, pos, value, pos % 32 AS phase,
+           CAST(COUNT(value) OVER w AS BIGINT) AS cnt,
+           CAST(SUM(value) OVER w AS BIGINT) AS sum
+    FROM long_form
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 16 PRECEDING AND 16 FOLLOWING)
+),
+tr AS (
+    SELECT doc_id, pos, value, phase,
+           CASE WHEN cnt = 33 THEN {_MEAN} ELSE NULL END AS trend
+    FROM st
+),
+dt AS (SELECT *, CAST(value AS DOUBLE) - trend AS detr FROM tr),
+pm AS (
+    SELECT doc_id, phase,
+           list_reduce(list(detr ORDER BY pos), (a, b) -> a + b) AS _psum,
+           CAST(COUNT(*) AS BIGINT) AS _pcnt
+    FROM dt WHERE detr IS NOT NULL GROUP BY doc_id, phase
+),
+pr AS (SELECT doc_id, phase, _psum / _pcnt AS _praw FROM pm),
+ct AS (
+    SELECT doc_id,
+           list_reduce(list(_praw ORDER BY phase), (a, b) -> a + b)
+               / COUNT(*) AS _center
+    FROM pr GROUP BY doc_id
+),
+sz AS (
+    SELECT pr.doc_id, pr.phase, _praw - _center AS seasonal
+    FROM pr JOIN ct ON pr.doc_id = ct.doc_id
+)
+SELECT dt.doc_id, dt.pos, dt.value, dt.trend, sz.seasonal,
+       CAST(dt.value AS DOUBLE) - dt.trend - sz.seasonal AS remainder
+FROM dt LEFT JOIN sz ON dt.doc_id = sz.doc_id AND dt.phase = sz.phase
 """
 
     _F1 = ("CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 "
@@ -3302,6 +3353,7 @@ FROM agg
         "tx_bm25_topk": tx_bm25_topk,
         "det_cusum": cusum,
         "pp_sax": sax,
+        "pp_decompose": decompose,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,

@@ -279,6 +279,88 @@ def sax_symbols(long_form: DataFrame, seg_len: int = 32) -> DataFrame:
     )
 
 
+def classical_decompose(
+    long_form: DataFrame, period: int, half_window: int | None = None
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931 / the 'classical decomposition' of
+    forecasting textbooks): per series,
+
+    * trend_t   = centered moving average over 2k+1 points (k defaults
+      to period//2), defined only where the FULL window exists (NULL at
+      the edges — the textbook convention),
+    * seasonal_p = mean of the detrended values at phase p = pos % period
+      (re-centered so the seasonal component sums to ~0 over a period),
+    * remainder_t = value - trend_t - seasonal_{pos % period}.
+
+    Everything is relational and oracle-exact: the trend is one shared
+    float formula over integer window sums; the seasonal phase mean and
+    the re-centering mean are DETERMINISTIC SORTED FOLDS over the float
+    detrended values (float addition is not associative — a plain SUM
+    would not reproduce across engines). Output:
+    (doc_id, pos, value, trend, seasonal, remainder).
+
+    Scale shape: one window pass + two doc-level aggregates, all keyed
+    on doc_id — the rollup tier's partitioning, reused."""
+    k = period // 2 if half_window is None else half_window
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-k, k)
+    full = 2 * k + 1
+    trended = long_form.select(
+        "doc_id", "pos", "value",
+        F.expr(f"pos % {int(period)}").alias("phase"),
+        F.count("value").over(w).alias("cnt"),
+        F.sum("value").over(w).alias("sum"),
+    ).select(
+        "doc_id", "pos", "value", "phase",
+        F.expr(
+            f"CASE WHEN cnt = {full} THEN {MEAN_SQL} ELSE NULL END"
+        ).alias("trend"),
+    ).withColumn(
+        "detr", F.expr("CAST(value AS DOUBLE) - trend")
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(pos, detr))),"
+        " s -> s.detr), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    phase_means = (
+        trended.filter(F.col("detr").isNotNull())
+        .groupBy("doc_id", "phase")
+        .agg(
+            F.expr(fold).alias("_psum"),
+            F.count("*").cast("long").alias("_pcnt"),
+        )
+        .select(
+            "doc_id", "phase",
+            F.expr("_psum / _pcnt").alias("_praw"),
+        )
+    )
+    centers = (
+        phase_means.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(phase,"
+                " _praw))), s -> s._praw), CAST(0 AS DOUBLE),"
+                " (a, x) -> a + x)"
+            ).alias("_csum"),
+            F.count("*").cast("long").alias("_ccnt"),
+        )
+        .select("doc_id", F.expr("_csum / _ccnt").alias("_center"))
+    )
+    seasonal = phase_means.join(centers, "doc_id").select(
+        "doc_id", "phase", F.expr("_praw - _center").alias("seasonal")
+    )
+    return (
+        trended.join(seasonal, ["doc_id", "phase"], "left")
+        .select(
+            "doc_id", "pos", "value", "trend",
+            "seasonal",
+            F.expr("CAST(value AS DOUBLE) - trend - seasonal").alias(
+                "remainder"
+            ),
+        )
+    )
+
+
 def ema(arrays: DataFrame, alpha: float) -> DataFrame:
     """Exponential moving average per series — inherently sequential, so
     it runs as the shared NumPy kernel (log2(n) affine-scan) inside one

@@ -141,3 +141,38 @@ class TestUndersample:
         idx = P.undersample_indices(10, 4)
         assert np.array_equal(idx, [0, 3, 6, 9])
         assert np.array_equal(P.undersample_indices(5, 10), np.arange(5))
+
+
+def test_classical_decompose_recovers_planted_seasonality(spark):
+    """A pure trend+seasonal series (no noise) decomposes back to its
+    components: away from the edges, trend matches the linear ramp and
+    seasonal recovers the planted per-phase offsets up to the fold
+    centering; remainder is ~0."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators.preprocessing import classical_decompose
+
+    period, n = 8, 160
+    season = np.array([40, -10, 0, 30, -40, 10, 0, -30])  # sums to 0
+    rows = []
+    for p in range(n):
+        rows.append(("s", p, int(3 * p + season[p % period])))
+    lf = spark.createDataFrame(rows, "doc_id string, pos long, value long")
+    out = {
+        r["pos"]: r
+        for r in classical_decompose(lf, period).collect()
+    }
+    assert len(out) == n
+    k = period // 2
+    for p in range(n):
+        r = out[p]
+        if p < k or p >= n - k:
+            assert r["trend"] is None and r["remainder"] is None
+        else:
+            # centered MA of linear trend = the trend itself; the planted
+            # seasonal has a small MA leakage (window 2k+1 covers the
+            # period once + 1 extra point), so allow its magnitude
+            assert abs(r["trend"] - 3 * p) <= 40 / (2 * k + 1) + 1e-9
+            assert abs(r["remainder"]) < 6.0, (p, r)
+            assert abs(r["seasonal"] - season[p % period]) < 6.0
