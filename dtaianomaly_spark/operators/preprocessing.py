@@ -230,9 +230,12 @@ def paa(long_form: DataFrame, n_frames: int) -> DataFrame:
 # breakpoints, i.e. the standard-normal quartiles ±0.6745 and 0). The
 # breakpoint constant is spelled as an integer RATIO so both engines
 # build the identical correctly-rounded double — shared verbatim with
-# the DuckDB oracle.
+# the DuckDB oracle. A constant series (std = 0) maps to symbol 2,
+# agreeing with the z -> 0 limit of the breakpoint CASE (z < 0 false,
+# z < 0.6745 true), so an infinitesimal perturbation cannot flip the
+# symbol.
 SAX_SYMBOL_SQL = (
-    "CASE WHEN std = CAST(0 AS DOUBLE) THEN 1 "
+    "CASE WHEN std = CAST(0 AS DOUBLE) THEN 2 "
     "WHEN z < CAST(0 AS DOUBLE) - CAST(6745 AS DOUBLE) / 10000 THEN 0 "
     "WHEN z < CAST(0 AS DOUBLE) THEN 1 "
     "WHEN z < CAST(6745 AS DOUBLE) / 10000 THEN 2 "

@@ -118,6 +118,15 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             f" compression={compression}); compressed image formats need"
             " a codec library not present in this environment"
         )
+    if w <= 0:
+        raise ValueError(f"corrupt BMP header: width={w} (must be > 0)")
+    if h_signed == 0:
+        raise ValueError("corrupt BMP header: height=0")
+    if data_offset < _BMP_OFFSET:
+        raise ValueError(
+            f"corrupt BMP header: data_offset={data_offset} points inside"
+            f" the {_BMP_OFFSET}-byte headers"
+        )
     h = abs(h_signed)
     stride = (w * 3 + 3) // 4 * 4
     end = data_offset + stride * h

@@ -333,10 +333,21 @@ def test_streamed_cusum_equals_batch_operator(spark, tmp_path):
 
     src = str(tmp_path / "cu_src")
     bounds = np.linspace(0, 160, 5).astype(int)
-    for lo, hi in zip(bounds, bounds[1:]):
+    seen: set = set()
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
         lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        # The file stream orders by modification time; on a fast
+        # filesystem consecutive chunks can tie on mtime and be
+        # delivered out of pos order, tripping the contiguity guard.
+        # Stamp each chunk's files with strictly increasing mtimes.
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base, base))
+                seen.add(p)
     stream = (
         spark.readStream.schema(lf.schema)
         .option("maxFilesPerTrigger", 1)
