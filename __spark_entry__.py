@@ -2206,32 +2206,57 @@ ranked AS (
 SELECT qid, rnk, doc_id, score FROM ranked WHERE rnk <= 10
 """
 
-    from dtaianomaly_spark.pipelines.text import CHI2_CONTRIB_SQL
+    from dtaianomaly_spark.pipelines.text import (
+        CHI2_CONTRIB_SQL, DRIFT_ABSENT_SQL, N_DRIFT_BUCKETS,
+    )
 
+    # Mirrors the scale-safe plan exactly: PRESENT (source, word) cells
+    # only, absent-cell mass in closed form, and the two-level
+    # deterministic fold (sorted by word within md5 hash buckets, then
+    # by bucket) — every float op shares its formula text with Spark.
     tx_source_drift = f"""
 WITH words AS (
     SELECT source, UNNEST(string_split(text, ' ')) AS word FROM documents
 ),
 sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS o
        FROM words GROUP BY source, word),
-vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
-          FROM words GROUP BY word),
-totals AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS st
-           FROM words GROUP BY source),
-grand AS (SELECT CAST(COUNT(*) AS BIGINT) AS ct FROM words),
-cells AS (
-    SELECT t.source, v.word, t.st, v.cw, g.ct,
-           CAST(COALESCE(s.o, 0) AS BIGINT) AS o
-    FROM totals t CROSS JOIN vocab v CROSS JOIN grand g
-    LEFT JOIN sw s ON s.source = t.source AND s.word = v.word
+vocab AS (SELECT word, CAST(SUM(o) AS BIGINT) AS cw
+          FROM sw GROUP BY word),
+totals AS (SELECT source, CAST(SUM(o) AS BIGINT) AS st
+           FROM sw GROUP BY source),
+grand AS (SELECT CAST(SUM(cw) AS BIGINT) AS ct,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab FROM vocab),
+present AS (
+    SELECT s.source, s.word, s.o, v.cw, t.st, g.ct,
+           ('0x' || substr(md5(s.word), 1, 15))::BIGINT
+               % {N_DRIFT_BUCKETS} AS bucket
+    FROM sw s JOIN vocab v ON s.word = v.word
+    JOIN totals t ON t.source = s.source
+    CROSS JOIN grand g
 ),
 contribs AS (
-    SELECT source, word, st, {CHI2_CONTRIB_SQL} AS contrib FROM cells
+    SELECT source, bucket, word, cw, st,
+           {CHI2_CONTRIB_SQL} AS contrib
+    FROM present
+),
+by_bucket AS (
+    SELECT source, bucket,
+           list_reduce(list(contrib ORDER BY word), (a, x) -> a + x)
+               AS part,
+           CAST(SUM(cw) AS BIGINT) AS pcw_b,
+           MAX(st) AS st
+    FROM contribs GROUP BY source, bucket
+),
+per_source AS (
+    SELECT source, MAX(st) AS st, CAST(SUM(pcw_b) AS BIGINT) AS pcw,
+           list_reduce(list(part ORDER BY bucket), (a, x) -> a + x)
+               AS present_chi2
+    FROM by_bucket GROUP BY source
 )
-SELECT source, CAST(MAX(st) AS BIGINT) AS n_tokens,
-       CAST(COUNT(*) AS BIGINT) AS n_cells,
-       list_reduce(list(contrib ORDER BY word), (a, b) -> a + b) AS chi2
-FROM contribs GROUP BY source
+SELECT p.source, CAST(p.st AS BIGINT) AS n_tokens,
+       g.n_vocab AS n_cells,
+       p.present_chi2 + {DRIFT_ABSENT_SQL} AS chi2
+FROM per_source p CROSS JOIN grand g
 """
 
     tx_dup_ngram_rate = f"""

@@ -628,6 +628,33 @@ CHI2_CONTRIB_SQL = (
     " / (CAST(st AS DOUBLE) * cw / ct)"
 )
 
+# Closed-form mass of every ABSENT (source, word) cell: with o = 0 the
+# contribution (0-e)^2/e collapses to e = st*cw/ct, and summing over the
+# absent vocabulary gives (st/ct) * sum_absent(cw) where
+# sum_absent(cw) = ct - pcw (pcw = integer sum of corpus counts of the
+# words PRESENT in the source). Integer subtraction, then one shared
+# IEEE multiply/divide — no per-absent-cell rows anywhere.
+DRIFT_ABSENT_SQL = (
+    "(CAST(st AS DOUBLE) * CAST(ct - pcw AS DOUBLE)) / CAST(ct AS DOUBLE)"
+)
+
+# Fixed word-hash bucket for the two-level deterministic fold, portable
+# across engines (md5 hex prefix; DuckDB spells the same 60-bit integer
+# as ('0x' || substr(md5(word), 1, 15))::BIGINT).
+N_DRIFT_BUCKETS = 64
+DRIFT_BUCKET_SQL = (
+    "CAST(conv(substr(md5(word), 1, 15), 16, 10) AS BIGINT)"
+    f" % {N_DRIFT_BUCKETS}"
+)
+
+# Deterministic sorted fold of (key, x) structs — 0.0 + x1 == x1 for the
+# non-negative chi-square terms, so this is bit-equal to DuckDB's
+# list_reduce(list(x ORDER BY key), (a, b) -> a + b).
+_SORTED_FOLD = (
+    "aggregate(transform(array_sort(collect_list(struct({key}, {x}))),"
+    " s -> s.{x}), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+)
+
 
 def source_drift(docs: DataFrame) -> DataFrame:
     """Per-source unigram distribution drift: Pearson's chi-square
@@ -635,45 +662,68 @@ def source_drift(docs: DataFrame) -> DataFrame:
     distribution — the monitoring number behind "did source X's content
     shift this snapshot" in a mixture pipeline. Cells span the FULL
     corpus vocabulary per source (absent words contribute (0-e)²/e, as
-    chi-square requires), expected counts from integer aggregates, and
-    the per-source sum folds cells in sorted word order — so the float
-    statistic is bit-reproducible against a SQL oracle.
+    chi-square requires), but absent cells are never materialized: their
+    total mass has the closed form (st/ct)·(ct − pcw) from two integer
+    aggregates (``DRIFT_ABSENT_SQL``), so the plan touches only PRESENT
+    (source, word) cells. The float statistic stays bit-reproducible
+    against a SQL oracle via a two-level deterministic fold: cells fold
+    in sorted word order within fixed md5 word-hash buckets
+    (``N_DRIFT_BUCKETS``), then the ≤``N_DRIFT_BUCKETS`` bucket partials
+    fold in bucket order, and the absent-cell mass is added last — every
+    float op a single shared formula.
 
-    Output: (source, n_tokens, n_cells, chi2); dof = n_cells - 1.
+    Output: (source, n_tokens, n_cells, chi2); dof = n_cells - 1
+    (n_cells = corpus vocabulary size, as chi-square requires).
 
-    Scale shape: word counts are map-side-combined aggregates; the
-    source x vocab grid is |sources| * |vocab| rows (a broadcast of the
-    per-source totals against the vocab table), linear in vocabulary —
-    never in corpus size."""
+    Scale shape: ONE corpus-wide (source, word) hash aggregate (map-side
+    combined; its exchange is reused by every derived branch); vocab /
+    per-source totals / the grand scalar all fold those cells, never the
+    corpus. No |sources|×|vocab| grid, no |vocab|-sized collect_list row
+    — the largest single collected list is one source's share of one
+    hash bucket (~|vocab per source| / N_DRIFT_BUCKETS). Raising
+    ``N_DRIFT_BUCKETS`` bounds that list at any vocabulary size; the
+    bucket count participates in the fold grouping, so it is part of
+    the reproducibility contract — pick it once per deployment."""
     words = docs.select(
         "source", F.explode(F.expr("split(text, ' ')")).alias("word")
     )
+    # The one corpus-sized stage. Checkpointing it (lazily — no job at
+    # construction time) makes every derived branch (vocab, totals,
+    # grand, the present-cell join) read the materialized cell table
+    # instead of re-scanning and re-shuffling the corpus per branch.
     sw = words.groupBy("source", "word").agg(
         F.count("*").cast("long").alias("o")
+    ).localCheckpoint(eager=False)
+    vocab = sw.groupBy("word").agg(F.sum("o").cast("long").alias("cw"))
+    totals = sw.groupBy("source").agg(F.sum("o").cast("long").alias("st"))
+    grand = vocab.agg(
+        F.sum("cw").cast("long").alias("ct"),
+        F.count("*").cast("long").alias("n_vocab"),
     )
-    vocab = words.groupBy("word").agg(F.count("*").cast("long").alias("cw"))
-    totals = words.groupBy("source").agg(
-        F.count("*").cast("long").alias("st")
-    )
-    grand = words.agg(F.count("*").cast("long").alias("ct"))
-    cells = (
-        F.broadcast(totals).crossJoin(vocab)
-        .join(sw, ["source", "word"], "left")
+    present = (
+        sw.join(vocab, "word")
+        .join(F.broadcast(totals), "source")
         .crossJoin(F.broadcast(grand))
-        .select(
-            "source", "word", "st", "cw", "ct",
-            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
-        )
         .withColumn("contrib", F.expr(CHI2_CONTRIB_SQL))
+        .withColumn("bucket", F.expr(DRIFT_BUCKET_SQL))
     )
-    return cells.groupBy("source").agg(
-        F.max("st").alias("n_tokens"),
-        F.count("*").cast("long").alias("n_cells"),
-        F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(word,"
-            " contrib))), s -> s.contrib), CAST(0 AS DOUBLE),"
-            " (a, x) -> a + x)"
-        ).alias("chi2"),
+    by_bucket = present.groupBy("source", "bucket").agg(
+        F.expr(_SORTED_FOLD.format(key="word", x="contrib")).alias("part"),
+        F.sum("cw").cast("long").alias("pcw_b"),
+        F.max("st").alias("st"),
+    )
+    per_source = by_bucket.groupBy("source").agg(
+        F.max("st").alias("st"),
+        F.sum("pcw_b").cast("long").alias("pcw"),
+        F.expr(_SORTED_FOLD.format(key="bucket", x="part")).alias(
+            "present_chi2"
+        ),
+    )
+    return per_source.crossJoin(F.broadcast(grand)).select(
+        "source",
+        F.col("st").alias("n_tokens"),
+        F.col("n_vocab").alias("n_cells"),
+        F.expr(f"present_chi2 + {DRIFT_ABSENT_SQL}").alias("chi2"),
     )
 
 

@@ -47,7 +47,28 @@ EXCHANGE_BOUNDS = [
                                         # tables (+1 for the duplicate-
                                         # reference guard aggregate),
                                         # then map-only scoring
+    ("tx_source_drift", 8),       # ONE corpus scan+shuffle (checkpointed
+                                  # (source,word) cells shared by every
+                                  # branch); the rest fold those cells
 ]
+
+
+def test_source_drift_no_vocab_grid(spark):
+    """The scale-safety contract of the r5 source_drift rewrite: no
+    |sources|x|vocab| grid (the vocab side is never under a nested-loop
+    join — the only cross joins broadcast the 1-row grand scalar), no
+    corpus re-scan per branch (the (source, word) cell table is
+    checkpointed once), and absent cells never materialize (present
+    cells enter an INNER join, never a right/outer over vocab)."""
+    df = E.queries()["tx_source_drift"](spark, SF_DIR)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    # every BroadcastNestedLoopJoin is a scalar cross join (grand):
+    # the vocab table reaches the plan only through hash joins.
+    assert len(re.findall(r"BroadcastNestedLoopJoin", tree)) <= 2
+    assert "Outer" not in tree  # no absent-cell (outer-join) expansion
+    # single materialized cell table, zero parquet re-scans per branch
+    assert len(re.findall(r"Scan parquet", tree)) == 0
 
 
 def _plan(df):
