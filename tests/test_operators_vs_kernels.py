@@ -15,6 +15,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dtaianomaly_spark.kernels import detectors as KD
 from dtaianomaly_spark.kernels import windowing as KW
 from dtaianomaly_spark.kernels import preprocessing as KP
 from dtaianomaly_spark.sources import corpus as C
@@ -176,3 +177,55 @@ def test_cusum_equals_naive_recurrence(spark):
         for pos in sorted(vals):
             s = max(0, s + vals[pos] - 60)
             assert got[doc_id][pos] == (s, int(s > 300)), (doc_id, pos)
+
+
+def test_motif_discord_from_shared_stage_equal_standalone(spark):
+    """The persisted (profile, nn) stage both reports derive from must
+    change nothing: motif/discord extracted from one
+    matrix_profile_pair_stage equal the standalone operators AND the
+    direct kernel extraction on each series."""
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators import detectors as DET
+
+    docs = (
+        C.token_arrays(spark, "/root/testdata/sf0.001")
+        .filter(F.expr("CAST(doc_id AS BIGINT) < 6"))
+    )
+    w, k = 32, 3
+    stage = DET.matrix_profile_pair_stage(docs, w).persist()
+    try:
+        got_m = {
+            (r["doc_id"], r["rank"]): (r["idx_a"], r["idx_b"], r["dist"])
+            for r in DET.motif_topk_from_stage(stage, w, k).collect()
+        }
+        got_d = {
+            (r["doc_id"], r["rank"]): (r["idx"], r["dist"])
+            for r in DET.discord_topk_from_stage(stage, w, k).collect()
+        }
+        alone_m = {
+            (r["doc_id"], r["rank"]): (r["idx_a"], r["idx_b"], r["dist"])
+            for r in DET.motif_topk(docs, w, k).collect()
+        }
+        alone_d = {
+            (r["doc_id"], r["rank"]): (r["idx"], r["dist"])
+            for r in DET.discord_topk(docs, w, k).collect()
+        }
+        assert got_m == alone_m and got_m
+        assert got_d == alone_d and got_d
+        # and both agree with the kernel run directly on each series
+        excl = int(np.ceil(w / 4))
+        for row in docs.collect():
+            did = str(row["doc_id"])  # the stage casts doc_id to string
+            x = np.asarray(row["tokens"], dtype=np.float64)
+            prof, nn = KD.matrix_profile_pair_index(x, w)
+            for r, (a, b, d) in enumerate(
+                KD.top_motifs(prof, nn, k, excl), start=1
+            ):
+                assert got_m[(did, r)] == (a, b, d)
+            for r, (i, d) in enumerate(
+                KD.top_discords(prof, k, excl), start=1
+            ):
+                assert got_d[(did, r)] == (i, d)
+    finally:
+        stage.unpersist()
