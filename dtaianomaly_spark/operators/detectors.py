@@ -182,54 +182,20 @@ def matrix_profile_scores_mv(
     return _score_map(arrays_mv, per_series)
 
 
-def collect_reference_arrays(
-    arrays: DataFrame, max_points: int = 20_000_000
-) -> dict:
-    """Driver-side collect of a reference corpus for novelty AB-joins:
-    ``{doc_id(str): np.ndarray (n,) or (n, d)}``. The reference detector
-    pickles its whole train series as ``X_reference_``
-    (MatrixProfileDetector.py:116-119); the distributed analog stores one
-    reference series PER doc_id and broadcasts the dict in the task
-    closure. Guarded by a cheap aggregate so an oversized corpus fails
-    fast with a clear message instead of OOMing the driver; the guard
-    counts VALUES, not timesteps — a (n, d) multivariate reference
-    weighs d-fold."""
-    from pyspark.sql.types import ArrayType
-
-    if isinstance(arrays.schema["tokens"].dataType.elementType, ArrayType):
-        size_expr = "aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + size(x))"
-    else:
-        size_expr = "CAST(size(tokens) AS BIGINT)"
-    total = (
-        arrays.agg(F.sum(F.expr(size_expr)).alias("t")).collect()[0]["t"] or 0
-    )
-    if total > max_points:
-        raise ValueError(
-            f"novelty reference corpus holds {total} points"
-            f" (> max_points={max_points}); fit on a bounded reference"
-            " split — the broadcast reference must fit executor memory"
-        )
-    out = {}
-    for r in arrays.select(
-        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
-    ).collect():
-        tokens = r["tokens"]
-        if len(tokens) and isinstance(tokens[0], (list, np.ndarray)):
-            out[r["doc_id"]] = np.asarray(list(tokens), dtype=np.float64)
-        else:
-            out[r["doc_id"]] = np.asarray(tokens, dtype=np.float64)
-    return out
-
-
 def matrix_profile_novelty_scores(
     arrays: DataFrame, reference: dict, window_size,
     normalize: bool = True, p: float = 2.0, k: int = 1,
 ) -> DataFrame:
-    """Novelty (AB-join) matrix-profile scores: each test series joins
-    against ITS OWN reference series (same doc_id) from the broadcast
-    reference dict — the per-series reading of the reference's
+    """Novelty (AB-join) matrix-profile scores from a CALLER-PROVIDED
+    reference dict ``{doc_id: np.ndarray}`` broadcast in the task
+    closure: each test series joins against ITS OWN reference series
+    (same doc_id) — the per-series reading of the reference's
     ``novelty=True`` fit-then-score contract
-    (MatrixProfileDetector.py:122-168). An auto window mode ('fft'/...)
+    (MatrixProfileDetector.py:122-168). Use this form only when the
+    reference is already a small in-memory dict; every distributed
+    caller (the workflow component, the driver query) uses
+    :func:`matrix_profile_novelty_scores_join`, which this form serves
+    as the equivalence oracle for. An auto window mode ('fft'/...)
     resolves per series from the REFERENCE series, mirroring the
     reference's compute-at-fit.
 

@@ -475,9 +475,11 @@ class MatrixProfileDetector(SparkDetector):
     * ``p`` — the norm (non-normalized family only, as stumpy).
     * ``k`` — the k-th nearest-neighbor distance (stump's ``[:, k-1]``).
     * ``novelty`` — AB-join against the fitted reference corpus: ``fit``
-      collects a bounded per-doc_id reference dict (the distributed
-      analog of the reference pickling ``X_reference_``), broadcast in
-      the scoring closure; each test series joins its own reference.
+      WRITES the reference split to parquet (the distributed analog of
+      the reference pickling ``X_reference_`` — never a driver collect),
+      and scoring equi-joins each test series with its own reference
+      row (``matrix_profile_novelty_scores_join``). A one-series
+      reference scores every test series, the reference's own shape.
 
     Self-join mode is stateless; an auto window mode resolves PER SERIES
     inside the Arrow pass (the faithful distributed reading of the
@@ -511,17 +513,69 @@ class MatrixProfileDetector(SparkDetector):
 
     def fit(self, arrays: DataFrame, y=None) -> "MatrixProfileDetector":
         if self.novelty:
-            self.reference_ = DET.collect_reference_arrays(arrays)
+            # Distributed fit state: the reference corpus is WRITTEN to
+            # parquet, never collected to the driver — the fitted model
+            # pickles as a pointer + params (instances never hold
+            # DataFrames), and reference corpora scale with executors
+            # exactly like test corpora. ``save()`` copies the parquet
+            # next to the ``.dtai`` so a saved model stays durable.
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            path = tempfile.mkdtemp(prefix="dtai_mp_novelty_ref_")
+            ref = arrays.select(
+                F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+            )
+            ref.write.mode("overwrite").parquet(path)
+            self.reference_path_ = path
+            # one metadata-cheap count decides the single-reference
+            # broadcast shape at scoring time (the reference's own
+            # pickled-X_reference_ contract)
+            self.n_reference_ = arrays.sparkSession.read.parquet(
+                path
+            ).count()
         return self
+
+    def save(self, path: Union[str, Path]) -> None:
+        """Besides the ``.dtai`` pickle, a novelty-fitted detector copies
+        its reference parquet next to the pickle (``<path>.ref``) so the
+        saved model is durable — the pickle itself stays a pointer."""
+        if self.novelty and hasattr(self, "reference_path_"):
+            import shutil
+
+            base = str(path)
+            if Path(base).suffix == ".dtai":
+                base = base[: -len(".dtai")]
+            target = f"{base}.ref"
+            if os.path.abspath(target) != os.path.abspath(
+                self.reference_path_
+            ):
+                shutil.copytree(
+                    self.reference_path_, target, dirs_exist_ok=True
+                )
+                self.reference_path_ = target
+        super().save(path)
 
     def decision_function(self, arrays: DataFrame) -> DataFrame:
         if self.novelty:
-            if not hasattr(self, "reference_"):
+            if not hasattr(self, "reference_path_"):
                 raise NotFittedError(
                     "MatrixProfileDetector(novelty=True) is not fitted"
                 )
-            return DET.matrix_profile_novelty_scores(
-                arrays, self.reference_, self.window_size,
+            from pyspark.sql import functions as F
+
+            ref = arrays.sparkSession.read.parquet(self.reference_path_)
+            if self.n_reference_ == 1:
+                # one reference series scores EVERY test series (the
+                # reference pickles a single X_reference_ and joins any
+                # test series against it): key the broadcast single row
+                # to each test doc_id, then reuse the same join path.
+                ref = arrays.select(
+                    F.col("doc_id").cast("string").alias("doc_id")
+                ).distinct().crossJoin(F.broadcast(ref.select("tokens")))
+            return DET.matrix_profile_novelty_scores_join(
+                arrays, ref, self.window_size,
                 normalize=self.normalize, p=self.p, k=self.k,
             )
         if isinstance(self.window_size, int):

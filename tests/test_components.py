@@ -302,9 +302,10 @@ def test_matrix_profile_params_route_to_kernel(spark):
 
 
 def test_matrix_profile_novelty_fit_score_save_load(spark, tmp_path):
-    """novelty=True: fit collects the per-series reference, scoring is the
-    AB-join against each series' own reference, save/load reproduces
-    scores, and scoring before fit raises."""
+    """novelty=True: fit WRITES the per-series reference to parquet (no
+    driver collect), scoring is the distributed equi-join against each
+    series' own reference, save/load reproduces scores (the reference
+    parquet travels next to the .dtai), and scoring before fit raises."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -349,6 +350,7 @@ def test_matrix_profile_novelty_join_equals_dict(spark):
     """The distributed equi-join novelty form (no driver collect, no
     broadcast reference dict) returns EXACTLY the dict form's scores —
     for int and auto window sizes, and for k>1 / aamp variants."""
+    import numpy as np
     from pyspark.sql import functions as F
 
     from dtaianomaly_spark.operators import detectors as DET
@@ -359,7 +361,12 @@ def test_matrix_profile_novelty_join_equals_dict(spark):
         F.expr("slice(tokens, 1, CAST(n_tok / 2 AS INT))").alias("tokens"),
         F.expr("CAST(n_tok / 2 AS INT)").alias("n_tok"),
     )
-    reference = DET.collect_reference_arrays(ref)
+    # test-local collect: the dict form is kept as the equivalence
+    # oracle for the join path; product code never collects references
+    reference = {
+        str(r["doc_id"]): np.asarray(r["tokens"], dtype=np.float64)
+        for r in ref.collect()
+    }
     for kwargs in (
         {},
         {"normalize": False, "p": 1.0},
@@ -390,13 +397,6 @@ def test_matrix_profile_novelty_join_missing_reference_raises(spark):
     )
     with pytest.raises(Exception, match="no reference series"):
         DET.matrix_profile_novelty_scores_join(arrays, ref, 16).count()
-
-
-def test_matrix_profile_novelty_reference_size_guard(spark):
-    from dtaianomaly_spark.operators.detectors import collect_reference_arrays
-
-    with pytest.raises(ValueError, match="max_points"):
-        collect_reference_arrays(_arrays(spark), max_points=10)
 
 
 def test_matrix_profile_novelty_single_reference_broadcast(spark):
