@@ -50,56 +50,46 @@ BM25_CONTRIB_SQL = (
 )
 
 
-def bm25_topk(
+def bm25_topk_frame(
     docs: DataFrame,
-    n_queries: int = 8,
-    query_terms: int = 5,
+    queries: DataFrame,
     k: int = 10,
 ) -> DataFrame:
-    """Top-``k`` documents per query under the rational-idf BM25 score.
+    """Top-``k`` documents per query for an ARBITRARY query frame — the
+    real retrieval API. ``queries`` is any (qid, term) DataFrame: one
+    row per (query, term) pair, duplicate terms within a query are
+    deduplicated here (BM25 query-side weights are binary in this
+    engine, matching :func:`bm25_topk`).
 
-    Queries are derived deterministically from the corpus itself: the
-    ``n_queries`` lowest doc_ids contribute their first ``query_terms``
-    distinct words as the query bag (a stand-in for an external query
-    table — swap in any (qid, term) frame).
+    Fully lazy: building the result DataFrame triggers NO Spark jobs
+    (no driver collects anywhere — the query vocabulary reaches the
+    corpus word stream as a broadcast left-semi join, so plan audits
+    and lazy composition see the whole DAG).
 
-    Output: (qid, rank, doc_id, score) — rank 1..k per query, ties on
+    Physical shape at 100 TB: the corpus word stream is pruned to the
+    query vocabulary BEFORE any aggregation (broadcast semi-join — a
+    map-side hash probe, no shuffle), so tf/df are built over
+    query-term postings only, never the full corpus vocabulary; df
+    semantics are unchanged (docs containing the word), just computed
+    for the words that matter. Candidates come from the inverted-index
+    join of query terms against the pruned tf table; the 1-row corpus
+    scalar frame broadcasts; top-k is a per-qid window.
+
+    Output: (qid, rnk, doc_id, score) — rank 1..k per query, ties on
     score broken by doc_id for full determinism."""
-    ws = docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
-    words = ws.select(
-        "doc_id", F.explode("ws").alias("word")
+    words = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("word")
     )
     dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     scalars = dl.agg(
         F.count("*").cast("long").alias("N"),
         F.sum("dl").cast("long").alias("W"),
     )
-    # the n_queries LOWEST doc_ids (not `doc_id < n_queries` — corpora
-    # whose ids don't start at 0 must still yield n_queries queries);
-    # bounded orderBy().limit() collect, same contract as qv below
-    qids = [
-        r["doc_id"]
-        for r in docs.select("doc_id").orderBy("doc_id").limit(n_queries)
-        .collect()
-    ]
-    qterms = ws.filter(F.col("doc_id").isin(qids)).select(
-        F.col("doc_id").alias("qid"),
-        F.explode(
-            F.expr(f"array_distinct(slice(ws, 1, {int(query_terms)}))")
-        ).alias("word"),
-    )
-    # THE scale move: restrict the corpus word stream to the QUERY
-    # vocabulary BEFORE any aggregation — tf/df are then built over
-    # query-term postings only, never over the full corpus vocabulary.
-    # df semantics are unchanged (docs containing the word), just
-    # computed for the words that matter. The vocabulary is bounded by
-    # n_queries * query_terms, so collecting it to the driver and
-    # filtering with a literal IN list is a map-side predicate (the
-    # same bounded-collect contract as the driver-fit ANN centroids).
-    qv = [
-        r["word"] for r in qterms.select("word").distinct().collect()
-    ]
-    wq = words.filter(F.col("word").isin(qv))
+    qterms = queries.select(
+        "qid", F.col("term").alias("word")
+    ).distinct()
+    vocab = qterms.select("word").distinct()
+    wq = words.join(F.broadcast(vocab), "word", "left_semi")
     tf = wq.groupBy("doc_id", "word").agg(
         F.count("*").cast("long").alias("tf")
     )
@@ -131,3 +121,32 @@ def bm25_topk(
         )
         .filter(F.col("rnk") <= k)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 8,
+    query_terms: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Corpus-derived-query convenience wrapper over
+    :func:`bm25_topk_frame`: the ``n_queries`` LOWEST doc_ids (not
+    ``doc_id < n_queries`` — corpora whose ids don't start at 0 must
+    still yield n_queries queries) each contribute their first
+    ``query_terms`` distinct words as the query bag. The query docs are
+    selected with a lazy global ``orderBy().limit()`` (physical
+    TakeOrderedAndProject), so this wrapper, like the frame API, runs
+    NO Spark jobs at construction time."""
+    qdocs = docs.select("doc_id", "text").orderBy("doc_id").limit(
+        int(n_queries)
+    )
+    queries = qdocs.select(
+        F.col("doc_id").alias("qid"),
+        F.explode(
+            F.expr(
+                "array_distinct(slice(split(text, ' '), 1,"
+                f" {int(query_terms)}))"
+            )
+        ).alias("term"),
+    )
+    return bm25_topk_frame(docs, queries, k=k)

@@ -506,6 +506,85 @@ def test_bm25_topk_invariants(spark):
             assert qset & set(texts[r["doc_id"]]), (qid, r["doc_id"])
 
 
+def test_bm25_topk_frame_arbitrary_queries(spark):
+    """The frame API scores an ARBITRARY (qid, term) query frame —
+    string qids, non-prefix terms, duplicate terms deduplicated — and
+    matches an exact Python reimplementation of the rational-idf
+    formula (sorted-term fold, IEEE doubles) bit-for-bit."""
+    from dtaianomaly_spark.pipelines import retrieval as RET
+
+    docs = _docs(spark)
+    texts = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    # terms drawn from the MIDDLE of documents (never a prefix), one
+    # duplicated on purpose
+    q_rows = [
+        ("qa", texts[7][len(texts[7]) // 2]),
+        ("qa", texts[11][-1]),
+        ("qa", texts[7][len(texts[7]) // 2]),  # dup -> dedup
+        ("qb", texts[3][len(texts[3]) // 3]),
+    ]
+    queries = spark.createDataFrame(q_rows, "qid string, term string")
+    got = RET.bm25_topk_frame(docs, queries, k=5).collect()
+
+    # exact Python oracle with the same integer aggregates + formula
+    N = len(texts)
+    W = sum(len(t) for t in texts.values())
+    tf = {}
+    for d, t in texts.items():
+        for w in t:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {}
+    for (d, w), _ in tf.items():
+        df[w] = df.get(w, 0) + 1
+    qsets = {"qa": {q_rows[0][1], q_rows[1][1]}, "qb": {q_rows[3][1]}}
+    expect = {}
+    for qid, qset in qsets.items():
+        scored = []
+        for d, t in texts.items():
+            terms = sorted(w for w in qset if (d, w) in tf)
+            if not terms:
+                continue
+            s = 0.0
+            dl = len(t)
+            for w in terms:
+                c = (
+                    float(2 * N - 2 * df[w] + 1) / (2 * df[w] + 1)
+                    * (float(22 * tf[(d, w)]) * W)
+                    / (float(10 * W) * tf[(d, w)] + float(3 * W)
+                       + 9.0 * dl * N)
+                )
+                s = s + c
+            scored.append((d, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expect[qid] = scored[:5]
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rnk"])):
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    assert by_q == expect
+
+
+def test_bm25_topk_wrapper_equals_frame(spark):
+    """bm25_topk is exactly bm25_topk_frame fed the corpus-derived
+    prefix query frame."""
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.pipelines import retrieval as RET
+
+    docs = _docs(spark)
+    queries = (
+        docs.orderBy("doc_id").limit(3)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.explode(
+                F.expr("array_distinct(slice(split(text, ' '), 1, 5))")
+            ).alias("term"),
+        )
+    )
+    a = RET.bm25_topk(docs, n_queries=3, query_terms=5, k=7)
+    b = RET.bm25_topk_frame(docs, queries, k=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_bm25_uses_lowest_doc_ids_not_literal_range(spark):
     """Queries are the n_queries LOWEST doc_ids — a corpus whose ids
     start at 1000 still yields full results."""
