@@ -728,6 +728,16 @@ def _q_tx_substring_dedup(spark, sf_dir):
     return TX.substring_dedup(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_substring_spans(spark, sf_dir):
+    """Variable-length substring dedup (Lee et al. 2022 maximal-span
+    reading): duplicated 8-gram intervals merge into maximal islands
+    per doc (gaps-and-islands window); only islands of >= 16 words are
+    removed. Oracle checks the exact cleaned text per doc."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.substring_dedup_spans(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_bm25_topk(spark, sf_dir):
     """Lexical retrieval: rational-idf BM25 top-10 per query (queries =
     first-5-word bags of the 8 lowest doc_ids). Inverted-index join —
@@ -1252,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": _q_tx_fingerprint,
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_substring_dedup": _q_tx_substring_dedup,
+        "tx_substring_spans": _q_tx_substring_spans,
         "tx_bm25_topk": _q_tx_bm25_topk,
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,
@@ -2175,6 +2186,69 @@ covered AS (
     SELECT DISTINCT g.doc_id, g.start + o.o AS p
     FROM grams g JOIN dup USING (gram),
          LATERAL (SELECT UNNEST(range(8)) AS o) o
+),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words FROM words GROUP BY doc_id),
+ncov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM covered GROUP BY doc_id),
+kept AS (
+    SELECT w.doc_id, w.p, w.word
+    FROM words w ANTI JOIN covered c ON w.doc_id = c.doc_id AND w.p = c.p
+),
+cleaned AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS cleaned_text
+    FROM kept GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_words,
+       COALESCE(ncov.n_covered, 0) AS n_covered,
+       COALESCE(cleaned.cleaned_text, '') AS cleaned_text
+FROM n
+LEFT JOIN ncov ON n.doc_id = ncov.doc_id
+LEFT JOIN cleaned ON n.doc_id = cleaned.doc_id
+"""
+
+    # variable-length substring dedup: duplicated-8-gram intervals merge
+    # into maximal islands per doc (running max-end gaps-and-islands,
+    # adjacency merges); only islands of >= 16 words are removed — the
+    # same integer window logic as the Spark plan, exact text equality
+    tx_substring_spans = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (
+    SELECT w.doc_id, CAST(g.p AS BIGINT) AS p, ws[g.p] AS word
+    FROM ws w, LATERAL (SELECT UNNEST(range(1, len(ws) + 1)) AS p) g
+),
+grams AS (
+    SELECT w.doc_id, CAST(g.i AS BIGINT) AS start,
+           array_to_string(ws[g.i : g.i + 7], ' ') AS gram
+    FROM ws w, LATERAL (SELECT UNNEST(range(1, len(ws) - 8 + 2)) AS i) g
+    WHERE len(ws) >= 8
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+iv AS (
+    SELECT DISTINCT g.doc_id, g.start AS s, g.start + 7 AS e
+    FROM grams g JOIN dup USING (gram)
+),
+marked AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1) + 1
+                THEN 1 ELSE 0 END AS new_isl
+    FROM iv
+),
+isl AS (
+    SELECT doc_id, s, e,
+           SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+    FROM isl GROUP BY doc_id, isl
+    HAVING MAX(e) - MIN(s) + 1 >= 16
+),
+covered AS (
+    SELECT sp.doc_id, sp.ss + o.o AS p
+    FROM spans sp, LATERAL (SELECT UNNEST(range(sp.se - sp.ss + 1)) AS o) o
 ),
 n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words FROM words GROUP BY doc_id),
 ncov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered FROM covered GROUP BY doc_id),
@@ -3408,6 +3482,7 @@ FROM agg
         "tx_fingerprint": tx_fingerprint,
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_substring_dedup": tx_substring_dedup,
+        "tx_substring_spans": tx_substring_spans,
         "tx_bm25_topk": tx_bm25_topk,
         "det_cusum": cusum,
         "pp_sax": sax,

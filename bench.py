@@ -272,4 +272,18 @@ if __name__ == "__main__":
         args = [int(a) for a in sys.argv[sys.argv.index("--scaling") + 1:][:2]]
         print(json.dumps(run_scaling(*args)))
     else:
-        print(json.dumps(run_headline()))
+        result = json.dumps(run_headline())
+        # The driver records only a 2000-char tail of stdout, which
+        # truncates the per-query seconds dict; persist the full JSON to
+        # a committed file so round-over-round comparison has the whole
+        # record (VERDICT r4 item 7). Overwritten per run; committed at
+        # round milestones.
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json"), "w"
+            ) as fh:
+                fh.write(result + "\n")
+        except OSError:
+            pass
+        print(result)

@@ -591,6 +591,13 @@ def substring_dedup(docs: DataFrame, w: int = SPAN_WORDS) -> DataFrame:
         )
         .distinct()
     )
+    return _remove_covered(words, covered)
+
+
+def _remove_covered(words: DataFrame, covered: DataFrame) -> DataFrame:
+    """Shared tail of the substring-dedup family: drop covered (doc_id,
+    p) positions from the (doc_id, p, word) stream and rebuild
+    (doc_id, n_words, n_covered, cleaned_text)."""
     kept = words.join(covered, ["doc_id", "p"], "left_anti")
     n = words.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_words")
@@ -617,6 +624,107 @@ def substring_dedup(docs: DataFrame, w: int = SPAN_WORDS) -> DataFrame:
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+SPAN_MIN_LEN = 2 * SPAN_WORDS  # minimum merged-span length to remove
+
+
+def substring_dedup_spans(
+    docs: DataFrame, w: int = SPAN_WORDS, min_len: int = SPAN_MIN_LEN
+) -> DataFrame:
+    """Variable-length substring dedup — the closer reading of Lee et
+    al. 2022's MAXIMAL-duplicate-substring semantics (they remove
+    duplicated substrings of >= 50 BPE tokens; suffix-array driven).
+    The distributed approximation: every duplicated ``w``-gram marks
+    its interval [start, start+w-1]; per document, overlapping OR
+    adjacent intervals merge into maximal islands (gaps-and-islands
+    over a running max-end window); only islands spanning at least
+    ``min_len`` words are removed. A duplicated substring of length
+    L >= max(w, min_len) has all its w-grams duplicated, so it always
+    forms an island of length >= L and is removed — matching Lee et
+    al.'s length threshold; the approximation error is over-removal
+    when DISTINCT duplicated grams chain into one island (Lee et al.
+    themselves merge overlapping duplicate ranges, so this is the same
+    direction). ``min_len == w`` degenerates to :func:`substring_dedup`
+    coverage. Cited contract: Lee et al. 2022 §4 (dedup threshold),
+    reference has no substring dedup — this is pipeline-tier surface.
+
+    Output: (doc_id, n_words, n_covered, cleaned_text), same schema as
+    :func:`substring_dedup` (oracle: string equality).
+
+    Scale shape: identical to :func:`substring_dedup` up to the gram
+    join (inverted-index, AQE skew-split on the one-row dup side); the
+    island pass adds ONE extra shuffle — a window over (doc_id, start)
+    on intervals, whose row count is bounded by the duplicated-gram
+    occurrences, far below the word stream. Island positions are
+    disjoint by construction (islands merged), so no coverage
+    ``distinct`` is needed at all — strictly cheaper than the fixed-w
+    pass on that stage."""
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    if min_len < w:
+        raise ValueError(
+            f"min_len must be >= w (islands are at least w long),"
+            f" got min_len={min_len} < w={w}"
+        )
+    ws = docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
+    words = ws.select(
+        "doc_id", F.posexplode("ws").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "word")
+    gram_expr = (
+        f"CASE WHEN size(ws) >= {w} THEN"
+        f" transform(sequence(1, size(ws) - {w} + 1),"
+        f" i -> array_join(slice(ws, i, {w}), ' '))"
+        " ELSE array() END"
+    )
+    grams = ws.select(
+        "doc_id", F.posexplode(F.expr(gram_expr)).alias("s0", "gram")
+    ).select("doc_id", (F.col("s0") + 1).alias("start"), "gram")
+    dup = (
+        grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gram")
+    )
+    iv = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.col("start").alias("s"),
+            (F.col("start") + F.lit(w - 1)).alias("e"),
+        )
+        .distinct()
+    )
+    # gaps-and-islands: a new island starts where s jumps past the
+    # running max end + 1 (adjacency merges); deterministic — s is
+    # unique per doc after the distinct
+    w1 = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.coalesce(
+        F.max("e").over(w1.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(-1),
+    )
+    isl = (
+        iv.withColumn(
+            "new_isl",
+            F.when(F.col("s") > prev_e + F.lit(1), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "isl",
+            F.sum("new_isl").over(
+                w1.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    spans = (
+        isl.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("ss"), F.max("e").alias("se"))
+        .filter(F.col("se") - F.col("ss") + F.lit(1) >= min_len)
+    )
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("ss", "se")).alias("p")
+    )
+    return _remove_covered(words, covered)
 
 
 # chi-square cell contribution for the source-drift statistic: integer

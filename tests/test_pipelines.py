@@ -482,6 +482,101 @@ def test_substring_dedup_known_spans(spark):
         assert kept_words == r["n_words"] - r["n_covered"]
 
 
+def test_substring_dedup_spans_known_spans(spark):
+    """Variable-length variant: only merged duplicate islands of at
+    least min_len words are removed — a lone duplicated 8-gram
+    survives min_len=16, a 16-word duplicated run is removed, and
+    adjacent duplicated grams chain into one island."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    s8 = "a b c d e f g h"                      # 8-word duplicated span
+    s16 = "p1 p2 p3 p4 p5 p6 p7 p8 q1 q2 q3 q4 q5 q6 q7 q8"
+    docs = spark.createDataFrame(
+        [
+            (0, f"x1 x2 {s8} y1 y2"),           # island len 8 < 16: kept
+            (1, f"z1 {s8} z2"),
+            (2, f"m1 {s16} m2"),                # island len 16: removed
+            (3, f"{s16} n1"),
+            # adjacency chain: s8 twice back-to-back = 16 covered words
+            (4, f"w1 {s8} {s8} w2"),
+            (5, f"v1 {s8} v2 {s8} v3"),         # two separate len-8 islands
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TX.substring_dedup_spans(docs, w=8, min_len=16).collect()
+    }
+    assert got[0]["cleaned_text"] == f"x1 x2 {s8} y1 y2"
+    assert got[0]["n_covered"] == 0
+    assert got[1]["n_covered"] == 0
+    assert got[2]["cleaned_text"] == "m1 m2"
+    assert got[2]["n_covered"] == 16
+    assert got[3]["cleaned_text"] == "n1"
+    assert got[4]["cleaned_text"] == "w1 w2"
+    assert got[4]["n_covered"] == 16
+    assert got[5]["n_covered"] == 0            # islands len 8 each: kept
+    for r in got.values():
+        kept = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert kept == r["n_words"] - r["n_covered"]
+
+
+def _spans_oracle(texts, w, min_len):
+    """Brute-force Python oracle for substring_dedup_spans."""
+    from collections import Counter
+
+    grams = Counter()
+    for t in texts.values():
+        for i in range(len(t) - w + 1):
+            grams[tuple(t[i : i + w])] += 1
+    out = {}
+    for d, t in texts.items():
+        ivs = [
+            (i, i + w - 1)
+            for i in range(len(t) - w + 1)
+            if grams[tuple(t[i : i + w])] >= 2
+        ]
+        merged = []
+        for s, e in ivs:  # already sorted by s
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        cov = set()
+        for s, e in merged:
+            if e - s + 1 >= min_len:
+                cov.update(range(s, e + 1))
+        kept = [x for i, x in enumerate(t) if i not in cov]
+        out[d] = (len(t), len(cov), " ".join(kept))
+    return out
+
+
+def test_substring_dedup_spans_matches_bruteforce(spark):
+    """On the real sf0.001 corpus, the distributed gaps-and-islands
+    pass matches a brute-force Python implementation exactly — for two
+    (w, min_len) settings, including min_len == w (the degenerate case
+    equal to plain substring_dedup coverage up to adjacency merging)."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark)
+    texts = {r["doc_id"]: r["text"].split() for r in docs.collect()}
+    for w, min_len in [(8, 16), (4, 4)]:
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_covered"], r["cleaned_text"])
+            for r in TX.substring_dedup_spans(
+                docs, w=w, min_len=min_len
+            ).collect()
+        }
+        assert got == _spans_oracle(texts, w, min_len), (w, min_len)
+
+
+def test_substring_dedup_spans_min_len_validation(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    with pytest.raises(ValueError, match="min_len"):
+        TX.substring_dedup_spans(_docs(spark), w=8, min_len=4)
+
+
 def test_bm25_topk_invariants(spark):
     """Rational-idf BM25: per query the ranks are dense 1..k, scores
     non-increasing and positive, and every returned doc contains at
