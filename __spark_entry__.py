@@ -950,6 +950,20 @@ def _q_mm_frame_sample(spark, sf_dir):
     )
 
 
+def _q_mm_png_stats(spark, sf_dir):
+    """Real PNG decode: per doc a deterministic RGB PNG is synthesized
+    (scanline filter = doc_id % 5, so the corpus exercises all five
+    unfilter paths), decoded with the stdlib-zlib + NumPy parser, and
+    per-image pixel stats emitted. Oracle integrates the pixels' closed
+    form — byte-exact proof of the whole encode->decode loop."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return MM.image_stats_decoded(
+        MM.with_png_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
 # Detector + compression queries -------------------------------------------
 
 def _arrays_long_docid(spark, sf_dir):
@@ -1301,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_merge": _q_rollup_distinct_merge,
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
+        "mm_png_stats": _q_mm_png_stats,
         "det_matrix_profile": _q_det_matrix_profile,
         "det_matrix_profile_dist": _q_det_mp_dist,
         "det_kmeans": _q_det_kmeans,
@@ -3422,6 +3437,28 @@ FROM sampled s,
 GROUP BY s.doc_id, s.frame_idx, s.h, s.w
 """
 
+    # PNG decode stats: the synthetic image is frame 0 of the video
+    # pixel formula at the same (h, w) dims; the oracle integrates the
+    # closed form directly (decode correctness is what Spark adds)
+    mm_png_stats = """
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 3 AS h,
+           5 + doc_id % 4 AS w
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.h AS BIGINT) AS h, CAST(d.w AS BIGINT) AS w,
+       CAST(SUM((d.doc_id*31 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_sum,
+       CAST(MIN((d.doc_id*31 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_min,
+       CAST(MAX((d.doc_id*31 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_max
+FROM dims d,
+     LATERAL (SELECT UNNEST(range(d.h)) AS y) y,
+     LATERAL (SELECT UNNEST(range(d.w)) AS x) x,
+     LATERAL (SELECT UNNEST(range(3)) AS c) c
+GROUP BY d.doc_id, d.h, d.w
+"""
+
     rollup_raw_mv = f"""
 {C.MV_SQL_CTE},
 agg AS (
@@ -3527,6 +3564,7 @@ FROM agg
         "rollup_distinct_merge": rollup_distinct_merge,
         "mm_byte_histogram": mm_byte_histogram,
         "mm_frame_sample": mm_frame_sample,
+        "mm_png_stats": mm_png_stats,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,
     }

@@ -2,14 +2,16 @@
 metadata, decoded / featurized via Arrow-batched Python.
 
 REAL DECODE: uncompressed 24-bit BMP is decoded with a pure-NumPy
-parser (``decode_image``/``decode_bmp`` — public file-format knowledge,
-no codec library), so ``frame_sample_decoded`` samples ACTUAL decoded
-frames from a concatenated-BMP "video" payload and emits per-frame
-pixel statistics (oracle-checked: the synthetic frames' pixels follow a
-closed-form formula DuckDB can integrate directly). Compressed formats
-(JPEG/PNG/H.264) still need codec libraries absent from this container
-— ``decode_image`` raises a clear error for those, and
-``byte_histogram`` remains the codec-free featurizer stand-in.
+parser (``decode_bmp`` — public file-format knowledge, no codec
+library), and PNG (8-bit gray/RGB/RGBA, all five scanline filters) with
+stdlib zlib + NumPy unfiltering (``decode_png``), so
+``frame_sample_decoded`` samples ACTUAL decoded frames from a
+concatenated-BMP "video" payload and ``image_stats_decoded`` decodes
+real PNG payloads — both emitting pixel statistics that are
+oracle-checked (the synthetic pixels follow a closed-form formula
+DuckDB integrates directly). Formats needing a real codec (JPEG/H.264)
+raise a clear error from ``decode_image``, and ``byte_histogram``
+remains the codec-free featurizer stand-in.
 
 The Spark-side plumbing is what a production pipeline needs: binary
 column in/out, schema'd struct metadata, ``mapInPandas`` with Arrow
@@ -140,16 +142,215 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+# --------------------------------------------------------- PNG codec
+# Real PNG (the dominant lossless web format), from public file-format
+# knowledge only: stdlib zlib for the DEFLATE stream + NumPy for the
+# scanline filters. Supported: bit depth 8, color types 0 (gray),
+# 2 (RGB), 6 (RGBA), no interlacing — the shapes a training-data
+# pipeline actually stores. Palette/16-bit/Adam7 raise clearly.
+#
+# PNG layout (RFC 2083): 8-byte signature, then chunks of
+# (len u32 BE, type 4B, data, crc32(type+data) u32 BE). IHDR carries
+# (w, h, depth, color, compression, filter, interlace); IDAT chunks
+# concatenate into one zlib stream of h scanlines, each scanline =
+# 1 filter-type byte + w*channels filtered bytes. Filters 0-4 =
+# None / Sub / Up / Average / Paeth, all byte-wise mod 256 with the
+# per-pixel left/up/up-left predictors.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
+    """uint8 image -> PNG bytes. Accepts (h, w) gray, (h, w, 3) RGB or
+    (h, w, 4) RGBA. Every scanline uses ``filter_type`` (0..4) — exposed
+    so tests exercise each unfilter path; 4 (Paeth) is the usual best
+    single choice."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, a3 = 0, a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] in (3, 4):
+        color, a3 = {3: 2, 4: 6}[a.shape[2]], a
+    else:
+        raise ValueError(
+            f"expected (h, w), (h, w, 3) or (h, w, 4) uint8, got {a.shape}"
+        )
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+    h, w, ch = a3.shape
+    if h == 0 or w == 0:
+        raise ValueError(f"empty image: shape {a.shape}")
+    raw = a3.reshape(h, w * ch).astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, ch:] = raw[:-1, :-ch]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    else:  # Paeth: at ENCODE time recon == raw, so fully vectorizable
+        p = left + up - upleft
+        pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filt = raw - pred
+    lines = np.concatenate(
+        [
+            np.full((h, 1), filter_type, dtype=np.uint8),
+            (filt % 256).astype(np.uint8),
+        ],
+        axis=1,
+    )
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(lines.tobytes(), 9)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    to the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array: (h, w) for gray, (h, w, 3) RGB,
+    (h, w, 4) RGBA. Validates the signature, every chunk CRC, the IHDR
+    fields and the decompressed scanline length, raising ``ValueError``
+    naming the offending field; unsupported-but-valid variants (palette,
+    16-bit, Adam7 interlace) raise ``NotImplementedError``.
+
+    Unfiltering is NumPy-vectorized per scanline for None/Sub/Up (Sub is
+    a per-channel prefix-sum mod 256); Average/Paeth rows carry a true
+    sequential dependency on the in-row reconstruction and fall back to
+    a per-byte loop — O(row) Python per such row, fine for the frame
+    sizes a sampler decodes (swap in a codec library outside this
+    container for megapixel assets)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad 8-byte signature)")
+    off, ihdr, idat, end_seen = 8, None, [], False
+    while off + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        typ = payload[off + 4:off + 8]
+        data = payload[off + 8:off + 8 + ln]
+        if len(data) < ln or off + 12 + ln > len(payload):
+            raise ValueError(f"truncated {typ!r} chunk at offset {off}")
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r} chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            end_seen = True
+            break
+        off += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR chunk")
+    if not end_seen:
+        raise ValueError("missing IEND chunk (truncated stream)")
+    if len(ihdr) != 13:
+        raise ValueError(f"IHDR length {len(ihdr)} != 13")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if w == 0 or h == 0:
+        raise ValueError(f"corrupt IHDR: {w}x{h} image")
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} (only 8 supported)")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"color type {color} (gray/RGB/RGBA supported; palette and"
+            " gray+alpha are not)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"corrupt IHDR: compression={comp} filter={filt} (must be 0)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"corrupt IDAT zlib stream: {ex}") from ex
+    stride = 1 + w * ch
+    if len(raw) != h * stride:
+        raise ValueError(
+            f"IDAT decodes to {len(raw)} bytes, expected {h * stride}"
+            f" ({h} scanlines of {stride})"
+        )
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    ftypes, data = lines[:, 0], lines[:, 1:].astype(np.int32)
+    recon = np.zeros((h, w * ch), dtype=np.int32)
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f, row = int(ftypes[y]), data[y]
+        if f == 0:
+            r = row
+        elif f == 1:  # Sub == per-channel prefix sum mod 256
+            r = (
+                row.reshape(w, ch).cumsum(axis=0, dtype=np.int64) % 256
+            ).reshape(-1).astype(np.int32)
+        elif f == 2:
+            r = (row + prior) % 256
+        elif f in (3, 4):
+            r = np.zeros(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                left = int(r[x - ch]) if x >= ch else 0
+                up = int(prior[x])
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prior[x - ch]) if x >= ch else 0
+                    pred = _paeth(left, up, ul)
+                r[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"invalid scanline filter {f} on row {y}")
+        recon[y] = r
+        prior = recon[y]
+    img = recon.astype(np.uint8).reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Image decode for formats parsable without a codec library:
-    uncompressed 24-bit BMP (pure NumPy). Compressed formats raise with
-    a clear message — swap in a real codec (Pillow/ffmpeg) outside this
-    container; every caller is agnostic to which decoder runs."""
+    uncompressed 24-bit BMP and PNG (8-bit gray/RGB/RGBA), both pure
+    NumPy + stdlib. Other formats raise with a clear message — swap in
+    a real codec (Pillow/ffmpeg) outside this container; every caller
+    is agnostic to which decoder runs."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed BMP decodes without a codec library;"
-        " JPEG/PNG/video formats require Pillow/ffmpeg, not available"
+        "only uncompressed BMP and PNG decode without a codec library;"
+        " JPEG/video formats require Pillow/ffmpeg, not available"
         " in this environment"
     )
 
@@ -298,6 +499,72 @@ def frame_sample_decoded(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
 
     return payloads.select("doc_id", "payload").mapInPandas(
         run, DECODED_FRAME_SCHEMA
+    )
+
+
+IMG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("h", LongType(), False),
+        StructField("w", LongType(), False),
+        StructField("px_sum", LongType(), False),
+        StructField("px_min", LongType(), False),
+        StructField("px_max", LongType(), False),
+    ]
+)
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic PNG payload per doc: an RGB image of
+    (4 + doc_id%3) x (5 + doc_id%4) px whose pixels follow ``PX_FORMULA``
+    with f=0, encoded with scanline filter ``doc_id % 5`` — so decoding
+    the corpus exercises ALL FIVE PNG unfilter paths against the
+    closed-form oracle."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                _, h, w = _video_dims(d)
+                out.append(
+                    (d, encode_png(_video_frame(d, 0, h, w),
+                                   filter_type=d % 5))
+                )
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def image_stats_decoded(payloads: DataFrame) -> DataFrame:
+    """DECODE each payload via :func:`decode_image` (BMP or PNG) and
+    emit per-image pixel statistics — map-only, payload bytes never
+    shuffle; one Arrow task decodes a batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                out.append(
+                    (
+                        int(doc_id), img.shape[0], img.shape[1],
+                        int(img.sum(dtype=np.int64)),
+                        int(img.min()), int(img.max()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(out, columns=IMG_STATS_SCHEMA.names)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, IMG_STATS_SCHEMA
     )
 
 

@@ -34,11 +34,68 @@ def test_byte_histogram_conserves_bytes(spark):
         assert r["n_bytes"] == n_chars[r["doc_id"]]  # ascii text: bytes == chars
 
 
-def test_decode_image_rejects_compressed_formats():
+def test_decode_image_rejects_codec_formats():
     from dtaianomaly_spark.pipelines import multimodal as MM
 
     with pytest.raises(NotImplementedError, match="codec"):
-        MM.decode_image(b"\x89PNG\r\n\x1a\n")
+        MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """encode->decode is identity for every scanline filter (0..4),
+    gray/RGB/RGBA, and widths hitting 1-pixel rows and ch-alignment
+    edges."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    rng = np.random.default_rng(7)
+    shapes = [(1, 1, 3), (3, 2, 3), (5, 7, 3), (4, 4, 4), (6, 3, 4)]
+    for ft in range(5):
+        for shape in shapes:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            got = MM.decode_png(MM.encode_png(img, filter_type=ft))
+            assert np.array_equal(got, img), (ft, shape)
+        gray = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+        got = MM.decode_png(MM.encode_png(gray, filter_type=ft))
+        assert got.shape == (5, 6) and np.array_equal(got, gray), ft
+    # decode_image routes PNG by signature
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_image(MM.encode_png(img)), img)
+
+
+def test_png_malformed_payloads_raise():
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    good = MM.encode_png(img)
+    with pytest.raises(ValueError, match="signature"):
+        MM.decode_png(b"not a png at all")
+    # flip one IDAT byte -> CRC catches it
+    bad = bytearray(good)
+    bad[len(bad) - 20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated"):
+        MM.decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="IEND|truncated"):
+        MM.decode_png(good[:-12])  # drop the IEND chunk
+    # 16-bit depth and interlacing are valid PNG but unsupported
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, d):
+        return (
+            _s.pack(">I", len(d)) + t + d
+            + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = good[:8]
+    ihdr16 = _s.pack(">IIBBBBB", 5, 4, 16, 2, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        MM.decode_png(sig + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b""))
+    ihdr_i = _s.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="interlac"):
+        MM.decode_png(sig + chunk(b"IHDR", ihdr_i) + chunk(b"IEND", b""))
+    ihdr_pal = _s.pack(">IIBBBBB", 5, 4, 8, 3, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="color type"):
+        MM.decode_png(sig + chunk(b"IHDR", ihdr_pal) + chunk(b"IEND", b""))
 
 
 def test_bmp_roundtrip_and_edge_layouts():
