@@ -738,6 +738,16 @@ def _q_tx_substring_spans(spark, sf_dir):
     return TX.substring_dedup_spans(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_bigram_fluency(spark, sf_dir):
+    """LM quality scoring (CCNet/Gopher perplexity-filter signal),
+    rationalized: mean add-one-smoothed bigram probability under the
+    corpus's own bigram model — integer aggregates + IEEE divides only,
+    position-ordered fold, bit-exact vs the oracle."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.bigram_fluency(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_bm25_topk(spark, sf_dir):
     """Lexical retrieval: rational-idf BM25 top-10 per query (queries =
     first-5-word bags of the 8 lowest doc_ids). Inverted-index join —
@@ -1277,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_substring_spans": _q_tx_substring_spans,
+        "tx_bigram_fluency": _q_tx_bigram_fluency,
         "tx_bm25_topk": _q_tx_bm25_topk,
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,
@@ -2281,6 +2292,41 @@ SELECT n.doc_id, n.n_words,
 FROM n
 LEFT JOIN ncov ON n.doc_id = ncov.doc_id
 LEFT JOIN cleaned ON n.doc_id = cleaned.doc_id
+"""
+
+    # bigram fluency: the add-one probability formula is imported from
+    # the engine and embedded VERBATIM — integer counts, one IEEE divide
+    # per bigram, position-ordered fold, so floats hash-match
+    from dtaianomaly_spark.pipelines.text import BIGRAM_P_SQL
+
+    tx_bigram_fluency = f"""
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+words AS (SELECT doc_id, UNNEST(ws) AS word FROM ws),
+bigrams AS (
+    SELECT w.doc_id, CAST(g.i AS BIGINT) AS p, ws[g.i] AS a, ws[g.i + 1] AS b
+    FROM ws w, LATERAL (SELECT UNNEST(range(1, len(ws))) AS i) g
+    WHERE len(ws) >= 2
+),
+cbg AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY a, b),
+cun AS (SELECT word AS a, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM words GROUP BY word),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS V FROM cun),
+contrib AS (
+    SELECT bg.doc_id, bg.p, {BIGRAM_P_SQL} AS pr
+    FROM bigrams bg
+    JOIN cbg USING (a, b)
+    JOIN cun USING (a)
+    CROSS JOIN vocab
+),
+scored AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           list_reduce(list(pr ORDER BY p), (acc, x) -> acc + x) AS psum
+    FROM contrib GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       CAST(s.psum AS DOUBLE) / s.n_bigrams AS fluency
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
     # rational-idf BM25: the per-term contribution formula is imported
@@ -3520,6 +3566,7 @@ FROM agg
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_substring_dedup": tx_substring_dedup,
         "tx_substring_spans": tx_substring_spans,
+        "tx_bigram_fluency": tx_bigram_fluency,
         "tx_bm25_topk": tx_bm25_topk,
         "det_cusum": cusum,
         "pp_sax": sax,

@@ -531,6 +531,85 @@ def dup_ngram_rate(docs: DataFrame) -> DataFrame:
     )
 
 
+# bigram-fluency probability: add-one-smoothed bigram model, rational
+# (libm-free) so the float score is bit-reproducible across engines —
+# integer inputs (c12 = bigram count, c1 = first-word unigram count,
+# V = vocabulary size), one IEEE divide, shared verbatim with the oracle.
+BIGRAM_P_SQL = "CAST(c12 + 1 AS DOUBLE) / CAST(c1 + V AS DOUBLE)"
+
+
+def bigram_fluency(docs: DataFrame) -> DataFrame:
+    """Language-model quality scoring — the CCNet/Gopher-style
+    perplexity-filtering signal, rationalized for bit-exactness: each
+    document is scored by its MEAN add-one-smoothed bigram probability
+    under the corpus's own bigram model,
+
+        p(b | a) = (c(a,b) + 1) / (c(a) + V)
+
+    (c = corpus occurrence counts, V = vocabulary size). Canonical LM
+    filtering uses mean log-prob (perplexity); the mean raw probability
+    is a strictly different but monotone-comparable screen that needs
+    only IEEE +-*/ over integer aggregates — no libm ln whose last-ulp
+    rounding differs across engines — so Spark and DuckDB hash-match bit
+    for bit (the repo's float-formula discipline, as BM25's rational
+    idf). Per-document sums fold in POSITION order (float addition is
+    not associative).
+
+    Output: (doc_id, n_bigrams, fluency); documents with < 2 words get
+    n_bigrams = 0 and NULL fluency.
+
+    Scale shape at 100 TB: bigram and unigram counts are map-side-
+    combined hash aggregates over reduced keys; the doc-bigram stream
+    joins them on the bigram/word key (inverted-index shape — never a
+    vocab x vocab grid); V is a 1-row broadcast scalar; the per-doc fold
+    is bounded by document length."""
+    ws = docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
+    words = ws.select("doc_id", F.explode("ws").alias("word"))
+    bigrams = ws.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN"
+                " transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+                " ELSE array() END"
+            )
+        ).alias("p0", "bg"),
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"),
+        F.col("bg.a").alias("a"), F.col("bg.b").alias("b"),
+    )
+    cbg = bigrams.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("c12")
+    )
+    cun = words.groupBy("word").agg(F.count("*").cast("long").alias("c1"))
+    vocab = cun.agg(F.count("*").cast("long").alias("V"))
+    contrib = (
+        bigrams.join(cbg, ["a", "b"])
+        .join(cun.withColumnRenamed("word", "a"), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "p", F.expr(BIGRAM_P_SQL).alias("pr"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(p, pr))),"
+            " s -> s.pr), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("psum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.expr("CAST(psum AS DOUBLE) / n_bigrams").alias("fluency"),
+        )
+    )
+
+
 SPAN_WORDS = 8  # words per duplicated span (substring dedup granularity)
 
 

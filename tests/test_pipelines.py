@@ -634,6 +634,45 @@ def test_substring_dedup_spans_min_len_validation(spark):
         TX.substring_dedup_spans(_docs(spark), w=8, min_len=4)
 
 
+def test_bigram_fluency_matches_python_oracle(spark):
+    """Mean add-one-smoothed bigram probability: exact match (bit-level)
+    vs a pure-Python reimplementation on a hand corpus that includes a
+    1-word doc (n_bigrams=0, NULL fluency) and repeated bigrams."""
+    from collections import Counter
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran"),
+        (2, "solo"),
+        (3, "the cat sat on the cat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["fluency"])
+        for r in TX.bigram_fluency(docs).collect()
+    }
+    texts = {d: t.split() for d, t in rows}
+    cbg = Counter(
+        (t[i], t[i + 1]) for t in texts.values() for i in range(len(t) - 1)
+    )
+    cun = Counter(w for t in texts.values() for w in t)
+    V = len(cun)
+    for d, t in texts.items():
+        n = max(len(t) - 1, 0)
+        assert got[d][0] == n
+        if n == 0:
+            assert got[d][1] is None
+        else:
+            s = 0.0
+            for i in range(n):  # position order == the engines' fold
+                s = s + float(cbg[(t[i], t[i + 1])] + 1) / float(
+                    cun[t[i]] + V
+                )
+            assert got[d][1] == s / n, d
+
+
 def test_bm25_topk_invariants(spark):
     """Rational-idf BM25: per query the ranks are dense 1..k, scores
     non-increasing and positive, and every returned doc contains at
