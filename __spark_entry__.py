@@ -974,6 +974,21 @@ def _q_mm_png_stats(spark, sf_dir):
     )
 
 
+def _q_mm_jpeg_stats(spark, sf_dir):
+    """Real baseline-JPEG decode (from-scratch T.81 codec: markers,
+    optimal Huffman, dequantize, IDCT): per doc a grayscale
+    block-constant image is encoded at quality 100 — a regime where JPEG
+    is EXACT — decoded, and pixel stats emitted. Oracle integrates the
+    block-value closed form; a hash match proves the whole
+    marker/Huffman/DCT loop."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return MM.image_stats_decoded(
+        MM.with_jpeg_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
 # Detector + compression queries -------------------------------------------
 
 def _arrays_long_docid(spark, sf_dir):
@@ -1327,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_png_stats": _q_mm_png_stats,
+        "mm_jpeg_stats": _q_mm_jpeg_stats,
         "det_matrix_profile": _q_det_matrix_profile,
         "det_matrix_profile_dist": _q_det_mp_dist,
         "det_kmeans": _q_det_kmeans,
@@ -3505,6 +3521,28 @@ FROM dims d,
 GROUP BY d.doc_id, d.h, d.w
 """
 
+    # JPEG decode stats: grayscale block-constant images at quality 100
+    # decode EXACTLY (all-ones quant tables, integer DC, zero ACs), so
+    # the oracle integrates the per-block closed form — each block is
+    # 64 identical pixels of value (doc_id*31 + by*131 + bx*17) % 256
+    mm_jpeg_stats = """
+WITH dims AS (
+    SELECT doc_id,
+           1 + doc_id % 2 AS bh,
+           1 + doc_id % 3 AS bw
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(8 * d.bh AS BIGINT) AS h, CAST(8 * d.bw AS BIGINT) AS w,
+       CAST(64 * SUM((d.doc_id*31 + y.by*131 + x.bx*17) % 256) AS BIGINT) AS px_sum,
+       CAST(MIN((d.doc_id*31 + y.by*131 + x.bx*17) % 256) AS BIGINT) AS px_min,
+       CAST(MAX((d.doc_id*31 + y.by*131 + x.bx*17) % 256) AS BIGINT) AS px_max
+FROM dims d,
+     LATERAL (SELECT UNNEST(range(d.bh)) AS by) y,
+     LATERAL (SELECT UNNEST(range(d.bw)) AS bx) x
+GROUP BY d.doc_id, d.bh, d.bw
+"""
+
     rollup_raw_mv = f"""
 {C.MV_SQL_CTE},
 agg AS (
@@ -3612,6 +3650,7 @@ FROM agg
         "mm_byte_histogram": mm_byte_histogram,
         "mm_frame_sample": mm_frame_sample,
         "mm_png_stats": mm_png_stats,
+        "mm_jpeg_stats": mm_jpeg_stats,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,
     }

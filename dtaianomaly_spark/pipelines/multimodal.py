@@ -7,9 +7,11 @@ library), and PNG (8-bit gray/RGB/RGBA, all five scanline filters) with
 stdlib zlib + NumPy unfiltering (``decode_png``), so
 ``frame_sample_decoded`` samples ACTUAL decoded frames from a
 concatenated-BMP "video" payload and ``image_stats_decoded`` decodes
-real PNG payloads — both emitting pixel statistics that are
+real PNG and baseline-JPEG payloads (from-scratch T.81 codec in
+``pipelines/jpeg.py``) — all emitting pixel statistics that are
 oracle-checked (the synthetic pixels follow a closed-form formula
-DuckDB integrates directly). Formats needing a real codec (JPEG/H.264)
+DuckDB integrates directly; JPEG uses the block-constant/quality-100
+exactness regime). Formats still needing a real codec (H.264, WebP)
 raise a clear error from ``decode_image``, and ``byte_histogram``
 remains the codec-free featurizer stand-in.
 
@@ -348,10 +350,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from dtaianomaly_spark.pipelines.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only uncompressed BMP and PNG decode without a codec library;"
-        " JPEG/video formats require Pillow/ffmpeg, not available"
-        " in this environment"
+        "only BMP, PNG and baseline JPEG decode without a codec library;"
+        " other formats (video codecs, WebP, ...) require Pillow/ffmpeg,"
+        " not available in this environment"
     )
 
 
@@ -537,6 +543,41 @@ def with_png_payload(docs: DataFrame) -> DataFrame:
                     (d, encode_png(_video_frame(d, 0, h, w),
                                    filter_type=d % 5))
                 )
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic baseline-JPEG payload per doc: a GRAYSCALE
+    image of 8·(1 + doc_id%2) x 8·(1 + doc_id%3) px whose 8x8 blocks are
+    CONSTANT with value ``(doc_id*31 + by*131 + bx*17) % 256``, encoded
+    at quality 100. Block-constant + all-ones quant tables + no color
+    transform ⇒ the decode is EXACT (see pipelines/jpeg.py), so a
+    closed-form oracle can integrate the decoded pixel stats while the
+    full marker/Huffman/DCT path is exercised for real."""
+    from dtaianomaly_spark.pipelines.jpeg import encode_jpeg
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                bh, bw = 1 + d % 2, 1 + d % 3
+                by, bx = np.ogrid[0:bh, 0:bw]
+                blocks = ((d * 31 + by * 131 + bx * 17) % 256).astype(
+                    np.uint8
+                )
+                img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+                out.append((d, encode_jpeg(img, quality=100)))
             if out:
                 yield pd.DataFrame(out, columns=["doc_id", "payload"])
 

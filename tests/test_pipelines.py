@@ -38,7 +38,7 @@ def test_decode_image_rejects_codec_formats():
     from dtaianomaly_spark.pipelines import multimodal as MM
 
     with pytest.raises(NotImplementedError, match="codec"):
-        MM.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+        MM.decode_image(b"GIF89a" + b"\x00" * 16)
 
 
 def test_png_roundtrip_all_filters_and_colortypes():
@@ -60,6 +60,109 @@ def test_png_roundtrip_all_filters_and_colortypes():
     # decode_image routes PNG by signature
     img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
     assert np.array_equal(MM.decode_image(MM.encode_png(img)), img)
+
+
+def test_jpeg_block_constant_exact_roundtrip():
+    """The oracle contract: grayscale images with CONSTANT 8x8 blocks at
+    quality 100 decode EXACTLY (one integer DC, zero ACs, all-ones quant
+    tables) — across block-grid shapes and extreme values."""
+    from dtaianomaly_spark.pipelines import jpeg as J
+
+    rng = np.random.default_rng(5)
+    for bh, bw in [(1, 1), (1, 3), (2, 2), (3, 1), (4, 5)]:
+        blocks = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        got = J.decode_jpeg(J.encode_jpeg(img, quality=100))
+        assert np.array_equal(got, img), (bh, bw)
+    flat = np.repeat(np.repeat(
+        np.array([[0, 255], [255, 0]], dtype=np.uint8), 8, 0), 8, 1)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(flat, quality=100)), flat
+    )
+
+
+def test_jpeg_lossy_roundtrip_bounded_error():
+    """General content: q100 error <= 1 gray / <= 3 RGB (DCT + color
+    rounding only); a smooth gradient stays tight down to q50; non-
+    multiple-of-8 dims pad+crop correctly; decode is deterministic."""
+    from dtaianomaly_spark.pipelines import jpeg as J
+
+    rng = np.random.default_rng(6)
+    gray = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    d = J.decode_jpeg(J.encode_jpeg(gray, quality=100))
+    assert d.shape == gray.shape
+    assert np.abs(d.astype(int) - gray.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    d3 = J.decode_jpeg(J.encode_jpeg(rgb, quality=100))
+    assert d3.shape == rgb.shape
+    assert np.abs(d3.astype(int) - rgb.astype(int)).max() <= 3
+    yy, xx = np.mgrid[0:24, 0:24]
+    smooth = np.minimum(yy * 3 + xx * 2, 255).astype(np.uint8)
+    for q in (95, 75, 50):
+        dq = J.decode_jpeg(J.encode_jpeg(smooth, quality=q))
+        assert np.abs(dq.astype(int) - smooth.astype(int)).max() <= 8, q
+    enc = J.encode_jpeg(gray, quality=90)
+    assert J.decode_jpeg(enc).tobytes() == J.decode_jpeg(enc).tobytes()
+    # decode_image routes by SOI magic
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    assert np.array_equal(MM.decode_image(enc), J.decode_jpeg(enc))
+
+
+def test_jpeg_huffman_table_builder_is_valid():
+    """Spec-built tables are canonical prefix codes: <= 16-bit lengths,
+    Kraft sum <= 1, no code is a prefix of another, and every symbol
+    round-trips through a writer/reader pair."""
+    from dtaianomaly_spark.pipelines import jpeg as J
+
+    rng = np.random.default_rng(9)
+    cases = [
+        {0: 1},                                    # single symbol
+        {i: 1 for i in range(162)},                # uniform, many symbols
+        {i: int(v) for i, v in enumerate(rng.integers(1, 1000, 40))},
+        {0: 10**9, 1: 1, 2: 1},                    # extreme skew
+    ]
+    for freqs in cases:
+        bits, huffval = J.build_huffman_table(freqs)
+        assert len(huffval) == len(freqs)
+        assert sum(bits) == len(freqs)
+        codes = J._canonical_codes(bits, huffval)
+        assert set(codes) == set(freqs)
+        assert all(1 <= ln <= 16 for _, ln in codes.values())
+        assert sum(2.0 ** -ln for _, ln in codes.values()) <= 1.0
+        strs = sorted(format(c, f"0{ln}b") for c, ln in codes.values())
+        for s1, s2 in zip(strs, strs[1:]):
+            assert not s2.startswith(s1), (s1, s2)
+        bw = J._BitWriter()
+        syms = list(freqs) * 3
+        for s in syms:
+            c, ln = codes[s]
+            bw.write(c, ln)
+        bw.flush()
+        br = J._BitReader(bytes(bw.buf), 0)
+        lut = {(ln, c): s for s, (c, ln) in codes.items()}
+        assert [br.decode_symbol(lut) for _ in syms] == syms
+
+
+def test_jpeg_unsupported_and_malformed_raise():
+    from dtaianomaly_spark.pipelines import jpeg as J
+
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"nope")
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = J.encode_jpeg(img)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        J.decode_jpeg(good[:20])
+    # progressive SOF2 flagged by name
+    prog = bytearray(good)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        J.decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="quality"):
+        J.encode_jpeg(img, quality=0)
+    with pytest.raises(ValueError, match="expected"):
+        J.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
 
 
 def test_png_malformed_payloads_raise():
