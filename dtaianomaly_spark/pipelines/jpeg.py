@@ -306,7 +306,6 @@ def _rle_symbols(coefs: np.ndarray, prev_dc: int) -> tuple[list, int]:
     bits = diff if diff >= 0 else diff + (1 << size) - 1
     out.append(("dc", size, bits, size))
     run = 0
-    last_nz = 0
     nz = np.nonzero(coefs[1:])[0]
     last_nz = int(nz[-1]) + 1 if len(nz) else 0
     for k in range(1, last_nz + 1):

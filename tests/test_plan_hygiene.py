@@ -50,6 +50,13 @@ EXCHANGE_BOUNDS = [
     ("tx_source_drift", 8),       # ONE corpus scan+shuffle (checkpointed
                                   # (source,word) cells shared by every
                                   # branch); the rest fold those cells
+    ("mm_png_stats", 1),           # map-only Arrow decode (+ the corpus
+                                   # repartition)
+    ("mm_jpeg_stats", 1),          # map-only Arrow decode
+    ("tx_bigram_fluency", 10),     # bigram/unigram aggs + keyed joins +
+                                   # per-doc fold; V broadcasts
+    ("tx_substring_spans", 14),    # substring_dedup's DAG + ONE window
+                                   # over the bounded interval table
 ]
 
 
