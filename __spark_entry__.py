@@ -989,6 +989,33 @@ def _q_mm_jpeg_stats(spark, sf_dir):
     )
 
 
+def _q_mm_wav_stats(spark, sf_dir):
+    """Real PCM-WAV decode (pure-NumPy RIFF/WAVE parser): per doc a
+    deterministic mono/stereo 16-bit clip is synthesized and encoded,
+    then decoded and whole-clip sample stats emitted. Oracle integrates
+    the samples' closed form (pipelines/audio.py SAMPLE_FORMULA) — a
+    hash match proves the encode->decode->stat loop bit-exactly."""
+    from dtaianomaly_spark.pipelines import audio as AU
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return AU.audio_stats_decoded(
+        AU.with_wav_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
+def _q_mm_wav_energy(spark, sf_dir):
+    """Framed short-time energy over decoded WAV clips (the zeroth
+    MFCC/VAD stage): 16-sample non-overlapping frames, exact integer
+    energy across channels, ragged tail kept. Oracle integrates the
+    closed form grouped by i // 16."""
+    from dtaianomaly_spark.pipelines import audio as AU
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return AU.frame_energy_decoded(
+        AU.with_wav_payload(TX.load_docs(spark, sf_dir)), frame_len=16
+    )
+
+
 # Detector + compression queries -------------------------------------------
 
 def _arrays_long_docid(spark, sf_dir):
@@ -1343,6 +1370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_png_stats": _q_mm_png_stats,
         "mm_jpeg_stats": _q_mm_jpeg_stats,
+        "mm_wav_stats": _q_mm_wav_stats,
+        "mm_wav_energy": _q_mm_wav_energy,
         "det_matrix_profile": _q_det_matrix_profile,
         "det_matrix_profile_dist": _q_det_mp_dist,
         "det_kmeans": _q_det_kmeans,
@@ -3543,6 +3572,58 @@ FROM dims d,
 GROUP BY d.doc_id, d.bh, d.bw
 """
 
+    # WAV decode stats: the synthetic clip's samples follow
+    # pipelines/audio.py SAMPLE_FORMULA of (doc_id, channel, i); the
+    # oracle integrates that closed form directly (the decode is what
+    # Spark adds). All formula terms are non-negative so % agrees
+    # across engines.
+    mm_wav_stats = """
+WITH dims AS (
+    SELECT doc_id,
+           40 + doc_id % 30 AS n,
+           1 + doc_id % 2 AS ch,
+           8000 + 1000 * (doc_id % 3) AS rate
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_samples,
+       CAST(d.ch AS BIGINT) AS n_channels,
+       CAST(d.rate AS BIGINT) AS sample_rate,
+       CAST(SUM((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000) AS BIGINT) AS s_sum,
+       CAST(SUM(((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000)
+                * ((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000)) AS BIGINT) AS s_sq_sum,
+       CAST(MIN((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000) AS BIGINT) AS s_min,
+       CAST(MAX((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000) AS BIGINT) AS s_max
+FROM dims d,
+     LATERAL (SELECT UNNEST(range(d.n)) AS i) i,
+     LATERAL (SELECT UNNEST(range(d.ch)) AS c) c
+GROUP BY d.doc_id, d.n, d.ch, d.rate
+"""
+
+    # framed short-time energy: same closed form grouped by i // 16;
+    # n_in_frame counts sample positions (channels sum, not multiply)
+    mm_wav_energy = """
+WITH dims AS (
+    SELECT doc_id,
+           40 + doc_id % 30 AS n,
+           1 + doc_id % 2 AS ch
+    FROM documents
+),
+vals AS (
+    SELECT d.doc_id,
+           CAST(i.i // 16 AS BIGINT) AS frame_idx,
+           i.i AS i,
+           (d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000 AS v
+    FROM dims d,
+         LATERAL (SELECT UNNEST(range(d.n)) AS i) i,
+         LATERAL (SELECT UNNEST(range(d.ch)) AS c) c
+)
+SELECT doc_id, frame_idx,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_in_frame,
+       CAST(SUM(v * v) AS BIGINT) AS energy
+FROM vals GROUP BY doc_id, frame_idx
+"""
+
     rollup_raw_mv = f"""
 {C.MV_SQL_CTE},
 agg AS (
@@ -3651,6 +3732,8 @@ FROM agg
         "mm_frame_sample": mm_frame_sample,
         "mm_png_stats": mm_png_stats,
         "mm_jpeg_stats": mm_jpeg_stats,
+        "mm_wav_stats": mm_wav_stats,
+        "mm_wav_energy": mm_wav_energy,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,
     }

@@ -232,6 +232,97 @@ def test_bmp_roundtrip_and_edge_layouts():
         MM.decode_bmp(MM.encode_bmp(img)[:-4])
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    """Pure-NumPy WAV codec: encode->decode is identity for mono/stereo
+    16-bit PCM across lengths hitting odd data sizes (word-alignment
+    pad), and the chunk walk skips unknown chunks like real recorders
+    emit (LIST/INFO, including odd-length ones)."""
+    import struct
+
+    from dtaianomaly_spark.pipelines import audio as AU
+
+    rng = np.random.default_rng(13)
+    for n, ch, rate in [(1, 1, 8000), (7, 1, 44100), (5, 2, 16000),
+                        (64, 2, 48000), (3, 3, 9000)]:
+        a = rng.integers(-32768, 32768, (n, ch)).astype(np.int16)
+        got, got_rate = AU.decode_wav(AU.encode_wav(a, rate))
+        assert got_rate == rate and np.array_equal(got, a), (n, ch)
+    # mono 1-D input round-trips as (n, 1)
+    m = rng.integers(-32768, 32768, 9).astype(np.int16)
+    got, _ = AU.decode_wav(AU.encode_wav(m, 8000))
+    assert np.array_equal(got, m[:, None])
+    # insert an odd-length LIST chunk before fmt: walk must skip it
+    # (with its pad byte) and still find fmt/data
+    a = rng.integers(-32768, 32768, (6, 2)).astype(np.int16)
+    wav = AU.encode_wav(a, 22050)
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    patched = wav[:12] + extra + wav[12:]
+    got, got_rate = AU.decode_wav(patched)
+    assert got_rate == 22050 and np.array_equal(got, a)
+    # decode_audio routes by RIFF magic
+    got2, _ = AU.decode_audio(wav)
+    assert np.array_equal(got2, a)
+
+
+def test_wav_malformed_and_compressed_raise():
+    import struct
+
+    from dtaianomaly_spark.pipelines import audio as AU
+
+    a = np.arange(-8, 8, dtype=np.int16).reshape(8, 2)
+    good = AU.encode_wav(a, 8000)
+    with pytest.raises(ValueError, match="RIFF"):
+        AU.decode_wav(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="WAVE"):
+        AU.decode_wav(good[:8] + b"AVI " + good[12:])
+    with pytest.raises(ValueError, match="truncated"):
+        AU.decode_wav(good[:-6])
+    # audio_format 3 (IEEE float) names itself
+    buf = bytearray(good)
+    struct.pack_into("<H", buf, 20, 3)
+    with pytest.raises(NotImplementedError, match="IEEE float"):
+        AU.decode_wav(bytes(buf))
+    # 8-bit PCM is valid-but-unsupported
+    buf = bytearray(good)
+    struct.pack_into("<H", buf, 34, 8)
+    with pytest.raises(NotImplementedError, match="bits_per_sample=8"):
+        AU.decode_wav(bytes(buf))
+    # block_align must match channels * 2
+    buf = bytearray(good)
+    struct.pack_into("<H", buf, 32, 6)
+    with pytest.raises(ValueError, match="block_align"):
+        AU.decode_wav(bytes(buf))
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        AU.decode_audio(b"\xff\xfbMP3 frames" + bytes(16))
+    with pytest.raises(ValueError, match="sample_rate"):
+        AU.encode_wav(a, 0)
+
+
+def test_wav_frame_energy_matches_numpy(spark):
+    """Framed short-time energy over the synthetic WAV corpus equals a
+    direct NumPy computation on the same closed-form clips, including
+    the ragged tail frame."""
+    from dtaianomaly_spark.pipelines import audio as AU
+
+    docs = _docs(spark).limit(12)
+    rows = AU.frame_energy_decoded(
+        AU.with_wav_payload(docs), frame_len=16
+    ).collect()
+    got = {(r["doc_id"], r["frame_idx"]): (r["n_in_frame"], r["energy"])
+           for r in rows}
+    want = {}
+    for r in docs.select("doc_id").collect():
+        d = int(r["doc_id"])
+        n, ch, _ = AU._audio_dims(d)
+        sq = (AU._audio_clip(d, n, ch).astype(np.int64) ** 2).sum(axis=1)
+        for f in range(0, n, 16):
+            seg = sq[f:f + 16]
+            want[(d, f // 16)] = (int(seg.shape[0]), int(seg.sum()))
+    assert got == want
+    with pytest.raises(ValueError, match="frame_len"):
+        AU.frame_energy_decoded(AU.with_wav_payload(docs), frame_len=0)
+
+
 def test_frame_sample_decoded_matches_formula(spark):
     """Decoded-frame sampling: per-doc frame count is min(4, F), sampled
     indices follow j*F//m, and the decoded pixel stats equal the

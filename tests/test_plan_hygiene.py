@@ -53,6 +53,8 @@ EXCHANGE_BOUNDS = [
     ("mm_png_stats", 1),           # map-only Arrow decode (+ the corpus
                                    # repartition)
     ("mm_jpeg_stats", 1),          # map-only Arrow decode
+    ("mm_wav_stats", 1),           # map-only Arrow decode
+    ("mm_wav_energy", 1),          # map-only Arrow decode
     ("tx_bigram_fluency", 10),     # bigram/unigram aggs + keyed joins +
                                    # per-doc fold; V broadcasts
     ("tx_substring_spans", 14),    # substring_dedup's DAG + ONE window
