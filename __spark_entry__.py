@@ -989,6 +989,59 @@ def _q_mm_jpeg_stats(spark, sf_dir):
     )
 
 
+def _q_tx_pii_redact(spark, sf_dir):
+    """PII scrubbing (the Dolma/FineWeb curation step): deterministic
+    PII spliced into each doc via ONE shared SQL expression both
+    engines evaluate verbatim, then regex counts + redaction
+    (email/phone/IP, pinned order). The oracle re-runs the same RE2/
+    Java-common-subset regexes in DuckDB and md5-compares the redacted
+    text — a hash match proves the scrub byte-exactly. Expression-only:
+    one codegen'd map stage, no shuffle, no Python."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.pii_redact(TX.load_docs(spark, sf_dir))
+
+
+def _q_mm_wav_zcr(spark, sf_dir):
+    """Per-channel zero-crossing count + lag-1 autocorrelation over
+    decoded WAV clips (voiced/unvoiced + pitch-presence signals), both
+    exact integers the oracle integrates from the closed form."""
+    from dtaianomaly_spark.pipelines import audio as AU
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return AU.zcr_autocorr_decoded(
+        AU.with_wav_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
+def _q_mm_avi_stats(spark, sf_dir):
+    """Real AVI container decode (pure-NumPy RIFF/AVI parser): per doc a
+    deterministic uncompressed-DIB clip is synthesized and encoded, then
+    the container is walked (hdrl/strl/strf headers, movi frame chunks)
+    and per-frame pixel stats emitted. Oracle integrates the shared
+    closed form (multimodal.PX_FORMULA) plus the per-doc frame rate — a
+    hash match proves the encode->container-walk->decode->stat loop
+    bit-exactly."""
+    from dtaianomaly_spark.pipelines import text as TX
+    from dtaianomaly_spark.pipelines import video as VI
+
+    return VI.avi_frame_stats_decoded(
+        VI.with_avi_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
+def _q_mm_avi_motion(spark, sf_dir):
+    """Frame-to-frame motion (sum of absolute differences) over decoded
+    AVI clips — the scene-change / static-clip signal. Oracle integrates
+    ABS of the two consecutive frames' closed forms."""
+    from dtaianomaly_spark.pipelines import text as TX
+    from dtaianomaly_spark.pipelines import video as VI
+
+    return VI.avi_motion_decoded(
+        VI.with_avi_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
 def _q_mm_wav_stats(spark, sf_dir):
     """Real PCM-WAV decode (pure-NumPy RIFF/WAVE parser): per doc a
     deterministic mono/stereo 16-bit clip is synthesized and encoded,
@@ -1372,6 +1425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_stats": _q_mm_jpeg_stats,
         "mm_wav_stats": _q_mm_wav_stats,
         "mm_wav_energy": _q_mm_wav_energy,
+        "mm_avi_stats": _q_mm_avi_stats,
+        "mm_avi_motion": _q_mm_avi_motion,
+        "mm_wav_zcr": _q_mm_wav_zcr,
+        "tx_pii_redact": _q_tx_pii_redact,
         "det_matrix_profile": _q_det_matrix_profile,
         "det_matrix_profile_dist": _q_det_mp_dist,
         "det_kmeans": _q_det_kmeans,
@@ -3624,6 +3681,113 @@ SELECT doc_id, frame_idx,
 FROM vals GROUP BY doc_id, frame_idx
 """
 
+    # WAV zero-crossings + lag-1 autocorrelation: both exact-integer
+    # reductions of consecutive closed-form sample pairs (i >= 1), so
+    # the LATERAL grid starts at 1. Boolean <> boolean is the crossing.
+    _wav_v = "((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000)"
+    _wav_prev = "((d.doc_id*37 + c.c*101 + (i.i-1)*13) % 4001 - 2000)"
+    mm_wav_zcr = f"""
+WITH dims AS (
+    SELECT doc_id,
+           40 + doc_id % 30 AS n,
+           1 + doc_id % 2 AS ch
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(c.c AS BIGINT) AS channel,
+       CAST(d.n AS BIGINT) AS n_samples,
+       CAST(SUM(CASE WHEN ({_wav_v} >= 0) <> ({_wav_prev} >= 0)
+                THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+       CAST(SUM({_wav_v} * {_wav_prev}) AS BIGINT) AS ac_lag1
+FROM dims d,
+     LATERAL (SELECT UNNEST(range(1, d.n)) AS i) i,
+     LATERAL (SELECT UNNEST(range(d.ch)) AS c) c
+GROUP BY d.doc_id, c.c, d.n
+"""
+
+    # PII scrub: the spliced text is ONE shared SQL expression (
+    # pipelines/text.py PII_TEXT_EXPR) evaluated verbatim by both
+    # engines; the regexes live in the Java-regex / RE2 common subset
+    # and the replacement order (email, phone, ip) is pinned, so the
+    # md5 of the redacted text matches byte-exactly.
+    from dtaianomaly_spark.pipelines.text import PII_PATTERNS, PII_TEXT_EXPR
+
+    _em, _ph, _ip = (PII_PATTERNS["email"], PII_PATTERNS["phone"],
+                     PII_PATTERNS["ip"])
+    tx_pii_redact = f"""
+WITH p AS (
+    SELECT doc_id, {PII_TEXT_EXPR} AS ptext FROM documents
+),
+r AS (
+    SELECT doc_id, ptext,
+           regexp_replace(regexp_replace(regexp_replace(ptext,
+               '{_em}', '[EMAIL]', 'g'),
+               '{_ph}', '[PHONE]', 'g'),
+               '{_ip}', '[IP]', 'g') AS red
+    FROM p
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(ptext, '{_em}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(ptext, '{_ph}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(ptext, '{_ip}')) AS BIGINT) AS n_ips,
+       md5(red) AS redacted_md5,
+       CAST(length(red) AS BIGINT) AS redacted_len
+FROM r
+"""
+
+    # AVI decode stats: frames share multimodal.PX_FORMULA with the BMP
+    # video; the container adds the per-doc frame rate. All formula
+    # terms are non-negative so % agrees across engines.
+    mm_avi_stats = """
+WITH dims AS (
+    SELECT doc_id,
+           2 + doc_id % 5 AS F,
+           4 + doc_id % 3 AS h,
+           5 + doc_id % 4 AS w,
+           10 + doc_id % 20 AS fps
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(f.f AS BIGINT) AS frame_idx,
+       CAST(d.F AS BIGINT) AS n_frames,
+       CAST(d.h AS BIGINT) AS h, CAST(d.w AS BIGINT) AS w,
+       CAST(d.fps AS BIGINT) AS fps_rate,
+       CAST(SUM((d.doc_id*31 + f.f*97 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_sum,
+       CAST(MIN((d.doc_id*31 + f.f*97 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_min,
+       CAST(MAX((d.doc_id*31 + f.f*97 + y.y*131 + x.x*17 + c.c*59) % 256) AS BIGINT) AS px_max
+FROM dims d,
+     LATERAL (SELECT UNNEST(range(d.F)) AS f) f,
+     LATERAL (SELECT UNNEST(range(d.h)) AS y) y,
+     LATERAL (SELECT UNNEST(range(d.w)) AS x) x,
+     LATERAL (SELECT UNNEST(range(3)) AS c) c
+GROUP BY d.doc_id, f.f, d.F, d.h, d.w, d.fps
+"""
+
+    # AVI motion: SAD between consecutive frames = integral of ABS of
+    # the two closed forms; frame_idx indexes the later frame.
+    mm_avi_motion = """
+WITH dims AS (
+    SELECT doc_id,
+           2 + doc_id % 5 AS F,
+           4 + doc_id % 3 AS h,
+           5 + doc_id % 4 AS w
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(f.f AS BIGINT) AS frame_idx,
+       CAST(d.h * d.w * 3 AS BIGINT) AS n_px,
+       CAST(SUM(ABS(((d.doc_id*31 + f.f*97 + y.y*131 + x.x*17 + c.c*59) % 256)
+                  - ((d.doc_id*31 + (f.f-1)*97 + y.y*131 + x.x*17 + c.c*59) % 256))) AS BIGINT) AS sad,
+       CAST(MAX(ABS(((d.doc_id*31 + f.f*97 + y.y*131 + x.x*17 + c.c*59) % 256)
+                  - ((d.doc_id*31 + (f.f-1)*97 + y.y*131 + x.x*17 + c.c*59) % 256))) AS BIGINT) AS max_px_diff
+FROM dims d,
+     LATERAL (SELECT UNNEST(range(1, d.F)) AS f) f,
+     LATERAL (SELECT UNNEST(range(d.h)) AS y) y,
+     LATERAL (SELECT UNNEST(range(d.w)) AS x) x,
+     LATERAL (SELECT UNNEST(range(3)) AS c) c
+GROUP BY d.doc_id, f.f, d.h, d.w
+"""
+
     rollup_raw_mv = f"""
 {C.MV_SQL_CTE},
 agg AS (
@@ -3734,6 +3898,10 @@ FROM agg
         "mm_jpeg_stats": mm_jpeg_stats,
         "mm_wav_stats": mm_wav_stats,
         "mm_wav_energy": mm_wav_energy,
+        "mm_avi_stats": mm_avi_stats,
+        "mm_avi_motion": mm_avi_motion,
+        "mm_wav_zcr": mm_wav_zcr,
+        "tx_pii_redact": tx_pii_redact,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,
     }

@@ -238,6 +238,44 @@ FRAME_ENERGY_SCHEMA = StructType(
 )
 
 
+ZCR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("channel", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("zcr", LongType(), False),
+        StructField("ac_lag1", LongType(), False),
+    ]
+)
+
+
+def zcr_autocorr_decoded(payloads: DataFrame) -> DataFrame:
+    """Per-channel zero-crossing count and lag-1 autocorrelation over
+    decoded WAV clips — the classic voiced/unvoiced + pitch-presence
+    signals, both exact integers (a crossing is a sign-bit flip,
+    ``(v[i] >= 0) != (v[i-1] >= 0)``; the autocorrelation is the raw
+    integer inner product ``sum(v[i] * v[i-1])``). Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _ = decode_audio(bytes(payload))
+                s = samples.astype(np.int64)
+                nonneg = s >= 0
+                flips = (nonneg[1:] != nonneg[:-1]).sum(axis=0)
+                ac = (s[1:] * s[:-1]).sum(axis=0)
+                for c in range(s.shape[1]):
+                    out.append(
+                        (int(doc_id), c, s.shape[0], int(flips[c]),
+                         int(ac[c]))
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=ZCR_SCHEMA.names)
+
+    return payloads.select("doc_id", "payload").mapInPandas(run, ZCR_SCHEMA)
+
+
 def frame_energy_decoded(payloads: DataFrame, frame_len: int = 16) -> DataFrame:
     """Framed short-time energy: decode each WAV payload, cut the sample
     axis into non-overlapping ``frame_len``-sample frames (last frame

@@ -1384,3 +1384,67 @@ def vocab_topk(docs: DataFrame, k: int = VOCAB_TOP_K) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(k)
     )
+
+
+# ------------------------------------------------------ PII scrubbing
+# The curation step every public LLM pipeline runs before training
+# (Dolma, FineWeb, RedPajama all regex-scrub emails / phone numbers /
+# IP addresses). The corpus text is synthetic word-soup with no natural
+# PII, so — the multimodal-payload pattern — PII_TEXT_EXPR splices
+# deterministic PII formed from doc_id into each doc with ONE shared
+# SQL expression both engines evaluate verbatim; the oracle then
+# re-runs the same regexes in DuckDB and md5-compares the redacted
+# text, proving the scrub byte-exactly.
+#
+# Patterns stay in the Java-regex / RE2 common subset (character
+# classes, +, alternation-free) so Spark and DuckDB match identically;
+# replacement order (email, phone, ip) is pinned on both sides.
+
+PII_TEXT_EXPR = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 > 0 THEN concat(' contact user', doc_id,"
+    " '@mail', doc_id % 7, '.com') ELSE ' contact withheld' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' cc admin', doc_id % 97,"
+    " '@backup', doc_id % 11, '.org') ELSE '' END,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' call 555-',"
+    " 7000 + doc_id % 1000) ELSE '' END,"
+    " ' from 10.', doc_id % 256, '.', (doc_id * 7) % 256, '.',"
+    " (doc_id * 13) % 256)"
+)
+
+PII_PATTERNS = {
+    "email": "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+",
+    "phone": "555-[0-9]+",
+    "ip": "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+",
+}
+
+
+def with_pii_text(docs: DataFrame) -> DataFrame:
+    """Deterministically splice PII (0-2 emails, 0-1 phone, 1 IP per
+    doc, all closed forms of doc_id) into the corpus text — expression
+    only, no UDF."""
+    return docs.select("doc_id", F.expr(PII_TEXT_EXPR).alias("ptext"))
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Count and redact emails / phone numbers / IP addresses: per doc
+    the exact match counts plus md5 and length of the redacted text
+    (emails -> [EMAIL], phones -> [PHONE], IPs -> [IP], replacement
+    order pinned). Expression-only — the whole scrub is one codegen'd
+    map stage, no shuffle, no Python."""
+    p = with_pii_text(docs)
+    red = F.col("ptext")
+    for kind, tag in (("email", "[EMAIL]"), ("phone", "[PHONE]"),
+                      ("ip", "[IP]")):
+        red = F.regexp_replace(red, F.lit(PII_PATTERNS[kind]), F.lit(tag))
+    return p.select(
+        "doc_id",
+        F.regexp_count("ptext", F.lit(PII_PATTERNS["email"]))
+        .cast("long").alias("n_emails"),
+        F.regexp_count("ptext", F.lit(PII_PATTERNS["phone"]))
+        .cast("long").alias("n_phones"),
+        F.regexp_count("ptext", F.lit(PII_PATTERNS["ip"]))
+        .cast("long").alias("n_ips"),
+        F.md5(red.cast("binary")).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )

@@ -323,6 +323,175 @@ def test_wav_frame_energy_matches_numpy(spark):
         AU.frame_energy_decoded(AU.with_wav_payload(docs), frame_len=0)
 
 
+def test_avi_roundtrip_and_container_walk():
+    """Pure-NumPy AVI codec: encode->decode is identity for
+    uncompressed-DIB clips across shapes hitting row padding, and the
+    chunk walk survives what real writers emit — JUNK chunks, LIST
+    'rec ' frame grouping, interleaved audio-stream chunks, odd-length
+    chunks (word-alignment pad)."""
+    import struct
+
+    from dtaianomaly_spark.pipelines import video as VI
+
+    rng = np.random.default_rng(17)
+    for nf, h, w, rate, scale in [(1, 1, 1, 30, 1), (2, 4, 5, 24, 1),
+                                  (3, 6, 8, 30000, 1001), (6, 5, 7, 10, 1)]:
+        a = rng.integers(0, 256, (nf, h, w, 3)).astype(np.uint8)
+        got, got_rate, got_scale = VI.decode_avi(VI.encode_avi(a, rate, scale))
+        assert (got_rate, got_scale) == (rate, scale)
+        assert np.array_equal(got, a), (nf, h, w)
+
+    # rebuild the container the way an interleaved writer would: first
+    # frame inside a LIST 'rec ' next to an odd-length audio chunk, a
+    # JUNK chunk between hdrl and movi — the walk must skip all of it
+    a = rng.integers(0, 256, (3, 4, 5), dtype=np.uint8)
+    a = np.stack([a, a + 1, a + 2], axis=-1).astype(np.uint8)
+    avi = VI.encode_avi(a, 12)
+    hdrl_raw = None
+    for cid, start, size in VI._walk(avi, 12, len(avi)):
+        if cid == b"LIST" and avi[start:start + 4] == b"hdrl":
+            hdrl_raw = avi[start - 8:start + size + (size % 2)]
+    stride = (5 * 3 + 3) // 4 * 4
+    frame_cks = [VI._ck(b"00db", VI._dib_rows(a[f], stride)) for f in range(3)]
+    movi = VI._list(
+        b"rec ", frame_cks[0] + VI._ck(b"01wb", b"\x01" * 7)
+    ) + b"".join(frame_cks[1:])
+    body = (b"AVI " + hdrl_raw + VI._ck(b"JUNK", b"x" * 3)
+            + VI._list(b"movi", movi))
+    patched = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, got_rate, _ = VI.decode_avi(patched)
+    assert got_rate == 12 and np.array_equal(got, a)
+
+
+def test_avi_malformed_and_compressed_raise():
+    import struct
+
+    from dtaianomaly_spark.pipelines import video as VI
+
+    a = np.arange(2 * 4 * 5 * 3, dtype=np.uint8).reshape(2, 4, 5, 3)
+    good = VI.encode_avi(a, 25)
+    with pytest.raises(ValueError, match="RIFF"):
+        VI.decode_avi(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="'AVI '"):
+        VI.decode_avi(good[:8] + b"WAVE" + good[12:])
+    with pytest.raises(ValueError, match="truncated"):
+        VI.decode_avi(good[:-10])
+    # compressed codec names its fourcc
+    buf = bytearray(good)
+    i = good.find(b"strf")
+    struct.pack_into("<I", buf, i + 8 + 16, struct.unpack("<I", b"MJPG")[0])
+    with pytest.raises(NotImplementedError, match="MJPG"):
+        VI.decode_avi(bytes(buf))
+    # 8-bit DIB is valid-but-unsupported
+    buf = bytearray(good)
+    struct.pack_into("<H", buf, i + 8 + 14, 8)
+    with pytest.raises(NotImplementedError, match="biBitCount=8"):
+        VI.decode_avi(bytes(buf))
+    # avih/strf dimension disagreement names both
+    buf = bytearray(good)
+    j = good.find(b"avih")
+    struct.pack_into("<I", buf, j + 8 + 32, 99)
+    with pytest.raises(ValueError, match="header mismatch"):
+        VI.decode_avi(bytes(buf))
+    # a stream that is not video is not a 'vids' stream
+    buf = bytearray(good)
+    k = good.find(b"strh")
+    buf[k + 8:k + 12] = b"auds"
+    with pytest.raises(ValueError, match="no 'vids' stream"):
+        VI.decode_avi(bytes(buf))
+    # frame chunk whose size is not one whole DIB
+    buf = bytearray(good)
+    m = good.find(b"00db")
+    (fsize,) = struct.unpack_from("<I", good, m + 4)
+    struct.pack_into("<I", buf, m + 4, fsize - 4)
+    with pytest.raises(ValueError, match="24-bit DIB"):
+        VI.decode_avi(bytes(buf))
+    with pytest.raises(ValueError, match="rate/scale"):
+        VI.encode_avi(a, 0)
+    with pytest.raises(ValueError, match="n_frames"):
+        VI.encode_avi(a[0], 25)
+
+
+def test_wav_zcr_autocorr_matches_numpy(spark):
+    """Zero-crossing count and lag-1 autocorrelation over the synthetic
+    WAV corpus equal a direct NumPy computation per channel."""
+    from dtaianomaly_spark.pipelines import audio as AU
+
+    docs = _docs(spark).limit(10)
+    rows = AU.zcr_autocorr_decoded(AU.with_wav_payload(docs)).collect()
+    got = {(r["doc_id"], r["channel"]): (r["n_samples"], r["zcr"],
+                                         r["ac_lag1"])
+           for r in rows}
+    want = {}
+    for r in docs.select("doc_id").collect():
+        d = int(r["doc_id"])
+        n, ch, _ = AU._audio_dims(d)
+        s = AU._audio_clip(d, n, ch).astype(np.int64)
+        nonneg = s >= 0
+        for c in range(ch):
+            want[(d, c)] = (
+                n, int((nonneg[1:, c] != nonneg[:-1, c]).sum()),
+                int((s[1:, c] * s[:-1, c]).sum()),
+            )
+    assert got == want
+
+
+def test_pii_redact_counts_and_scrub(spark):
+    """PII scrub: per-doc counts follow the splice's closed form, the
+    redacted text carries the placeholder tags, and re-running the
+    patterns over the redacted text finds nothing left."""
+    import re
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark).limit(40)
+    red = {r["doc_id"]: r for r in TX.pii_redact(docs).collect()}
+    raw = {r["doc_id"]: r["ptext"]
+           for r in TX.with_pii_text(docs).collect()}
+    assert len(red) == 40
+    for d, r in red.items():
+        want_emails = (1 if d % 3 > 0 else 0) + (1 if d % 5 == 0 else 0)
+        assert r["n_emails"] == want_emails, d
+        assert r["n_phones"] == (1 if d % 2 == 0 else 0), d
+        assert r["n_ips"] == 1, d
+        # redact independently in Python and md5-compare
+        t = raw[d]
+        for kind, tag in (("email", "[EMAIL]"), ("phone", "[PHONE]"),
+                          ("ip", "[IP]")):
+            t = re.sub(TX.PII_PATTERNS[kind], tag, t)
+        import hashlib
+
+        assert r["redacted_md5"] == hashlib.md5(t.encode()).hexdigest(), d
+        assert r["redacted_len"] == len(t)
+        for pat in TX.PII_PATTERNS.values():
+            assert not re.search(pat, t), (d, pat)
+
+
+def test_avi_motion_matches_numpy(spark):
+    """Frame-to-frame SAD over the synthetic AVI corpus equals a direct
+    NumPy computation on the same closed-form clips."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import video as VI
+
+    docs = _docs(spark).limit(10)
+    rows = VI.avi_motion_decoded(VI.with_avi_payload(docs)).collect()
+    got = {(r["doc_id"], r["frame_idx"]): (r["n_px"], r["sad"],
+                                           r["max_px_diff"])
+           for r in rows}
+    want = {}
+    for r in docs.select("doc_id").collect():
+        d = int(r["doc_id"])
+        nf, h, w = MM._video_dims(d)
+        clip = np.stack(
+            [MM._video_frame(d, f, h, w) for f in range(nf)]
+        ).astype(np.int64)
+        diff = np.abs(clip[1:] - clip[:-1])
+        for f in range(nf - 1):
+            want[(d, f + 1)] = (int(diff[f].size), int(diff[f].sum()),
+                                int(diff[f].max()))
+    assert got == want
+
+
 def test_frame_sample_decoded_matches_formula(spark):
     """Decoded-frame sampling: per-doc frame count is min(4, F), sampled
     indices follow j*F//m, and the decoded pixel stats equal the

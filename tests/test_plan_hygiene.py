@@ -55,6 +55,11 @@ EXCHANGE_BOUNDS = [
     ("mm_jpeg_stats", 1),          # map-only Arrow decode
     ("mm_wav_stats", 1),           # map-only Arrow decode
     ("mm_wav_energy", 1),          # map-only Arrow decode
+    ("mm_avi_stats", 1),           # map-only Arrow decode
+    ("mm_avi_motion", 1),          # map-only Arrow decode
+    ("mm_wav_zcr", 1),             # map-only Arrow decode
+    ("tx_pii_redact", 1),          # expression-only map stage (+ the
+                                   # corpus repartition), zero Python
     ("tx_bigram_fluency", 10),     # bigram/unigram aggs + keyed joins +
                                    # per-doc fold; V broadcasts
     ("tx_substring_spans", 14),    # substring_dedup's DAG + ONE window
