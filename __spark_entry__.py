@@ -989,6 +989,19 @@ def _q_mm_jpeg_stats(spark, sf_dir):
     )
 
 
+def _q_mm_curation_funnel(spark, sf_dir):
+    """Cross-modal keep/drop funnel: one verdict per doc from text
+    shape + PII exposure + decoded-PNG brightness + decoded-WAV energy
+    (all four integer rules), tallied per source. The oracle re-derives
+    the image/audio stats from the payloads' closed forms and re-runs
+    the PII regexes — bit-exact because every rule is an integer
+    inequality."""
+    from dtaianomaly_spark.pipelines import mm_curation as MC
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return MC.multimodal_curation_funnel(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_pii_redact(spark, sf_dir):
     """PII scrubbing (the Dolma/FineWeb curation step): deterministic
     PII spliced into each doc via ONE shared SQL expression both
@@ -1429,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_avi_motion": _q_mm_avi_motion,
         "mm_wav_zcr": _q_mm_wav_zcr,
         "tx_pii_redact": _q_tx_pii_redact,
+        "mm_curation_funnel": _q_mm_curation_funnel,
         "det_matrix_profile": _q_det_matrix_profile,
         "det_matrix_profile_dist": _q_det_mp_dist,
         "det_kmeans": _q_det_kmeans,
@@ -3735,6 +3749,78 @@ SELECT doc_id,
 FROM r
 """
 
+    # Cross-modal curation funnel: image/audio stats re-derived from
+    # the payloads' closed forms, PII regexes re-run, all keep rules
+    # integer inequalities (pipelines/mm_curation.py constants).
+    from dtaianomaly_spark.pipelines.mm_curation import (
+        MEANSQ_MIN, MIN_WORDS, PX_MEAN_HI, PX_MEAN_LO,
+    )
+
+    mm_curation_funnel = f"""
+WITH txt AS (
+    SELECT doc_id, source,
+           length(text) AS chars,
+           length(text) - length(replace(text, ' ', '')) AS spaces,
+           length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS digits
+    FROM documents
+),
+pii AS (
+    SELECT doc_id,
+           len(regexp_extract_all({PII_TEXT_EXPR}, '{_em}')) AS n_emails,
+           len(regexp_extract_all({PII_TEXT_EXPR}, '{_ph}')) AS n_phones
+    FROM documents
+),
+imgd AS (
+    SELECT doc_id, 4 + doc_id % 3 AS h, 5 + doc_id % 4 AS w FROM documents
+),
+img AS (
+    SELECT d.doc_id, d.h, d.w,
+           SUM((d.doc_id*31 + y.y*131 + x.x*17 + c.c*59) % 256) AS px_sum
+    FROM imgd d,
+         LATERAL (SELECT UNNEST(range(d.h)) AS y) y,
+         LATERAL (SELECT UNNEST(range(d.w)) AS x) x,
+         LATERAL (SELECT UNNEST(range(3)) AS c) c
+    GROUP BY d.doc_id, d.h, d.w
+),
+audd AS (
+    SELECT doc_id, 40 + doc_id % 30 AS n, 1 + doc_id % 2 AS ch
+    FROM documents
+),
+aud AS (
+    SELECT d.doc_id, d.n, d.ch,
+           SUM(((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000)
+             * ((d.doc_id*37 + c.c*101 + i.i*13) % 4001 - 2000)) AS s_sq
+    FROM audd d,
+         LATERAL (SELECT UNNEST(range(d.n)) AS i) i,
+         LATERAL (SELECT UNNEST(range(d.ch)) AS c) c
+    GROUP BY d.doc_id, d.n, d.ch
+),
+flags AS (
+    SELECT t.source,
+           CASE WHEN t.digits * 4 < t.chars
+                 AND t.spaces + 1 >= {MIN_WORDS} THEN 1 ELSE 0 END AS text_ok,
+           CASE WHEN p.n_emails + p.n_phones <= 1 THEN 1 ELSE 0 END AS pii_ok,
+           CASE WHEN i.px_sum >= {PX_MEAN_LO} * i.h * i.w * 3
+                 AND i.px_sum <= {PX_MEAN_HI} * i.h * i.w * 3
+                THEN 1 ELSE 0 END AS img_ok,
+           CASE WHEN a.s_sq >= {MEANSQ_MIN} * a.n * a.ch
+                THEN 1 ELSE 0 END AS audio_ok
+    FROM txt t
+    JOIN pii p USING (doc_id)
+    JOIN img i ON t.doc_id = i.doc_id
+    JOIN aud a ON t.doc_id = a.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(text_ok * pii_ok * img_ok * audio_ok) AS BIGINT) AS n_keep,
+       CAST(SUM(1 - text_ok) AS BIGINT) AS n_text_fail,
+       CAST(SUM(1 - pii_ok) AS BIGINT) AS n_pii_fail,
+       CAST(SUM(1 - img_ok) AS BIGINT) AS n_img_fail,
+       CAST(SUM(1 - audio_ok) AS BIGINT) AS n_audio_fail
+FROM flags GROUP BY source
+"""
+
     # AVI decode stats: frames share multimodal.PX_FORMULA with the BMP
     # video; the container adds the per-doc frame rate. All formula
     # terms are non-negative so % agrees across engines.
@@ -3902,6 +3988,7 @@ FROM agg
         "mm_avi_motion": mm_avi_motion,
         "mm_wav_zcr": mm_wav_zcr,
         "tx_pii_redact": tx_pii_redact,
+        "mm_curation_funnel": mm_curation_funnel,
         "compress_roundtrip": _rollup_oracle(16, "raw"),
         "det_proba_median": det_proba_median,
     }

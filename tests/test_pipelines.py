@@ -467,6 +467,57 @@ def test_pii_redact_counts_and_scrub(spark):
             assert not re.search(pat, t), (d, pat)
 
 
+def test_mm_curation_funnel_matches_direct_recompute(spark):
+    """Cross-modal funnel tallies equal a direct per-doc recompute of
+    all four modality rules from the closed forms, and the split is
+    nontrivial (some kept, some dropped, every rule fires somewhere
+    at this SF)."""
+    import re
+
+    from dtaianomaly_spark.pipelines import audio as AU
+    from dtaianomaly_spark.pipelines import mm_curation as MC
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark)
+    got = {r["source"]: r for r in
+           MC.multimodal_curation_funnel(docs).collect()}
+    raw = {r["doc_id"]: r["ptext"]
+           for r in TX.with_pii_text(docs).collect()}
+    want: dict = {}
+    for r in docs.select("doc_id", "source", "text").collect():
+        d, text = int(r["doc_id"]), r["text"]
+        spaces = text.count(" ")
+        digits = sum(ch.isdigit() for ch in text)
+        text_ok = digits * 4 < len(text) and spaces + 1 >= MC.MIN_WORDS
+        pii_ok = (
+            len(re.findall(TX.PII_PATTERNS["email"], raw[d]))
+            + len(re.findall(TX.PII_PATTERNS["phone"], raw[d]))
+        ) <= 1
+        _, h, w = MM._video_dims(d)
+        px = int(MM._video_frame(d, 0, h, w).sum(dtype=np.int64))
+        img_ok = MC.PX_MEAN_LO * h * w * 3 <= px <= MC.PX_MEAN_HI * h * w * 3
+        n, ch, _ = AU._audio_dims(d)
+        s = AU._audio_clip(d, n, ch).astype(np.int64)
+        audio_ok = int((s * s).sum()) >= MC.MEANSQ_MIN * n * ch
+        agg = want.setdefault(r["source"], [0] * 6)
+        agg[0] += 1
+        agg[1] += text_ok and pii_ok and img_ok and audio_ok
+        agg[2] += not text_ok
+        agg[3] += not pii_ok
+        agg[4] += not img_ok
+        agg[5] += not audio_ok
+    assert set(got) == set(want)
+    for src, (nd, nk, tf, pf, mf, af) in want.items():
+        g = got[src]
+        assert (g["n_docs"], g["n_keep"], g["n_text_fail"], g["n_pii_fail"],
+                g["n_img_fail"], g["n_audio_fail"]) == (nd, nk, tf, pf,
+                                                        mf, af), src
+    tot = [sum(v[i] for v in want.values()) for i in range(6)]
+    assert 0 < tot[1] < tot[0]
+    assert all(t > 0 for t in tot[2:])
+
+
 def test_avi_motion_matches_numpy(spark):
     """Frame-to-frame SAD over the synthetic AVI corpus equals a direct
     NumPy computation on the same closed-form clips."""

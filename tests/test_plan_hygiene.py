@@ -60,6 +60,8 @@ EXCHANGE_BOUNDS = [
     ("mm_wav_zcr", 1),             # map-only Arrow decode
     ("tx_pii_redact", 1),          # expression-only map stage (+ the
                                    # corpus repartition), zero Python
+    ("mm_curation_funnel", 5),     # corpus repartition + 3 doc_id join
+                                   # shuffles + per-source rollup
     ("tx_bigram_fluency", 10),     # bigram/unigram aggs + keyed joins +
                                    # per-doc fold; V broadcasts
     ("tx_substring_spans", 14),    # substring_dedup's DAG + ONE window
