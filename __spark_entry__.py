@@ -1082,6 +1082,46 @@ def _q_mm_wav_energy(spark, sf_dir):
     )
 
 
+# Token training-prep queries (pipelines/tokens.py) ------------------------
+# No DuckDB twins: the oracle set sits at the 100-query rotation ceiling
+# (tests/test_oracle_rotation.py), so these are rows-only driver checks,
+# each pinned bit-exactly in pytest against an independent Python oracle
+# (tests/test_tokens_pipeline.py).
+
+def _q_tok_pair_top(spark, sf_dir):
+    """Top-64 adjacent token pairs corpus-wide — the argmax surface the
+    BPE trainer consumes; deterministic total order (cnt DESC, pa, pb).
+    One map-side HOF pair stream + one map-side-combined aggregate."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    pc = TK.pair_counts(C.token_arrays(spark, sf_dir))
+    return pc.orderBy(F.col("cnt").desc(), "pa", "pb").limit(64)
+
+
+def _q_tok_bpe_merges(spark, sf_dir):
+    """Distributed BPE training, 12 merges: learned merge table
+    (step, pa, pb, new_id, cnt) — bit-deterministic for the corpus;
+    pytest pins it to the exact Python recount oracle. TRAINING IS AN
+    ACTION: the call itself runs 12 (pair-count -> 1-row argmax ->
+    Arrow merge apply) rounds with eager lineage checkpoints."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    merges, _ = TK.bpe_train(C.token_arrays(spark, sf_dir), n_merges=12)
+    return merges.orderBy("step")
+
+
+def _q_tok_pack_stats(spark, sf_dir):
+    """Fixed-context sequence packing report: chunk every doc to <=512
+    tokens (map-side slice HOF), best-fit-decreasing pack inside 32
+    deterministic md5 hash groups (one shuffle + per-group Arrow BFD),
+    then the one-row bins/tokens/padding/fill summary."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    chunks = TK.chunk_tokens(C.token_arrays(spark, sf_dir), 512)
+    packed = TK.pack_sequences(chunks, 512, n_groups=32)
+    return TK.packing_stats(packed, 512)
+
+
 # Detector + compression queries -------------------------------------------
 
 def _arrays_long_docid(spark, sf_dir):
@@ -1467,6 +1507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_matrix_profile_novelty": _q_det_mp_novelty,
         "det_motif_topk": _q_det_motif_topk,
         "det_discord_topk": _q_det_discord_topk,
+        "tok_pair_top": _q_tok_pair_top,
+        "tok_bpe_merges": _q_tok_bpe_merges,
+        "tok_pack_stats": _q_tok_pack_stats,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

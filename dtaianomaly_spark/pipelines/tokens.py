@@ -1,0 +1,288 @@
+"""Token-sequence training-prep ops over the engine's canonical corpus
+shape ``(doc_id, tokens array<int>, n_tok [, source])`` — the "tokens"
+leg of the LLM-pipeline brief that the reference engine (dtaianomaly,
+which stops at window extraction over these same arrays) has no
+counterpart for:
+
+* **BPE merge training** (Sennrich et al. 2016): the tokenizer-refresh
+  job a data pipeline runs over a new crawl — count adjacent token
+  pairs, merge the most frequent, repeat. :func:`pair_counts` /
+  :func:`apply_merge` / :func:`bpe_train`.
+* **Fixed-context sequence packing** (Krell et al. 2021, "Efficient
+  Sequence Packing without Cross-contamination"): turn ragged tokenized
+  documents into dense ``capacity``-token training rows with minimal
+  padding. :func:`chunk_tokens` / :func:`pack_sequences` /
+  :func:`packing_stats`.
+
+Scale shapes (100 TB):
+
+* ``pair_counts`` — map-side HOF pair stream into ONE map-side-combined
+  hash aggregate keyed on the (pa, pb) int pair; per-doc pair lists
+  never shuffle, only partial counts do. The same inverted-index shape
+  as exact dedup — survives 100x.
+* ``bpe_train`` — K passes of (pair count -> 1-row argmax collect ->
+  Arrow map merge). Each pass eagerly ``localCheckpoint``s the merged
+  corpus so pass k+1 reads materialized arrays instead of replaying k
+  merge lambdas (the dedup-cluster lineage-truncation trick).
+  **Training is an ACTION**: the winning pair is data-dependent, so
+  calling it runs Spark jobs — unlike the lazy builders elsewhere in
+  this package. The only driver traffic per pass is ONE row (the
+  argmax) — never a vocabulary or a corpus.
+* ``chunk_tokens`` — map-side slice HOF, zero shuffle.
+* ``pack_sequences`` — one shuffle on a deterministic md5 group key,
+  then per-group Arrow best-fit-decreasing. Bin quality is per-group
+  (each group packs independently), which is exactly how a 1000-executor
+  packing job must run anyway: the group count caps per-task state at
+  |corpus|/n_groups sequences, and raising it scales the op to any
+  corpus. Assignments are bit-deterministic at ANY partitioning: the
+  group key is an md5 of the row identity and the in-group order is the
+  total order (n_tok DESC, id ASC).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dtaianomaly_spark.kernels import tokens as KT
+
+#: Default id for the first learned merge token — far above the
+#: synthetic corpora's raw-token range, far below int32 max.
+NEW_ID_START = 1_000_000
+
+
+def pair_counts(corpus: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the whole corpus: one row per distinct
+    (pa, pb) with its raw adjacency count (overlaps included, as BPE
+    counts them: ``[a,a,a]`` contributes ``(a,a)`` twice).
+
+    Expression-only: the pair stream is a map-side ``transform`` HOF
+    (the ``sequence(1, 0)``-descends guard applies — short arrays emit
+    nothing), and the single shuffle is the map-side-combined count."""
+    pairs = corpus.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tokens) >= 2 THEN"
+                " transform(sequence(1, size(tokens) - 1),"
+                " i -> struct(tokens[i-1] AS pa, tokens[i] AS pb))"
+                " ELSE CAST(array() AS array<struct<pa:int,pb:int>>) END"
+            )
+        ).alias("pr")
+    ).select("pr.pa", "pr.pb")
+    return pairs.groupBy("pa", "pb").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def apply_merge(corpus: DataFrame, a: int, b: int, new_id: int) -> DataFrame:
+    """Apply ONE BPE merge ``(a, b) -> new_id`` to every ``tokens``
+    array (greedy left-to-right, single pass over the original array —
+    :func:`dtaianomaly_spark.kernels.tokens.merge_pair`). Map-only
+    Arrow stage; preserves the input schema (``n_tok`` recomputed when
+    present), so merged corpora drop back into every downstream op."""
+    a, b, new_id = int(a), int(b), int(new_id)
+    schema = corpus.schema
+    has_ntok = "n_tok" in corpus.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            merged = [
+                KT.merge_pair(t, a, b, new_id) for t in pdf["tokens"]
+            ]
+            pdf = pdf.copy()
+            pdf["tokens"] = [m.tolist() for m in merged]
+            if has_ntok:
+                pdf["n_tok"] = np.array(
+                    [m.shape[0] for m in merged], dtype=np.int32
+                )
+            yield pdf
+
+    return corpus.mapInPandas(run, schema)
+
+
+def bpe_train(
+    corpus: DataFrame,
+    n_merges: int = 16,
+    new_id_start: int = NEW_ID_START,
+    min_count: int = 2,
+) -> Tuple[DataFrame, DataFrame]:
+    """Distributed BPE training: ``n_merges`` rounds of (corpus-wide
+    pair count -> argmax -> merge apply). Tie-break pinned to
+    (cnt DESC, pa ASC, pb ASC) — the same total order as the pytest
+    oracle :func:`dtaianomaly_spark.kernels.tokens.bpe_reference`, so
+    the learned merge table is bit-deterministic for a given corpus.
+
+    Returns ``(merges, merged_corpus)``: the merge table
+    (step, pa, pb, new_id, cnt) and the corpus after all merges.
+    **Runs Spark jobs when called** (see module docstring); each round
+    collects exactly one row and eagerly checkpoints the merged arrays.
+
+    At 100 TB each round is one map-side-combined aggregate plus one
+    map-only Arrow pass — the classic distributed BPE loop. Production
+    trainers amortize rounds with pair-delta bookkeeping; the per-round
+    full recount here trades that for exactness and statelessness and
+    is the right shape while n_merges stays small (tokenizer refreshes
+    are tens of merges over an already-tokenized corpus, not the
+    from-characters thousands)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    spark = corpus.sparkSession
+    cur = corpus
+    merges: List[Tuple[int, int, int, int, int]] = []
+    for step in range(n_merges):
+        best = (
+            pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), F.col("pa"), F.col("pb"))
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["cnt"]) < min_count:
+            break
+        pa, pb, cnt = (
+            int(best[0]["pa"]), int(best[0]["pb"]), int(best[0]["cnt"])
+        )
+        new_id = new_id_start + step
+        merges.append((step, pa, pb, new_id, cnt))
+        cur = apply_merge(cur, pa, pb, new_id).localCheckpoint(eager=True)
+    merges_df = spark.createDataFrame(
+        merges, schema="step long, pa int, pb int, new_id int, cnt long"
+    )
+    return merges_df, cur
+
+
+def chunk_tokens(corpus: DataFrame, capacity: int) -> DataFrame:
+    """Split every ``tokens`` array into consecutive chunks of at most
+    ``capacity`` tokens — the pre-pass that makes any corpus packable
+    (no sequence longer than a training row). Map-side slice HOF, zero
+    shuffle. Output: (doc_id, chunk, tokens, n_tok); chunk ids are
+    0-based and contiguous per doc; concatenating a doc's chunks in
+    chunk order reproduces its original array."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    nchunks = f"(size(tokens) + {capacity - 1}) DIV {capacity}"
+    return (
+        corpus.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "CASE WHEN size(tokens) >= 1 THEN"
+                    f" transform(sequence(0, {nchunks} - 1),"
+                    f" j -> slice(tokens, j * {capacity} + 1, {capacity}))"
+                    " ELSE CAST(array() AS array<array<int>>) END"
+                )
+            ).alias("chunk", "tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk").cast("int").alias("chunk"),
+            "tokens",
+            F.expr("size(tokens)").cast("int").alias("n_tok"),
+        )
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    capacity: int,
+    n_groups: int = 64,
+    id_cols: Optional[Tuple[str, ...]] = None,
+) -> DataFrame:
+    """Assign every sequence to a fixed-``capacity`` training bin with
+    best-fit-DECREASING packing inside deterministic hash groups.
+
+    ``chunks`` needs (``n_tok`` plus the identity columns) — the output
+    of :func:`chunk_tokens`, or any corpus whose sequences already fit.
+    ``id_cols`` defaults to ("doc_id", "chunk") intersected with the
+    input columns; together they must identify a row.
+
+    Output: id columns + (n_tok, grp, bin) where ``bin`` is the
+    0-based bin index WITHIN the group; (grp, bin) is the global
+    training-row id. Every bin's token total is <= capacity; padding
+    accounting comes from :func:`packing_stats`.
+
+    Deterministic at any partitioning: grp is an md5 of the row
+    identity (never Spark's partitioner), and each group packs its
+    rows in the total order (n_tok DESC, id ASC) with the exact kernel
+    :func:`dtaianomaly_spark.kernels.tokens.pack_bfd`."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_groups < 1:
+        raise ValueError(f"n_groups must be >= 1, got {n_groups}")
+    if id_cols is None:
+        id_cols = tuple(
+            c for c in ("doc_id", "chunk") if c in chunks.columns
+        )
+    if not id_cols:
+        raise ValueError("no identity columns found (need id_cols)")
+    ident = " || ':' || ".join(
+        f"CAST({c} AS STRING)" for c in id_cols
+    )
+    base = chunks.select(
+        *id_cols,
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr(
+            f"CAST(conv(substr(md5({ident}), 1, 15), 16, 10)"
+            f" % {int(n_groups)} AS INT)"
+        ).alias("grp"),
+    )
+    # build a FRESH StructType: .add() mutates the DataFrame's cached
+    # schema object, desyncing df.columns from the JVM plan
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(base.schema.fields)
+        + [StructField("bin", IntegerType(), False)]
+    )
+    sort_cols = ["n_tok"] + list(id_cols)
+    ascending = [False] + [True] * len(id_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        pdf = pdf.reset_index(drop=True)
+        pdf["bin"] = np.array(
+            KT.pack_bfd(pdf["n_tok"].tolist(), capacity), dtype=np.int32
+        )
+        return pdf
+
+    return base.groupBy("grp").applyInPandas(pack, out_schema)
+
+
+def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """One-row packing report over :func:`pack_sequences` output:
+    (n_groups, n_bins, n_seqs, n_tokens, pad_tokens, fill). Integer
+    aggregates + one shared float formula (fill = tokens / bin
+    capacity mass). Per-group bin counts come from the 0-based
+    contiguous bin ids (max + 1), so the rollup is two tiny hash
+    aggregates — nothing corpus-sized moves."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    per_grp = packed.groupBy("grp").agg(
+        (F.max("bin").cast("long") + 1).alias("g_bins"),
+        F.count("*").cast("long").alias("g_seqs"),
+        F.sum("n_tok").cast("long").alias("g_tokens"),
+    )
+    return per_grp.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("g_bins").cast("long").alias("n_bins"),
+        F.sum("g_seqs").cast("long").alias("n_seqs"),
+        F.sum("g_tokens").cast("long").alias("n_tokens"),
+        (F.sum("g_bins") * capacity - F.sum("g_tokens"))
+        .cast("long")
+        .alias("pad_tokens"),
+    ).select(
+        "n_groups",
+        "n_bins",
+        "n_seqs",
+        "n_tokens",
+        "pad_tokens",
+        F.expr(
+            "CAST(n_tokens AS DOUBLE)"
+            f" / (CAST(n_bins AS DOUBLE) * {int(capacity)})"
+        ).alias("fill"),
+    )

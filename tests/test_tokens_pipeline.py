@@ -1,0 +1,173 @@
+"""Token training-prep ops (pipelines/tokens.py): BPE pair counting /
+merge training vs the exact Python oracle, chunking round-trip, and
+deterministic best-fit-decreasing packing invariants."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dtaianomaly_spark.kernels import tokens as KT
+from dtaianomaly_spark.pipelines import tokens as TK
+from dtaianomaly_spark.sources import corpus as C
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------- kernels
+def test_merge_pair_matches_scan_reference():
+    rng = np.random.default_rng(11)
+    for _ in range(4000):
+        n = int(rng.integers(0, 40))
+        arr = rng.integers(0, 4, n).tolist()
+        a, b = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        got = KT.merge_pair(arr, a, b, 99).tolist()
+        want = KT.merge_pair_scan(arr, a, b, 99)
+        assert got == want, (arr, a, b)
+
+
+def test_merge_pair_equal_pair_runs():
+    assert KT.merge_pair([5, 5, 5], 5, 5, 9).tolist() == [9, 5]
+    assert KT.merge_pair([5, 5, 5, 5], 5, 5, 9).tolist() == [9, 9]
+    assert KT.merge_pair([1, 5, 5, 5, 2, 5, 5], 5, 5, 9).tolist() == [
+        1, 9, 5, 2, 9,
+    ]
+
+
+def test_pack_bfd_matches_brute_force():
+    rng = np.random.default_rng(13)
+    for _ in range(2000):
+        cap = int(rng.integers(1, 64))
+        ls = rng.integers(1, cap + 1, int(rng.integers(0, 80))).tolist()
+        assert KT.pack_bfd(ls, cap) == KT.pack_reference(ls, cap)
+
+
+def test_pack_bfd_rejects_out_of_range():
+    with pytest.raises(ValueError, match="chunk long sequences"):
+        KT.pack_bfd([5], 4)
+    with pytest.raises(ValueError, match="capacity"):
+        KT.pack_bfd([1], 0)
+
+
+# ------------------------------------------------------- Spark: BPE
+def test_pair_counts_match_reference(spark):
+    arrays = C.token_arrays(spark, SF_DIR)
+    seqs = [r["tokens"] for r in arrays.select("tokens").collect()]
+    want = KT.pair_count_reference(seqs)
+    got = {
+        (r["pa"], r["pb"]): r["cnt"]
+        for r in TK.pair_counts(arrays).collect()
+    }
+    assert got == want
+
+
+def test_bpe_train_matches_python_oracle(spark):
+    arrays = C.token_arrays(spark, SF_DIR).limit(40)
+    rows = arrays.orderBy("doc_id").collect()
+    seqs = [r["tokens"] for r in rows]
+    want_merges, want_final = KT.bpe_reference(
+        seqs, n_merges=6, new_id_start=TK.NEW_ID_START
+    )
+    merges_df, merged = TK.bpe_train(arrays, n_merges=6)
+    got_merges = [
+        (r["step"], r["pa"], r["pb"], r["new_id"], r["cnt"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    assert got_merges == want_merges
+    got_final = {
+        r["doc_id"]: r["tokens"] for r in merged.collect()
+    }
+    want_by_doc = {
+        rows[i]["doc_id"]: want_final[i] for i in range(len(rows))
+    }
+    assert got_final == want_by_doc
+    # n_tok stays consistent with the merged arrays
+    assert merged.filter(F.expr("n_tok != size(tokens)")).count() == 0
+
+
+def test_apply_merge_preserves_schema(spark):
+    arrays = C.token_arrays(spark, SF_DIR).limit(5)
+    out = TK.apply_merge(arrays, 1, 2, 777)
+    assert out.schema == arrays.schema
+
+
+# ---------------------------------------------------- Spark: packing
+def test_chunk_tokens_round_trip(spark):
+    arrays = C.token_arrays(spark, SF_DIR)
+    chunks = TK.chunk_tokens(arrays, 512)
+    assert chunks.filter("n_tok < 1 OR n_tok > 512").count() == 0
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "flatten(transform(array_sort(collect_list("
+                "struct(chunk, tokens))), s -> s.tokens))"
+            ).alias("tokens")
+        )
+    )
+    diff = (
+        rebuilt.alias("r")
+        .join(arrays.alias("o"), "doc_id")
+        .filter(F.expr("r.tokens != o.tokens"))
+    )
+    assert diff.count() == 0
+    # chunk ids contiguous: max+1 == count per doc
+    bad = (
+        chunks.groupBy("doc_id")
+        .agg(F.max("chunk").alias("mx"), F.count("*").alias("c"))
+        .filter("mx + 1 != c")
+    )
+    assert bad.count() == 0
+
+
+def test_pack_sequences_invariants_and_determinism(spark):
+    chunks = TK.chunk_tokens(C.token_arrays(spark, SF_DIR), 512)
+    packed = TK.pack_sequences(chunks, 512, n_groups=8)
+    # every bin fits
+    over = (
+        packed.groupBy("grp", "bin")
+        .agg(F.sum("n_tok").alias("t"))
+        .filter("t > 512")
+    )
+    assert over.count() == 0
+    # every chunk assigned exactly once
+    assert packed.count() == chunks.count()
+    # bit-deterministic across partitionings
+    again = TK.pack_sequences(chunks.repartition(32), 512, n_groups=8)
+    assert packed.exceptAll(again).count() == 0
+    assert again.exceptAll(packed).count() == 0
+
+
+def test_pack_sequences_matches_kernel_per_group(spark):
+    chunks = TK.chunk_tokens(
+        C.token_arrays(spark, SF_DIR).limit(60), 256
+    )
+    packed = TK.pack_sequences(chunks, 256, n_groups=4)
+    rows = packed.collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, rs in by_grp.items():
+        rs_sorted = sorted(
+            rs, key=lambda r: (-r["n_tok"], r["doc_id"], r["chunk"])
+        )
+        want = KT.pack_bfd([r["n_tok"] for r in rs_sorted], 256)
+        got = [r["bin"] for r in rs_sorted]
+        assert got == want, grp
+
+
+def test_packing_stats_arithmetic(spark):
+    chunks = TK.chunk_tokens(C.token_arrays(spark, SF_DIR), 512)
+    packed = TK.pack_sequences(chunks, 512, n_groups=8)
+    row = TK.packing_stats(packed, 512).collect()[0]
+    assert row["n_seqs"] == chunks.count()
+    tok = chunks.agg(F.sum("n_tok")).collect()[0][0]
+    assert row["n_tokens"] == tok
+    assert row["pad_tokens"] == row["n_bins"] * 512 - tok
+    assert row["fill"] == tok / (row["n_bins"] * 512.0)
+    assert 0.9 < row["fill"] <= 1.0  # BFD on this corpus packs tightly
