@@ -1110,6 +1110,26 @@ def _q_tok_bpe_merges(spark, sf_dir):
     return merges.orderBy("step")
 
 
+def _q_tok_bpe_encode(spark, sf_dir):
+    """BPE encode round-trip summary: train 12 merges, encode the
+    corpus with the learned table (one map-only Arrow stage applying
+    all merges in rank order), report the one-row token-mass
+    compression (n_docs, tokens_before, tokens_after) — pytest pins
+    encode == trainer's merged corpus bit-for-bit."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    arrays = C.token_arrays(spark, sf_dir)
+    merges, merged = TK.bpe_train(arrays, n_merges=12)
+    before = arrays.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_before"),
+    )
+    after = merged.agg(
+        F.sum("n_tok").cast("long").alias("tokens_after")
+    )
+    return before.crossJoin(F.broadcast(after))
+
+
 def _q_tok_pack_stats(spark, sf_dir):
     """Fixed-context sequence packing report: chunk every doc to <=512
     tokens (map-side slice HOF), best-fit-decreasing pack inside 32
@@ -1509,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_discord_topk": _q_det_discord_topk,
         "tok_pair_top": _q_tok_pair_top,
         "tok_bpe_merges": _q_tok_bpe_merges,
+        "tok_bpe_encode": _q_tok_bpe_encode,
         "tok_pack_stats": _q_tok_pack_stats,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps

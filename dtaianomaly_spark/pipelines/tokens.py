@@ -156,6 +156,45 @@ def bpe_train(
     return merges_df, cur
 
 
+def apply_merges(corpus: DataFrame, merges) -> DataFrame:
+    """The BPE ENCODE step: apply a learned merge table to every
+    ``tokens`` array in rank order (merge 0 first — each later merge
+    sees the earlier merges' output, exactly as at training time, so
+    encoding a corpus with its own learned table reproduces
+    :func:`bpe_train`'s merged corpus bit-for-bit).
+
+    ``merges`` is either the (step, pa, pb, new_id, ...) DataFrame from
+    :func:`bpe_train` — collected here; it is n_merges rows by contract,
+    a bounded vocabulary-sized table, never a corpus — or an iterable of
+    (pa, pb, new_id) triples in rank order. ONE map-only Arrow stage:
+    all K merges run per batch inside the same Python worker pass, not
+    K Spark passes."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").collect()
+        merges = [(r["pa"], r["pb"], r["new_id"]) for r in rows]
+    ms = [(int(a), int(b), int(m)) for a, b, m in merges]
+    schema = corpus.schema
+    has_ntok = "n_tok" in corpus.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf["tokens"]:
+                arr = np.asarray(t, dtype=np.int32)
+                for a, b, m in ms:
+                    arr = KT.merge_pair(arr, a, b, m)
+                out.append(arr)
+            pdf = pdf.copy()
+            pdf["tokens"] = [a.tolist() for a in out]
+            if has_ntok:
+                pdf["n_tok"] = np.array(
+                    [a.shape[0] for a in out], dtype=np.int32
+                )
+            yield pdf
+
+    return corpus.mapInPandas(run, schema)
+
+
 def chunk_tokens(corpus: DataFrame, capacity: int) -> DataFrame:
     """Split every ``tokens`` array into consecutive chunks of at most
     ``capacity`` tokens — the pre-pass that makes any corpus packable

@@ -90,6 +90,27 @@ def test_bpe_train_matches_python_oracle(spark):
     assert merged.filter(F.expr("n_tok != size(tokens)")).count() == 0
 
 
+def test_apply_merges_reproduces_training_output(spark):
+    """Encoding a corpus with its own learned merge table must equal
+    the trainer's merged corpus bit-for-bit (rank-order application)."""
+    arrays = C.token_arrays(spark, SF_DIR).limit(30)
+    merges_df, merged = TK.bpe_train(arrays, n_merges=5)
+    encoded = TK.apply_merges(arrays, merges_df)
+    a = {r["doc_id"]: r["tokens"] for r in merged.collect()}
+    b = {r["doc_id"]: r["tokens"] for r in encoded.collect()}
+    assert a == b
+    # triple-list form agrees with the DataFrame form
+    triples = [
+        (r["pa"], r["pb"], r["new_id"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    c = {
+        r["doc_id"]: r["tokens"]
+        for r in TK.apply_merges(arrays, triples).collect()
+    }
+    assert a == c
+
+
 def test_apply_merge_preserves_schema(spark):
     arrays = C.token_arrays(spark, SF_DIR).limit(5)
     out = TK.apply_merge(arrays, 1, 2, 777)
