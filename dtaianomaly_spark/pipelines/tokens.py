@@ -292,6 +292,48 @@ def pack_sequences(
     return base.groupBy("grp").applyInPandas(pack, out_schema)
 
 
+def build_packed_rows(
+    chunks: DataFrame, packed: DataFrame, capacity: int
+) -> DataFrame:
+    """Materialize the actual training rows: join the packing
+    assignment back to the token arrays and concatenate each (grp, bin)
+    bin's sequences — in the deterministic (doc_id, chunk) order — into
+    one dense row. Output: (grp, bin, n_seqs, n_tok, tokens, offsets)
+    where ``offsets`` are the sequence start positions inside
+    ``tokens`` (the attention-mask boundaries packing needs to avoid
+    cross-contamination, per Krell et al. 2021).
+
+    One co-partitioned equi-join on the id columns plus one hash
+    aggregate keyed on (grp, bin); each collected list is <= one bin
+    (<= capacity tokens), so nothing unbounded ever folds."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    joined = chunks.select("doc_id", "chunk", "tokens").join(
+        packed.select("doc_id", "chunk", "grp", "bin"),
+        ["doc_id", "chunk"],
+    )
+    agg = joined.groupBy("grp", "bin").agg(
+        F.expr(
+            "array_sort(collect_list(struct(doc_id, chunk, tokens)))"
+        ).alias("segs")
+    )
+    return agg.select(
+        "grp",
+        "bin",
+        F.expr("size(segs)").cast("int").alias("n_seqs"),
+        F.expr(
+            "CAST(aggregate(segs, 0, (a, s) -> a + size(s.tokens))"
+            " AS INT)"
+        ).alias("n_tok"),
+        F.expr("flatten(transform(segs, s -> s.tokens))").alias("tokens"),
+        F.expr(
+            "slice(aggregate(segs, array(0),"
+            " (a, s) -> concat(a, array(a[size(a) - 1]"
+            " + size(s.tokens)))), 1, size(segs))"
+        ).alias("offsets"),
+    )
+
+
 def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
     """One-row packing report over :func:`pack_sequences` output:
     (n_groups, n_bins, n_seqs, n_tokens, pad_tokens, fill). Integer

@@ -182,6 +182,41 @@ def test_pack_sequences_matches_kernel_per_group(spark):
         assert got == want, grp
 
 
+def test_build_packed_rows_round_trip(spark):
+    arrays = C.token_arrays(spark, SF_DIR)
+    chunks = TK.chunk_tokens(arrays, 512)
+    packed = TK.pack_sequences(chunks, 512, n_groups=8)
+    rows_df = TK.build_packed_rows(chunks, packed, 512)
+    # every packed row fits and its bookkeeping is consistent
+    bad = rows_df.filter(
+        "n_tok > 512 OR n_tok != size(tokens)"
+        " OR n_seqs != size(offsets) OR offsets[0] != 0"
+    )
+    assert bad.count() == 0
+    # token mass and sequence count conserved
+    tot = rows_df.agg(
+        F.sum("n_tok").alias("t"), F.sum("n_seqs").alias("s")
+    ).collect()[0]
+    want = chunks.agg(
+        F.sum("n_tok").alias("t"), F.count("*").alias("s")
+    ).collect()[0]
+    assert (tot["t"], tot["s"]) == (want["t"], want["s"])
+    # offsets slice the concatenation back into the original chunks:
+    # re-derive every (start, tokens-slice) segment and anti-join
+    segs = rows_df.select(
+        F.explode(
+            F.expr(
+                "transform(offsets, (o, i) -> struct(o AS off,"
+                " slice(tokens, o + 1,"
+                " coalesce(try_element_at(offsets, i + 2), n_tok) - o)"
+                " AS seg))"
+            )
+        ).alias("s")
+    ).select(F.col("s.seg").alias("tokens"))
+    missing = chunks.select("tokens").exceptAll(segs)
+    assert missing.count() == 0
+
+
 def test_packing_stats_arithmetic(spark):
     chunks = TK.chunk_tokens(C.token_arrays(spark, SF_DIR), 512)
     packed = TK.pack_sequences(chunks, 512, n_groups=8)
