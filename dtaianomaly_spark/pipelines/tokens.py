@@ -149,7 +149,10 @@ def bpe_train(
         )
         new_id = new_id_start + step
         merges.append((step, pa, pb, new_id, cnt))
-        cur = apply_merge(cur, pa, pb, new_id).localCheckpoint(eager=True)
+        # lazy checkpoint: the NEXT round's argmax action materializes
+        # the merged blocks while it counts pairs — one job per round
+        # instead of a separate eager-materialization job
+        cur = apply_merge(cur, pa, pb, new_id).localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         merges, schema="step long, pa int, pb int, new_id int, cnt long"
     )
