@@ -1098,10 +1098,14 @@ def _q_tok_pair_top(spark, sf_dir):
     return pc.orderBy(F.col("cnt").desc(), "pa", "pb").limit(64)
 
 
-# tok_bpe_merges and tok_bpe_encode consume the SAME 12-round training
-# run — share it per (session, sf_dir), the pair-stage trick below; the
-# merged corpus is already materialized by the trainer's eager
-# localCheckpoints, so the cache only avoids re-running the rounds.
+# tok_bpe_merges and tok_bpe_encode consume the SAME training run —
+# share it per (session, sf_dir), the pair-stage trick below. Cost
+# attribution follows the motif/discord convention: whichever of the
+# two queries runs FIRST in a session pays the training rounds (bench
+# order: tok_bpe_encode, which also runs the real encode Arrow pass);
+# the second reads the cached merge table. The trainer's checkpoints
+# are lazy, so the last merge pass executes inside the first consuming
+# action.
 _BPE_STAGE_CACHE: dict = {}
 
 
@@ -1127,26 +1131,31 @@ def _q_tok_bpe_merges(spark, sf_dir):
     """Distributed BPE training, 8 merges: learned merge table
     (step, pa, pb, new_id, cnt) — bit-deterministic for the corpus;
     pytest pins it to the exact Python recount oracle. TRAINING IS AN
-    ACTION: the call itself runs 8 (pair-count -> 1-row argmax ->
-    Arrow merge apply) rounds with eager lineage checkpoints (shared
-    with tok_bpe_encode per session)."""
+    ACTION: the first of the two tok_bpe_* queries in a session runs
+    the 8 (pair-count -> 1-row argmax -> Arrow merge apply) rounds;
+    the other reads the shared cache (see _shared_bpe_training)."""
     merges, _ = _shared_bpe_training(spark, sf_dir)
     return merges.orderBy("step")
 
 
 def _q_tok_bpe_encode(spark, sf_dir):
-    """BPE encode round-trip summary: train 8 merges, encode the
-    corpus with the learned table (one map-only Arrow stage applying
-    all merges in rank order), report the one-row token-mass
-    compression (n_docs, tokens_before, tokens_after) — pytest pins
-    encode == trainer's merged corpus bit-for-bit."""
+    """BPE ENCODE: apply the learned 8-merge table to the corpus via
+    apply_merges — ONE map-only Arrow stage running all merges in rank
+    order (the stage pytest pins to reproduce the trainer's merged
+    corpus bit-for-bit) — and report the one-row token-mass compression
+    (n_docs, tokens_before, tokens_after). Shares the training run with
+    tok_bpe_merges; running first in a session (bench order) it also
+    pays the training rounds."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
     arrays = C.token_arrays(spark, sf_dir)
-    _, merged = _shared_bpe_training(spark, sf_dir)
+    merges, _ = _shared_bpe_training(spark, sf_dir)
+    encoded = TK.apply_merges(arrays, merges)
     before = arrays.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("tokens_before"),
     )
-    after = merged.agg(
+    after = encoded.agg(
         F.sum("n_tok").cast("long").alias("tokens_after")
     )
     return before.crossJoin(F.broadcast(after))

@@ -116,6 +116,17 @@ def _matrix_profile_self(x: np.ndarray, w: int) -> np.ndarray:
     Values match the naive per-pair loop to ~1e-9 (each pair's distance
     now comes from the row recurrence of its SMALLER index — same
     formula, drift-minimal accumulation order)."""
+    return _self_join_sweep(x, w, want_nn=False)[0]
+
+
+def _self_join_sweep(x: np.ndarray, w: int, want_nn: bool):
+    """The shared blocked symmetric self-join sweep (see
+    ``_matrix_profile_self`` for the scheme). ``want_nn=False`` returns
+    ``(profile,)`` via plain row/column minima; ``want_nn=True`` also
+    tracks the argmins and returns ``(profile, nn)``, preferring the
+    earlier-index side on exact ties — the same lowest-index rule as a
+    full-row argmin. The elementwise op sequence is identical in both
+    modes, so values agree bit-for-bit."""
     n = x.shape[0] - w + 1
     mu, sig = _sliding_mean_std(x, w)
     eps = 1e-14
@@ -133,6 +144,9 @@ def _matrix_profile_self(x: np.ndarray, w: int) -> np.ndarray:
     excl = int(np.ceil(w / 4))
     rowmin = np.full(n, np.inf)
     colmin = np.full(n, np.inf)
+    if want_nn:
+        rownn = np.full(n, -1, dtype=np.int64)
+        colnn = np.full(n, -1, dtype=np.int64)
     flat_row = np.where(flat, 0.0, float(w)) if any_flat else None
     step = _block(n)
     for i0 in range(0, n, step):
@@ -160,20 +174,38 @@ def _matrix_profile_self(x: np.ndarray, w: int) -> np.ndarray:
         D *= 2.0 * w
         if any_flat:
             D[:, flat[j0:]] = w
-            fq = flat[i0:i1]
-            if fq.any():
-                D[fq] = flat_row[j0:]
+            fqr = flat[i0:i1]
+            if fqr.any():
+                D[fqr] = flat_row[j0:]
         np.maximum(D, 0.0, out=D)
         np.sqrt(D, out=D)
         for b in range(B):
             i = i0 + b
             hi = min(n, i + excl + 1)
             D[b, : hi - j0] = np.inf
-        rowmin[i0:i1] = D.min(axis=1)
-        np.minimum(colmin[j0:], D.min(axis=0), out=colmin[j0:])
-    m = np.minimum(rowmin, colmin)
-    profile = np.where(np.isfinite(m), m, 0.0)
-    return profile
+        if want_nn:
+            ra = D.argmin(axis=1)
+            rowmin[i0:i1] = D[np.arange(B), ra]
+            rownn[i0:i1] = ra + j0
+            ca = D.argmin(axis=0)
+            cv = D[ca, np.arange(n - j0)]
+            better = cv < colmin[j0:]
+            colmin[j0:] = np.where(better, cv, colmin[j0:])
+            colnn[j0:] = np.where(better, ca + i0, colnn[j0:])
+        else:
+            rowmin[i0:i1] = D.min(axis=1)
+            np.minimum(colmin[j0:], D.min(axis=0), out=colmin[j0:])
+    if not want_nn:
+        m = np.minimum(rowmin, colmin)
+        return (np.where(np.isfinite(m), m, 0.0),)
+    take_col = colmin <= rowmin  # earlier index wins exact ties
+    profile = np.where(take_col, colmin, rowmin)
+    nn = np.where(take_col, colnn, rownn)
+    bad = ~np.isfinite(profile)
+    if bad.any():
+        profile[bad] = 0.0
+        nn[bad] = -1
+    return profile, nn
 
 
 # --- generic row engines: sequential per-row distance profiles ----------
@@ -1144,88 +1176,17 @@ def matrix_profile_pair_index(x: np.ndarray, w: int):
     """Self-join matrix profile WITH nearest-neighbor indices:
     (profile, nn_idx) arrays of length n-w+1; exclusion zone ceil(w/4).
 
-    Same symmetric upper-triangle sweep as ``_matrix_profile_self``
-    (each admissible pair assembled once — n²/2 elementwise work, ~1.6x
-    over the full-matrix row sweep this kernel used to run), except the
-    row/column minima also carry their argmin: a block's row argmin
-    covers each window's LATER neighbors, the accumulated column
+    Same symmetric upper-triangle sweep as ``_matrix_profile_self`` —
+    the shared ``_self_join_sweep`` in index-tracking mode (~1.6x over
+    the full-matrix row sweep this kernel used to run): a block's row
+    argmin covers each window's LATER neighbors, the accumulated column
     (min, argmin) pair covers its EARLIER ones, and the final combine
     prefers the earlier-index side on exact ties — the same
     lowest-index tie rule as a full-row argmin."""
     x = np.asarray(x, dtype=np.float64).reshape(-1)
-    n = x.shape[0] - w + 1
-    if n <= 0:
+    if x.shape[0] - w + 1 <= 0:
         return np.zeros(0), np.zeros(0, dtype=np.int64)
-    mu, sig = _sliding_mean_std(x, w)
-    eps = 1e-14
-    flat = sig < eps
-    any_flat = bool(flat.any())
-    inv = 1.0 / np.where(flat, 1.0, sig)
-    winv = inv / w
-
-    nfft = 1 << int(np.ceil(np.log2(2 * x.shape[0])))
-    fy = np.fft.rfft(x, nfft)
-    fq = np.fft.rfft(x[:w][::-1], nfft)
-    qt = np.fft.irfft(fy * fq, nfft)[w - 1 : w - 1 + n]
-    qt_first = qt.copy()
-
-    excl = int(np.ceil(w / 4))
-    rowmin = np.full(n, np.inf)
-    rownn = np.full(n, -1, dtype=np.int64)
-    colmin = np.full(n, np.inf)
-    colnn = np.full(n, -1, dtype=np.int64)
-    flat_row = np.where(flat, 0.0, float(w)) if any_flat else None
-    step = _block(n)
-    for i0 in range(0, n, step):
-        i1 = min(i0 + step, n)
-        B = i1 - i0
-        j0 = i0
-        s = max(1, j0 - B)
-        D = np.empty((B, n - j0))
-        for b in range(B):
-            i = i0 + b
-            if i > 0:
-                qt[s:] = (
-                    qt[s - 1 : -1]
-                    - x[s - 1 : n - 1] * x[i - 1]
-                    + x[s + w - 1 : w + n - 1] * x[i + w - 1]
-                )
-                if s == 1:
-                    qt[0] = qt_first[i]
-            D[b] = qt[j0:]
-        D += (-w * mu[i0:i1])[:, None] * mu[None, j0:]
-        D *= winv[None, j0:] * inv[i0:i1, None]
-        np.clip(D, -1.0, 1.0, out=D)
-        np.subtract(1.0, D, out=D)
-        D *= 2.0 * w
-        if any_flat:
-            D[:, flat[j0:]] = w
-            fqr = flat[i0:i1]
-            if fqr.any():
-                D[fqr] = flat_row[j0:]
-        np.maximum(D, 0.0, out=D)
-        np.sqrt(D, out=D)
-        for b in range(B):
-            i = i0 + b
-            hi = min(n, i + excl + 1)
-            D[b, : hi - j0] = np.inf
-        ra = D.argmin(axis=1)
-        rowmin[i0:i1] = D[np.arange(B), ra]
-        rownn[i0:i1] = ra + j0
-        ca = D.argmin(axis=0)
-        cv = D[ca, np.arange(n - j0)]
-        better = cv < colmin[j0:]
-        colmin[j0:] = np.where(better, cv, colmin[j0:])
-        colnn[j0:] = np.where(better, ca + i0, colnn[j0:])
-    # earlier-index side wins ties, matching a full-row argmin
-    take_col = colmin <= rowmin
-    profile = np.where(take_col, colmin, rowmin)
-    nn = np.where(take_col, colnn, rownn)
-    bad = ~np.isfinite(profile)
-    if bad.any():
-        profile[bad] = 0.0
-        nn[bad] = -1
-    return profile, nn
+    return _self_join_sweep(x, w, want_nn=True)
 
 
 def top_motifs(profile: np.ndarray, nn: np.ndarray, k: int, excl: int):

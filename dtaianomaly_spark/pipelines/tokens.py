@@ -21,9 +21,12 @@ Scale shapes (100 TB):
   never shuffle, only partial counts do. The same inverted-index shape
   as exact dedup — survives 100x.
 * ``bpe_train`` — K passes of (pair count -> 1-row argmax collect ->
-  Arrow map merge). Each pass eagerly ``localCheckpoint``s the merged
-  corpus so pass k+1 reads materialized arrays instead of replaying k
-  merge lambdas (the dedup-cluster lineage-truncation trick).
+  Arrow map merge). Each pass lazily ``localCheckpoint``s the merged
+  corpus: the next pass's argmax action materializes the blocks while
+  it counts pairs — one fused job per round — and pass k+1 reads
+  materialized arrays instead of replaying k merge lambdas (the
+  dedup-cluster lineage-truncation trick). The LAST round's merge pass
+  executes inside the caller's first action on the returned corpus.
   **Training is an ACTION**: the winning pair is data-dependent, so
   calling it runs Spark jobs — unlike the lazy builders elsewhere in
   this package. The only driver traffic per pass is ONE row (the
@@ -119,7 +122,9 @@ def bpe_train(
     Returns ``(merges, merged_corpus)``: the merge table
     (step, pa, pb, new_id, cnt) and the corpus after all merges.
     **Runs Spark jobs when called** (see module docstring); each round
-    collects exactly one row and eagerly checkpoints the merged arrays.
+    collects exactly one row and lazily checkpoints the merged arrays
+    (materialized by the next round's argmax — or, for the final
+    round, by the caller's first action on the returned corpus).
 
     At 100 TB each round is one map-side-combined aggregate plus one
     map-only Arrow pass — the classic distributed BPE loop. Production
@@ -204,7 +209,10 @@ def chunk_tokens(corpus: DataFrame, capacity: int) -> DataFrame:
     (no sequence longer than a training row). Map-side slice HOF, zero
     shuffle. Output: (doc_id, chunk, tokens, n_tok); chunk ids are
     0-based and contiguous per doc; concatenating a doc's chunks in
-    chunk order reproduces its original array."""
+    chunk order reproduces its original array. An EMPTY document emits
+    one empty chunk (n_tok = 0) rather than vanishing — row
+    conservation holds; the packer rejects 0-length sequences loudly,
+    so callers with empty docs filter deliberately, never silently."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     nchunks = f"(size(tokens) + {capacity - 1}) DIV {capacity}"
@@ -216,7 +224,7 @@ def chunk_tokens(corpus: DataFrame, capacity: int) -> DataFrame:
                     "CASE WHEN size(tokens) >= 1 THEN"
                     f" transform(sequence(0, {nchunks} - 1),"
                     f" j -> slice(tokens, j * {capacity} + 1, {capacity}))"
-                    " ELSE CAST(array() AS array<array<int>>) END"
+                    " ELSE array(CAST(array() AS array<int>)) END"
                 )
             ).alias("chunk", "tokens"),
         )

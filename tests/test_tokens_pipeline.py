@@ -67,7 +67,9 @@ def test_pair_counts_match_reference(spark):
 
 
 def test_bpe_train_matches_python_oracle(spark):
-    arrays = C.token_arrays(spark, SF_DIR).limit(40)
+    # deterministic subset: LIMIT without ORDER BY may pick different
+    # rows across the trainer's many independent jobs
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 40")
     rows = arrays.orderBy("doc_id").collect()
     seqs = [r["tokens"] for r in rows]
     want_merges, want_final = KT.bpe_reference(
@@ -93,7 +95,7 @@ def test_bpe_train_matches_python_oracle(spark):
 def test_apply_merges_reproduces_training_output(spark):
     """Encoding a corpus with its own learned merge table must equal
     the trainer's merged corpus bit-for-bit (rank-order application)."""
-    arrays = C.token_arrays(spark, SF_DIR).limit(30)
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 30")
     merges_df, merged = TK.bpe_train(arrays, n_merges=5)
     encoded = TK.apply_merges(arrays, merges_df)
     a = {r["doc_id"]: r["tokens"] for r in merged.collect()}
@@ -112,7 +114,7 @@ def test_apply_merges_reproduces_training_output(spark):
 
 
 def test_apply_merge_preserves_schema(spark):
-    arrays = C.token_arrays(spark, SF_DIR).limit(5)
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 5")
     out = TK.apply_merge(arrays, 1, 2, 777)
     assert out.schema == arrays.schema
 
@@ -166,7 +168,7 @@ def test_pack_sequences_invariants_and_determinism(spark):
 
 def test_pack_sequences_matches_kernel_per_group(spark):
     chunks = TK.chunk_tokens(
-        C.token_arrays(spark, SF_DIR).limit(60), 256
+        C.token_arrays(spark, SF_DIR).filter("doc_id < 60"), 256
     )
     packed = TK.pack_sequences(chunks, 256, n_groups=4)
     rows = packed.collect()
@@ -227,3 +229,19 @@ def test_packing_stats_arithmetic(spark):
     assert row["pad_tokens"] == row["n_bins"] * 512 - tok
     assert row["fill"] == tok / (row["n_bins"] * 512.0)
     assert 0.9 < row["fill"] <= 1.0  # BFD on this corpus packs tightly
+
+
+def test_chunk_tokens_conserves_empty_docs(spark):
+    """An empty document must emit one empty chunk, not vanish; the
+    packer then rejects it loudly instead of silently dropping it."""
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7]), (2, [])],
+        "doc_id long, tokens array<int>",
+    )
+    chunks = TK.chunk_tokens(df, 2)
+    got = {
+        (r["doc_id"], r["chunk"]): r["tokens"] for r in chunks.collect()
+    }
+    assert got == {(1, 0): [5, 6], (1, 1): [7], (2, 0): []}
+    with pytest.raises(Exception, match="outside \\[1, capacity"):
+        TK.pack_sequences(chunks, 2, n_groups=2).collect()
