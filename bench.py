@@ -68,12 +68,20 @@ def _time_count(make_df, iters: int = ITER, force: str = "hash") -> tuple[int, f
 
     best = float("inf")
     rows = 0
-    for _ in range(iters):
-        # t0 BEFORE the thunk: action-natured builders (BPE training)
-        # run Spark jobs at construction time, and those belong in the
-        # measurement; lazy builders add only plan-build microseconds
-        t0 = time.perf_counter()
+    construct = 0.0
+    for it in range(iters):
+        # construction is timed separately: most builders are lazy
+        # (microseconds), but action-natured ones (BPE training, the
+        # funnel's checkpointed keep-sets) run Spark jobs here — those
+        # are reported in the bench JSON's "construct" dict (first
+        # iteration: a shared-stage cache makes later ones free),
+        # while "queries" stays action-only and thus comparable with
+        # the r1-r4 history
+        c0 = time.perf_counter()
         df = make_df()
+        c1 = time.perf_counter()
+        if it == 0:
+            construct = c1 - c0
         if force == "hash":
             forced = df.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -82,8 +90,8 @@ def _time_count(make_df, iters: int = ITER, force: str = "hash") -> tuple[int, f
             rows = forced.collect()[0]["n"]
         else:
             rows = df.count()
-        best = min(best, time.perf_counter() - t0)
-    return rows, best
+        best = min(best, time.perf_counter() - c1)
+    return rows, best, construct
 
 
 def prepare_corpus(spark) -> None:
@@ -104,7 +112,10 @@ def flagship_over(spark, corpus_df, iters: int = ITER):
     Arrow map kernel. Returns (rolled-up points, best sec)."""
     from dtaianomaly_spark.rollup import tiers as T
 
-    return _time_count(lambda: T.rollup_tiers_map(corpus_df), iters, force="count")
+    rows, dt, _ = _time_count(
+        lambda: T.rollup_tiers_map(corpus_df), iters, force="count"
+    )
+    return rows, dt
 
 
 def run_one(cpus: int) -> dict:
@@ -157,6 +168,7 @@ def run_headline() -> dict:
 
         total = 0.0
         loadavg: dict[str, float] = {}
+        constructs: dict[str, float] = {}
         for name, fn in qs.items():
             # heavy Arrow-kernel detectors and the action-natured BPE
             # trainer (whose shared stage iteration 2 would read from
@@ -166,8 +178,10 @@ def run_headline() -> dict:
             # bursts — a slow reading with loadavg >> our own worker count
             # is noise, not a regression (see BENCH drift analysis, r3→r4)
             loadavg[name] = round(os.getloadavg()[0], 1)
-            _, dt = _time_count(lambda: fn(spark, SF_DIR), iters=iters)
+            _, dt, c0 = _time_count(lambda: fn(spark, SF_DIR), iters=iters)
             timings[name] = round(dt, 3)
+            if c0 > 1.0:  # builder-time Spark jobs (see _time_count)
+                constructs[name] = round(c0, 3)
             total += dt
 
         # long-series reverse-window probe (stride 1, nw ~ 2e5): pins the
@@ -187,7 +201,7 @@ def run_headline() -> dict:
             )
             return reverse_scores(ws, sn, w_long, 1)
 
-        rev_rows, rev_sec = _time_count(long_rev, iters=2)
+        rev_rows, rev_sec, _ = _time_count(long_rev, iters=2)
         arrays = C.token_arrays(spark, SF_DIR)
         n_tokens = arrays.agg(F.sum("n_tok")).collect()[0][0]
         points, sec = flagship_over(spark, arrays)
@@ -199,6 +213,7 @@ def run_headline() -> dict:
             "unit": "points/sec",
             "queries_total_sec": round(total, 3),
             "queries": timings,
+            "construct": constructs,
             "loadavg": loadavg,
             "sw_reverse_long_n": n_long,
             "sw_reverse_long_rows": rev_rows,
