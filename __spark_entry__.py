@@ -1120,7 +1120,12 @@ def _shared_bpe_training(spark, sf_dir, n_merges=8):
     if hit is None:
         if len(_BPE_STAGE_CACHE) >= 2:
             _BPE_STAGE_CACHE.pop(next(iter(_BPE_STAGE_CACHE)))
-        hit = TK.bpe_train(
+        # cache ONLY the merge table (a local n_merges-row frame):
+        # both consumers re-encode from the raw corpus, so keeping the
+        # trainer's returned merged corpus would pin its whole chain of
+        # materialized localCheckpoint blocks in storage for the app's
+        # lifetime; dropping it here lets the ContextCleaner free them
+        hit, _ = TK.bpe_train(
             C.token_arrays(spark, sf_dir), n_merges=n_merges
         )
         _BPE_STAGE_CACHE[key] = hit
@@ -1134,7 +1139,7 @@ def _q_tok_bpe_merges(spark, sf_dir):
     ACTION: the first of the two tok_bpe_* queries in a session runs
     the 8 (pair-count -> 1-row argmax -> Arrow merge apply) rounds;
     the other reads the shared cache (see _shared_bpe_training)."""
-    merges, _ = _shared_bpe_training(spark, sf_dir)
+    merges = _shared_bpe_training(spark, sf_dir)
     return merges.orderBy("step")
 
 
@@ -1149,7 +1154,7 @@ def _q_tok_bpe_encode(spark, sf_dir):
     from dtaianomaly_spark.pipelines import tokens as TK
 
     arrays = C.token_arrays(spark, sf_dir)
-    merges, _ = _shared_bpe_training(spark, sf_dir)
+    merges = _shared_bpe_training(spark, sf_dir)
     encoded = TK.apply_merges(arrays, merges)
     before = arrays.agg(
         F.count("*").cast("long").alias("n_docs"),

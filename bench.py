@@ -53,7 +53,9 @@ def _spark(cpus: int):
     return get_spark(app_name=f"bench-local[{cpus}]", cpus=cpus)
 
 
-def _time_count(make_df, iters: int = ITER, force: str = "hash") -> tuple[int, float]:
+def _time_count(
+    make_df, iters: int = ITER, force: str = "hash"
+) -> tuple[int, float, float]:
     """(rows, best-of-N seconds). ``make_df`` is a thunk building the
     DataFrame — the plan is REBUILT each iteration because Spark reuses
     completed shuffle map stages across actions on the same RDD lineage

@@ -13,6 +13,7 @@ vectorization bug cannot hide in shared code.
 from __future__ import annotations
 
 import bisect
+import heapq
 from typing import Iterable, List, Sequence, Tuple
 
 import numpy as np
@@ -115,12 +116,21 @@ def pack_bfd(lengths: Sequence[int], capacity: int) -> List[int]:
     sort descending for the best-fit-decreasing guarantee) into bins of
     ``capacity``: each item goes to the open bin with the SMALLEST
     remaining space that still fits it (ties -> lowest bin index), else
-    opens a new bin. O(n log n) via a sorted (remaining, bin) list.
-    Returns the bin index per item, aligned with the input order.
-    Deterministic: output depends only on the input order."""
+    opens a new bin. Returns the bin index per item, aligned with the
+    input order. Deterministic: output depends only on the input order.
+
+    Bins are bucketed BY REMAINING CAPACITY (a min-heap of bin ids per
+    distinct remainder, plus a sorted list of the <= capacity + 1
+    distinct remainders), so each item costs O(log capacity) for the
+    remainder lookup + O(log bins_in_bucket) for the heap — every
+    linear-shift structure is capacity-bounded, never n-sized, which is
+    what lets a single hash group hold millions of sequences at the
+    100 TB shape (a flat sorted (remaining, bin) list would shift O(n)
+    entries per item)."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    rem: List[Tuple[int, int]] = []  # sorted (remaining, bin_idx)
+    buckets: dict[int, List[int]] = {}  # remaining -> min-heap of bin ids
+    keys: List[int] = []  # sorted distinct remainings with open bins
     n_bins = 0
     out: List[int] = []
     for n in lengths:
@@ -130,16 +140,26 @@ def pack_bfd(lengths: Sequence[int], capacity: int) -> List[int]:
                 f"sequence length {n} outside [1, capacity={capacity}];"
                 " chunk long sequences first (chunk_tokens)"
             )
-        j = bisect.bisect_left(rem, (n, -1))
-        if j == len(rem):
+        j = bisect.bisect_left(keys, n)
+        if j == len(keys):
             idx = n_bins
             n_bins += 1
             r_new = capacity - n
         else:
-            r, idx = rem.pop(j)
+            r = keys[j]
+            heap = buckets[r]
+            idx = heapq.heappop(heap)
+            if not heap:
+                del buckets[r]
+                keys.pop(j)
             r_new = r - n
         out.append(idx)
-        bisect.insort(rem, (r_new, idx))
+        heap2 = buckets.get(r_new)
+        if heap2 is None:
+            buckets[r_new] = [idx]
+            bisect.insort(keys, r_new)
+        else:
+            heapq.heappush(heap2, idx)
     return out
 
 

@@ -432,6 +432,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG: no SOS marker found")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them (the marker byte is the first non-FF)
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG: no SOS marker found")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:

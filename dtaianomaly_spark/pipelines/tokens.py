@@ -304,28 +304,42 @@ def pack_sequences(
 
 
 def build_packed_rows(
-    chunks: DataFrame, packed: DataFrame, capacity: int
+    chunks: DataFrame,
+    packed: DataFrame,
+    capacity: int,
+    id_cols: Optional[Tuple[str, ...]] = None,
 ) -> DataFrame:
     """Materialize the actual training rows: join the packing
     assignment back to the token arrays and concatenate each (grp, bin)
-    bin's sequences — in the deterministic (doc_id, chunk) order — into
+    bin's sequences — in the deterministic id-column order — into
     one dense row. Output: (grp, bin, n_seqs, n_tok, tokens, offsets)
     where ``offsets`` are the sequence start positions inside
     ``tokens`` (the attention-mask boundaries packing needs to avoid
     cross-contamination, per Krell et al. 2021).
+
+    ``id_cols`` is the same row-identity contract as
+    :func:`pack_sequences` (default: ("doc_id", "chunk") intersected
+    with the packed columns — so a corpus packed with
+    ``id_cols=("doc_id",)`` round-trips here unchanged).
 
     One co-partitioned equi-join on the id columns plus one hash
     aggregate keyed on (grp, bin); each collected list is <= one bin
     (<= capacity tokens), so nothing unbounded ever folds."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    joined = chunks.select("doc_id", "chunk", "tokens").join(
-        packed.select("doc_id", "chunk", "grp", "bin"),
-        ["doc_id", "chunk"],
+    if id_cols is None:
+        id_cols = tuple(
+            c for c in ("doc_id", "chunk") if c in packed.columns
+        )
+    if not id_cols:
+        raise ValueError("id_cols resolved empty: pass the identity columns")
+    ids = list(id_cols)
+    joined = chunks.select(*ids, "tokens").join(
+        packed.select(*ids, "grp", "bin"), ids
     )
     agg = joined.groupBy("grp", "bin").agg(
         F.expr(
-            "array_sort(collect_list(struct(doc_id, chunk, tokens)))"
+            f"array_sort(collect_list(struct({', '.join(ids)}, tokens)))"
         ).alias("segs")
     )
     return agg.select(

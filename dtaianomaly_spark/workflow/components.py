@@ -519,16 +519,24 @@ class MatrixProfileDetector(SparkDetector):
             # DataFrames), and reference corpora scale with executors
             # exactly like test corpora. ``save()`` copies the parquet
             # next to the ``.dtai`` so a saved model stays durable.
+            import shutil
             import tempfile
 
             from pyspark.sql import functions as F
 
+            # a refit replaces the previous fit's scratch parquet —
+            # delete it (but never a durable ``<path>.ref`` installed
+            # by save(), which other loaded models may point at)
+            old = getattr(self, "reference_path_", None)
+            if old and getattr(self, "_ref_is_tmp", False):
+                shutil.rmtree(old, ignore_errors=True)
             path = tempfile.mkdtemp(prefix="dtai_mp_novelty_ref_")
             ref = arrays.select(
                 F.col("doc_id").cast("string").alias("doc_id"), "tokens"
             )
             ref.write.mode("overwrite").parquet(path)
             self.reference_path_ = path
+            self._ref_is_tmp = True
             # one metadata-cheap count decides the single-reference
             # broadcast shape at scoring time (the reference's own
             # pickled-X_reference_ contract)
@@ -551,10 +559,17 @@ class MatrixProfileDetector(SparkDetector):
             if os.path.abspath(target) != os.path.abspath(
                 self.reference_path_
             ):
-                shutil.copytree(
-                    self.reference_path_, target, dirs_exist_ok=True
-                )
+                # replace, never merge: parquet part files carry unique
+                # names per write, so copytree(dirs_exist_ok=True) over
+                # a previous save would UNION two reference corpora
+                shutil.rmtree(target, ignore_errors=True)
+                shutil.copytree(self.reference_path_, target)
+                if getattr(self, "_ref_is_tmp", False):
+                    # the fit-time scratch dir is now superseded by the
+                    # durable copy — free it
+                    shutil.rmtree(self.reference_path_, ignore_errors=True)
                 self.reference_path_ = target
+                self._ref_is_tmp = False
         super().save(path)
 
     def decision_function(self, arrays: DataFrame) -> DataFrame:

@@ -346,6 +346,51 @@ def test_matrix_profile_novelty_fit_score_save_load(spark, tmp_path):
     assert a == b
 
 
+def test_matrix_profile_novelty_refit_and_resave_replace_reference(
+    spark, tmp_path
+):
+    """Regression: save() must REPLACE a previous save's reference
+    parquet — parquet part files carry unique names per write, so a
+    merging copy (copytree dirs_exist_ok) would silently UNION two
+    reference corpora and trip the duplicate-reference guard — and
+    fit()/save() must free superseded scratch directories."""
+    from pyspark.sql import functions as F
+
+    arrays = _arrays(spark).filter("CAST(doc_id AS BIGINT) < 3")
+    ref_a = arrays.select(
+        "doc_id",
+        F.expr("slice(tokens, 1, CAST(n_tok / 2 AS INT))").alias("tokens"),
+    )
+    ref_b = arrays.select(
+        "doc_id",
+        F.expr("slice(tokens, 1, CAST(n_tok * 3 / 4 AS INT))").alias(
+            "tokens"
+        ),
+    )
+
+    det = CMP.MatrixProfileDetector(window_size=16, novelty=True)
+    det.fit(ref_a)
+    first_tmp = det.reference_path_
+    path = str(tmp_path / "mp_novelty_resave")
+    det.save(path)
+    assert not os.path.exists(first_tmp)  # superseded by the .ref copy
+
+    det.fit(ref_b)
+    second_tmp = det.reference_path_
+    assert second_tmp != first_tmp
+    det.save(path)  # SAME target: must replace the ref_a parquet
+    assert not os.path.exists(second_tmp)
+
+    loaded = CMP.load_detector(path + ".dtai")
+    got = loaded.decision_function(arrays).orderBy("doc_id", "pos").collect()
+    fresh = CMP.MatrixProfileDetector(window_size=16, novelty=True)
+    fresh.fit(ref_b)
+    want = fresh.decision_function(arrays).orderBy("doc_id", "pos").collect()
+    # a merged (ref_a UNION ref_b) corpus would raise the
+    # duplicate-reference guard before ever producing rows
+    assert got == want
+
+
 def test_matrix_profile_novelty_join_equals_dict(spark):
     """The distributed equi-join novelty form (no driver collect, no
     broadcast reference dict) returns EXACTLY the dict form's scores —

@@ -165,6 +165,24 @@ def test_jpeg_unsupported_and_malformed_raise():
         J.encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
 
 
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code — a conformant stream with padding must decode identically."""
+    from dtaianomaly_spark.pipelines import jpeg as J
+
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    good = J.encode_jpeg(img, quality=100)
+    # pad before the first header marker (after SOI) and before the
+    # second header segment's marker
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    assert np.array_equal(J.decode_jpeg(padded), img)
+    second = padded.find(b"\xff\xdb")  # a DQT marker further in
+    padded2 = padded[:second] + b"\xff" + padded[second:]
+    assert np.array_equal(J.decode_jpeg(padded2), img)
+
+
 def test_png_malformed_payloads_raise():
     from dtaianomaly_spark.pipelines import multimodal as MM
 

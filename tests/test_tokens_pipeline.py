@@ -47,6 +47,22 @@ def test_pack_bfd_matches_brute_force():
         assert KT.pack_bfd(ls, cap) == KT.pack_reference(ls, cap)
 
 
+def test_pack_bfd_bucket_structure_adversarial():
+    """Exercise the bucket-by-remainder structure: masses of identical
+    lengths (all bins share one remainder bucket, tie-break = lowest bin
+    id), alternating fills that empty and recreate buckets, and a long
+    mixed stream — all must match the brute-force reference."""
+    # identical lengths: cap 10, len 3 -> bins cycle through remainders
+    assert KT.pack_bfd([3] * 50, 10) == KT.pack_reference([3] * 50, 10)
+    # exact fills: remainder-0 buckets accumulate and are never reused
+    assert KT.pack_bfd([7, 3, 7, 3, 7, 3], 10) == KT.pack_reference(
+        [7, 3, 7, 3, 7, 3], 10
+    )
+    rng = np.random.default_rng(29)
+    ls = rng.integers(1, 513, 5000).tolist()
+    assert KT.pack_bfd(ls, 512) == KT.pack_reference(ls, 512)
+
+
 def test_pack_bfd_rejects_out_of_range():
     with pytest.raises(ValueError, match="chunk long sequences"):
         KT.pack_bfd([5], 4)
@@ -217,6 +233,29 @@ def test_build_packed_rows_round_trip(spark):
     ).select(F.col("s.seg").alias("tokens"))
     missing = chunks.select("tokens").exceptAll(segs)
     assert missing.count() == 0
+
+
+def test_build_packed_rows_custom_id_cols(spark):
+    """pack_sequences advertises arbitrary id_cols (a corpus whose
+    sequences already fit, keyed by doc_id alone) — build_packed_rows
+    must honor the same contract instead of assuming (doc_id, chunk)."""
+    arrays = C.token_arrays(spark, SF_DIR).filter("n_tok <= 128").select(
+        "doc_id", "tokens", "n_tok"
+    )
+    packed = TK.pack_sequences(arrays, 128, n_groups=4)
+    assert "chunk" not in packed.columns
+    rows_df = TK.build_packed_rows(arrays, packed, 128)
+    bad = rows_df.filter(
+        "n_tok > 128 OR n_tok != size(tokens) OR n_seqs != size(offsets)"
+    )
+    assert bad.count() == 0
+    tot = rows_df.agg(
+        F.sum("n_tok").alias("t"), F.sum("n_seqs").alias("s")
+    ).collect()[0]
+    want = arrays.agg(
+        F.sum("n_tok").alias("t"), F.count("*").alias("s")
+    ).collect()[0]
+    assert (tot["t"], tot["s"]) == (want["t"], want["s"])
 
 
 def test_packing_stats_arithmetic(spark):
