@@ -497,27 +497,41 @@ _SHINGLE_CACHE: dict = {}
 _SHINGLE_CACHE_MAX = 4  # bound the persisted stages (one per sf_dir in use)
 
 
+def _app_stage_cache(cache, spark, key_tail, build, max_entries, persist):
+    """Shared app-scoped stage cache (shingle / pair-index / BPE stages
+    all use this): keyed on (applicationId, *key_tail), bounded to
+    ``max_entries`` with insertion-order eviction. ``persist=True``
+    persists built entries and unpersists them on eviction; dead-session
+    entries hold no live executor storage (the app is gone) but do hold
+    driver references — dropped without unpersist."""
+    app = spark.sparkContext.applicationId
+    for k in [k for k in cache if k[0] != app]:
+        del cache[k]
+    key = (app,) + tuple(key_tail)
+    hit = cache.get(key)
+    if hit is None:
+        while len(cache) >= max_entries:
+            old = cache.pop(next(iter(cache)))
+            if persist:
+                old.unpersist()
+        hit = build()
+        if persist:
+            hit = hit.persist()
+        cache[key] = hit
+    return hit
+
+
 def _shared_shingles(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
-    app = spark.sparkContext.applicationId
-    # entries from dead sessions hold no live executor storage but do
-    # hold driver references — drop them
-    for k in [k for k in _SHINGLE_CACHE if k[0] != app]:
-        del _SHINGLE_CACHE[k]
-    key = (
-        app, sf_dir,
-        TX.SHINGLE_LIMIT, TX.SHINGLE_STRIDE, TX.MAX_SHINGLE_DF,
+    return _app_stage_cache(
+        _SHINGLE_CACHE,
+        spark,
+        (sf_dir, TX.SHINGLE_LIMIT, TX.SHINGLE_STRIDE, TX.MAX_SHINGLE_DF),
+        lambda: TX.informative_shingles(TX.load_docs(spark, sf_dir)),
+        max_entries=_SHINGLE_CACHE_MAX,
+        persist=True,
     )
-    hit = _SHINGLE_CACHE.get(key)
-    if hit is None:
-        while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-            # evict oldest (insertion order) and free its executor blocks
-            old_key = next(iter(_SHINGLE_CACHE))
-            _SHINGLE_CACHE.pop(old_key).unpersist()
-        hit = TX.informative_shingles(TX.load_docs(spark, sf_dir)).persist()
-        _SHINGLE_CACHE[key] = hit
-    return hit
 
 
 def _q_dd_minhash(spark, sf_dir):
@@ -1112,24 +1126,21 @@ _BPE_STAGE_CACHE: dict = {}
 def _shared_bpe_training(spark, sf_dir, n_merges=8):
     from dtaianomaly_spark.pipelines import tokens as TK
 
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _BPE_STAGE_CACHE if k[0] != app]:
-        del _BPE_STAGE_CACHE[k]
-    key = (app, sf_dir, n_merges)
-    hit = _BPE_STAGE_CACHE.get(key)
-    if hit is None:
-        if len(_BPE_STAGE_CACHE) >= 2:
-            _BPE_STAGE_CACHE.pop(next(iter(_BPE_STAGE_CACHE)))
-        # cache ONLY the merge table (a local n_merges-row frame):
-        # both consumers re-encode from the raw corpus, so keeping the
-        # trainer's returned merged corpus would pin its whole chain of
-        # materialized localCheckpoint blocks in storage for the app's
-        # lifetime; dropping it here lets the ContextCleaner free them
-        hit, _ = TK.bpe_train(
+    # cache ONLY the merge table (a local n_merges-row frame): both
+    # consumers re-encode from the raw corpus, so keeping the trainer's
+    # returned merged corpus would pin its whole chain of materialized
+    # localCheckpoint blocks in storage for the app's lifetime;
+    # dropping it here lets the ContextCleaner free them
+    return _app_stage_cache(
+        _BPE_STAGE_CACHE,
+        spark,
+        (sf_dir, n_merges),
+        lambda: TK.bpe_train(
             C.token_arrays(spark, sf_dir), n_merges=n_merges
-        )
-        _BPE_STAGE_CACHE[key] = hit
-    return hit
+        )[0],
+        max_entries=2,
+        persist=False,
+    )
 
 
 def _q_tok_bpe_merges(spark, sf_dir):
@@ -1260,20 +1271,16 @@ _PAIR_STAGE_CACHE_MAX = 2
 def _shared_pair_stage(spark, sf_dir, w):
     from dtaianomaly_spark.operators import detectors as DET
 
-    app = spark.sparkContext.applicationId
-    for k in [k for k in _PAIR_STAGE_CACHE if k[0] != app]:
-        del _PAIR_STAGE_CACHE[k]
-    key = (app, sf_dir, w)
-    hit = _PAIR_STAGE_CACHE.get(key)
-    if hit is None:
-        while len(_PAIR_STAGE_CACHE) >= _PAIR_STAGE_CACHE_MAX:
-            old_key = next(iter(_PAIR_STAGE_CACHE))
-            _PAIR_STAGE_CACHE.pop(old_key).unpersist()
-        hit = DET.matrix_profile_pair_stage(
+    return _app_stage_cache(
+        _PAIR_STAGE_CACHE,
+        spark,
+        (sf_dir, w),
+        lambda: DET.matrix_profile_pair_stage(
             _arrays_long_docid(spark, sf_dir), w
-        ).persist()
-        _PAIR_STAGE_CACHE[key] = hit
-    return hit
+        ),
+        max_entries=_PAIR_STAGE_CACHE_MAX,
+        persist=True,
+    )
 
 
 def _q_det_motif_topk(spark, sf_dir):
