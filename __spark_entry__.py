@@ -554,12 +554,32 @@ def _q_dd_simhash(spark, sf_dir):
     return TX.simhash_from_shingles(_shared_shingles(spark, sf_dir))
 
 
-def _q_dd_jaccard(spark, sf_dir):
+# The Jaccard >= 0.2 pair graph is consumed by THREE queries
+# (dd_jaccard, dd_dup_clusters, tx_curation_funnel) — share the
+# persisted stage the same way the shingle stage is shared: the first
+# consumer in a session pays the inverted-index pair sweep, the rest
+# read the cache. Deterministic, so results are identical to the
+# standalone operator; every DuckDB oracle recomputes from scratch.
+_JACCARD_CACHE: dict = {}
+
+
+def _shared_jaccard_pairs(spark, sf_dir, threshold=0.2):
     from dtaianomaly_spark.pipelines import text as TX
 
-    return TX.jaccard_from_shingles(
-        _shared_shingles(spark, sf_dir), threshold=0.2
+    return _app_stage_cache(
+        _JACCARD_CACHE,
+        spark,
+        (sf_dir, threshold),
+        lambda: TX.jaccard_from_shingles(
+            _shared_shingles(spark, sf_dir), threshold=threshold
+        ),
+        max_entries=2,
+        persist=True,
     )
+
+
+def _q_dd_jaccard(spark, sf_dir):
+    return _shared_jaccard_pairs(spark, sf_dir, threshold=0.2)
 
 
 def _q_dd_dup_clusters(spark, sf_dir):
@@ -570,9 +590,9 @@ def _q_dd_dup_clusters(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
     docs = TX.load_docs(spark, sf_dir)
-    pairs = TX.jaccard_from_shingles(
-        _shared_shingles(spark, sf_dir), threshold=0.2
-    ).select("doc_a", "doc_b")
+    pairs = _shared_jaccard_pairs(spark, sf_dir, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
     return TX.dedup_clusters(docs, pairs).select(
         "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
     )
@@ -587,9 +607,9 @@ def _q_tx_curation_funnel(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
     docs = TX.load_docs(spark, sf_dir)
-    pairs = TX.jaccard_from_shingles(
-        _shared_shingles(spark, sf_dir), threshold=0.2
-    ).select("doc_a", "doc_b")
+    pairs = _shared_jaccard_pairs(spark, sf_dir, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
     return TX.curation_funnel(docs, pairs)
 
 

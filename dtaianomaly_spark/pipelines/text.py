@@ -387,26 +387,29 @@ def dedup_clusters(
             .groupBy("b")
             .agg(F.min("label").alias("nb_min"))
         )
+        # carry the per-node "label shrank" flag IN the round's frame:
+        # the convergence check is then one filter+count on the frame the
+        # round materializes anyway, not an extra shuffle join of new
+        # labels against old labels (labels only ever decrease, so
+        # nb_min < label is exactly "this round changed this node")
         new_labels = labels.join(
             nb_min, labels["doc"] == nb_min["b"], "left"
         ).select(
             "doc",
             F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            F.coalesce(
+                F.col("nb_min") < F.col("label"), F.lit(False)
+            ).alias("chg"),
         )
         if (it + 1) % _CHECKPOINT_EVERY == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter("n.label != o.label")
-            .count()
-        )
+        changed = new_labels.filter("chg").count()
         if to_unpersist is not None:
             to_unpersist.unpersist()
         to_unpersist = new_labels if (it + 1) % _CHECKPOINT_EVERY else None
-        labels = new_labels
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             converged = True
             break
