@@ -782,6 +782,30 @@ def _q_tx_bigram_fluency(spark, sf_dir):
     return TX.bigram_fluency(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_kn_fluency(spark, sf_dir):
+    """Kneser-Ney LM quality scoring: mean interpolated KN bigram
+    probability (fixed D = 3/4, rational — integer aggregates + IEEE
+    ops, position-ordered fold) under the corpus's own bigram model.
+    Rows-only (oracle set at the rotation ceiling); pinned in pytest
+    against an independent Python KN implementation."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.kn_fluency(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+
+    bigram bucket models for target (src0) vs raw pool, per-doc log
+    importance weights, deterministic md5-seeded Gumbel top-64.
+    Rows-only; pinned in pytest against an independent Python oracle."""
+    from dtaianomaly_spark.pipelines import selection as SEL
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return SEL.dsir_select(
+        TX.load_docs(spark, sf_dir), target_source="src0", n_keep=64
+    )
+
+
 def _q_tx_bm25_topk(spark, sf_dir):
     """Lexical retrieval: rational-idf BM25 top-10 per query (queries =
     first-5-word bags of the 8 lowest doc_ids). Inverted-index join —
@@ -872,6 +896,18 @@ def _q_dd_embed_neardup(spark, sf_dir):
     from dtaianomaly_spark.pipelines import similarity as SIM
 
     return SIM.embed_neardup_pairs(SIM.load_embeddings(spark, sf_dir), 0.4)
+
+
+def _q_dd_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-clustered embedding space,
+    per-cluster greedy semantic-duplicate pruning keeping the example
+    farthest from the centroid. Rows-only; keep/drop verdicts pinned in
+    pytest against an independent brute-force oracle."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.semdedup(
+        SIM.load_embeddings(spark, sf_dir), n_cells=16, eps=0.05
+    )
 
 
 def _q_ev_sessionize(spark, sf_dir):
@@ -1519,6 +1555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_substring_spans": _q_tx_substring_spans,
         "tx_bigram_fluency": _q_tx_bigram_fluency,
+        "tx_kn_fluency": _q_tx_kn_fluency,
+        "tx_dsir_select": _q_tx_dsir_select,
         "tx_bm25_topk": _q_tx_bm25_topk,
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,
@@ -1543,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
+        "dd_semdedup": _q_dd_semdedup,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ev_sessionize": _q_ev_sessionize,

@@ -554,3 +554,114 @@ def srp_lsh_topk(
         .filter(F.col("rk") <= k)
         .select("qid", "vid", F.col("rk").cast("long").alias("rk"), "dot", "cos")
     )
+
+
+def semdedup(
+    emb: DataFrame, n_cells: int = 16, eps: float = 0.05, seed: int = 42
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") — semantic
+    near-duplicate PRUNING, the curation step between exact/fuzzy text
+    dedup and model training: cluster the embedding space, then inside
+    each cluster drop every example whose cosine similarity to an
+    earlier-ranked example exceeds ``1 - eps``, where the rank order is
+    centroid-similarity DESCENDING — so of each semantic-duplicate
+    group the example FARTHEST from the centroid survives (the paper's
+    keep-hard rule).
+
+    Physical shape, the IVF build reused as a dedup partitioner:
+
+    * centroid fit — seeded k-means on a bounded normalized sample
+      (driver-fit, broadcast in the task closure: the fit-broadcast-
+      score pattern shared with :func:`ivf_topk`);
+    * assignment + centroid similarity — ONE map-only Arrow pass;
+    * the greedy scan — one shuffle on ``cell``, then a per-cluster
+      O(c^2) Arrow kernel.  At 100 TB ``n_cells`` scales with the
+      corpus (SemDeDup runs 50k clusters over LAION-440M) so the
+      per-cluster pair matrix stays bounded; the cross-cluster pair
+      space is never materialized.
+
+    Determinism: the sample, k-means seed, and the (csim DESC, vec_id)
+    scan order are all fixed, so keep/drop verdicts are reproducible;
+    pytest pins them against an independent brute-force oracle.
+    Output: (vec_id, cell, csim, keep) for every input vector."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaianomaly_spark.kernels.detectors import kmeans_fit
+
+    sample = np.asarray(
+        [r["embedding"] for r in emb.select("embedding").limit(4096).collect()],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    centers = kmeans_fit(sample, n_cells, seed=seed)
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    assign_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("cell", LongType(), False),
+            StructField("csim", DoubleType(), False),
+            StructField("embedding", emb.schema["embedding"].dataType, False),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            sims = X @ centers.T
+            cells = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype(np.int64),
+                    "cell": cells.astype(np.int64),
+                    "csim": sims[np.arange(len(cells)), cells],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, assign_schema
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("cell", LongType(), False),
+            StructField("csim", DoubleType(), False),
+            StructField("keep", BooleanType(), False),
+        ]
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["csim", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        X = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ X.T
+        # drop i iff ANY earlier-ranked j has sim > 1 - eps (the public
+        # implementation's strict upper-triangular max — j's own verdict
+        # does not matter)
+        tri = np.triu(sims, k=1)  # tri[j, i] = sim(j, i) for j < i
+        mx = tri.max(axis=0, initial=-np.inf)
+        keep = ~(mx > 1.0 - eps)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].astype(np.int64),
+                "cell": pdf["cell"].astype(np.int64),
+                "csim": pdf["csim"],
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune, out_schema)
