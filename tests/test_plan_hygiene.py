@@ -66,6 +66,13 @@ EXCHANGE_BOUNDS = [
                                    # per-doc fold; V broadcasts
     ("tx_substring_spans", 14),    # substring_dedup's DAG + ONE window
                                    # over the bounded interval table
+    ("dd_semdedup", 1),            # ONE shuffle on cell; assignment and
+                                   # per-cluster pruning are Arrow stages
+    ("tx_dsir_select", 10),        # hashed-bucket model aggs (bounded
+                                   # key space) + broadcast llr join +
+                                   # per-doc fold + top-k heap
+    ("tx_kn_fluency", 14),         # bigram + 3 model-table aggs + keyed
+                                   # joins + per-doc fold; N1++ broadcasts
 ]
 
 
