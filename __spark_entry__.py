@@ -806,6 +806,25 @@ def _q_tx_dsir_select(spark, sf_dir):
     )
 
 
+def _q_tx_quality_classifier(spark, sf_dir):
+    """fastText-style quality classifier (Joulin et al. 2017; the
+    GPT-3/LLaMA-lineage filter): hashed unigram+bigram logistic
+    regression trained target-vs-pool by full-batch GD IN Spark (8
+    bounded rounds — TRAINING IS AN ACTION at construction, the
+    BPE-trainer convention), then one distributed corpus-wide scoring
+    pass. Rows-only; training and scores pinned in pytest against an
+    independent NumPy implementation."""
+    from dtaianomaly_spark.pipelines import selection as SEL
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return SEL.quality_classifier(
+        TX.load_docs(spark, sf_dir),
+        target_source="src0",
+        n_buckets=256,
+        n_iters=8,
+    )
+
+
 def _q_tx_bm25_topk(spark, sf_dir):
     """Lexical retrieval: rational-idf BM25 top-10 per query (queries =
     first-5-word bags of the 8 lowest doc_ids). Inverted-index join —
@@ -1557,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bigram_fluency": _q_tx_bigram_fluency,
         "tx_kn_fluency": _q_tx_kn_fluency,
         "tx_dsir_select": _q_tx_dsir_select,
+        "tx_quality_classifier": _q_tx_quality_classifier,
         "tx_bm25_topk": _q_tx_bm25_topk,
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,

@@ -175,7 +175,13 @@ def run_headline() -> dict:
             # heavy Arrow-kernel detectors and the action-natured BPE
             # trainer (whose shared stage iteration 2 would read from
             # cache, hiding the training cost): one timed run
-            iters = 1 if name.startswith(("det_", "tok_bpe")) else 2
+            # action-natured builders (GD training rounds) also run once:
+            # a second construction would re-pay the training jobs
+            iters = (
+                1
+                if name.startswith(("det_", "tok_bpe", "tx_quality_classifier"))
+                else 2
+            )
             # 1-min loadavg at query start: this shared VM has co-tenant
             # bursts — a slow reading with loadavg >> our own worker count
             # is noise, not a regression (see BENCH drift analysis, r3→r4)

@@ -151,3 +151,162 @@ def dsir_select(
         "score",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hashed-n-gram logistic-regression quality classifier — the
+# fastText-style filter (Joulin et al. 2017; the GPT-3 / LLaMA-lineage
+# "quality classifier": train target-vs-pool on bag-of-hashed-n-grams,
+# score the whole corpus, keep high-scoring documents).  TRAINING runs
+# IN Spark: full-batch gradient descent where each round is two bounded
+# jobs — a per-doc score pass and a per-bucket gradient aggregate — and
+# only the n_buckets-float weight vector ever reaches the driver (the
+# BPE-trainer economics: bounded per-round collects, features
+# localCheckpoint'ed once so later rounds read materialized rows).
+
+_SORTED_FOLD_KEY = (
+    "aggregate(transform(array_sort(collect_list(struct({key}, x))),"
+    " s -> s.x), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+)
+
+N_GRAD_GROUPS = 32  # md5 doc-hash subgroups of the two-level gradient fold
+
+
+def classifier_features(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, source, y, bucket, x) — L1-normalized hashed
+    unigram+bigram counts per document (x sums to 1 within a doc), with
+    the binary label carried alongside. Pure expression ops; the
+    normalizing total is a doc-level window-free groupBy join."""
+    db = _doc_buckets(docs, n_buckets)
+    tot = db.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    return db.join(tot, "doc_id").select(
+        "doc_id",
+        "source",
+        "bucket",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("x"),
+    )
+
+
+def classifier_train(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = N_DSIR_BUCKETS,
+    n_iters: int = 12,
+    lr: float = 4.0,
+) -> list:
+    """Train the logistic regression w (length ``n_buckets``, bias-free
+    — L1-normalized features make a bias redundant up to class prior)
+    by full-batch GD:  w <- w - lr * (1/N) Σ_d x_d (σ(w·x_d) - y_d).
+
+    Round shape: the per-doc margin folds bucket contributions in
+    sorted-bucket order; the per-bucket gradient folds doc
+    contributions with the TWO-LEVEL deterministic fold (sorted fold
+    inside fixed md5 doc-hash subgroups, then a sorted fold over the
+    ≤``N_GRAD_GROUPS`` partials) — the same discipline as
+    ``source_drift``, so no fold ever collects an unbounded row and the
+    learned weights are bit-reproducible run to run. Per round exactly
+    ONE n_buckets-row collect hits the driver.
+
+    Returns the weight vector as a Python list (bucket k -> w[k])."""
+    spark = docs.sparkSession
+    feats = classifier_features(docs, n_buckets).localCheckpoint(eager=True)
+    n_docs = feats.select("doc_id").distinct().count()
+    is_t = F.col("source") == target_source
+    w = [0.0] * n_buckets
+    for _ in range(int(n_iters)):
+        w_df = spark.createDataFrame(
+            list(enumerate(w)), schema="bucket long, w double"
+        )
+        margins = (
+            feats.join(F.broadcast(w_df), "bucket")
+            .select(
+                "doc_id", "source", F.col("bucket").alias("k"),
+                (F.col("x") * F.col("w")).alias("x"),
+            )
+            .groupBy("doc_id", "source")
+            .agg(F.expr(_SORTED_FOLD_KEY.format(key="k")).alias("m"))
+        )
+        resid = margins.select(
+            "doc_id",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+                - F.when(is_t, 1.0).otherwise(0.0)
+            ).alias("r"),
+        )
+        contrib = feats.join(resid, "doc_id").select(
+            "bucket",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+                f" AS BIGINT) % {N_GRAD_GROUPS}"
+            ).alias("h"),
+            "doc_id",
+            (F.col("x") * F.col("r")).alias("v"),
+        )
+        lvl1 = contrib.groupBy("bucket", "h").agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(doc_id, v))),"
+                " s -> s.v), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ).alias("x")
+        )
+        grad_rows = (
+            lvl1.groupBy("bucket")
+            .agg(F.expr(_SORTED_FOLD_KEY.format(key="h")).alias("g"))
+            .collect()
+        )
+        g = [0.0] * n_buckets
+        for row in grad_rows:
+            g[row["bucket"]] = row["g"]
+        w = [wi - lr * gi / n_docs for wi, gi in zip(w, g)]
+    return w
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: list,
+    target_source: str = "src0",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Score every document under a trained weight vector:
+    (doc_id, source, y, score) with score = σ(w·x). One broadcast join
+    + one per-doc sorted fold — the corpus-wide scoring pass is fully
+    distributed and map-side-bounded."""
+    if n_buckets is None:
+        n_buckets = len(weights)
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(
+        list(enumerate([float(v) for v in weights])),
+        schema="bucket long, w double",
+    )
+    feats = classifier_features(docs, n_buckets)
+    margins = (
+        feats.join(F.broadcast(w_df), "bucket")
+        .select(
+            "doc_id", "source", F.col("bucket").alias("k"),
+            (F.col("x") * F.col("w")).alias("x"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.expr(_SORTED_FOLD_KEY.format(key="k")).alias("m"))
+    )
+    return margins.select(
+        "doc_id",
+        "source",
+        F.when(F.col("source") == target_source, 1).otherwise(0)
+        .cast("long")
+        .alias("y"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("score"),
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = N_DSIR_BUCKETS,
+    n_iters: int = 12,
+    lr: float = 4.0,
+) -> DataFrame:
+    """Train + corpus-wide score in one call (the driver-query surface).
+    Training is an ACTION (n_iters bounded rounds run at construction,
+    the BPE-trainer convention); the returned frame is the lazy scoring
+    pass."""
+    w = classifier_train(docs, target_source, n_buckets, n_iters, lr)
+    return classifier_score(docs, w, target_source, n_buckets)

@@ -73,6 +73,10 @@ EXCHANGE_BOUNDS = [
                                    # per-doc fold + top-k heap
     ("tx_kn_fluency", 14),         # bigram + 3 model-table aggs + keyed
                                    # joins + per-doc fold; N1++ broadcasts
+    ("tx_quality_classifier", 6),  # SCORING plan only (training is an
+                                   # action at construction): feature agg
+                                   # + L1-total join + broadcast w join +
+                                   # per-doc fold
 ]
 
 

@@ -254,3 +254,88 @@ def test_kn_probabilities_form_subdistribution(spark):
             for b in vocab_cont
         )
         assert seen + backoff == pytest.approx(1.0, abs=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Quality classifier
+
+
+def _clf_oracle(docs, target_source, n_buckets, n_iters, lr):
+    """Independent NumPy full-batch-GD logistic regression over the same
+    L1-normalized hashed unigram+bigram features."""
+    feats = {}
+    for doc_id, source, text in docs:
+        ws = text.split(" ")
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        bc = Counter(_md5_60(g) % n_buckets for g in grams)
+        tot = sum(bc.values())
+        feats[doc_id] = (
+            1.0 if source == target_source else 0.0,
+            {b: n / tot for b, n in bc.items()},
+        )
+    w = np.zeros(n_buckets)
+    n_docs = len(feats)
+    for _ in range(n_iters):
+        g = np.zeros(n_buckets)
+        for y, xs in feats.values():
+            m = sum(xs[b] * w[b] for b in sorted(xs))
+            r = 1.0 / (1.0 + math.exp(-m)) - y
+            for b, x in xs.items():
+                g[b] += x * r
+        w = w - lr * g / n_docs
+    scores = {}
+    for doc_id, (y, xs) in feats.items():
+        m = sum(xs[b] * w[b] for b in sorted(xs))
+        scores[doc_id] = (int(y), 1.0 / (1.0 + math.exp(-m)))
+    return w, scores
+
+
+def test_quality_classifier_matches_numpy_gd(spark):
+    from dtaianomaly_spark.pipelines import selection as SEL
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, SF_DIR)
+    w = SEL.classifier_train(
+        docs, target_source="src0", n_buckets=64, n_iters=4, lr=4.0
+    )
+    raw = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in docs.select("doc_id", "source", "text").collect()
+    ]
+    want_w, want_scores = _clf_oracle(raw, "src0", 64, 4, 4.0)
+    assert len(w) == 64
+    np.testing.assert_allclose(w, want_w, rtol=1e-9, atol=1e-12)
+    got = {
+        r["doc_id"]: (r["y"], r["score"])
+        for r in SEL.classifier_score(
+            docs, w, target_source="src0"
+        ).collect()
+    }
+    assert set(got) == set(want_scores)
+    for doc_id, (y, s) in want_scores.items():
+        gy, gs = got[doc_id]
+        assert gy == y
+        assert gs == pytest.approx(s, rel=1e-9)
+
+
+def test_quality_classifier_separates_disjoint_vocab(spark):
+    """On a linearly separable toy corpus the trained classifier must
+    score every target doc above every pool doc."""
+    from dtaianomaly_spark.pipelines import selection as SEL
+
+    rows = [
+        ("t1", "tgt", "alpha beta gamma alpha beta"),
+        ("t2", "tgt", "beta gamma alpha gamma"),
+        ("t3", "tgt", "gamma alpha beta beta"),
+        ("r1", "raw", "omega psi chi phi"),
+        ("r2", "raw", "psi chi omega omega phi"),
+        ("r3", "raw", "chi phi psi omega"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    scored = SEL.quality_classifier(
+        docs, target_source="tgt", n_buckets=64, n_iters=12, lr=16.0
+    ).collect()
+    tgt = [r["score"] for r in scored if r["y"] == 1]
+    raw = [r["score"] for r in scored if r["y"] == 0]
+    assert min(tgt) > max(raw)
+    assert all(s > 0.5 for s in tgt) and all(s < 0.5 for s in raw)
