@@ -917,6 +917,19 @@ def _q_dd_embed_neardup(spark, sf_dir):
     return SIM.embed_neardup_pairs(SIM.load_embeddings(spark, sf_dir), 0.4)
 
 
+def _q_ann_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset (Gonzalez farthest-point, Sener &
+    Savarese 2018) under exact integer-cosine distance — diversity
+    selection over the embedding table; selection is an action at
+    construction (k 1-row argmax rounds), the returned frame is the
+    lazy nearest-center assignment. Rows-only; selections, assignments
+    and distances pinned bit-exactly in pytest against an independent
+    Python greedy."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.kcenter_coreset(SIM.load_embeddings(spark, sf_dir), k=8)
+
+
 def _q_dd_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-clustered embedding space,
     per-cluster greedy semantic-duplicate pruning keeping the example
@@ -1602,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
         "dd_semdedup": _q_dd_semdedup,
+        "ann_kcenter_coreset": _q_ann_kcenter_coreset,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ev_sessionize": _q_ev_sessionize,

@@ -179,7 +179,9 @@ def run_headline() -> dict:
             # a second construction would re-pay the training jobs
             iters = (
                 1
-                if name.startswith(("det_", "tok_bpe", "tx_quality_classifier"))
+                if name.startswith(
+                    ("det_", "tok_bpe", "tx_quality_classifier", "ann_kcenter")
+                )
                 else 2
             )
             # 1-min loadavg at query start: this shared VM has co-tenant

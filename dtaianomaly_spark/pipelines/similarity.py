@@ -665,3 +665,101 @@ def semdedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(prune, out_schema)
+
+
+def kcenter_coreset(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal; Sener & Savarese 2018 use exactly this greedy as the
+    active-learning/data-pruning coreset) under cosine distance
+    ``1 - cos``: start from the lowest vec_id, then ``k - 1`` times pick
+    the vector FARTHEST from the selected set — the classic 2-approx of
+    the k-center cover, and the diversity-sampling step of a pruning
+    pipeline (SemDeDup removes redundancy; k-center picks spread).
+
+    Round shape (the BPE-trainer economics): selection is an ACTION at
+    construction — per round ONE 1-row argmax collect and one lazy
+    map-only min-distance update against the new center (its quantized
+    vector enters the plan as a 64-literal array; ``localCheckpoint``
+    bounds the k-deep lineage). The returned frame is the lazy
+    assignment pass: broadcast the k centers, exact-integer-cosine to
+    each, ``min_by`` per vector — (vec_id, center_id, center_rk, dist,
+    is_center).
+
+    Distances use the repo's exactness discipline: int64-quantized dot
+    products and the ONE shared float formula (``COS_SQL``), so
+    selections and distances are bit-reproducible — the pytest oracle
+    reproduces them with exact equality, ties broken by vec_id."""
+    qv = quantized(emb)
+    state = qv.select(
+        "vec_id", "q", "norm2", F.lit(2.0).alias("mindist")
+    )
+    centers = []  # (rk, vec_id, q, norm2, radius)
+    for r in range(int(k)):
+        if r == 0:
+            row = qv.orderBy("vec_id").limit(1).collect()[0]
+            radius = None  # no cover yet
+        else:
+            row = (
+                state.orderBy(F.col("mindist").desc(), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            radius = float(row["mindist"])
+        centers.append(
+            (r + 1, int(row["vec_id"]), list(row["q"]), int(row["norm2"]), radius)
+        )
+        qlit = F.array(*[F.lit(int(v)) for v in row["q"]])
+        dist = F.lit(1.0) - F.expr(COS_SQL.replace("dot", "_d").replace("na", "_na").replace("nb", "_nb"))
+        state = (
+            state.select(
+                "vec_id", "q", "norm2", "mindist",
+                F.aggregate(
+                    F.zip_with("q", qlit, lambda a, b: a * b),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                ).alias("_d"),
+                F.col("norm2").alias("_na"),
+                F.lit(int(row["norm2"])).alias("_nb"),
+            )
+            .select(
+                "vec_id", "q", "norm2",
+                F.least("mindist", dist).alias("mindist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(rk, vid, q, n2) for rk, vid, q, n2, _ in centers],
+        schema="center_rk long, center_id long, cq array<bigint>, cn bigint",
+    )
+    scored = (
+        qv.crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "center_rk",
+            "center_id",
+            F.expr(
+                "aggregate(zip_with(q, cq, (a, b) -> a * b), CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.col("norm2").alias("na"),
+            F.col("cn").alias("nb"),
+        )
+        .select(
+            "vec_id", "center_rk", "center_id",
+            (F.lit(1.0) - F.expr(COS_SQL)).alias("dist"),
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("dist", "center_rk", "center_id"),
+            F.struct("dist", "center_rk"),
+        ).alias("s")
+    )
+    return best.select(
+        "vec_id",
+        F.col("s.center_id").alias("center_id"),
+        F.col("s.center_rk").alias("center_rk"),
+        F.col("s.dist").alias("dist"),
+        (F.col("vec_id") == F.col("s.center_id")).alias("is_center"),
+    )

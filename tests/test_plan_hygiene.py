@@ -77,6 +77,9 @@ EXCHANGE_BOUNDS = [
                                    # action at construction): feature agg
                                    # + L1-total join + broadcast w join +
                                    # per-doc fold
+    ("ann_kcenter_coreset", 1),    # assignment plan: broadcast k centers
+                                   # + ONE min_by aggregate (selection is
+                                   # an action at construction)
 ]
 
 

@@ -339,3 +339,69 @@ def test_quality_classifier_separates_disjoint_vocab(spark):
     raw = [r["score"] for r in scored if r["y"] == 0]
     assert min(tgt) > max(raw)
     assert all(s > 0.5 for s in tgt) and all(s < 0.5 for s in raw)
+
+
+# --------------------------------------------------------------------------
+# k-center coreset
+
+
+def _quantize(vec):
+    return [math.floor(float(np.float64(np.float32(v))) * 10000) for v in vec]
+
+
+def _kcenter_oracle(rows, k):
+    """Independent greedy farthest-point traversal under the engine's
+    exact integer-cosine distance (float(na) * float(nb) mirrors the
+    CAST-to-double product — na * nb overflows 2^53)."""
+    qs = {r["vec_id"]: _quantize(r["embedding"]) for r in rows}
+    norms = {v: sum(x * x for x in q) for v, q in qs.items()}
+
+    def dist(a, b):
+        dot = sum(x * y for x, y in zip(qs[a], qs[b]))
+        return 1.0 - dot / math.sqrt(float(norms[a]) * float(norms[b]))
+
+    first = min(qs)
+    centers = [first]
+    mindist = {v: min(2.0, dist(v, first)) for v in qs}
+    for _ in range(k - 1):
+        nxt = max(qs, key=lambda v: (mindist[v], -v))
+        centers.append(nxt)
+        for v in qs:
+            mindist[v] = min(mindist[v], dist(v, nxt))
+    assign = {}
+    for v in qs:
+        best = min(
+            ((dist(v, c), rk + 1, c) for rk, c in enumerate(centers)),
+        )
+        assign[v] = (best[2], best[1], best[0])
+    return centers, assign
+
+
+def test_kcenter_coreset_matches_python_greedy(spark):
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    emb = SIM.load_embeddings(spark, SF_DIR)
+    got = {
+        r["vec_id"]: (r["center_id"], r["center_rk"], r["dist"], r["is_center"])
+        for r in SIM.kcenter_coreset(emb, k=6).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    centers, assign = _kcenter_oracle(rows, 6)
+    assert set(got) == set(assign)
+    for v, (cid, crk, d) in assign.items():
+        gc, gr, gd, gic = got[v]
+        assert (gc, gr) == (cid, crk), (v, got[v], assign[v])
+        assert gd == d  # bit-exact: shared integer triple + IEEE formula
+        assert gic == (v in centers)
+    assert sum(1 for *_, ic in got.values() if ic) == 6
+
+
+def test_kcenter_radius_decreases_cover(spark):
+    """Farther-point greedy: the max assignment distance (cover radius)
+    must be non-increasing in k."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    emb = SIM.load_embeddings(spark, SF_DIR)
+    r3 = max(r["dist"] for r in SIM.kcenter_coreset(emb, k=3).collect())
+    r6 = max(r["dist"] for r in SIM.kcenter_coreset(emb, k=6).collect())
+    assert r6 <= r3
