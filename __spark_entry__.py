@@ -1265,6 +1265,42 @@ def _q_tok_bpe_encode(spark, sf_dir):
     return before.crossJoin(F.broadcast(after))
 
 
+def _q_tok_fertility(spark, sf_dir):
+    """Per-source BPE compression/fertility report — the tokenizer-
+    efficiency number a data team tracks per corpus slice: docs, token
+    mass before/after applying the shared learned 8-merge table, and
+    the before/after ratio (one IEEE divide). Shares the BPE training
+    run; the encode pass is the bit-pinned apply_merges Arrow stage, so
+    this query only adds the source join + per-source rollup."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    arrays = C.token_arrays(spark, sf_dir)
+    merges = _shared_bpe_training(spark, sf_dir)
+    encoded = TK.apply_merges(arrays, merges)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per_doc = (
+        arrays.select("doc_id", F.col("n_tok").alias("before"))
+        .join(encoded.select("doc_id", F.col("n_tok").alias("after")), "doc_id")
+        .join(src, "doc_id")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("before").cast("long").alias("tokens_before"),
+            F.sum("after").cast("long").alias("tokens_after"),
+        )
+        .select(
+            "source", "n_docs", "tokens_before", "tokens_after",
+            F.expr(
+                "CAST(tokens_before AS DOUBLE) / CAST(tokens_after AS DOUBLE)"
+            ).alias("compression"),
+        )
+    )
+
+
 def _q_tok_pack_stats(spark, sf_dir):
     """Fixed-context sequence packing report: chunk every doc to <=512
     tokens (map-side slice HOF), best-fit-decreasing pack inside 32
@@ -1666,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_pair_top": _q_tok_pair_top,
         "tok_bpe_merges": _q_tok_bpe_merges,
         "tok_bpe_encode": _q_tok_bpe_encode,
+        "tok_fertility": _q_tok_fertility,
         "tok_pack_stats": _q_tok_pack_stats,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps

@@ -405,3 +405,23 @@ def test_kcenter_radius_decreases_cover(spark):
     r3 = max(r["dist"] for r in SIM.kcenter_coreset(emb, k=3).collect())
     r6 = max(r["dist"] for r in SIM.kcenter_coreset(emb, k=6).collect())
     assert r6 <= r3
+
+
+# --------------------------------------------------------------------------
+# Per-source BPE fertility report (driver-query invariants: the encode
+# pass itself is bit-pinned in tests/test_tokens_pipeline.py)
+
+
+def test_tok_fertility_consistent_with_corpus_totals(spark):
+    import __spark_entry__ as E
+
+    rows = E.queries()["tok_fertility"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["tokens_after"] <= r["tokens_before"]
+        assert r["compression"] >= 1.0
+        assert r["n_docs"] > 0
+    totals = E.queries()["tok_bpe_encode"](spark, SF_DIR).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == totals["n_docs"]
+    assert sum(r["tokens_before"] for r in rows) == totals["tokens_before"]
+    assert sum(r["tokens_after"] for r in rows) == totals["tokens_after"]
