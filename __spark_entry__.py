@@ -1265,6 +1265,55 @@ def _q_tok_bpe_encode(spark, sf_dir):
     return before.crossJoin(F.broadcast(after))
 
 
+# Unigram-LM (Kudo 2018) trainer: the model and encode queries share
+# one training run per (session, sf_dir) — BPE-cache convention; the
+# first consumer pays the seed + EM rounds.
+_UNIGRAM_CACHE: dict = {}
+
+
+def _shared_unigram_units(spark, sf_dir):
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    return _app_stage_cache(
+        _UNIGRAM_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: TK.unigram_train(
+            C.token_arrays(spark, sf_dir),
+            top_ngrams=128,
+            n_iters=2,
+            keep_multi=64,
+        ),
+        max_entries=2,
+        persist=False,
+    )
+
+
+def _q_tok_unigram_model(spark, sf_dir):
+    """Distributed unigram-LM tokenizer fit (Kudo 2018 / SentencePiece):
+    seed = present tokens + top-128 2..4-gram candidates, 2 EM rounds
+    (Arrow forward-backward E-step, two-level deterministic fold,
+    driver M-step), pruned to length-1 + top-64 longer units. TRAINING
+    IS AN ACTION at construction. Rows-only; the full unit table is
+    pinned bit-exactly in pytest against an independent local EM."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    return TK.unigram_units_frame(
+        spark, _shared_unigram_units(spark, sf_dir)
+    ).orderBy("unit_id")
+
+
+def _q_tok_unigram_encode(spark, sf_dir):
+    """Viterbi encode under the shared trained unigram model: one
+    map-only Arrow stage, per-doc (n_tok, n_pieces, score). Rows-only;
+    piece streams pinned to concatenate back to the exact input."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    return TK.unigram_encode(
+        C.token_arrays(spark, sf_dir), _shared_unigram_units(spark, sf_dir)
+    )
+
+
 def _q_tok_fertility(spark, sf_dir):
     """Per-source BPE compression/fertility report — the tokenizer-
     efficiency number a data team tracks per corpus slice: docs, token
@@ -1703,6 +1752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_bpe_merges": _q_tok_bpe_merges,
         "tok_bpe_encode": _q_tok_bpe_encode,
         "tok_fertility": _q_tok_fertility,
+        "tok_unigram_model": _q_tok_unigram_model,
+        "tok_unigram_encode": _q_tok_unigram_encode,
         "tok_pack_stats": _q_tok_pack_stats,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps

@@ -180,7 +180,13 @@ def run_headline() -> dict:
             iters = (
                 1
                 if name.startswith(
-                    ("det_", "tok_bpe", "tx_quality_classifier", "ann_kcenter")
+                    (
+                        "det_",
+                        "tok_bpe",
+                        "tok_unigram",
+                        "tx_quality_classifier",
+                        "ann_kcenter",
+                    )
                 )
                 else 2
             )

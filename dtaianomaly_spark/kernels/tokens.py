@@ -183,3 +183,212 @@ def pack_reference(lengths: Sequence[int], capacity: int) -> List[int]:
             bins[best] -= n
             out.append(best)
     return out
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer kernels (Kudo 2018, "Subword Regularization" —
+# the SentencePiece unigram model), over INT-token sequences: units are
+# token n-grams, a sequence's probability marginalizes over all
+# segmentations into units, EM fits unit probabilities, Viterbi encodes.
+# Shared verbatim by the distributed trainer's Arrow E-step and the
+# pytest oracles so per-doc float streams are bit-identical.
+
+UNIT_PACK_OFFSET = 512   # shifts token values (>= -512) non-negative
+UNIT_PACK_BASE = 1 << 12  # 4096 > any shifted token value in the corpus
+
+
+def pack_ngrams(tokens: np.ndarray, length: int) -> np.ndarray:
+    """int64 Horner keys of every ``length``-gram of ``tokens`` —
+    position i gets key of tokens[i : i + length].  Keys are unique per
+    (length, gram) given 0 <= token + OFFSET < BASE (asserted); lengths
+    use separate key spaces (the model stores per-length tables)."""
+    t = np.asarray(tokens, dtype=np.int64) + UNIT_PACK_OFFSET
+    if t.size and (t.min() < 0 or t.max() >= UNIT_PACK_BASE):
+        raise ValueError("token value outside the packable range")
+    n = t.shape[0]
+    if n < length:
+        return np.empty(0, dtype=np.int64)
+    k = t[: n - length + 1].copy()
+    for j in range(1, length):
+        k = k * UNIT_PACK_BASE + t[j : n - length + j + 1]
+    return k
+
+
+def unpack_ngram(key: int, length: int) -> List[int]:
+    """Inverse of :func:`pack_ngrams` for one key."""
+    out = []
+    for _ in range(length):
+        out.append(int(key % UNIT_PACK_BASE) - UNIT_PACK_OFFSET)
+        key //= UNIT_PACK_BASE
+    return out[::-1]
+
+
+def lattice_logp(tokens: np.ndarray, model: dict):
+    """Match every (position, length) against the model: ``model`` maps
+    length -> (sorted int64 keys, unit_id int64 array, logp float64
+    array).  Returns (uid, lp) of shape (n, L): unit row id (-1 = no
+    unit) and its log-probability (-inf)."""
+    n = int(np.asarray(tokens).shape[0])
+    L = max(model) if model else 0
+    uid = np.full((n, L), -1, dtype=np.int64)
+    lp = np.full((n, L), -np.inf, dtype=np.float64)
+    for length, (keys, ids, lps) in model.items():
+        kk = pack_ngrams(tokens, length)
+        if kk.size == 0 or keys.size == 0:
+            continue
+        pos = np.searchsorted(keys, kk)
+        pos_c = np.minimum(pos, keys.size - 1)
+        ok = keys[pos_c] == kk
+        col_u = uid[: kk.size, length - 1]
+        col_p = lp[: kk.size, length - 1]
+        col_u[ok] = ids[pos_c[ok]]
+        col_p[ok] = lps[pos_c[ok]]
+    return uid, lp
+
+
+def unigram_expected_counts(tokens: np.ndarray, model: dict, n_units: int):
+    """Per-document E-step: forward-backward over the segmentation
+    lattice.  Returns (e, loglik): dense expected-count vector over
+    unit ids (accumulated in row-major (position, length) scan order —
+    deterministic) and the document log-likelihood log Z.  A document
+    with no full-coverage path (impossible when every present token is
+    a unit) yields zeros and -inf."""
+    import math
+
+    uid, lp = lattice_logp(tokens, model)
+    n, L = lp.shape
+    NEG = float("-inf")
+
+    def lae(a: float, b: float) -> float:
+        # scalar logaddexp via math (numpy scalar ufuncs cost ~10x);
+        # same max + log1p(exp(-|d|)) formula
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        if a < b:
+            a, b = b, a
+        return a + math.log1p(math.exp(b - a))
+
+    lpl = lp.tolist()  # plain floats: the sequential DP is scalar-bound
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(n):
+        ai = alpha[i]
+        if ai == NEG:
+            continue
+        row = lpl[i]
+        for j in range(L):
+            v = row[j]
+            if i + j + 1 <= n and v != NEG:
+                alpha[i + j + 1] = lae(alpha[i + j + 1], ai + v)
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        row = lpl[i]
+        b = NEG
+        for j in range(L):
+            v = row[j]
+            if i + j + 1 <= n and v != NEG:
+                b = lae(b, v + beta[i + j + 1])
+        beta[i] = b
+    alpha = np.asarray(alpha)
+    beta = np.asarray(beta)
+    z = alpha[n]
+    e = np.zeros(n_units, dtype=np.float64)
+    if z == -np.inf:
+        return e, float("-inf")
+    # posterior of match (i, j): exp(alpha[i] + lp + beta[i+j+1] - Z)
+    # beta_end[i, j] = beta[i + j + 1] for the valid i <= n - j - 1
+    beta_end = np.full((n, L), -np.inf)
+    for j in range(L):
+        m = n - j
+        if m > 0:
+            beta_end[:m, j] = beta[j + 1 : j + 1 + m]
+    post = np.exp(alpha[:n, None] + lp + beta_end - z)
+    flat_u = uid.reshape(-1)
+    flat_p = post.reshape(-1)
+    okm = flat_u >= 0
+    np.add.at(e, flat_u[okm], flat_p[okm])
+    return e, float(z)
+
+
+def unigram_viterbi(tokens: np.ndarray, model: dict):
+    """Best segmentation under the model: returns (unit_ids, lengths,
+    score).  Ties prefer the LONGER unit (then the recurrence's earlier
+    predecessor is impossible — lengths are unique per position), so
+    the path is deterministic."""
+    uid, lp = lattice_logp(tokens, model)
+    n, L = lp.shape
+    NEG = float("-inf")
+    lpl = lp.tolist()
+    best = [NEG] * (n + 1)
+    best[0] = 0.0
+    back = [0] * (n + 1)  # chosen length ending at i
+    for i in range(n):
+        bi = best[i]
+        if bi == NEG:
+            continue
+        row = lpl[i]
+        for j in range(L):
+            e = i + j + 1
+            v = row[j]
+            if e <= n and v != NEG:
+                s = bi + v
+                # strictly-greater OR equal-with-longer-length wins
+                if s > best[e] or (s == best[e] and j + 1 > back[e]):
+                    best[e] = s
+                    back[e] = j + 1
+    if best[n] == -np.inf:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+                float("-inf"))
+    lens = []
+    ids = []
+    i = n
+    while i > 0:
+        l = int(back[i])
+        lens.append(l)
+        ids.append(int(uid[i - l, l - 1]))
+        i -= l
+    return (np.asarray(ids[::-1], dtype=np.int64),
+            np.asarray(lens[::-1], dtype=np.int64), float(best[n]))
+
+
+def unigram_enum_reference(tokens, units_logp: dict):
+    """Brute-force oracle for tiny sequences: enumerate EVERY
+    segmentation (units_logp maps token-tuples to logp), returning
+    (expected counts dict unit-tuple -> float, loglik, best segmentation
+    list with the same longer-unit tie rule)."""
+    import itertools  # noqa: F401  (documentation of intent)
+    import math
+
+    seqs = []
+
+    def rec(i, cur):
+        if i == len(tokens):
+            seqs.append(list(cur))
+            return
+        for l in range(1, len(tokens) - i + 1):
+            u = tuple(tokens[i : i + l])
+            if u in units_logp:
+                cur.append(u)
+                rec(i + l, cur)
+                cur.pop()
+
+    rec(0, [])
+    if not seqs:
+        return {}, float("-inf"), []
+    logps = [sum(units_logp[u] for u in s) for s in seqs]
+    m = max(logps)
+    z = m + math.log(sum(math.exp(x - m) for x in logps))
+    exp_counts: dict = {}
+    for s, lpv in zip(seqs, logps):
+        w = math.exp(lpv - z)
+        for u in s:
+            exp_counts[u] = exp_counts.get(u, 0.0) + w
+    # Viterbi tie rule: max logp; among ties prefer segmentation whose
+    # FIRST unit is longer, recursively (greedy longer-unit backtrace)
+    best_lp = max(logps)
+    cands = [s for s, lpv in zip(seqs, logps) if lpv == best_lp]
+    best = max(cands, key=lambda s: [len(u) for u in s[::-1]])
+    return exp_counts, z, best

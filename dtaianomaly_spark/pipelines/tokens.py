@@ -392,3 +392,273 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
             f" / (CAST(n_bins AS DOUBLE) * {int(capacity)})"
         ).alias("fill"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece unigram
+# model) over the same int-token corpus: units are token n-grams, a
+# document's probability marginalizes over all segmentations into
+# units, EM fits unit probabilities, Viterbi encodes.  Completes the
+# tokenizer family next to BPE: BPE grows units bottom-up by merges,
+# unigram starts from an over-complete seed vocabulary and fits/prunes.
+#
+# Scale shape (100 TB): seeding is the pair_counts shape per n-gram
+# length (map-side HOF key stream into a hash aggregate over reduced
+# int64 keys, global top-N via TakeOrderedAndProject); each EM round is
+# ONE map-only Arrow E-step (model broadcast in the task closure — the
+# unit table is bounded) emitting per-(doc, unit) expected counts,
+# folded per unit with the two-level deterministic fold; only the
+# <=|units| count rows reach the driver per round.  TRAINING IS AN
+# ACTION (the BPE-trainer convention).  Pruning keeps every length-1
+# unit (coverage guarantee: any sequence of seen tokens stays
+# segmentable) + the top ``keep_multi`` longer units by probability — a
+# documented simplification of SentencePiece's likelihood-loss pruning.
+
+UNIGRAM_MAX_LEN = 4
+
+
+def _ngram_key_expr(length: int) -> str:
+    """HOF expression producing the int64 Horner keys of every
+    ``length``-gram of ``tokens`` (mirrors kernels.tokens.pack_ngrams)."""
+    B, O = KT.UNIT_PACK_BASE, KT.UNIT_PACK_OFFSET
+    horner = f"(CAST(tokens[i] AS BIGINT) + {O})"
+    for j in range(1, length):
+        horner = f"({horner} * {B} + CAST(tokens[i + {j}] AS BIGINT) + {O})"
+    return (
+        f"CASE WHEN n_tok >= {length} THEN"
+        f" transform(sequence(0, n_tok - {length}), i -> {horner})"
+        " ELSE array() END"
+    )
+
+
+def unigram_seed_counts(
+    corpus: DataFrame, max_len: int = UNIGRAM_MAX_LEN
+) -> DataFrame:
+    """(length, key, cnt) corpus-wide n-gram counts for every length in
+    1..max_len — the candidate-unit statistics. One union of map-side
+    key streams into hash aggregates over bounded int64 keys."""
+    parts = []
+    for length in range(1, max_len + 1):
+        parts.append(
+            corpus.select(
+                F.explode(F.expr(_ngram_key_expr(length))).alias("key")
+            )
+            .groupBy("key")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .select(F.lit(length).cast("int").alias("length"), "key", "cnt")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def unigram_train(
+    corpus: DataFrame,
+    max_len: int = UNIGRAM_MAX_LEN,
+    top_ngrams: int = 256,
+    n_iters: int = 2,
+    keep_multi: int = 128,
+) -> list:
+    """Distributed unigram-LM fit.  Returns the final unit table as a
+    list of dicts: {unit_id, length, toks, logp, e_cnt} sorted by
+    unit_id (== seed order: length ASC, key ASC) — bounded
+    (|alphabet| + keep_multi rows), broadcastable.
+
+    Steps: (1) seed = every present token (length 1) + the global
+    top-``top_ngrams`` longer n-grams, probabilities proportional to
+    raw counts; (2) ``n_iters`` EM rounds — Arrow forward-backward
+    E-step (kernels.tokens.unigram_expected_counts, shared with the
+    pytest oracle), two-level deterministic per-unit fold, driver
+    M-step p(u) = c(u)/Σc; (3) prune to length-1 + top ``keep_multi``
+    longer units by (logp DESC, length ASC, key ASC), renormalized in
+    unit-id order."""
+    import math
+
+    spark = corpus.sparkSession
+    seeds = unigram_seed_counts(corpus, max_len)
+    base = seeds.filter(F.col("length") == 1).collect()
+    multi = (
+        seeds.filter(F.col("length") > 1)
+        .orderBy(F.col("cnt").desc(), "length", "key")
+        .limit(int(top_ngrams))
+        .collect()
+    )
+    rows = sorted(
+        [(int(r["length"]), int(r["key"]), int(r["cnt"])) for r in base]
+        + [(int(r["length"]), int(r["key"]), int(r["cnt"])) for r in multi]
+    )
+    total = sum(c for _, _, c in rows)
+    units = [
+        {
+            "unit_id": i,
+            "length": l,
+            "key": k,
+            "toks": KT.unpack_ngram(k, l),
+            "logp": math.log(c) - math.log(total),
+            "e_cnt": float(c),
+        }
+        for i, (l, k, c) in enumerate(rows)
+    ]
+
+    estep_schema = "doc_id long, unit_id long, e double"
+    fold_doc = (
+        "aggregate(transform(array_sort(collect_list(struct(doc_id, e))),"
+        " s -> s.e), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    fold_h = (
+        "aggregate(transform(array_sort(collect_list(struct(h, e))),"
+        " s -> s.e), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    n_units = len(units)
+    for _ in range(int(n_iters)):
+        model = _np_model(units)
+
+        def estep(batches, model=model, n_units=n_units):
+            for batch in batches:
+                doc_ids = batch.column(0).to_numpy()
+                toks_col = batch.column(1)
+                out_d, out_u, out_e = [], [], []
+                for row_i in range(batch.num_rows):
+                    toks = np.asarray(toks_col[row_i].as_py(), dtype=np.int64)
+                    e, z = KT.unigram_expected_counts(toks, model, n_units)
+                    nz = np.flatnonzero(e)
+                    out_d.extend([int(doc_ids[row_i])] * (nz.size + 1))
+                    out_u.extend(int(u) for u in nz)
+                    out_u.append(-1)
+                    out_e.extend(float(x) for x in e[nz])
+                    out_e.append(z)
+                import pyarrow as pa
+
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_d, type=pa.int64()),
+                        pa.array(out_u, type=pa.int64()),
+                        pa.array(out_e, type=pa.float64()),
+                    ],
+                    names=["doc_id", "unit_id", "e"],
+                )
+
+        stage = corpus.select("doc_id", "tokens").mapInArrow(
+            estep, estep_schema
+        )
+        lvl1 = (
+            stage.select(
+                "unit_id",
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),"
+                    f" 16, 10) AS BIGINT) % {N_EM_GROUPS}"
+                ).alias("h"),
+                "doc_id",
+                "e",
+            )
+            .groupBy("unit_id", "h")
+            .agg(F.expr(fold_doc).alias("e"))
+        )
+        agg = (
+            lvl1.groupBy("unit_id").agg(F.expr(fold_h).alias("e")).collect()
+        )
+        counts = {int(r["unit_id"]): float(r["e"]) for r in agg}
+        s = 0.0
+        for u in units:  # unit-id order — deterministic
+            u["e_cnt"] = counts.get(u["unit_id"], 0.0)
+            s += u["e_cnt"]
+        for u in units:
+            # every present unit has positive posterior mass (any path
+            # through it exists); guard anyway for numerical underflow
+            u["logp"] = (
+                math.log(u["e_cnt"]) - math.log(s)
+                if u["e_cnt"] > 0.0
+                else float("-inf")
+            )
+        # zero-mass units stay in the table at logp = -inf (the lattice
+        # treats them as absent) — ids never shift mid-training, which
+        # keeps the oracle mirror trivial
+
+    # prune: keep all length-1 + top keep_multi longer units (-inf
+    # units sort last and are excluded)
+    ones = [u for u in units if u["length"] == 1 and u["logp"] != float("-inf")]
+    longer = sorted(
+        (u for u in units if u["length"] > 1 and u["logp"] != float("-inf")),
+        key=lambda u: (-u["logp"], u["length"], u["key"]),
+    )[: int(keep_multi)]
+    kept = sorted(ones + longer, key=lambda u: (u["length"], u["key"]))
+    import math as _m
+
+    s = 0.0
+    for u in kept:  # renormalize in (length, key) order
+        s += _m.exp(u["logp"])
+    logs = _m.log(s)
+    return [
+        {**u, "unit_id": i, "logp": u["logp"] - logs}
+        for i, u in enumerate(kept)
+    ]
+
+
+N_EM_GROUPS = 32  # md5 doc-hash subgroups of the two-level EM fold
+
+
+def _np_model(units: list) -> dict:
+    """Per-length (sorted keys, unit ids, logps) numpy tables for the
+    lattice kernels."""
+    model: dict = {}
+    for u in units:
+        model.setdefault(u["length"], []).append(
+            (u["key"], u["unit_id"], u["logp"])
+        )
+    return {
+        l: tuple(
+            np.asarray(col, dtype=(np.int64 if i < 2 else np.float64))
+            for i, col in enumerate(zip(*sorted(v)))
+        )
+        for l, v in model.items()
+    }
+
+
+def unigram_units_frame(spark, units: list) -> DataFrame:
+    """The unit table as a DataFrame (unit_id, length, toks, logp,
+    e_cnt) — the model artifact a pipeline persists."""
+    return spark.createDataFrame(
+        [
+            (u["unit_id"], u["length"], u["toks"], u["logp"], u["e_cnt"])
+            for u in units
+        ],
+        schema="unit_id long, length int, toks array<int>, logp double,"
+        " e_cnt double",
+    )
+
+
+def unigram_encode(corpus: DataFrame, units: list) -> DataFrame:
+    """Viterbi-encode every document under a trained unit table: ONE
+    map-only Arrow stage (model in the task closure), emitting
+    (doc_id, n_tok, n_pieces, score) — the per-doc compression the
+    tokenizer-swap report aggregates.  The piece streams are pinned in
+    pytest to concatenate back to the exact input tokens."""
+    model = _np_model(units)
+
+    def encode(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            doc_ids = batch.column(0).to_numpy()
+            toks_col = batch.column(1)
+            n_out, p_out, s_out = [], [], []
+            for row_i in range(batch.num_rows):
+                toks = np.asarray(toks_col[row_i].as_py(), dtype=np.int64)
+                ids, lens, score = KT.unigram_viterbi(toks, model)
+                n_out.append(int(toks.shape[0]))
+                p_out.append(int(ids.shape[0]))
+                s_out.append(float(score))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(d) for d in doc_ids], type=pa.int64()),
+                    pa.array(n_out, type=pa.int64()),
+                    pa.array(p_out, type=pa.int64()),
+                    pa.array(s_out, type=pa.float64()),
+                ],
+                names=["doc_id", "n_tok", "n_pieces", "score"],
+            )
+
+    return corpus.select("doc_id", "tokens").mapInArrow(
+        encode, "doc_id long, n_tok long, n_pieces long, score double"
+    )

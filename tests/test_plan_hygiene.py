@@ -80,6 +80,12 @@ EXCHANGE_BOUNDS = [
     ("ann_kcenter_coreset", 1),    # assignment plan: broadcast k centers
                                    # + ONE min_by aggregate (selection is
                                    # an action at construction)
+    ("tok_unigram_model", 1),      # unit-table frame (training is an
+                                   # action at construction)
+    ("tok_unigram_encode", 1),     # map-only Arrow Viterbi (+ corpus
+                                   # repartition)
+    ("tok_fertility", 3),          # encode stage + source join +
+                                   # per-source rollup
 ]
 
 
