@@ -836,6 +836,22 @@ def _q_tx_bm25_topk(spark, sf_dir):
     return RET.bm25_topk(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (DPR recipe): BM25 top-10 per
+    query joined with the exact integer cosine between query and
+    candidate embeddings; candidates below the threshold are flagged
+    hard. Lazy composition of two bit-reproducible stages. Rows-only;
+    cosines and flags pinned in pytest against an exact Python
+    recomputation over the BM25 rows."""
+    from dtaianomaly_spark.pipelines import retrieval as RET
+    from dtaianomaly_spark.pipelines import similarity as SIM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return RET.hard_negatives(
+        TX.load_docs(spark, sf_dir), SIM.load_embeddings(spark, sf_dir)
+    )
+
+
 def _q_tx_source_drift(spark, sf_dir):
     """Per-source unigram chi-square drift vs the corpus distribution —
     full-vocabulary cells, sorted-word fold, bit-exact float statistic."""
@@ -1676,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dsir_select": _q_tx_dsir_select,
         "tx_quality_classifier": _q_tx_quality_classifier,
         "tx_bm25_topk": _q_tx_bm25_topk,
+        "tx_hard_negatives": _q_tx_hard_negatives,
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,

@@ -150,3 +150,68 @@ def bm25_topk(
         ).alias("term"),
     )
     return bm25_topk_frame(docs, queries, k=k)
+
+
+def hard_negatives(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = 8,
+    query_terms: int = 5,
+    k: int = 10,
+    cos_threshold: float = 0.8,
+) -> DataFrame:
+    """Contrastive hard-negative mining (the DPR recipe, Karpukhin et
+    al. 2020: BM25-retrieved passages that are NOT semantic matches
+    make the best training negatives): take each query's BM25 top-k,
+    attach the EXACT integer cosine between query and candidate
+    embeddings (``vec_id`` aligns 1:1 with ``doc_id``), and flag
+    candidates below ``cos_threshold`` as hard negatives — lexically
+    confusable, semantically distant.
+
+    Fully lazy composition of two oracle-pinned stages: the BM25 frame
+    (inverted-index candidate join) and the quantized-cosine join
+    (int64 dots + the ONE shared IEEE formula), so scores AND cosines
+    are bit-reproducible. Physical shape: the BM25 top-k output is
+    n_queries x k rows — both embedding joins hash on its tiny key set,
+    the corpus-sized embedding table is never re-scanned per query.
+
+    Output: (qid, rnk, doc_id, score, cos, is_hard); the query document
+    itself never appears (BM25 already excludes self-hits only if
+    ranked — it does rank them, so self pairs are filtered here: a
+    query is trivially its own semantic match, never a negative)."""
+    from dtaianomaly_spark.pipelines.similarity import COS_SQL, quantized
+
+    topk = bm25_topk(docs, n_queries=n_queries, query_terms=query_terms, k=k)
+    qv = quantized(emb)
+    pairs = (
+        topk.filter(F.col("qid") != F.col("doc_id"))
+        .join(
+            qv.select(
+                F.col("vec_id").alias("qid"), F.col("q").alias("qq"),
+                F.col("norm2").alias("na"),
+            ),
+            "qid",
+        )
+        .join(
+            qv.select(
+                F.col("vec_id").alias("doc_id"), F.col("q").alias("cq"),
+                F.col("norm2").alias("nb"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "qid", "rnk", "doc_id", "score", "na", "nb",
+            F.expr(
+                "aggregate(zip_with(qq, cq, (a, b) -> a * b),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+        .select(
+            "qid", "rnk", "doc_id", "score",
+            F.expr(COS_SQL).alias("cos"),
+        )
+    )
+    return pairs.select(
+        "qid", "rnk", "doc_id", "score", "cos",
+        (F.col("cos") < F.lit(float(cos_threshold))).alias("is_hard"),
+    )

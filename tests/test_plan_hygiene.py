@@ -86,6 +86,9 @@ EXCHANGE_BOUNDS = [
                                    # repartition)
     ("tok_fertility", 3),          # encode stage + source join +
                                    # per-source rollup
+    ("tx_hard_negatives", 15),     # bm25_topk's 13-exchange DAG + the
+                                   # two embedding hash joins on the
+                                   # n_queries x k key set
 ]
 
 

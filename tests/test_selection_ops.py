@@ -425,3 +425,39 @@ def test_tok_fertility_consistent_with_corpus_totals(spark):
     assert sum(r["n_docs"] for r in rows) == totals["n_docs"]
     assert sum(r["tokens_before"] for r in rows) == totals["tokens_before"]
     assert sum(r["tokens_after"] for r in rows) == totals["tokens_after"]
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining
+
+
+def test_hard_negatives_exact_cosines_over_bm25_rows(spark):
+    """Every non-self BM25 row appears exactly once with the bit-exact
+    integer-quantized cosine and the threshold flag."""
+    from dtaianomaly_spark.pipelines import retrieval as RET
+    from dtaianomaly_spark.pipelines import similarity as SIM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, SF_DIR)
+    emb = SIM.load_embeddings(spark, SF_DIR)
+    got = {
+        (r["qid"], r["doc_id"]): (r["rnk"], r["score"], r["cos"], r["is_hard"])
+        for r in RET.hard_negatives(docs, emb, cos_threshold=0.8).collect()
+    }
+    bm = {
+        (r["qid"], r["doc_id"]): (r["rnk"], r["score"])
+        for r in RET.bm25_topk(docs).collect()
+    }
+    qs = {
+        r["vec_id"]: _quantize(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    norms = {v: sum(x * x for x in q) for v, q in qs.items()}
+    want_keys = {k for k in bm if k[0] != k[1]}
+    assert set(got) == want_keys
+    for (qid, did), (rnk, score, cos, hard) in got.items():
+        assert (rnk, score) == bm[(qid, did)]
+        dot = sum(a * b for a, b in zip(qs[qid], qs[did]))
+        want_cos = dot / math.sqrt(float(norms[qid]) * float(norms[did]))
+        assert cos == want_cos  # bit-exact
+        assert hard == (cos < 0.8)
