@@ -705,6 +705,10 @@ def kcenter_coreset(emb: DataFrame, k: int = 8) -> DataFrame:
                 .collect()[0]
             )
             radius = float(row["mindist"])
+            if radius == 0.0:
+                # every vector coincides with a selected center (k
+                # exceeds the number of distinct points) — stop early
+                break
         centers.append(
             (r + 1, int(row["vec_id"]), list(row["q"]), int(row["norm2"]), radius)
         )

@@ -461,3 +461,19 @@ def test_hard_negatives_exact_cosines_over_bm25_rows(spark):
         want_cos = dot / math.sqrt(float(norms[qid]) * float(norms[did]))
         assert cos == want_cos  # bit-exact
         assert hard == (cos < 0.8)
+
+
+def test_kcenter_stops_when_all_points_covered(spark):
+    """k beyond the number of distinct directions: selection stops when
+    the cover radius hits zero instead of re-selecting covered points."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.0]),          # same direction
+        (2, [0.0, 1.0]), (3, [0.0, 2.0]),          # same direction
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = SIM.kcenter_coreset(emb, k=4).collect()
+    n_centers = sum(1 for r in out if r["is_center"])
+    assert n_centers == 2
+    assert all(r["dist"] == 0.0 for r in out)
