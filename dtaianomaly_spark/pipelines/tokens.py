@@ -517,10 +517,13 @@ def unigram_train(
         def estep(batches, model=model, n_units=n_units):
             for batch in batches:
                 doc_ids = batch.column(0).to_numpy()
-                toks_col = batch.column(1)
+                la = batch.column(1)
+                lens = la.value_lengths().to_numpy().astype(np.int64)
+                values = la.flatten().to_numpy().astype(np.int64)
+                starts = np.cumsum(lens) - lens
                 out_d, out_u, out_e = [], [], []
                 for row_i in range(batch.num_rows):
-                    toks = np.asarray(toks_col[row_i].as_py(), dtype=np.int64)
+                    toks = values[starts[row_i] : starts[row_i] + lens[row_i]]
                     e, z = KT.unigram_expected_counts(toks, model, n_units)
                     nz = np.flatnonzero(e)
                     out_d.extend([int(doc_ids[row_i])] * (nz.size + 1))
@@ -641,10 +644,13 @@ def unigram_encode(corpus: DataFrame, units: list) -> DataFrame:
 
         for batch in batches:
             doc_ids = batch.column(0).to_numpy()
-            toks_col = batch.column(1)
+            la = batch.column(1)
+            row_lens = la.value_lengths().to_numpy().astype(np.int64)
+            values = la.flatten().to_numpy().astype(np.int64)
+            starts = np.cumsum(row_lens) - row_lens
             n_out, p_out, s_out = [], [], []
             for row_i in range(batch.num_rows):
-                toks = np.asarray(toks_col[row_i].as_py(), dtype=np.int64)
+                toks = values[starts[row_i] : starts[row_i] + row_lens[row_i]]
                 ids, lens, score = KT.unigram_viterbi(toks, model)
                 n_out.append(int(toks.shape[0]))
                 p_out.append(int(ids.shape[0]))
