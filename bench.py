@@ -168,6 +168,40 @@ def run_headline() -> dict:
         # one JVM genuinely recover the machine's true rate
         big_points, big_sec = flagship_over(spark, big, iters=max(ITER, 6))
 
+        # Shared app-scoped stages (shingle index, Jaccard pair graph,
+        # the w=32 MP pair index, BPE + Unigram training runs) are paid
+        # ONCE per session by whichever consumer runs first — and the
+        # oracle rotation reorders consumers every round, so the absorber
+        # changes and per-query history silently skews (dd_jaccard read
+        # 2.6 s in r4 and 0.4 s in r5 with no code change, purely from
+        # which consumer hit the cold cache). Materialize each stage
+        # HERE, timed, so every consumer below measures its MARGINAL
+        # cost consistently and the one-time stage costs stay visible in
+        # the JSON's "shared_stages" dict instead of vanishing into a
+        # rotation-dependent query row.
+        shared_stages: dict[str, float] = {}
+        for key, warm in (
+            ("shingles", lambda: E._shared_shingles(spark, SF_DIR).count()),
+            (
+                "jaccard_pairs",
+                lambda: E._shared_jaccard_pairs(spark, SF_DIR).count(),
+            ),
+            (
+                "mp_pair_stage_w32",
+                lambda: E._shared_pair_stage(spark, SF_DIR, 32).count(),
+            ),
+            # training caches are action-natured at construction and
+            # return driver-local artifacts — the call itself pays
+            ("bpe_train", lambda: E._shared_bpe_training(spark, SF_DIR)),
+            (
+                "unigram_train",
+                lambda: E._shared_unigram_units(spark, SF_DIR),
+            ),
+        ):
+            t0 = time.perf_counter()
+            warm()
+            shared_stages[key] = round(time.perf_counter() - t0, 3)
+
         total = 0.0
         loadavg: dict[str, float] = {}
         constructs: dict[str, float] = {}
@@ -230,6 +264,7 @@ def run_headline() -> dict:
             "queries_total_sec": round(total, 3),
             "queries": timings,
             "construct": constructs,
+            "shared_stages": shared_stages,
             "loadavg": loadavg,
             "sw_reverse_long_n": n_long,
             "sw_reverse_long_rows": rev_rows,

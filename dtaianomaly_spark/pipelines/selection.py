@@ -208,8 +208,22 @@ def classifier_train(
     ONE n_buckets-row collect hits the driver.
 
     Returns the weight vector as a Python list (bucket k -> w[k])."""
-    spark = docs.sparkSession
     feats = classifier_features(docs, n_buckets).localCheckpoint(eager=True)
+    return _train_on_feats(feats, target_source, n_buckets, n_iters, lr)
+
+
+def _train_on_feats(
+    feats: DataFrame,
+    target_source: str,
+    n_buckets: int,
+    n_iters: int,
+    lr: float,
+) -> list:
+    """GD rounds over an already-materialized feature frame (see
+    :func:`classifier_train` for the round shape and determinism
+    contract) — split out so :func:`quality_classifier` can reuse ONE
+    checkpointed extraction for both training and scoring."""
+    spark = feats.sparkSession
     n_docs = feats.select("doc_id").distinct().count()
     is_t = F.col("source") == target_source
     w = [0.0] * n_buckets
@@ -272,12 +286,19 @@ def classifier_score(
     distributed and map-side-bounded."""
     if n_buckets is None:
         n_buckets = len(weights)
-    spark = docs.sparkSession
+    return _score_on_feats(
+        classifier_features(docs, n_buckets), weights, target_source
+    )
+
+
+def _score_on_feats(
+    feats: DataFrame, weights: list, target_source: str
+) -> DataFrame:
+    spark = feats.sparkSession
     w_df = spark.createDataFrame(
         list(enumerate([float(v) for v in weights])),
         schema="bucket long, w double",
     )
-    feats = classifier_features(docs, n_buckets)
     margins = (
         feats.join(F.broadcast(w_df), "bucket")
         .select(
@@ -307,6 +328,9 @@ def quality_classifier(
     """Train + corpus-wide score in one call (the driver-query surface).
     Training is an ACTION (n_iters bounded rounds run at construction,
     the BPE-trainer convention); the returned frame is the lazy scoring
-    pass."""
-    w = classifier_train(docs, target_source, n_buckets, n_iters, lr)
-    return classifier_score(docs, w, target_source, n_buckets)
+    pass, reading the SAME checkpointed feature frame the trainer
+    materialized — the corpus-wide split/gram/hash extraction runs
+    exactly once."""
+    feats = classifier_features(docs, n_buckets).localCheckpoint(eager=True)
+    w = _train_on_feats(feats, target_source, n_buckets, n_iters, lr)
+    return _score_on_feats(feats, w, target_source)

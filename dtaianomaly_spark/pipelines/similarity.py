@@ -139,7 +139,17 @@ def ivf_topk(
     from dtaianomaly_spark.kernels.detectors import kmeans_fit
 
     sample = np.asarray(
-        [r["embedding"] for r in emb.select("embedding").limit(4096).collect()],
+        [
+            # deterministic training sample: an unordered limit() is not
+            # stable across runs/partition layouts once the input exceeds
+            # the cap; the vec_id top-k is a TakeOrderedAndProject (heap
+            # scan, no full sort) and makes the centroids reproducible
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(4096)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -263,7 +273,17 @@ def ivfpq_topk(
     from dtaianomaly_spark.kernels.detectors import kmeans_fit
 
     sample = np.asarray(
-        [r["embedding"] for r in emb.select("embedding").limit(4096).collect()],
+        [
+            # deterministic training sample: an unordered limit() is not
+            # stable across runs/partition layouts once the input exceeds
+            # the cap; the vec_id top-k is a TakeOrderedAndProject (heap
+            # scan, no full sort) and makes the centroids reproducible
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(4096)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -591,7 +611,17 @@ def semdedup(
     from dtaianomaly_spark.kernels.detectors import kmeans_fit
 
     sample = np.asarray(
-        [r["embedding"] for r in emb.select("embedding").limit(4096).collect()],
+        [
+            # deterministic training sample: an unordered limit() is not
+            # stable across runs/partition layouts once the input exceeds
+            # the cap; the vec_id top-k is a TakeOrderedAndProject (heap
+            # scan, no full sort) and makes the centroids reproducible
+            r["embedding"]
+            for r in emb.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(4096)
+            .collect()
+        ],
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -652,7 +682,13 @@ def semdedup(
         # drop i iff ANY earlier-ranked j has sim > 1 - eps (the public
         # implementation's strict upper-triangular max — j's own verdict
         # does not matter)
-        tri = np.triu(sims, k=1)  # tri[j, i] = sim(j, i) for j < i
+        # mask, don't zero: np.triu would leave literal 0.0 in the
+        # excluded cells, clamping each column max at 0 — wrong for the
+        # rank-0 item (no predecessors -> must be -inf) and for columns
+        # whose true max similarity is negative
+        n = len(pdf)
+        iu = np.arange(n)
+        tri = np.where(iu[:, None] < iu[None, :], sims, -np.inf)
         mx = tri.max(axis=0, initial=-np.inf)
         keep = ~(mx > 1.0 - eps)
         return pd.DataFrame(
@@ -713,7 +749,10 @@ def kcenter_coreset(emb: DataFrame, k: int = 8) -> DataFrame:
             (r + 1, int(row["vec_id"]), list(row["q"]), int(row["norm2"]), radius)
         )
         qlit = F.array(*[F.lit(int(v)) for v in row["q"]])
-        dist = F.lit(1.0) - F.expr(COS_SQL.replace("dot", "_d").replace("na", "_na").replace("nb", "_nb"))
+        # alias the round's columns to the names COS_SQL expects so the
+        # shared constant is used verbatim (substring-rewriting it is
+        # fragile against future edits to the formula)
+        dist = F.lit(1.0) - F.expr(COS_SQL)
         state = (
             state.select(
                 "vec_id", "q", "norm2", "mindist",
@@ -721,9 +760,9 @@ def kcenter_coreset(emb: DataFrame, k: int = 8) -> DataFrame:
                     F.zip_with("q", qlit, lambda a, b: a * b),
                     F.lit(0).cast("bigint"),
                     lambda acc, x: acc + x,
-                ).alias("_d"),
-                F.col("norm2").alias("_na"),
-                F.lit(int(row["norm2"])).alias("_nb"),
+                ).alias("dot"),
+                F.col("norm2").alias("na"),
+                F.lit(int(row["norm2"])).alias("nb"),
             )
             .select(
                 "vec_id", "q", "norm2",

@@ -424,9 +424,13 @@ def _ngram_key_expr(length: int) -> str:
     horner = f"(CAST(tokens[i] AS BIGINT) + {O})"
     for j in range(1, length):
         horner = f"({horner} * {B} + CAST(tokens[i + {j}] AS BIGINT) + {O})"
+    # size(tokens), NOT the n_tok column: the Arrow E-step and encode
+    # read actual array lengths, so keying grams off a (possibly stale)
+    # n_tok would silently train on different grams than EM scores —
+    # and an overstated n_tok would index past the array
     return (
-        f"CASE WHEN n_tok >= {length} THEN"
-        f" transform(sequence(0, n_tok - {length}), i -> {horner})"
+        f"CASE WHEN size(tokens) >= {length} THEN"
+        f" transform(sequence(0, size(tokens) - {length}), i -> {horner})"
         " ELSE array() END"
     )
 
@@ -475,7 +479,6 @@ def unigram_train(
     unit-id order."""
     import math
 
-    spark = corpus.sparkSession
     seeds = unigram_seed_counts(corpus, max_len)
     base = seeds.filter(F.col("length") == 1).collect()
     multi = (
@@ -524,13 +527,16 @@ def unigram_train(
                 out_d, out_u, out_e = [], [], []
                 for row_i in range(batch.num_rows):
                     toks = values[starts[row_i] : starts[row_i] + lens[row_i]]
-                    e, z = KT.unigram_expected_counts(toks, model, n_units)
+                    # only the nonzero expected counts are emitted; the
+                    # kernel's per-doc log-normalizer z (the doc
+                    # log-likelihood) is dropped here — the M-step needs
+                    # counts only, and shipping a sentinel row per doc
+                    # through both fold levels would be pure shuffle waste
+                    e, _z = KT.unigram_expected_counts(toks, model, n_units)
                     nz = np.flatnonzero(e)
-                    out_d.extend([int(doc_ids[row_i])] * (nz.size + 1))
+                    out_d.extend([int(doc_ids[row_i])] * nz.size)
                     out_u.extend(int(u) for u in nz)
-                    out_u.append(-1)
                     out_e.extend(float(x) for x in e[nz])
-                    out_e.append(z)
                 import pyarrow as pa
 
                 yield pa.RecordBatch.from_arrays(
@@ -586,12 +592,10 @@ def unigram_train(
         key=lambda u: (-u["logp"], u["length"], u["key"]),
     )[: int(keep_multi)]
     kept = sorted(ones + longer, key=lambda u: (u["length"], u["key"]))
-    import math as _m
-
     s = 0.0
     for u in kept:  # renormalize in (length, key) order
-        s += _m.exp(u["logp"])
-    logs = _m.log(s)
+        s += math.exp(u["logp"])
+    logs = math.log(s)
     return [
         {**u, "unit_id": i, "logp": u["logp"] - logs}
         for i, u in enumerate(kept)
