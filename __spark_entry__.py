@@ -1378,6 +1378,54 @@ def _q_tok_pack_stats(spark, sf_dir):
     return TK.packing_stats(packed, 512)
 
 
+# WordPiece (Schuster & Nakajima 2012): the third classic tokenizer
+# family next to BPE (raw-frequency argmax) and Unigram (EM pruning) —
+# likelihood-ratio merge selection, maximal-munch inference. Model and
+# encode queries share one training run per (session, sf_dir).
+_WP_CACHE: dict = {}
+
+
+def _shared_wp_training(spark, sf_dir, n_merges=8):
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    return _app_stage_cache(
+        _WP_CACHE,
+        spark,
+        (sf_dir, n_merges),
+        lambda: TK.wordpiece_train(
+            C.token_arrays(spark, sf_dir), n_merges=n_merges
+        )[0],
+        max_entries=2,
+        persist=False,
+    )
+
+
+def _q_tok_wp_merges(spark, sf_dir):
+    """Distributed WordPiece training, 8 merges: each round merges the
+    pair maximizing count(ab)/(count(a)*count(b)) — EXACT integer
+    cross-multiplied argmax over a double-ranked candidate window.
+    TRAINING IS AN ACTION (one combined pair+unit aggregate + one
+    bounded collect + one Arrow merge pass per round); rows-only, the
+    full (step, pa, pb, new_id, cnt, ca, cb) table pinned bit-exactly
+    in pytest against kernels.tokens.wordpiece_reference."""
+    merges = _shared_wp_training(spark, sf_dir)
+    return merges.orderBy("step")
+
+
+def _q_tok_wp_encode(spark, sf_dir):
+    """WordPiece INFERENCE under the shared learned table: maximal
+    munch (longest-match-first — genuinely different from BPE's
+    rank-order replay, pinned by test) in ONE map-only Arrow stage;
+    per-doc (doc_id, n_tok, n_pieces). Rows-only; piece streams pinned
+    to expand back to the exact input."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    merges = _shared_wp_training(spark, sf_dir)
+    return TK.wordpiece_encode(
+        C.token_arrays(spark, sf_dir), merges
+    ).select("doc_id", "n_tok", "n_pieces")
+
+
 # Detector + compression queries -------------------------------------------
 
 def _arrays_long_docid(spark, sf_dir):
@@ -1772,6 +1820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_unigram_model": _q_tok_unigram_model,
         "tok_unigram_encode": _q_tok_unigram_encode,
         "tok_pack_stats": _q_tok_pack_stats,
+        "tok_wp_merges": _q_tok_wp_merges,
+        "tok_wp_encode": _q_tok_wp_encode,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

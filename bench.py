@@ -197,6 +197,10 @@ def run_headline() -> dict:
                 "unigram_train",
                 lambda: E._shared_unigram_units(spark, SF_DIR),
             ),
+            (
+                "wp_train",
+                lambda: E._shared_wp_training(spark, SF_DIR),
+            ),
         ):
             t0 = time.perf_counter()
             warm()

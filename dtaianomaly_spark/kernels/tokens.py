@@ -392,3 +392,73 @@ def unigram_enum_reference(tokens, units_logp: dict):
     cands = [s for s, lpv in zip(seqs, logps) if lpv == best_lp]
     best = max(cands, key=lambda s: [len(u) for u in s[::-1]])
     return exp_counts, z, best
+
+
+def unit_count_reference(seqs: Iterable[Sequence[int]]) -> dict:
+    """Per-token-id occurrence counts — test oracle for the unit-count
+    half of the Spark WordPiece combined aggregate."""
+    counts: dict = {}
+    for s in seqs:
+        for x in s:
+            x = int(x)
+            counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def wordpiece_reference(
+    seqs: Iterable[Sequence[int]],
+    n_merges: int,
+    new_id_start: int,
+    min_count: int = 2,
+) -> Tuple[List[Tuple[int, int, int, int, int, int, int]], List[List[int]]]:
+    """Exact slow WordPiece-training oracle (Schuster & Nakajima 2012;
+    the likelihood-ratio trainer in the public HuggingFace `tokenizers`
+    WordPiece): each step picks the adjacent pair maximizing
+    ``count(ab) / (count(a) * count(b))``, compared EXACTLY via integer
+    cross-multiplication (no floats anywhere), tie-break (pa ASC,
+    pb ASC); pairs below ``min_count`` are never candidates. Returns
+    ``([(step, pa, pb, new_id, cnt, ca, cb), ...], final_sequences)``."""
+    cur = [[int(x) for x in s] for s in seqs]
+    merges: List[Tuple[int, int, int, int, int, int, int]] = []
+    for step in range(n_merges):
+        pc = pair_count_reference(cur)
+        uc = unit_count_reference(cur)
+        cands = sorted(
+            (pa, pb, c) for (pa, pb), c in pc.items() if c >= min_count
+        )
+        if not cands:
+            break
+        best = None
+        for pa, pb, c in cands:
+            ca, cb = uc[pa], uc[pb]
+            # strict > keeps the smallest (pa, pb) among exact ties
+            if best is None or c * best[3] * best[4] > best[2] * ca * cb:
+                best = (pa, pb, c, ca, cb)
+        pa, pb, c, ca, cb = best
+        m = new_id_start + step
+        merges.append((step, pa, pb, m, c, ca, cb))
+        cur = [merge_pair_scan(s, pa, pb, m) for s in cur]
+    return merges, cur
+
+
+def greedy_encode_reference(seq: Sequence[int], vocab: dict) -> List[int]:
+    """Maximal-munch (longest-match-first) reference encoder — the
+    WordPiece INFERENCE rule, deliberately a single flat-dict scan with
+    none of the engine's per-length table structure. ``vocab`` maps
+    ``tuple(base tokens) -> unit_id`` for multi-token units; a raw
+    token always matches itself, so there is no UNK."""
+    s = [int(x) for x in seq]
+    max_len = max((len(k) for k in vocab), default=1)
+    out: List[int] = []
+    i = 0
+    while i < len(s):
+        for ln in range(min(max_len, len(s) - i), 1, -1):
+            uid = vocab.get(tuple(s[i : i + ln]))
+            if uid is not None:
+                out.append(int(uid))
+                i += ln
+                break
+        else:
+            out.append(s[i])
+            i += 1
+    return out

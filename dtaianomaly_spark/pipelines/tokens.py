@@ -672,3 +672,225 @@ def unigram_encode(corpus: DataFrame, units: list) -> DataFrame:
     return corpus.select("doc_id", "tokens").mapInArrow(
         encode, "doc_id long, n_tok long, n_pieces long, score double"
     )
+
+
+# --------------------------------------------------------------- WordPiece
+
+
+def wordpiece_counts(corpus: DataFrame) -> DataFrame:
+    """Pair counts AND unit (single-token) counts in ONE map-side HOF
+    stream + ONE map-side-combined aggregate: rows ``(pa, pb, cnt)``
+    where ``pb IS NULL`` marks a unit-count row for token id ``pa``.
+    The WordPiece score needs both tables per round; emitting them from
+    the same corpus pass halves the trainer's scan count vs two
+    aggregates. Same scale shape as :func:`pair_counts`: per-doc
+    streams never shuffle, only partial counts do."""
+    rows = corpus.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " CASE WHEN size(tokens) >= 2 THEN"
+                "  transform(sequence(1, size(tokens) - 1),"
+                "  i -> struct(tokens[i-1] AS pa, tokens[i] AS pb))"
+                " ELSE CAST(array() AS array<struct<pa:int,pb:int>>) END,"
+                " transform(tokens, t -> struct(t AS pa,"
+                " CAST(NULL AS INT) AS pb)))"
+            )
+        ).alias("pr")
+    ).select("pr.pa", "pr.pb")
+    return rows.groupBy("pa", "pb").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def wordpiece_train(
+    corpus: DataFrame,
+    n_merges: int = 8,
+    new_id_start: int = NEW_ID_START,
+    min_count: int = 2,
+    candidate_k: int = 128,
+) -> Tuple[DataFrame, DataFrame]:
+    """Distributed WordPiece merge training (Schuster & Nakajima 2012;
+    the likelihood-ratio criterion of the public HuggingFace
+    `tokenizers` WordPiece trainer — distinct from BPE's raw-frequency
+    argmax and Unigram's EM pruning): each round merges the adjacent
+    pair maximizing ``count(ab) / (count(a) * count(b))``, tie-break
+    (pa ASC, pb ASC), pinned bit-exactly to
+    :func:`dtaianomaly_spark.kernels.tokens.wordpiece_reference`.
+
+    Round shape (TRAINING IS AN ACTION, the BPE-trainer convention):
+
+    1. ONE corpus pass — the combined pair+unit aggregate
+       (:func:`wordpiece_counts`), eagerly ``localCheckpoint``-ed (a
+       vocabulary-bounded table, never a corpus).
+    2. Scores on the checkpointed table: unit counts broadcast onto the
+       pair rows, double-precision score ONLY to rank candidates — a
+       ``TakeOrderedAndProject`` top-``candidate_k`` collect.
+    3. EXACT winner on the driver via integer cross-multiplication over
+       the collected candidates. Doubles cannot misrank across the
+       1e-9 relative margin (one int->double conversion + one divide is
+       <= 3 ulp), so the exact argmax is always inside the margin; if
+       the margin might be truncated (all ``candidate_k`` rows inside
+       it) the full in-margin set is re-collected by filter first.
+    4. Merge applied as the map-only Arrow stage (:func:`apply_merge`),
+       lazily checkpointed — the next round's aggregate materializes it.
+
+    At 10^12-token scale counts exceed 2^53 and the double score's
+    relative error is ~1e-15 — still 6 orders inside the margin, so
+    exactness survives. The driver traffic per round is bounded by
+    ``candidate_k`` (or the tie margin), never a vocabulary.
+
+    Returns ``(merges, merged_corpus)`` where ``merges`` is
+    (step, pa, pb, new_id, cnt, ca, cb)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if candidate_k < 1:
+        raise ValueError(f"candidate_k must be >= 1, got {candidate_k}")
+    spark = corpus.sparkSession
+    cur = corpus
+    merges: List[Tuple[int, int, int, int, int, int, int]] = []
+    for step in range(n_merges):
+        counts = wordpiece_counts(cur).localCheckpoint(eager=True)
+        units = counts.filter(F.col("pb").isNull()).select(
+            F.col("pa").alias("u"), F.col("cnt").alias("cu")
+        )
+        scored = (
+            counts.filter(
+                F.col("pb").isNotNull() & (F.col("cnt") >= min_count)
+            )
+            .join(
+                F.broadcast(
+                    units.select(
+                        F.col("u").alias("pa"), F.col("cu").alias("ca")
+                    )
+                ),
+                "pa",
+            )
+            .join(
+                F.broadcast(
+                    units.select(
+                        F.col("u").alias("pb"), F.col("cu").alias("cb")
+                    )
+                ),
+                "pb",
+            )
+            .select(
+                "pa", "pb", "cnt", "ca", "cb",
+                (
+                    F.col("cnt").cast("double")
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                ).alias("score"),
+            )
+        )
+        top = (
+            scored.orderBy(F.col("score").desc(), "pa", "pb")
+            .limit(candidate_k)
+            .collect()
+        )
+        if not top:
+            break
+        thresh = top[0]["score"] * (1.0 - 1e-9)
+        cands = [r for r in top if r["score"] >= thresh]
+        if len(cands) == candidate_k:
+            # the tie margin may extend past the top-k window — fetch
+            # the complete in-margin set (still tie-bounded, tiny)
+            cands = scored.filter(F.col("score") >= thresh).collect()
+        best = None
+        for r in sorted(cands, key=lambda r: (int(r["pa"]), int(r["pb"]))):
+            c, ca, cb = int(r["cnt"]), int(r["ca"]), int(r["cb"])
+            # exact rational compare; strict > keeps the smallest
+            # (pa, pb) among exact ties
+            if best is None or c * best[3] * best[4] > best[2] * ca * cb:
+                best = (int(r["pa"]), int(r["pb"]), c, ca, cb)
+        pa, pb, c, ca, cb = best
+        new_id = new_id_start + step
+        merges.append((step, pa, pb, new_id, c, ca, cb))
+        cur = apply_merge(cur, pa, pb, new_id).localCheckpoint(eager=False)
+    merges_df = spark.createDataFrame(
+        merges,
+        schema="step long, pa int, pb int, new_id int, cnt long,"
+        " ca long, cb long",
+    )
+    return merges_df, cur
+
+
+def expand_merges(merges) -> List[Tuple[int, Tuple[int, ...]]]:
+    """Flatten each learned unit id to its base-token sequence:
+    ``seq(new_id) = seq(pa) + seq(pb)``, base ids expanding to
+    themselves. ``merges`` is the trainer's DataFrame (collected here —
+    an n_merges-row model table, never a corpus) or (pa, pb, new_id)
+    triples in rank order. Returns ``[(new_id, base_seq), ...]`` in
+    rank order — the unit inventory :func:`wordpiece_encode` matches
+    against."""
+    if isinstance(merges, DataFrame):
+        rows = merges.orderBy("step").collect()
+        merges = [(r["pa"], r["pb"], r["new_id"]) for r in rows]
+    seqs: dict = {}
+    out: List[Tuple[int, Tuple[int, ...]]] = []
+    for a, b, m in merges:
+        sa = seqs.get(int(a), (int(a),))
+        sb = seqs.get(int(b), (int(b),))
+        seqs[int(m)] = sa + sb
+        out.append((int(m), sa + sb))
+    return out
+
+
+def wordpiece_encode(corpus: DataFrame, merges) -> DataFrame:
+    """WordPiece INFERENCE: maximal munch (longest-match-first) over
+    the learned unit inventory — NOT BPE's rank-order merge replay
+    (:func:`apply_merges`): at each position the LONGEST learned unit
+    matching the upcoming tokens is emitted regardless of merge rank,
+    else the raw token (every base id is its own length-1 unit, so
+    there is no UNK). The two rules genuinely differ: train ``(1,2)``
+    then ``(100,3)`` and encode ``[1,2,3]`` — merge replay and maximal
+    munch both give ``[101]``, but a LATER long unit, e.g. ``(2,3)``
+    learned after ``(1,2)``, loses to the earlier merge under replay
+    on ``[1,2,3]`` yet wins under munch on ``[2,3]``-led suffixes.
+
+    ONE map-only Arrow stage, model in the task closure (unit table is
+    n_merges rows). Emits (doc_id, pieces array<int>, n_tok, n_pieces);
+    pinned in pytest against the flat-dict reference matcher and a
+    piece-expansion round-trip."""
+    # per-length dicts, longest first — the engine's match structure
+    tables: dict = {}
+    for uid, seq in expand_merges(merges):
+        tables.setdefault(len(seq), {})[seq] = uid
+    lens_desc = sorted(tables, reverse=True)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pieces, n_tok, n_pieces = [], [], []
+            for t in pdf["tokens"]:
+                s = [int(x) for x in t]
+                out: List[int] = []
+                i, n = 0, len(s)
+                while i < n:
+                    for ln in lens_desc:
+                        if ln > n - i:
+                            continue
+                        uid = tables[ln].get(tuple(s[i : i + ln]))
+                        if uid is not None:
+                            out.append(uid)
+                            i += ln
+                            break
+                    else:
+                        out.append(s[i])
+                        i += 1
+                pieces.append(out)
+                n_tok.append(len(s))
+                n_pieces.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pieces": pieces,
+                    "n_tok": np.array(n_tok, dtype=np.int64),
+                    "n_pieces": np.array(n_pieces, dtype=np.int64),
+                }
+            )
+
+    return corpus.select("doc_id", "tokens").mapInPandas(
+        run,
+        "doc_id long, pieces array<int>, n_tok long, n_pieces long",
+    )

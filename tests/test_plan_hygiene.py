@@ -84,6 +84,10 @@ EXCHANGE_BOUNDS = [
                                    # action at construction)
     ("tok_unigram_encode", 1),     # map-only Arrow Viterbi (+ corpus
                                    # repartition)
+    ("tok_wp_merges", 1),          # local 8-row model table (training
+                                   # is an action at construction)
+    ("tok_wp_encode", 1),          # map-only Arrow maximal munch
+                                   # (+ corpus repartition)
     ("tok_fertility", 3),          # encode stage + source join +
                                    # per-source rollup
     ("tx_hard_negatives", 15),     # bm25_topk's 13-exchange DAG + the

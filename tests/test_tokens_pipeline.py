@@ -284,3 +284,132 @@ def test_chunk_tokens_conserves_empty_docs(spark):
     assert got == {(1, 0): [5, 6], (1, 1): [7], (2, 0): []}
     with pytest.raises(Exception, match="outside \\[1, capacity"):
         TK.pack_sequences(chunks, 2, n_groups=2).collect()
+
+
+# --------------------------------------------------- Spark: WordPiece
+def test_wordpiece_reference_sanity():
+    # hand-checked: pairs (1,2):3 beats (2,3):2 at equal unit counts
+    merges, final = KT.wordpiece_reference(
+        [[1, 2, 1, 2, 3], [1, 2, 3, 3]], n_merges=3, new_id_start=100
+    )
+    assert merges == [
+        (0, 1, 2, 100, 3, 3, 3),
+        (1, 100, 3, 101, 2, 3, 3),
+    ]
+    assert final == [[100, 101], [101, 3]]
+
+
+def test_wordpiece_picks_rarer_units_over_raw_frequency():
+    """The likelihood-ratio score must beat BPE's raw-count argmax:
+    pair (7,8) (count 2, units 2x2) outranks (1,1) (count 3, units
+    6x6) because 2/4 > 3/36 — BPE would pick (1,1)."""
+    seqs = [[1, 1, 1, 1, 7, 8], [1, 1, 7, 8]]
+    bpe_m, _ = KT.bpe_reference(seqs, 1, 100)
+    wp_m, _ = KT.wordpiece_reference(seqs, 1, 100)
+    assert bpe_m[0][1:3] == (1, 1)
+    assert wp_m[0][1:3] == (7, 8)
+
+
+def test_wordpiece_train_matches_python_oracle(spark):
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 40")
+    rows = arrays.orderBy("doc_id").collect()
+    seqs = [r["tokens"] for r in rows]
+    want_merges, want_final = KT.wordpiece_reference(
+        seqs, n_merges=6, new_id_start=TK.NEW_ID_START
+    )
+    merges_df, merged = TK.wordpiece_train(arrays, n_merges=6)
+    got_merges = [
+        (
+            r["step"], r["pa"], r["pb"], r["new_id"],
+            r["cnt"], r["ca"], r["cb"],
+        )
+        for r in merges_df.orderBy("step").collect()
+    ]
+    assert got_merges == want_merges
+    got_final = {r["doc_id"]: r["tokens"] for r in merged.collect()}
+    want_by_doc = {
+        rows[i]["doc_id"]: want_final[i] for i in range(len(rows))
+    }
+    assert got_final == want_by_doc
+
+
+def test_wordpiece_train_tiny_tie_break(spark):
+    """Exact-tie corpora resolve to the smallest (pa, pb): all pairs
+    here score 1/(2*2) -> the winner must be the lexicographic min."""
+    df = spark.createDataFrame(
+        [(0, [3, 4], 2, "a"), (1, [4, 3], 2, "a"),
+         (2, [3, 4], 2, "a"), (3, [4, 3], 2, "a")],
+        schema="doc_id long, tokens array<int>, n_tok int, source string",
+    )
+    want, _ = KT.wordpiece_reference(
+        [[3, 4], [4, 3], [3, 4], [4, 3]], 1, TK.NEW_ID_START
+    )
+    merges_df, _ = TK.wordpiece_train(df, n_merges=1)
+    got = [
+        (r["step"], r["pa"], r["pb"], r["new_id"], r["cnt"], r["ca"], r["cb"])
+        for r in merges_df.collect()
+    ]
+    assert got == want
+    assert got[0][1:3] == (3, 4)
+
+
+def test_wordpiece_train_candidate_window_truncation(spark):
+    """candidate_k=1 forces the in-margin re-collect path on tie-heavy
+    corpora; the learned table must be unchanged."""
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 25")
+    a = TK.wordpiece_train(arrays, n_merges=4)[0].orderBy("step").collect()
+    b = (
+        TK.wordpiece_train(arrays, n_merges=4, candidate_k=1)[0]
+        .orderBy("step")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_wordpiece_train_partitioning_invariance(spark):
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 40")
+    a = TK.wordpiece_train(arrays, n_merges=5)[0].orderBy("step").collect()
+    b = (
+        TK.wordpiece_train(arrays.repartition(13), n_merges=5)[0]
+        .orderBy("step")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_wordpiece_encode_matches_reference_and_round_trips(spark):
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 60")
+    merges_df, _ = TK.wordpiece_train(arrays, n_merges=8)
+    expand = dict(TK.expand_merges(merges_df))
+    vocab = {seq: uid for uid, seq in TK.expand_merges(merges_df)}
+    got = {
+        r["doc_id"]: (r["pieces"], r["n_tok"], r["n_pieces"])
+        for r in TK.wordpiece_encode(arrays, merges_df).collect()
+    }
+    for r in arrays.select("doc_id", "tokens").collect():
+        want = KT.greedy_encode_reference(r["tokens"], vocab)
+        pieces, n_tok, n_pieces = got[r["doc_id"]]
+        assert pieces == want, r["doc_id"]
+        assert n_tok == len(r["tokens"]) and n_pieces == len(want)
+        # round trip: expanding every emitted piece reproduces the input
+        flat = [
+            t
+            for p in pieces
+            for t in expand.get(p, (p,))
+        ]
+        assert flat == list(r["tokens"]), r["doc_id"]
+
+
+def test_wordpiece_encode_munch_differs_from_rank_replay(spark):
+    """Pin the semantic difference vs BPE apply_merges: a later-rank
+    LONGER unit wins under maximal munch but loses under rank replay."""
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3], 3, "a")],
+        schema="doc_id long, tokens array<int>, n_tok int, source string",
+    )
+    # rank 0: (2,3)->100 ; rank 1: (1,2)->101 ; rank 2: (101,3)->102
+    triples = [(2, 3, 100), (1, 2, 101), (101, 3, 102)]
+    replay = TK.apply_merges(df, triples).collect()[0]["tokens"]
+    assert replay == [1, 100]  # rank replay: (2,3) fires first
+    munch = TK.wordpiece_encode(df, triples).collect()[0]["pieces"]
+    assert munch == [102]  # munch: longest unit (1,2,3) wins outright
