@@ -262,6 +262,18 @@ def _q_pp_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PP.sax_symbols(_spark_long_form(spark, sf_dir), 32)
 
 
+def _q_pp_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample to 48 points/series
+    (Steinarsson 2013) — the visualization-grade tier next to the
+    PAA/rollup aggregates. EXACT integer triangle-area argmax (no
+    floats; kernel docstring), ONE doc_id shuffle + per-series Arrow
+    kernel. Rows-only; pinned in pytest against a Fraction-arithmetic
+    textbook oracle and for partitioning invariance."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return PP.lttb(_spark_long_form(spark, sf_dir), 48)
+
+
 # Preprocessor queries ----------------------------------------------------
 
 def _q_pp_standard(spark, sf_dir):
@@ -1744,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_cusum": _q_det_cusum,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
+        "pp_lttb": _q_pp_lttb,
         "tx_source_drift": _q_tx_source_drift,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,

@@ -197,3 +197,49 @@ def paa_transform(
     if y is None:
         return Xp, None
     return Xp, np.where(paa(np.asarray(y, dtype=np.float64), n_frames) < 0.5, 0, 1)
+
+
+def lttb_indices(values: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets downsample (Steinarsson 2013,
+    "Downsampling Time Series for Visual Representation") over a series
+    sampled at x = 0..n-1: returns the SORTED positions of the n_out
+    selected points. EXACT integer arithmetic throughout: with integer
+    x and y the doubled triangle area against the next bucket's
+    centroid (sx/c, sy/c) is compared SCALED by c —
+    ``|(xa*c - sx)*(yb - ya) - (xa - xb)*(sy - c*ya)|`` — so there is
+    no float anywhere and ties break to the earliest position (the
+    canonical implementation's strict-> rule).
+
+    Bucket edges are the canonical ``floor(i * (n-2) / (n_out-2))``
+    (integer division here, bit-equal to the reference's float floor
+    for any feasible n), covering positions 1..n-2; the first and last
+    points are always kept. n <= n_out passes every point through."""
+    v = np.asarray(values, dtype=np.int64)
+    n = int(v.shape[0])
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    if n <= n_out:
+        return np.arange(n, dtype=np.int64)
+    k = int(n_out)
+    edges = 1 + (np.arange(k - 1, dtype=np.int64) * (n - 2)) // (k - 2)
+    sel = np.empty(k, dtype=np.int64)
+    sel[0] = 0
+    sel[-1] = n - 1
+    xa = 0
+    for i in range(k - 2):
+        lo, hi = int(edges[i]), int(edges[i + 1])
+        if i + 1 < k - 2:
+            nlo, nhi = int(edges[i + 1]), int(edges[i + 2])
+            c = nhi - nlo
+            sx = (nlo + nhi - 1) * c // 2  # sum of consecutive ints
+            sy = int(v[nlo:nhi].sum())
+        else:
+            c, sx, sy = 1, n - 1, int(v[n - 1])
+        ya = int(v[xa])
+        xb = np.arange(lo, hi, dtype=np.int64)
+        yb = v[lo:hi]
+        area2 = np.abs((xa * c - sx) * (yb - ya) - (xa - xb) * (sy - c * ya))
+        pick = lo + int(np.argmax(area2))  # argmax keeps the earliest tie
+        sel[i + 1] = pick
+        xa = pick
+    return sel

@@ -404,3 +404,38 @@ def ema(arrays: DataFrame, alpha: float) -> DataFrame:
     return arrays.select(
         F.col("doc_id").cast("string").alias("doc_id"), "tokens"
     ).mapInPandas(run, schema)
+
+
+def lttb(long_form: DataFrame, n_out: int) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsample to ``n_out`` points
+    per series (Steinarsson 2013) — the visualization-grade downsample
+    a rollup store serves next to its PAA/aggregate tiers: keeps the
+    perceptually dominant extremes instead of bucket means. The
+    selection chain is sequential per series (each pick is a triangle
+    against the PREVIOUS pick), so it runs as one
+    ``groupBy(doc_id).applyInPandas`` Arrow stage over the kernel —
+    ONE shuffle, the same doc_id partitioning every other per-series op
+    uses, per-task state bounded by one series.
+
+    EXACT integer arithmetic (kernel docstring): integer x/y make the
+    scaled doubled-triangle-area argmax float-free, so results are
+    bit-deterministic at any partitioning; ties keep the earliest
+    position. Series with n <= n_out pass through complete.
+
+    Output: the selected (doc_id, pos, value) rows, pos-sorted within
+    each series by construction."""
+    from dtaianomaly_spark.kernels import preprocessing as KP
+
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        idx = KP.lttb_indices(pdf["value"].to_numpy(), n_out)
+        return pdf.iloc[idx][["doc_id", "pos", "value"]]
+
+    return (
+        long_form.select("doc_id", "pos", "value")
+        .groupBy("doc_id")
+        .applyInPandas(run, "doc_id long, pos long, value long")
+    )

@@ -229,3 +229,33 @@ def test_motif_discord_from_shared_stage_equal_standalone(spark):
                 assert got_d[(did, r)] == (i, d)
     finally:
         stage.unpersist()
+
+
+def test_lttb_operator_matches_kernel_per_series(spark):
+    from dtaianomaly_spark.kernels import preprocessing as KP
+    from dtaianomaly_spark.operators.preprocessing import lttb
+    from dtaianomaly_spark.sources import corpus as C
+
+    lf = C.token_long_form(spark, SF_DIR).filter("doc_id < 30")
+    got = {}
+    for r in lttb(lf, 48).collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["value"]))
+    rows = lf.orderBy("doc_id", "pos").collect()
+    series: dict = {}
+    for r in rows:
+        series.setdefault(r["doc_id"], []).append(int(r["value"]))
+    import numpy as np
+
+    for doc_id, vals in series.items():
+        idx = KP.lttb_indices(np.array(vals), 48)
+        want = [(int(i), vals[int(i)]) for i in idx]
+        assert sorted(got[doc_id]) == want, doc_id
+        assert len(want) == min(len(vals), 48)
+    # partitioning invariance: bit-equal at a different layout
+    again = {
+        (r["doc_id"], r["pos"], r["value"])
+        for r in lttb(lf.repartition(17), 48).collect()
+    }
+    assert again == {
+        (d, p, v) for d, pv in got.items() for p, v in pv
+    }

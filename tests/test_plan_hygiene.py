@@ -84,6 +84,8 @@ EXCHANGE_BOUNDS = [
                                    # action at construction)
     ("tok_unigram_encode", 1),     # map-only Arrow Viterbi (+ corpus
                                    # repartition)
+    ("pp_lttb", 1),                # ONE doc_id shuffle into the
+                                   # per-series Arrow kernel
     ("tok_wp_merges", 1),          # local 8-row model table (training
                                    # is an action at construction)
     ("tok_wp_encode", 1),          # map-only Arrow maximal munch

@@ -176,3 +176,63 @@ def test_classical_decompose_recovers_planted_seasonality(spark):
             assert abs(r["trend"] - 3 * p) <= 40 / (2 * k + 1) + 1e-9
             assert abs(r["remainder"]) < 6.0, (p, r)
             assert abs(r["seasonal"] - season[p % period]) < 6.0
+
+
+# ----------------------------------------------------------------- LTTB
+def _lttb_naive(values, n_out):
+    """Independent LTTB oracle: textbook loop, Fraction centroids, real
+    (unscaled) triangle areas — none of the kernel's integer scaling."""
+    from fractions import Fraction
+
+    v = [int(x) for x in values]
+    n = len(v)
+    if n <= n_out:
+        return list(range(n))
+    every = Fraction(n - 2, n_out - 2)
+    sel = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo = 1 + int(i * every)
+        hi = 1 + int((i + 1) * every)
+        if i + 1 < n_out - 2:
+            nlo, nhi = 1 + int((i + 1) * every), 1 + int((i + 2) * every)
+            cx = Fraction(sum(range(nlo, nhi)), nhi - nlo)
+            cy = Fraction(sum(v[nlo:nhi]), nhi - nlo)
+        else:
+            cx, cy = Fraction(n - 1), Fraction(v[n - 1])
+        best, best_area = None, Fraction(-1)
+        for b in range(lo, hi):
+            area = abs(
+                (Fraction(a) - cx) * (v[b] - v[a])
+                - Fraction(a - b) * (cy - v[a])
+            )
+            if area > best_area:
+                best, best_area = b, area
+        sel.append(best)
+        a = best
+    sel.append(n - 1)
+    return sel
+
+
+def test_lttb_kernel_matches_fraction_oracle():
+    rng = np.random.default_rng(41)
+    for _ in range(300):
+        n = int(rng.integers(3, 120))
+        v = rng.integers(-105, 106, n)
+        for k in (3, 4, 7, 16, 50):
+            got = P.lttb_indices(v, k).tolist()
+            assert got == _lttb_naive(v, k), (v.tolist(), k)
+
+
+def test_lttb_kernel_properties():
+    v = np.arange(100)  # collinear: every area is 0, earliest-tie wins
+    idx = P.lttb_indices(v, 10)
+    assert idx[0] == 0 and idx[-1] == 99 and len(idx) == 10
+    assert all(np.diff(idx) > 0)
+    # constant series: same structure
+    assert P.lttb_indices(np.zeros(50, dtype=np.int64), 5).tolist() == \
+        _lttb_naive(np.zeros(50), 5)
+    # pass-through when n <= n_out
+    assert P.lttb_indices(np.array([1, 2, 3]), 8).tolist() == [0, 1, 2]
+    with pytest.raises(ValueError, match="n_out"):
+        P.lttb_indices(np.array([1, 2, 3, 4]), 2)
