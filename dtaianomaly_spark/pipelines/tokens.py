@@ -58,6 +58,95 @@ from dtaianomaly_spark.kernels import tokens as KT
 NEW_ID_START = 1_000_000
 
 
+class MergeLog:
+    """Checkpoint log for the multi-round merge trainers (BPE /
+    WordPiece), the trainer-side twin of the rollup engine's
+    snapshot log (streaming/incremental.py): each completed round
+    appends ONE record — the merge decision, plus per-round lineage
+    (wall ms, candidate volume) — with the same copy-on-write + atomic
+    POSIX-rename commit. A killed training job rerun with the same
+    ``checkpoint_dir`` replays the logged merges in ONE Arrow pass
+    (:func:`apply_merges`) and resumes counting at the first unlogged
+    round; committed rounds are never recounted.
+
+    The header record pins the trainer name and scoring params — a
+    resume under different rules raises instead of silently mixing
+    merge tables. An ``exhausted`` record marks early convergence (no
+    candidate pair left) so resumes stop without paying a count pass."""
+
+    def __init__(self, checkpoint_dir: str, trainer: str, params: dict):
+        import os
+
+        self.path = os.path.join(checkpoint_dir, "merges.jsonl")
+        self.dir = checkpoint_dir
+        self.trainer = trainer
+        self.params = {k: params[k] for k in sorted(params)}
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def read(self) -> Tuple[List[dict], bool]:
+        """(committed merge records in step order, exhausted flag);
+        validates the header against this trainer's params."""
+        import json
+        import os
+
+        if not os.path.exists(self.path):
+            return [], False
+        merges, exhausted = [], False
+        with open(self.path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if "trainer" in rec:
+                    if (
+                        rec["trainer"] != self.trainer
+                        or rec["params"] != self.params
+                    ):
+                        raise ValueError(
+                            f"checkpoint at {self.path} was written by"
+                            f" trainer={rec['trainer']} params="
+                            f"{rec['params']}; refusing to resume as"
+                            f" trainer={self.trainer} params={self.params}"
+                        )
+                elif rec.get("exhausted"):
+                    exhausted = True
+                else:
+                    merges.append(rec)
+        merges.sort(key=lambda r: r["step"])
+        if [r["step"] for r in merges] != list(range(len(merges))):
+            raise ValueError(
+                f"checkpoint at {self.path} has a gap in its step"
+                " sequence — the log is corrupt"
+            )
+        return merges, exhausted
+
+    def _append(self, rec: dict) -> None:
+        import json
+        import os
+        import uuid
+
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+        existing = ""
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                existing = f.read()
+        with open(tmp, "w") as f:
+            f.write(existing + json.dumps(rec) + "\n")
+        os.replace(tmp, self.path)
+
+    def commit(self, rec: dict) -> None:
+        import os
+
+        if not os.path.exists(self.path):
+            self._append({"trainer": self.trainer, "params": self.params})
+        self._append(rec)
+
+    def mark_exhausted(self) -> None:
+        import os
+
+        if not os.path.exists(self.path):
+            self._append({"trainer": self.trainer, "params": self.params})
+        self._append({"exhausted": True})
+
+
 def pair_counts(corpus: DataFrame) -> DataFrame:
     """Adjacent-pair counts over the whole corpus: one row per distinct
     (pa, pb) with its raw adjacency count (overlaps included, as BPE
@@ -112,6 +201,7 @@ def bpe_train(
     n_merges: int = 16,
     new_id_start: int = NEW_ID_START,
     min_count: int = 2,
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Distributed BPE training: ``n_merges`` rounds of (corpus-wide
     pair count -> argmax -> merge apply). Tie-break pinned to
@@ -132,15 +222,43 @@ def bpe_train(
     full recount here trades that for exactness and statelessness and
     is the right shape while n_merges stays small (tokenizer refreshes
     are tens of merges over an already-tokenized corpus, not the
-    from-characters thousands)."""
+    from-characters thousands).
+
+    ``checkpoint_dir`` makes training RESUMABLE (the rollup engine's
+    snapshot contract extended to the trainer): each completed round
+    atomically commits its merge + lineage to ``merges.jsonl``
+    (:class:`MergeLog`); a killed run rerun with the same dir replays
+    the committed merges in ONE Arrow pass and counts only the
+    remaining rounds."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    import time as _time
+
     spark = corpus.sparkSession
     cur = corpus
     merges: List[Tuple[int, int, int, int, int]] = []
-    for step in range(n_merges):
+    log = exhausted = None
+    if checkpoint_dir is not None:
+        log = MergeLog(
+            checkpoint_dir,
+            "bpe",
+            {"new_id_start": new_id_start, "min_count": min_count},
+        )
+        prior, exhausted = log.read()
+        merges = [
+            (r["step"], r["pa"], r["pb"], r["new_id"], r["cnt"])
+            for r in prior
+        ]
+        if merges:
+            cur = apply_merges(
+                corpus, [(pa, pb, m) for _, pa, pb, m, _ in merges]
+            ).localCheckpoint(eager=False)
+    for step in range(len(merges), n_merges):
+        if exhausted:
+            break
+        t0 = _time.perf_counter()
         best = (
             pair_counts(cur)
             .orderBy(F.col("cnt").desc(), F.col("pa"), F.col("pb"))
@@ -148,12 +266,22 @@ def bpe_train(
             .collect()
         )
         if not best or int(best[0]["cnt"]) < min_count:
+            if log is not None:
+                log.mark_exhausted()
             break
         pa, pb, cnt = (
             int(best[0]["pa"]), int(best[0]["pb"]), int(best[0]["cnt"])
         )
         new_id = new_id_start + step
         merges.append((step, pa, pb, new_id, cnt))
+        if log is not None:
+            log.commit(
+                {
+                    "step": step, "pa": pa, "pb": pb, "new_id": new_id,
+                    "cnt": cnt,
+                    "wall_ms": int(1000 * (_time.perf_counter() - t0)),
+                }
+            )
         # lazy checkpoint: the NEXT round's argmax action materializes
         # the merged blocks while it counts pairs — one job per round
         # instead of a separate eager-materialization job
@@ -709,6 +837,7 @@ def wordpiece_train(
     new_id_start: int = NEW_ID_START,
     min_count: int = 2,
     candidate_k: int = 128,
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Distributed WordPiece merge training (Schuster & Nakajima 2012;
     the likelihood-ratio criterion of the public HuggingFace
@@ -740,6 +869,10 @@ def wordpiece_train(
     exactness survives. The driver traffic per round is bounded by
     ``candidate_k`` (or the tie margin), never a vocabulary.
 
+    ``checkpoint_dir`` makes training RESUMABLE exactly as in
+    :func:`bpe_train`: per-round atomic merge+lineage commits
+    (:class:`MergeLog`), replay-then-continue on rerun.
+
     Returns ``(merges, merged_corpus)`` where ``merges`` is
     (step, pa, pb, new_id, cnt, ca, cb)."""
     if n_merges < 0:
@@ -748,10 +881,34 @@ def wordpiece_train(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if candidate_k < 1:
         raise ValueError(f"candidate_k must be >= 1, got {candidate_k}")
+    import time as _time
+
     spark = corpus.sparkSession
     cur = corpus
     merges: List[Tuple[int, int, int, int, int, int, int]] = []
-    for step in range(n_merges):
+    log = exhausted = None
+    if checkpoint_dir is not None:
+        log = MergeLog(
+            checkpoint_dir,
+            "wordpiece",
+            {"new_id_start": new_id_start, "min_count": min_count},
+        )
+        prior, exhausted = log.read()
+        merges = [
+            (
+                r["step"], r["pa"], r["pb"], r["new_id"],
+                r["cnt"], r["ca"], r["cb"],
+            )
+            for r in prior
+        ]
+        if merges:
+            cur = apply_merges(
+                corpus, [(pa, pb, m) for _, pa, pb, m, _, _, _ in merges]
+            ).localCheckpoint(eager=False)
+    for step in range(len(merges), n_merges):
+        if exhausted:
+            break
+        t0 = _time.perf_counter()
         counts = wordpiece_counts(cur).localCheckpoint(eager=True)
         units = counts.filter(F.col("pb").isNull()).select(
             F.col("pa").alias("u"), F.col("cnt").alias("cu")
@@ -790,6 +947,8 @@ def wordpiece_train(
             .collect()
         )
         if not top:
+            if log is not None:
+                log.mark_exhausted()
             break
         thresh = top[0]["score"] * (1.0 - 1e-9)
         cands = [r for r in top if r["score"] >= thresh]
@@ -807,6 +966,15 @@ def wordpiece_train(
         pa, pb, c, ca, cb = best
         new_id = new_id_start + step
         merges.append((step, pa, pb, new_id, c, ca, cb))
+        if log is not None:
+            log.commit(
+                {
+                    "step": step, "pa": pa, "pb": pb, "new_id": new_id,
+                    "cnt": c, "ca": ca, "cb": cb,
+                    "n_candidates": len(cands),
+                    "wall_ms": int(1000 * (_time.perf_counter() - t0)),
+                }
+            )
         cur = apply_merge(cur, pa, pb, new_id).localCheckpoint(eager=False)
     merges_df = spark.createDataFrame(
         merges,

@@ -413,3 +413,89 @@ def test_wordpiece_encode_munch_differs_from_rank_replay(spark):
     assert replay == [1, 100]  # rank replay: (2,3) fires first
     munch = TK.wordpiece_encode(df, triples).collect()[0]["pieces"]
     assert munch == [102]  # munch: longest unit (1,2,3) wins outright
+
+
+# ------------------------------------------- trainer checkpoint/resume
+def test_bpe_train_resumes_from_merge_log(spark, tmp_path, monkeypatch):
+    """Kill-after-3 then rerun: the resumed trainer must (a) produce
+    the identical merge table and merged corpus, (b) recount pairs ONLY
+    for the unlogged rounds."""
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 40")
+    want_merges, want_corpus = TK.bpe_train(arrays, n_merges=6)
+    want = [tuple(r) for r in want_merges.orderBy("step").collect()]
+    ck = str(tmp_path / "bpe_ck")
+    partial, _ = TK.bpe_train(arrays, n_merges=3, checkpoint_dir=ck)
+    assert partial.count() == 3
+
+    calls = {"n": 0}
+    real = TK.pair_counts
+
+    def counted(corpus):
+        calls["n"] += 1
+        return real(corpus)
+
+    monkeypatch.setattr(TK, "pair_counts", counted)
+    resumed_merges, resumed_corpus = TK.bpe_train(
+        arrays, n_merges=6, checkpoint_dir=ck
+    )
+    assert calls["n"] == 3  # rounds 3..5 only — committed rounds skipped
+    assert [tuple(r) for r in resumed_merges.orderBy("step").collect()] == want
+    a = {r["doc_id"]: r["tokens"] for r in want_corpus.collect()}
+    b = {r["doc_id"]: r["tokens"] for r in resumed_corpus.collect()}
+    assert a == b
+
+
+def test_wordpiece_train_resumes_from_merge_log(spark, tmp_path, monkeypatch):
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 40")
+    want = [
+        tuple(r)
+        for r in TK.wordpiece_train(arrays, n_merges=5)[0]
+        .orderBy("step")
+        .collect()
+    ]
+    ck = str(tmp_path / "wp_ck")
+    TK.wordpiece_train(arrays, n_merges=2, checkpoint_dir=ck)
+    calls = {"n": 0}
+    real = TK.wordpiece_counts
+
+    def counted(corpus):
+        calls["n"] += 1
+        return real(corpus)
+
+    monkeypatch.setattr(TK, "wordpiece_counts", counted)
+    resumed, _ = TK.wordpiece_train(arrays, n_merges=5, checkpoint_dir=ck)
+    assert calls["n"] == 3
+    assert [tuple(r) for r in resumed.orderBy("step").collect()] == want
+
+
+def test_merge_log_refuses_cross_trainer_resume(spark, tmp_path):
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 10")
+    ck = str(tmp_path / "ck")
+    TK.bpe_train(arrays, n_merges=1, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        TK.wordpiece_train(arrays, n_merges=1, checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="refusing to resume"):
+        TK.bpe_train(arrays, n_merges=1, min_count=5, checkpoint_dir=ck)
+
+
+def test_merge_log_exhausted_marker_skips_recount(spark, monkeypatch, tmp_path):
+    """A corpus that converges early writes the exhausted record; the
+    rerun must do ZERO counting work."""
+    df = spark.createDataFrame(
+        [(0, [1, 2], 2, "a"), (1, [3, 4], 2, "a")],
+        schema="doc_id long, tokens array<int>, n_tok int, source string",
+    )
+    ck = str(tmp_path / "ck")
+    merges, _ = TK.bpe_train(df, n_merges=4, checkpoint_dir=ck)
+    assert merges.count() == 0  # every pair is unique -> below min_count
+    calls = {"n": 0}
+    real = TK.pair_counts
+
+    def counted(c):
+        calls["n"] += 1
+        return real(c)
+
+    monkeypatch.setattr(TK, "pair_counts", counted)
+    again, _ = TK.bpe_train(df, n_merges=4, checkpoint_dir=ck)
+    assert again.count() == 0
+    assert calls["n"] == 0
