@@ -274,6 +274,17 @@ def _q_pp_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PP.lttb(_spark_long_form(spark, sf_dir), 48)
 
 
+def _q_pp_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 pixel-perfect downsample (Jugel et al. 2014) to 32 buckets
+    per series: first/last/min/max points per equal-width bucket, ONE
+    expression-only hash aggregate (struct min/max), deterministic
+    lexicographic tie rules. Rows-only; pinned in pytest against the
+    naive per-bucket scan."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return PP.m4(_spark_long_form(spark, sf_dir), 32)
+
+
 # Preprocessor queries ----------------------------------------------------
 
 def _q_pp_standard(spark, sf_dir):
@@ -1757,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,
+        "pp_m4": _q_pp_m4,
         "tx_source_drift": _q_tx_source_drift,
         "tx_source_mix": _q_tx_source_mix,
         "tx_lang_eval": _q_tx_lang_eval,

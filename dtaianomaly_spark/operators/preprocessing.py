@@ -439,3 +439,48 @@ def lttb(long_form: DataFrame, n_out: int) -> DataFrame:
         .groupBy("doc_id")
         .applyInPandas(run, "doc_id long, pos long, value long")
     )
+
+
+def m4(long_form: DataFrame, n_buckets: int) -> DataFrame:
+    """M4 downsample (Jugel et al., VLDB 2014 "M4: A Visualization-
+    Oriented Time Series Data Aggregation"): per equal-width pixel
+    bucket keep the four line-join-determining points — first, last,
+    value-min, value-max — the downsample that renders pixel-perfect
+    at the target width, complementing :func:`paa` (means) and
+    :func:`lttb` (perceptual triangles).
+
+    Pure relational: bucket = ``pos * n_buckets DIV n`` and ONE
+    partial+final hash aggregate (min/max over (value, pos) structs and
+    (pos, value) structs) — expression-only, a single exchange, the
+    same scale path as the rollup tiers. Deterministic ties from the
+    lexicographic struct order: v_min ties keep the EARLIEST position,
+    v_max ties the LATEST (documented, pinned in pytest).
+
+    Output per (doc_id, bucket): (pos_first, v_first, pos_last, v_last,
+    pos_min, v_min, pos_max, v_max)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    b = long_form.select(
+        "doc_id",
+        F.expr(f"pos * {int(n_buckets)} DIV n").alias("bucket"),
+        "pos",
+        "value",
+    )
+    agg = b.groupBy("doc_id", "bucket").agg(
+        F.min(F.struct("pos", "value")).alias("first"),
+        F.max(F.struct("pos", "value")).alias("last"),
+        F.min(F.struct("value", "pos")).alias("vmin"),
+        F.max(F.struct("value", "pos")).alias("vmax"),
+    )
+    return agg.select(
+        "doc_id",
+        "bucket",
+        F.col("first.pos").alias("pos_first"),
+        F.col("first.value").alias("v_first"),
+        F.col("last.pos").alias("pos_last"),
+        F.col("last.value").alias("v_last"),
+        F.col("vmin.pos").alias("pos_min"),
+        F.col("vmin.value").alias("v_min"),
+        F.col("vmax.pos").alias("pos_max"),
+        F.col("vmax.value").alias("v_max"),
+    )

@@ -259,3 +259,41 @@ def test_lttb_operator_matches_kernel_per_series(spark):
     assert again == {
         (d, p, v) for d, pv in got.items() for p, v in pv
     }
+
+
+def test_m4_matches_naive_per_bucket(spark):
+    from dtaianomaly_spark.operators.preprocessing import m4
+    from dtaianomaly_spark.sources import corpus as C
+
+    lf = C.token_long_form(spark, SF_DIR).filter("doc_id < 30")
+    got = {
+        (r["doc_id"], r["bucket"]): (
+            r["pos_first"], r["v_first"], r["pos_last"], r["v_last"],
+            r["pos_min"], r["v_min"], r["pos_max"], r["v_max"],
+        )
+        for r in m4(lf, 32).collect()
+    }
+    series: dict = {}
+    for r in lf.orderBy("doc_id", "pos").collect():
+        series.setdefault(r["doc_id"], []).append(
+            (int(r["pos"]), int(r["value"]))
+        )
+    want = {}
+    for doc_id, pts in series.items():
+        n = len(pts)
+        buckets: dict = {}
+        for pos, v in pts:
+            buckets.setdefault(pos * 32 // n, []).append((pos, v))
+        for bk, bp in buckets.items():
+            pf, vf = bp[0]
+            pl, vl = bp[-1]
+            # pinned ties: v_min earliest pos, v_max latest pos
+            vmin, pmin = min((v, p) for p, v in bp)
+            vmax, pmax = max((v, p) for p, v in bp)
+            want[(doc_id, bk)] = (pf, vf, pl, vl, pmin, vmin, pmax, vmax)
+    assert got == want
+    # every rendered bucket keeps <= 4 distinct points and brackets the
+    # bucket's value range
+    for (d, bk), (pf, vf, pl, vl, pmin, vmin, pmax, vmax) in got.items():
+        assert pf <= pmin <= pl and pf <= pmax <= pl
+        assert vmin <= min(vf, vl) and vmax >= max(vf, vl)

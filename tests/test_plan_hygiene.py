@@ -86,6 +86,8 @@ EXCHANGE_BOUNDS = [
                                    # repartition)
     ("pp_lttb", 1),                # ONE doc_id shuffle into the
                                    # per-series Arrow kernel
+    ("pp_m4", 1),                  # ONE partial+final struct-min/max
+                                   # hash aggregate
     ("tok_wp_merges", 1),          # local 8-row model table (training
                                    # is an action at construction)
     ("tok_wp_encode", 1),          # map-only Arrow maximal munch
