@@ -460,13 +460,35 @@ def m4(long_form: DataFrame, n_buckets: int) -> DataFrame:
     pos_min, v_min, pos_max, v_max)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    b = long_form.select(
-        "doc_id",
-        F.expr(f"pos * {int(n_buckets)} DIV n").alias("bucket"),
-        "pos",
-        "value",
+    return _m4_agg(
+        long_form.select(
+            "doc_id",
+            F.expr(f"pos * {int(n_buckets)} DIV n").alias("bucket"),
+            "pos",
+            "value",
+        )
     )
-    agg = b.groupBy("doc_id", "bucket").agg(
+
+
+def m4_fixed(long_form: DataFrame, width: int) -> DataFrame:
+    """:func:`m4` over FIXED-width buckets (``bucket = pos DIV width``,
+    the rollup tiers' bucketing) instead of per-series equal-width
+    pixel buckets — the batch twin of the streaming M4 operator, whose
+    buckets cannot depend on the (unknown) final series length."""
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    return _m4_agg(
+        long_form.select(
+            "doc_id",
+            F.expr(f"pos DIV {int(width)}").alias("bucket"),
+            "pos",
+            "value",
+        )
+    )
+
+
+def _m4_agg(bucketed: DataFrame) -> DataFrame:
+    agg = bucketed.groupBy("doc_id", "bucket").agg(
         F.min(F.struct("pos", "value")).alias("first"),
         F.max(F.struct("pos", "value")).alias("last"),
         F.min(F.struct("value", "pos")).alias("vmin"),

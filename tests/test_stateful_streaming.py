@@ -383,3 +383,66 @@ def test_stateful_hist_matches_batch(spark, tmp_path):
     diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
     assert diff == 0
     assert got.count() == batch.count() > 0
+
+
+def test_stateful_m4_converges_to_batch(spark, tmp_path):
+    """Out-of-order chunked ingest: completed fixed-width M4 buckets
+    must byte-match the batch m4_fixed aggregate; the short tail bucket
+    never completes and is never emitted (NoTimeout replay)."""
+    from dtaianomaly_spark.operators.preprocessing import m4_fixed
+    from dtaianomaly_spark.streaming.m4 import stateful_m4
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos", "value", "n"
+    )
+    pts = lf.select("doc_id", "pos", "value")
+    src = str(tmp_path / "src")
+    for cond in ("pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"):
+        pts.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_m4(stream, width=16, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_df = spark.read.parquet(out_dir)
+    assert got_df.filter("NOT final").count() == 0
+    assert (
+        got_df.groupBy("doc_id", "bucket").count().filter("count > 1").count()
+        == 0
+    )
+    assert got_df.filter("cnt != 16").count() == 0
+    got = {
+        (r["doc_id"], r["bucket"]): (
+            r["pos_first"], r["v_first"], r["pos_last"], r["v_last"],
+            r["pos_min"], r["v_min"], r["pos_max"], r["v_max"],
+        )
+        for r in got_df.collect()
+    }
+    # batch reference restricted to FULL buckets (16 positions)
+    batch = m4_fixed(lf, 16).join(
+        lf.groupBy("doc_id", F.expr("pos DIV 16").alias("bucket")).agg(
+            F.count("*").alias("cnt")
+        ).filter("cnt = 16"),
+        ["doc_id", "bucket"],
+    )
+    want = {
+        (r["doc_id"], r["bucket"]): (
+            r["pos_first"], r["v_first"], r["pos_last"], r["v_last"],
+            r["pos_min"], r["v_min"], r["pos_max"], r["v_max"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want
