@@ -1401,6 +1401,28 @@ def _q_tok_pack_stats(spark, sf_dir):
     return TK.packing_stats(packed, 512)
 
 
+def _q_tok_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth ladder (1/8..8/8 of the corpus in
+    doc_id order): distinct-token count + token mass per prefix rung —
+    the tokenizer-planning saturation curve. ONE first-doc aggregate +
+    one conditional-sum pass for the whole ladder (two corpus scans
+    total, never per rung). Rows-only; brute-force pytest pin."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    return TK.vocab_growth(
+        C.token_arrays(spark, sf_dir), ladder=(1, 2, 4, 8)
+    )
+
+
+def _q_tok_zipf_fit(spark, sf_dir):
+    """Zipf slope over the top-256 token frequencies: OLS of ln(freq)
+    on ln(rank), regression on the driver over the pinned-order heap
+    collect — bit-deterministic floats. Rows-only; exact pytest pin."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    return TK.zipf_fit(C.token_arrays(spark, sf_dir), top_k=256)
+
+
 # WordPiece (Schuster & Nakajima 2012): the third classic tokenizer
 # family next to BPE (raw-frequency argmax) and Unigram (EM pruning) —
 # likelihood-ratio merge selection, maximal-munch inference. Model and
@@ -1847,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_pack_stats": _q_tok_pack_stats,
         "tok_wp_merges": _q_tok_wp_merges,
         "tok_wp_encode": _q_tok_wp_encode,
+        "tok_vocab_growth": _q_tok_vocab_growth,
+        "tok_zipf_fit": _q_tok_zipf_fit,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

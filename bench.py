@@ -222,6 +222,9 @@ def run_headline() -> dict:
                         "det_",
                         "tok_bpe",
                         "tok_unigram",
+                        "tok_wp",
+                        "tok_vocab_growth",
+                        "tok_zipf_fit",
                         "tx_quality_classifier",
                         "ann_kcenter",
                     )

@@ -1062,3 +1062,104 @@ def wordpiece_encode(corpus: DataFrame, merges) -> DataFrame:
         run,
         "doc_id long, pieces array<int>, n_tok long, n_pieces long",
     )
+
+
+# ------------------------------------------------- corpus diagnostics
+
+
+def vocab_growth(
+    corpus: DataFrame, ladder: Tuple[int, ...] = (1, 2, 4, 8)
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — the tokenizer-planning
+    diagnostic (how fast does the unit inventory saturate as the crawl
+    grows?): for each prefix threshold T in ``ladder`` (docs in doc_id
+    order, the deterministic stand-in for crawl order, scaled as
+    ``T/max(ladder)`` of the corpus), the distinct-token count and
+    token mass of the first-T/max slice.
+
+    Scale shape: ONE map-side-combined aggregate to each token's FIRST
+    document (vocab-bounded rows), then one tiny conditional-sum pass
+    over it per the whole ladder — the corpus is scanned twice total
+    (once for firsts, once for the per-slice token mass), never per
+    ladder rung. Output: (n_docs, vocab_size, token_mass) per rung."""
+    if not ladder or list(ladder) != sorted(set(int(t) for t in ladder)):
+        raise ValueError(f"ladder must be strictly increasing, got {ladder}")
+    denom = int(max(ladder))
+    n_docs = corpus.count()
+    cuts = [
+        (int(t), n_docs * int(t) // denom) for t in ladder
+    ]  # (rung, docs in prefix)
+    firsts = (
+        corpus.select(
+            "doc_id", F.explode("tokens").alias("token")
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    # doc_id rank == doc_id order: the synthetic corpora use dense ids;
+    # for arbitrary ids substitute a row_number ladder upstream
+    vocab_aggs = firsts.agg(
+        *[
+            F.sum(
+                F.when(F.col("first_doc") < F.lit(k), 1).otherwise(0)
+            ).cast("long").alias(f"v{t}")
+            for t, k in cuts
+        ]
+    )
+    # rank cutoffs need doc_id-rank: map doc_id -> rank via ordering
+    mass_aggs = corpus.agg(
+        *[
+            F.sum(
+                F.when(F.col("doc_id") < F.lit(k), F.col("n_tok")).otherwise(0)
+            ).cast("long").alias(f"m{t}")
+            for t, k in cuts
+        ]
+    )
+    both = vocab_aggs.crossJoin(F.broadcast(mass_aggs)).collect()[0]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (k, int(both[f"v{t}"]), int(both[f"m{t}"]))
+            for t, k in cuts
+        ],
+        schema="n_docs long, vocab_size long, token_mass long",
+    )
+
+
+def zipf_fit(corpus: DataFrame, top_k: int = 256) -> DataFrame:
+    """Zipf's-law slope over the top-``top_k`` token frequencies: OLS
+    of ln(freq) on ln(rank) — the one-number skew summary a sampling /
+    vocabulary-size decision reads. ONE vocab-bounded count aggregate +
+    a ``top_k`` heap collect (TakeOrderedAndProject, ties (cnt DESC,
+    token ASC)); the regression runs on the driver over ``top_k`` rows
+    in pinned rank order, so the floats are bit-deterministic. Output:
+    one row (n_tokens_ranked, slope, intercept, r2)."""
+    import math
+
+    if top_k < 2:
+        raise ValueError(f"top_k must be >= 2, got {top_k}")
+    rows = (
+        corpus.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(int(top_k))
+        .collect()
+    )
+    xs = [math.log(r_i + 1) for r_i in range(len(rows))]
+    ys = [math.log(int(r["cnt"])) for r in rows]
+    n = len(rows)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    syy = sum((y - my) ** 2 for y in ys)
+    slope = sxy / sxx if sxx > 0 else 0.0
+    intercept = my - slope * mx
+    r2 = (sxy * sxy) / (sxx * syy) if sxx > 0 and syy > 0 else 0.0
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(n, float(slope), float(intercept), float(r2))],
+        schema="n_tokens_ranked long, slope double, intercept double,"
+        " r2 double",
+    )

@@ -92,6 +92,10 @@ EXCHANGE_BOUNDS = [
                                    # is an action at construction)
     ("tok_wp_encode", 1),          # map-only Arrow maximal munch
                                    # (+ corpus repartition)
+    ("tok_vocab_growth", 1),       # local ladder frame (aggregates are
+                                   # an action at construction)
+    ("tok_zipf_fit", 1),           # local one-row frame (heap collect
+                                   # at construction)
     ("tok_fertility", 3),          # encode stage + source join +
                                    # per-source rollup
     ("tx_hard_negatives", 15),     # bm25_topk's 13-exchange DAG + the

@@ -499,3 +499,70 @@ def test_merge_log_exhausted_marker_skips_recount(spark, monkeypatch, tmp_path):
     again, _ = TK.bpe_train(df, n_merges=4, checkpoint_dir=ck)
     assert again.count() == 0
     assert calls["n"] == 0
+
+
+# ------------------------------------------------ corpus diagnostics
+def test_vocab_growth_matches_brute_force(spark):
+    arrays = C.token_arrays(spark, SF_DIR)
+    got = [
+        (r["n_docs"], r["vocab_size"], r["token_mass"])
+        for r in TK.vocab_growth(arrays, ladder=(1, 2, 4, 8)).collect()
+    ]
+    rows = arrays.orderBy("doc_id").collect()
+    n = len(rows)
+    want = []
+    for t in (1, 2, 4, 8):
+        k = n * t // 8
+        pre = [r for r in rows if r["doc_id"] < k]
+        vocab = set(x for r in pre for x in r["tokens"])
+        want.append((k, len(vocab), sum(len(r["tokens"]) for r in pre)))
+    assert got == want
+    # monotone: vocabulary and mass never shrink as the prefix grows
+    assert all(a[1] <= b[1] and a[2] <= b[2] for a, b in zip(want, want[1:]))
+
+
+def test_vocab_growth_rejects_bad_ladder(spark):
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 5")
+    with pytest.raises(ValueError, match="ladder"):
+        TK.vocab_growth(arrays, ladder=(4, 2))
+    with pytest.raises(ValueError, match="ladder"):
+        TK.vocab_growth(arrays, ladder=())
+
+
+def test_zipf_fit_matches_brute_force(spark):
+    import math
+
+    arrays = C.token_arrays(spark, SF_DIR)
+    got = TK.zipf_fit(arrays, top_k=64).collect()[0]
+    counts: dict = {}
+    for r in arrays.collect():
+        for x in r["tokens"]:
+            counts[int(x)] = counts.get(int(x), 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:64]
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(c) for _, c in top]
+    n = len(top)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    syy = sum((y - my) ** 2 for y in ys)
+    assert got["n_tokens_ranked"] == n
+    assert got["slope"] == sxy / sxx
+    assert got["intercept"] == my - (sxy / sxx) * mx
+    assert got["r2"] == (sxy * sxy) / (sxx * syy)
+    assert got["slope"] <= 0.0  # frequencies are non-increasing in rank
+
+
+def test_zipf_fit_exact_on_known_distribution(spark):
+    # freq(token t) proportional to 2^-t -> ln f = c - t ln 2; with
+    # rank = t+1 the log-log fit has negative slope and r2 < 1
+    docs = [
+        (i, [t for t in range(6) for _ in range(2 ** (6 - t))], 126, "a")
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        docs, schema="doc_id long, tokens array<int>, n_tok int, source string"
+    )
+    row = TK.zipf_fit(df, top_k=6).collect()[0]
+    assert row["n_tokens_ranked"] == 6
+    assert row["slope"] < 0 and 0 < row["r2"] <= 1.0
