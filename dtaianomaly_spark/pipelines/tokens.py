@@ -1146,6 +1146,10 @@ def zipf_fit(corpus: DataFrame, top_k: int = 256) -> DataFrame:
         .limit(int(top_k))
         .collect()
     )
+    if len(rows) < 2:
+        raise ValueError(
+            f"zipf_fit needs >= 2 distinct tokens, corpus has {len(rows)}"
+        )
     xs = [math.log(r_i + 1) for r_i in range(len(rows))]
     ys = [math.log(int(r["cnt"])) for r in rows]
     n = len(rows)

@@ -566,3 +566,12 @@ def test_zipf_fit_exact_on_known_distribution(spark):
     row = TK.zipf_fit(df, top_k=6).collect()[0]
     assert row["n_tokens_ranked"] == 6
     assert row["slope"] < 0 and 0 < row["r2"] <= 1.0
+
+
+def test_zipf_fit_rejects_degenerate_vocab(spark):
+    df = spark.createDataFrame(
+        [(0, [7, 7, 7], 3, "a")],
+        schema="doc_id long, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="distinct tokens"):
+        TK.zipf_fit(df, top_k=8)
