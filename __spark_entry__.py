@@ -1401,6 +1401,27 @@ def _q_tok_pack_stats(spark, sf_dir):
     return TK.packing_stats(packed, 512)
 
 
+def _q_tok_swap_report(spark, sf_dir):
+    """Tokenizer-SELECTION report: BPE (rank replay) vs WordPiece
+    (maximal munch) vs Unigram-LM (Viterbi) compression per source over
+    the SAME corpus — three map-only Arrow encodes reusing the three
+    shared training runs, three doc_id joins, one rollup. Rows-only;
+    pinned in pytest to compose exactly from the three underlying
+    encodes."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return TK.tokenizer_swap_report(
+        C.token_arrays(spark, sf_dir),
+        src,
+        _shared_bpe_training(spark, sf_dir),
+        _shared_wp_training(spark, sf_dir),
+        _shared_unigram_units(spark, sf_dir),
+    )
+
+
 def _q_tok_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary-growth ladder (1/8..8/8 of the corpus in
     doc_id order): distinct-token count + token mass per prefix rung —
@@ -1871,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_wp_encode": _q_tok_wp_encode,
         "tok_vocab_growth": _q_tok_vocab_growth,
         "tok_zipf_fit": _q_tok_zipf_fit,
+        "tok_swap_report": _q_tok_swap_report,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

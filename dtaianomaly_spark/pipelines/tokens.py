@@ -1167,3 +1167,58 @@ def zipf_fit(corpus: DataFrame, top_k: int = 256) -> DataFrame:
         schema="n_tokens_ranked long, slope double, intercept double,"
         " r2 double",
     )
+
+
+def tokenizer_swap_report(
+    corpus: DataFrame,
+    sources: DataFrame,
+    bpe_merges,
+    wp_merges,
+    unigram_units: list,
+) -> DataFrame:
+    """The tokenizer-SELECTION report the three trainers exist to feed:
+    per (source, tokenizer) the document count, input token mass,
+    output piece mass, and compression ratio for BPE (rank-order merge
+    replay), WordPiece (maximal munch), and Unigram-LM (Viterbi) — all
+    three encodes over the SAME corpus, each ONE map-only Arrow stage,
+    joined to the source dimension and rolled up. The frame a data team
+    reads to pick the tokenizer for the next training run.
+
+    ``sources`` is the (doc_id, source) dimension; model artifacts come
+    from the three trainers (bounded tables/lists, never corpora).
+    Scale shape: three encode map stages + three doc_id joins + one
+    union + one per-(source, tokenizer) rollup — payload arrays never
+    shuffle (each encode emits only per-doc counts here)."""
+    legs = []
+    bpe_counts = apply_merges(corpus, bpe_merges).select(
+        "doc_id",
+        F.lit("bpe").alias("tokenizer"),
+        F.size("tokens").cast("long").alias("n_pieces"),
+    )
+    wp_counts = wordpiece_encode(corpus, wp_merges).select(
+        "doc_id", F.lit("wordpiece").alias("tokenizer"), "n_pieces"
+    )
+    uni_counts = unigram_encode(corpus, unigram_units).select(
+        "doc_id", F.lit("unigram").alias("tokenizer"), "n_pieces"
+    )
+    base = corpus.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
+    for leg in (bpe_counts, wp_counts, uni_counts):
+        legs.append(leg)
+    per_doc = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    joined = per_doc.join(base, "doc_id").join(
+        sources.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        joined.groupBy("source", "tokenizer")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_in"),
+            F.sum("n_pieces").cast("long").alias("pieces_out"),
+        )
+        .select(
+            "source", "tokenizer", "n_docs", "tokens_in", "pieces_out",
+            F.expr(
+                "CAST(tokens_in AS DOUBLE) / CAST(pieces_out AS DOUBLE)"
+            ).alias("compression"),
+        )
+    )

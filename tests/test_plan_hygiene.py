@@ -96,6 +96,9 @@ EXCHANGE_BOUNDS = [
                                    # an action at construction)
     ("tok_zipf_fit", 1),           # local one-row frame (heap collect
                                    # at construction)
+    ("tok_swap_report", 6),        # 3 encode legs + 3 doc_id joins +
+                                   # union + per-(source,tok) rollup;
+                                   # model tables broadcast
     ("tok_fertility", 3),          # encode stage + source join +
                                    # per-source rollup
     ("tx_hard_negatives", 15),     # bm25_topk's 13-exchange DAG + the

@@ -575,3 +575,49 @@ def test_zipf_fit_rejects_degenerate_vocab(spark):
     )
     with pytest.raises(ValueError, match="distinct tokens"):
         TK.zipf_fit(df, top_k=8)
+
+
+def test_tokenizer_swap_report_composes_from_encodes(spark):
+    arrays = C.token_arrays(spark, SF_DIR).filter("doc_id < 50")
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    bpe_m, _ = TK.bpe_train(arrays, n_merges=4)
+    wp_m, _ = TK.wordpiece_train(arrays, n_merges=4)
+    uni = TK.unigram_train(arrays, top_ngrams=32, n_iters=1, keep_multi=16)
+    got = {
+        (r["source"], r["tokenizer"]): (
+            r["n_docs"], r["tokens_in"], r["pieces_out"], r["compression"]
+        )
+        for r in TK.tokenizer_swap_report(
+            arrays, src, bpe_m, wp_m, uni
+        ).collect()
+    }
+    src_map = {r["doc_id"]: r["source"] for r in src.collect()}
+    base = {r["doc_id"]: r["n_tok"] for r in arrays.collect()}
+    legs = {
+        "bpe": {
+            r["doc_id"]: r["n_tok"]
+            for r in TK.apply_merges(arrays, bpe_m).collect()
+        },
+        "wordpiece": {
+            r["doc_id"]: r["n_pieces"]
+            for r in TK.wordpiece_encode(arrays, wp_m).collect()
+        },
+        "unigram": {
+            r["doc_id"]: r["n_pieces"]
+            for r in TK.unigram_encode(arrays, uni).collect()
+        },
+    }
+    want = {}
+    for tok, pieces in legs.items():
+        per_src: dict = {}
+        for d, p in pieces.items():
+            s = src_map[d]
+            nd, ti, po = per_src.get(s, (0, 0, 0))
+            per_src[s] = (nd + 1, ti + base[d], po + int(p))
+        for s, (nd, ti, po) in per_src.items():
+            want[(s, tok)] = (nd, ti, po, ti / po)
+    assert got == want
+    # every tokenizer leg covers every source present in the slice
+    assert len({k[0] for k in got}) * 3 == len(got)
