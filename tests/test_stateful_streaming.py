@@ -446,3 +446,80 @@ def test_stateful_m4_converges_to_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_vocab_growth_matches_prefix_curve(spark, tmp_path):
+    """Crawl-order chunks: per-trigger sum(new_tokens) must equal the
+    batch Heaps prefix-curve increments, and the final per-bucket
+    vocabulary must equal the batch per-bucket distinct counts."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+    from dtaianomaly_spark.streaming.vocab import stateful_vocab_growth
+
+    arrays = C.token_arrays(spark, SF_DIR)
+    n = arrays.count()
+    cuts = [n // 4, n // 2, n]  # three crawl-order prefix chunks
+    src = str(tmp_path / "src")
+    lo = 0
+    for hi in cuts:
+        arrays.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+    # file order is mtime order; the writes above are sequential
+    stream = (
+        spark.readStream.schema(arrays.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    recorded = {}
+
+    def sink(batch_df, batch_id):
+        rows = batch_df.collect()
+        if rows:
+            recorded[batch_id] = {
+                r["bucket"]: (r["new_tokens"], r["bucket_vocab"])
+                for r in rows
+            }
+
+    q = (
+        stateful_vocab_growth(stream, n_buckets=16)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # batch prefix curve at the same cuts (ladder over the same order)
+    curve = {
+        r["n_docs"]: r["vocab_size"]
+        for r in TK.vocab_growth(arrays, ladder=(1, 2, 4)).collect()
+    }
+    want_increments = []
+    prev = 0
+    for hi in cuts:
+        want_increments.append(curve[hi] - prev)
+        prev = curve[hi]
+    got_increments = [
+        sum(v[0] for v in recorded[b].values()) for b in sorted(recorded)
+    ]
+    assert got_increments == want_increments
+    # final per-bucket vocab == batch per-bucket distinct counts
+    final_bucket_vocab: dict = {}
+    for b in sorted(recorded):
+        for bk, (_, vocab) in recorded[b].items():
+            final_bucket_vocab[bk] = vocab  # monotone, last wins
+    want_buckets = {
+        r["bucket"]: r["v"]
+        for r in arrays.select(F.explode("tokens").alias("token"))
+        .select(
+            F.pmod(F.col("token").cast("long"), F.lit(16)).alias("bucket"),
+            F.col("token").cast("long").alias("token"),
+        )
+        .groupBy("bucket")
+        .agg(F.count_distinct("token").alias("v"))
+        .collect()
+    }
+    assert final_bucket_vocab == want_buckets
+    assert sum(final_bucket_vocab.values()) == curve[n]
