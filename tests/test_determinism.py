@@ -41,6 +41,10 @@ FAMILIES = [
     "rollup_hist_quantile",  # window cumsum + first-bin-reaching-rank
     "ev_asof_skew",       # two-level scan-carry across bucket boundaries
     "rel_q18_volume",     # filter-on-aggregate + top-N tie-break
+    "pp_lttb",            # sequential per-series integer-area argmax
+    "pp_m4",              # struct-min/max lexicographic tie rules
+    "tok_wp_merges",      # exact rational argmax over a double-ranked
+                          # candidate window
 ]
 
 
