@@ -1115,6 +1115,20 @@ def _q_mm_png_stats(spark, sf_dir):
     )
 
 
+def _q_mm_resize(spark, sf_dir):
+    """decode -> RESIZE -> feature: nearest-neighbor 7x5 thumbnails of
+    the decoded PNGs (exact floor index map, no float resampling) with
+    the resized pixel stats — the missing resize leg of the multimodal
+    brief, ONE map-only Arrow stage. Rows-only; pinned in pytest
+    against a per-pixel double-loop reference on the decoded arrays."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return MM.resize_stats_decoded(
+        MM.with_png_payload(TX.load_docs(spark, sf_dir)), 7, 5
+    )
+
+
 def _q_mm_jpeg_stats(spark, sf_dir):
     """Real baseline-JPEG decode (from-scratch T.81 codec: markers,
     optimal Huffman, dequantize, IDCT): per doc a grayscale
@@ -1849,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
         "mm_png_stats": _q_mm_png_stats,
+        "mm_resize": _q_mm_resize,
         "mm_jpeg_stats": _q_mm_jpeg_stats,
         "mm_wav_stats": _q_mm_wav_stats,
         "mm_wav_energy": _q_mm_wav_energy,

@@ -625,3 +625,84 @@ def frame_sample(payloads: DataFrame, n_frames: int = 4, frame_bytes: int = 32) 
                 yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
 
     return payloads.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, the standard floor index map
+    ``src = dst * in // out`` — EXACT integers for any shape pair, the
+    preprocessing resize a vision pipeline runs before feature
+    extraction. Channels pass through untouched."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"output dims must be >= 1, got {out_h}x{out_w}")
+    h, w = img.shape[0], img.shape[1]
+    ri = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    ci = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[np.ix_(ri, ci)]
+
+
+def resize_box(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Box-average (area) downsample for integer-divisible factors:
+    each output pixel is the FLOOR mean of its (h/out_h, w/out_w)
+    block — exact integer arithmetic (int64 block sums, one floor
+    division), no float resampling. Raises when the factor is not
+    integral; use :func:`resize_nearest` for arbitrary shapes."""
+    h, w = img.shape[0], img.shape[1]
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"output dims must be >= 1, got {out_h}x{out_w}")
+    if h % out_h or w % out_w:
+        raise ValueError(
+            f"box resize needs integral factors: {h}x{w} -> {out_h}x{out_w}"
+        )
+    fh, fw = h // out_h, w // out_w
+    tail = img.shape[2:]
+    blocks = img.reshape((out_h, fh, out_w, fw) + tail)
+    sums = blocks.sum(axis=(1, 3), dtype=np.int64)
+    return (sums // (fh * fw)).astype(img.dtype)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("h", LongType(), False),
+        StructField("w", LongType(), False),
+        StructField("out_h", LongType(), False),
+        StructField("out_w", LongType(), False),
+        StructField("px_sum", LongType(), False),
+        StructField("px_min", LongType(), False),
+        StructField("px_max", LongType(), False),
+    ]
+)
+
+
+def resize_stats_decoded(
+    payloads: DataFrame, out_h: int, out_w: int, method: str = "nearest"
+) -> DataFrame:
+    """DECODE each payload (BMP/PNG/JPEG via :func:`decode_image`),
+    resize (``nearest`` for any shape, ``box`` for integral factors)
+    and emit the resized image's pixel statistics — the
+    decode→resize→feature leg of the multimodal brief in ONE map-only
+    Arrow stage; payload bytes never shuffle."""
+    if method not in ("nearest", "box"):
+        raise ValueError(f"method must be 'nearest' or 'box', got {method}")
+    fn = resize_nearest if method == "nearest" else resize_box
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                small = fn(img, out_h, out_w)
+                out.append(
+                    (
+                        int(doc_id), img.shape[0], img.shape[1],
+                        int(out_h), int(out_w),
+                        int(small.sum(dtype=np.int64)),
+                        int(small.min()), int(small.max()),
+                    )
+                )
+            if out:
+                yield pd.DataFrame(out, columns=RESIZE_SCHEMA.names)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, RESIZE_SCHEMA
+    )

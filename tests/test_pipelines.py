@@ -1222,3 +1222,65 @@ def test_bm25_uses_lowest_doc_ids_not_literal_range(spark):
     qids = {r["qid"] for r in got}
     assert qids == {1000, 1001, 1002}
     assert all(r["doc_id"] >= 1000 for r in got)
+
+
+def test_resize_kernels_match_naive_loops():
+    import numpy as np
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    rng = np.random.default_rng(17)
+    for _ in range(60):
+        h, w = int(rng.integers(1, 24)), int(rng.integers(1, 24))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        oh, ow = int(rng.integers(1, 16)), int(rng.integers(1, 16))
+        got = MM.resize_nearest(img, oh, ow)
+        for i in range(oh):
+            for j in range(ow):
+                assert (got[i, j] == img[i * h // oh, j * w // ow]).all()
+        # box mode on an integral factor
+        f1, f2 = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        big = rng.integers(0, 256, (oh * f1, ow * f2, 3)).astype(np.uint8)
+        gb = MM.resize_box(big, oh, ow)
+        for i in range(oh):
+            for j in range(ow):
+                blk = big[i * f1:(i + 1) * f1, j * f2:(j + 1) * f2]
+                want = blk.reshape(-1, 3).sum(0, dtype=np.int64) // (f1 * f2)
+                assert (gb[i, j] == want).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integral factors"):
+        MM.resize_box(np.zeros((5, 4), dtype=np.uint8), 2, 2)
+    with _pytest.raises(ValueError, match="output dims"):
+        MM.resize_nearest(np.zeros((5, 4), dtype=np.uint8), 0, 2)
+
+
+def test_resize_stats_decoded_matches_local_decode(spark):
+    import numpy as np
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, SF_DIR).filter("doc_id < 40")
+    payloads = MM.with_png_payload(docs)
+    got = {
+        r["doc_id"]: (
+            r["h"], r["w"], r["out_h"], r["out_w"],
+            r["px_sum"], r["px_min"], r["px_max"],
+        )
+        for r in MM.resize_stats_decoded(payloads, 7, 5).collect()
+    }
+    for r in payloads.select("doc_id", "payload").collect():
+        img = MM.decode_image(bytes(r["payload"]))
+        h, w = img.shape[0], img.shape[1]
+        small = np.stack(
+            [
+                np.stack(
+                    [img[i * h // 7, j * w // 5] for j in range(5)]
+                )
+                for i in range(7)
+            ]
+        )
+        assert got[r["doc_id"]] == (
+            h, w, 7, 5,
+            int(small.sum(dtype=np.int64)),
+            int(small.min()), int(small.max()),
+        )

@@ -52,6 +52,7 @@ EXCHANGE_BOUNDS = [
                                   # branch); the rest fold those cells
     ("mm_png_stats", 1),           # map-only Arrow decode (+ the corpus
                                    # repartition)
+    ("mm_resize", 1),              # map-only Arrow decode+resize
     ("mm_jpeg_stats", 1),          # map-only Arrow decode
     ("mm_wav_stats", 1),           # map-only Arrow decode
     ("mm_wav_energy", 1),          # map-only Arrow decode
