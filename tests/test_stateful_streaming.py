@@ -523,3 +523,96 @@ def test_stateful_vocab_growth_matches_prefix_curve(spark, tmp_path):
     }
     assert final_bucket_vocab == want_buckets
     assert sum(final_bucket_vocab.values()) == curve[n]
+
+
+class _FakeState:
+    """Minimal GroupState stub for driving an update fn directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.updated = v
+        self._v = v
+
+    def remove(self):
+        self.removed = True
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_stateful_m4_ttl_flush_partials_combine_to_batch():
+    """Drive the update fn directly: a TTL flush mid-bucket emits
+    final=false partials which, monoid-combined with the revived
+    series' second flush, reconstruct the exact bucket corners."""
+    import pandas as pd
+
+    from dtaianomaly_spark.streaming.m4 import _absorb, _make_m4_update
+
+    update = _make_m4_update(16, 1000)
+    pts = [(i, (i * 7) % 23 - 11) for i in range(16)]
+    first, second = pts[:5], pts[5:]
+
+    st = _FakeState()
+    out1 = list(
+        update(("d",), iter([pd.DataFrame(first, columns=["pos", "value"])]), st)
+    )
+    assert out1 == []  # bucket incomplete, nothing emitted
+    assert st.updated is not None and st.timeout_ms == 1000
+
+    # TTL fires: partial flushed final=false, state dropped
+    st2 = _FakeState(value=st.updated, timed_out=True)
+    flush = list(update(("d",), iter([]), st2))[0]
+    assert st2.removed
+    assert not flush["final"].iloc[0]
+
+    # series revives: remaining points accumulate fresh and complete
+    # by count only when the bucket's full width arrives -> here the
+    # remaining 11 points stay partial until a second TTL
+    st3 = _FakeState()
+    out3 = list(
+        update(("d",), iter([pd.DataFrame(second, columns=["pos", "value"])]), st3)
+    )
+    assert out3 == []
+    st4 = _FakeState(value=st3.updated, timed_out=True)
+    flush2 = list(update(("d",), iter([]), st4))[0]
+
+    # monoid-combine the two final=false partials = exact batch corners
+    a = flush.iloc[0]
+    b = flush2.iloc[0]
+    merged = [
+        int(a["cnt"]),
+        int(a["pos_first"]), int(a["v_first"]),
+        int(a["pos_last"]), int(a["v_last"]),
+        int(a["pos_min"]), int(a["v_min"]),
+        int(a["pos_max"]), int(a["v_max"]),
+    ]
+    # combine partial b into a via the same tie rules
+    merged[0] += int(b["cnt"])
+    if int(b["pos_first"]) < merged[1]:
+        merged[1], merged[2] = int(b["pos_first"]), int(b["v_first"])
+    if int(b["pos_last"]) > merged[3]:
+        merged[3], merged[4] = int(b["pos_last"]), int(b["v_last"])
+    if (int(b["v_min"]), int(b["pos_min"])) < (merged[6], merged[5]):
+        merged[5], merged[6] = int(b["pos_min"]), int(b["v_min"])
+    if (int(b["v_max"]), int(b["pos_max"])) > (merged[8], merged[7]):
+        merged[7], merged[8] = int(b["pos_max"]), int(b["v_max"])
+
+    want = [1, pts[0][0], pts[0][1], pts[0][0], pts[0][1],
+            pts[0][0], pts[0][1], pts[0][0], pts[0][1]]
+    for pos, v in pts[1:]:
+        _absorb(want, pos, v)
+    assert merged == want and want[0] == 16

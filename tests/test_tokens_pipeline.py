@@ -621,3 +621,30 @@ def test_tokenizer_swap_report_composes_from_encodes(spark):
     assert got == want
     # every tokenizer leg covers every source present in the slice
     assert len({k[0] for k in got}) * 3 == len(got)
+
+
+def test_merge_log_detects_step_gap(tmp_path):
+    import json
+
+    ck = str(tmp_path / "ck")
+    log = TK.MergeLog(ck, "bpe", {"new_id_start": 10, "min_count": 2})
+    log.commit({"step": 0, "pa": 1, "pb": 2, "new_id": 10, "cnt": 5})
+    # corrupt: skip step 1
+    log._append({"step": 2, "pa": 3, "pb": 4, "new_id": 12, "cnt": 3})
+    with pytest.raises(ValueError, match="gap in its step"):
+        log.read()
+    # well-formed log round-trips records and order
+    ck2 = str(tmp_path / "ck2")
+    log2 = TK.MergeLog(ck2, "wordpiece", {"new_id_start": 10, "min_count": 2})
+    log2.commit({"step": 0, "pa": 1, "pb": 2, "new_id": 10, "cnt": 5,
+                 "ca": 9, "cb": 8})
+    log2.commit({"step": 1, "pa": 10, "pb": 2, "new_id": 11, "cnt": 3,
+                 "ca": 5, "cb": 4})
+    recs, exhausted = log2.read()
+    assert [r["step"] for r in recs] == [0, 1] and not exhausted
+    log2.mark_exhausted()
+    recs, exhausted = log2.read()
+    assert len(recs) == 2 and exhausted
+    # every record after the header is valid JSON (atomic appends)
+    with open(log2.path) as f:
+        assert all(json.loads(l) is not None for l in f)
