@@ -616,3 +616,41 @@ def test_stateful_m4_ttl_flush_partials_combine_to_batch():
     for pos, v in pts[1:]:
         _absorb(want, pos, v)
     assert merged == want and want[0] == 16
+
+
+def test_vocab_update_fn_dedups_within_and_across_triggers():
+    import pandas as pd
+
+    from dtaianomaly_spark.streaming.vocab import _vocab_update
+
+    st = _FakeState()
+    out1 = list(
+        _vocab_update(
+            (3,), iter([pd.DataFrame({"token": [5, 5, 9, 9, 1]})]), st
+        )
+    )[0]
+    assert (
+        int(out1["new_tokens"].iloc[0]), int(out1["bucket_vocab"].iloc[0])
+    ) == (3, 3)
+    # second trigger: one repeat + one new, split across two pdfs
+    st2 = _FakeState(value=st.updated)
+    out2 = list(
+        _vocab_update(
+            (3,),
+            iter(
+                [pd.DataFrame({"token": [9]}), pd.DataFrame({"token": [42]})]
+            ),
+            st2,
+        )
+    )[0]
+    assert (
+        int(out2["new_tokens"].iloc[0]), int(out2["bucket_vocab"].iloc[0])
+    ) == (1, 4)
+    assert sorted(st2.updated[0]) == [1, 5, 9, 42]
+    # all-repeat trigger emits a zero row and leaves state untouched
+    st3 = _FakeState(value=st2.updated)
+    out3 = list(
+        _vocab_update((3,), iter([pd.DataFrame({"token": [5, 1]})]), st3)
+    )[0]
+    assert int(out3["new_tokens"].iloc[0]) == 0
+    assert st3.updated is None  # no state write on a no-new trigger

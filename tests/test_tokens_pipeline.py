@@ -648,3 +648,33 @@ def test_merge_log_detects_step_gap(tmp_path):
     # every record after the header is valid JSON (atomic appends)
     with open(log2.path) as f:
         assert all(json.loads(l) is not None for l in f)
+
+
+def test_wordpiece_encode_random_property(spark):
+    """Adversarial random corpora: Spark maximal munch == the flat-dict
+    reference for vocabularies with nested/overlapping units."""
+    rng = np.random.default_rng(23)
+    docs = [
+        (i, rng.integers(0, 5, int(rng.integers(0, 30))).tolist())
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, len(t), "a") for i, t in docs],
+        schema="doc_id long, tokens array<int>, n_tok int, source string",
+    )
+    # overlapping / chained units over the tiny alphabet
+    triples = [
+        (0, 1, 100), (1, 2, 101), (100, 2, 102), (2, 101, 103),
+        (102, 103, 104), (3, 3, 105),
+    ]
+    vocab = {seq: uid for uid, seq in TK.expand_merges(triples)}
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in TK.wordpiece_encode(df, triples).collect()
+    }
+    expand = dict(TK.expand_merges(triples))
+    for i, toks in docs:
+        want = KT.greedy_encode_reference(toks, vocab)
+        assert got[i] == want, (i, toks)
+        flat = [t for p in got[i] for t in expand.get(p, (p,))]
+        assert flat == toks
