@@ -1436,6 +1436,27 @@ def _q_tok_swap_report(spark, sf_dir):
     )
 
 
+def _q_tx_split_report(spark, sf_dir):
+    """Deterministic train/val/test split (md5(doc_id||salt) cumulative
+    ranges — growth-stable: new docs never reassign old ones) reported
+    per (source, split): doc count + token mass. Expression-only
+    assignment, one n_tok join, one rollup. Rows-only; the assignment
+    is pinned bit-exactly against a plain-Python md5 twin."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, sf_dir).select("doc_id", "source")
+    assigned = TX.split_assign(docs)
+    mass = C.token_arrays(spark, sf_dir).select("doc_id", "n_tok")
+    return (
+        assigned.join(mass, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("token_mass"),
+        )
+    )
+
+
 def _q_tok_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary-growth ladder (1/8..8/8 of the corpus in
     doc_id order): distinct-token count + token mass per prefix rung —
@@ -1908,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_vocab_growth": _q_tok_vocab_growth,
         "tok_zipf_fit": _q_tok_zipf_fit,
         "tok_swap_report": _q_tok_swap_report,
+        "tx_split_report": _q_tx_split_report,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

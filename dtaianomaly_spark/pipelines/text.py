@@ -1545,3 +1545,43 @@ def pii_redact(docs: DataFrame) -> DataFrame:
         F.md5(red.cast("binary")).alias("redacted_md5"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: tuple = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training-data pipeline pins BEFORE any experiment: bucket =
+    ``md5(doc_id || salt) mod total_weight`` (the pack-groups md5
+    convention — reproducible bit-exactly by any engine, including the
+    plain-Python pytest twin), mapped to splits by cumulative weight
+    ranges in the GIVEN order.
+
+    The contract that matters at 100 TB: assignment depends ONLY on
+    (doc_id, salt) — growing the corpus never reassigns an existing
+    document (no leakage of yesterday's val docs into today's train),
+    and changing proportions means changing ``salt`` explicitly.
+    Expression-only, zero Python, zero shuffle; composes with any
+    downstream op as a plain column."""
+    if not weights or any(int(w) < 1 for _, w in weights):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = sum(int(w) for _, w in weights)
+    bucket = (
+        f"CAST(conv(substr(md5(concat(CAST(doc_id AS STRING),"
+        f" '|{salt}')), 1, 15), 16, 10) AS BIGINT) % {total}"
+    )
+    cases, lo = [], 0
+    for name, w in weights:
+        lo += int(w)
+        cases.append((name, lo))
+    expr = f"CASE WHEN b < {cases[0][1]} THEN '{cases[0][0]}' "
+    for name, hi in cases[1:-1]:
+        expr += f"WHEN b < {hi} THEN '{name}' "
+    expr += f"ELSE '{cases[-1][0]}' END"
+    return docs.select(
+        "*", F.expr(bucket).alias("b")
+    ).select(
+        *[c for c in docs.columns], F.expr(expr).alias("split")
+    )

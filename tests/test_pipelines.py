@@ -1284,3 +1284,49 @@ def test_resize_stats_decoded_matches_local_decode(spark):
             int(small.sum(dtype=np.int64)),
             int(small.min()), int(small.max()),
         )
+
+
+def test_split_assign_matches_python_md5_twin(spark):
+    import hashlib
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, SF_DIR)
+    got = {
+        r["doc_id"]: r["split"]
+        for r in TX.split_assign(docs).select("doc_id", "split").collect()
+    }
+
+    def twin(doc_id, salt="split-v1", bounds=(("train", 98), ("val", 99), ("test", 100))):
+        b = int(
+            hashlib.md5(f"{doc_id}|{salt}".encode()).hexdigest()[:15], 16
+        ) % 100
+        for name, hi in bounds:
+            if b < hi:
+                return name
+        return bounds[-1][0]
+
+    assert got == {d: twin(d) for d in got}
+    # growth stability: assignments on a subset equal the full corpus
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in TX.split_assign(docs.filter("doc_id < 100"))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert sub == {d: s for d, s in got.items() if d < 100}
+    # different salt reshuffles, same salt is stable
+    other = {
+        r["doc_id"]: r["split"]
+        for r in TX.split_assign(docs, salt="v2")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert other != got
+    # schema: input columns preserved + one split column
+    out = TX.split_assign(docs)
+    assert out.columns == docs.columns + ["split"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weights"):
+        TX.split_assign(docs, weights=(("train", 0),))

@@ -53,6 +53,8 @@ EXCHANGE_BOUNDS = [
     ("mm_png_stats", 1),           # map-only Arrow decode (+ the corpus
                                    # repartition)
     ("mm_resize", 1),              # map-only Arrow decode+resize
+    ("tx_split_report", 3),        # expression-only assignment + n_tok
+                                   # join + per-(source,split) rollup
     ("mm_jpeg_stats", 1),          # map-only Arrow decode
     ("mm_wav_stats", 1),           # map-only Arrow decode
     ("mm_wav_energy", 1),          # map-only Arrow decode
