@@ -45,6 +45,8 @@ FAMILIES = [
     "pp_m4",              # struct-min/max lexicographic tie rules
     "tok_wp_merges",      # exact rational argmax over a double-ranked
                           # candidate window
+    "tx_split_report",    # md5 cumulative-range assignment
+    "mm_resize",          # decode + floor-index-map resize
 ]
 
 
