@@ -1457,6 +1457,52 @@ def _q_tx_split_report(spark, sf_dir):
     )
 
 
+def _q_tx_split_contam(spark, sf_dir):
+    """Cross-split n-gram leakage audit over the engine's own
+    train/val/test assignment (the GPT-3 §4 memorization check): per
+    held-out split, docs sharing >= 1 word 5-gram with ANY train doc,
+    plus gram-level totals. The held-out gram vocabulary broadcasts
+    both ways (it is ~2% of the corpus by construction), so the train
+    side — the 100-TB side — is semi-join-pruned map-side and never
+    shuffles. Rows-only; pinned bit-exactly against a plain-Python
+    md5 + set-intersection twin."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.split_contamination_report(TX.load_docs(spark, sf_dir))
+
+
+def _q_tx_temp_mix(spark, sf_dir):
+    """Temperature-scaled source sampling weights (alpha = 0.5 as one
+    correctly-rounded IEEE sqrt — Conneau & Lample 2019 / Arivazhagan
+    et al. 2019 rebalancing): per source, natural token share vs the
+    temperature probability and the resulting boost. One bounded-key
+    hash aggregate + a sorted fold over the tiny source frame.
+    Rows-only; pinned against a math.sqrt Python twin."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    mass = C.token_arrays(spark, sf_dir).select("doc_id", "n_tok")
+    return TX.temperature_mix(src.join(mass, "doc_id"))
+
+
+def _q_rollup_cms_estimate(spark, sf_dir):
+    """Count-Min sketch tier (Cormode & Muthukrishnan 2005) audited
+    against the exact heavy hitters: the 4x32 counter grids are built
+    per (series, fine bucket), merged cell-wise into the coarse tier
+    (the sketch is a commutative monoid — composition is exact), and
+    point-queried for the exact top-3 tokens of each coarse bucket.
+    Output carries both the true count and the sketch estimate, so the
+    one-sided guarantee est >= true is visible in the rows. Rows-only;
+    merge==direct, row-mass and overestimate invariants pinned in
+    pytest."""
+    lf = _spark_long_form(spark, sf_dir)
+    cms = T.countmin_rollup(lf, 64, 15)
+    top = T.topk_tokens(lf, 960, 3).select("doc_id", "bucket", "value", "cnt")
+    return T.countmin_estimate(cms, top)
+
+
 def _q_tok_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary-growth ladder (1/8..8/8 of the corpus in
     doc_id order): distinct-token count + token mass per prefix rung —
@@ -1930,6 +1976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_zipf_fit": _q_tok_zipf_fit,
         "tok_swap_report": _q_tok_swap_report,
         "tx_split_report": _q_tx_split_report,
+        "tx_split_contam": _q_tx_split_contam,
+        "tx_temp_mix": _q_tx_temp_mix,
+        "rollup_cms_estimate": _q_rollup_cms_estimate,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

@@ -1585,3 +1585,138 @@ def split_assign(
     ).select(
         *[c for c in docs.columns], F.expr(expr).alias("split")
     )
+
+
+def split_contamination(
+    docs: DataFrame,
+    n_words: int = DECON_N_WORDS,
+    weights: tuple = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Cross-split leakage audit — the check every pipeline runs right
+    after :func:`split_assign`: for each held-out (non-``train``)
+    document, how many of its distinct word ``n_words``-grams also
+    occur in ANY train document. Returns per held-out doc
+    ``(doc_id, split, n_grams, n_hits, contam_rate)``. A val/test doc
+    with high ``contam_rate`` would leak its answers into training
+    (the GPT-3 §4 / PaLM memorization audit, here applied to the
+    engine's own splits).
+
+    Scale shape (the asymmetry is the point): the held-out side is a
+    few percent of the corpus by construction, so ITS distinct gram
+    set broadcasts; the train side — the 100-TB side — is pruned to
+    that vocabulary by a map-side broadcast semi-join BEFORE its
+    distinct (never shuffling train grams outside the held-out
+    vocabulary), and the surviving train∩held-out gram set (bounded by
+    the held-out set) broadcasts back onto the held-out docs. Only
+    int64 md5 gram hashes ever move; the train corpus never shuffles."""
+    if n_words < 1:
+        raise ValueError(f"n_words must be >= 1, got {n_words}")
+    gram_hashes = (
+        f"CASE WHEN size(ws) >= {n_words} THEN array_distinct("
+        f"transform(sequence(1, size(ws) - {n_words - 1}),"
+        f" j -> CAST(conv(substr(md5(array_join(slice(ws, j, {n_words}),"
+        f" ' ')), 1, 15), 16, 10) AS BIGINT) % {P31}))"
+        " ELSE array() END"
+    )
+    assigned = split_assign(docs, weights, salt)
+    grams = assigned.select(
+        "doc_id", "split", F.expr("split(text, ' ')").alias("ws")
+    ).select("doc_id", "split", F.explode(F.expr(gram_hashes)).alias("h"))
+    held = grams.filter(F.col("split") != "train")
+    held_vocab = held.select("h").distinct()
+    train_hits = (
+        grams.filter(F.col("split") == "train")
+        .join(F.broadcast(held_vocab), "h", "left_semi")
+        .select("h").distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        held.join(F.broadcast(train_hits), "h", "left")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "split", "n_grams", "n_hits",
+        F.expr("CAST(n_hits AS DOUBLE) / n_grams").alias("contam_rate"),
+    )
+
+
+def split_contamination_report(
+    docs: DataFrame,
+    n_words: int = DECON_N_WORDS,
+    weights: tuple = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Per-split rollup of :func:`split_contamination`: held-out doc
+    count, docs sharing >= 1 train n-gram, gram totals and the two
+    rates a leakage report quotes. Integer aggregates + shared float
+    division only."""
+    per_doc = split_contamination(docs, n_words, weights, salt)
+    return (
+        per_doc.groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN n_hits > 0 THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_contam_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_hits").cast("long").alias("n_hits"),
+        )
+        .select(
+            "split", "n_docs", "n_contam_docs", "n_grams", "n_hits",
+            F.expr("CAST(n_contam_docs AS DOUBLE) / n_docs")
+            .alias("doc_contam_rate"),
+            F.expr("CAST(n_hits AS DOUBLE) / n_grams")
+            .alias("gram_contam_rate"),
+        )
+    )
+
+
+def temperature_mix(docs: DataFrame, sqrt_passes: int = 1) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual /
+    multi-source rebalancing of Conneau & Lample 2019 §3.1 and
+    Arivazhagan et al. 2019 §4.2): sampling probability
+    ``p_i ∝ share_i ** alpha`` with ``alpha = 0.5 ** sqrt_passes`` —
+    the exponent is applied as ``sqrt_passes`` nested square roots
+    because IEEE-754 ``sqrt`` is correctly rounded (bit-identical on
+    every engine) while ``pow`` is not; alpha = 1/2 (default) and 1/4
+    cover the values the papers sweep.
+
+    Per source: doc count, token mass, natural share, temperature
+    probability and the resulting up/down-sampling boost. The
+    normalizing sum folds over sources in SORTED source order
+    (sources are a bounded set — tens, not millions), so the floats
+    are bit-reproducible under any partitioning.
+
+    Scale: one partial+final hash aggregate on ``source`` (bounded
+    keys), then arithmetic over the tiny per-source frame."""
+    if sqrt_passes < 1:
+        raise ValueError(f"sqrt_passes must be >= 1, got {sqrt_passes}")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("token_mass"),
+    )
+    w_expr = "CAST(token_mass AS DOUBLE)"
+    for _ in range(sqrt_passes):
+        w_expr = f"sqrt({w_expr})"
+    weighted = per_src.withColumn("w", F.expr(w_expr))
+    totals = weighted.agg(
+        F.sum("token_mass").cast("long").alias("mass_total"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, w))),"
+            " s -> s.w), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("w_total"),
+    )
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "token_mass",
+            F.expr("CAST(token_mass AS DOUBLE) / mass_total").alias("nat_share"),
+            F.expr("w / w_total").alias("temp_prob"),
+            F.expr("(w / w_total) / (CAST(token_mass AS DOUBLE) / mass_total)")
+            .alias("boost"),
+        )
+    )

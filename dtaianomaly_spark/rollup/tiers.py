@@ -628,3 +628,106 @@ def topk_sketch(
             (F.col("tf_sum") + F.col("tc")).alias("err_bound"),
         )
     )
+
+
+# ------------------------------------------------------- Count-Min tier
+
+CMS_DEPTH = 4
+CMS_WIDTH = 32
+
+
+def _cms_cell_sql(value_col: str, row: int, width: int) -> str:
+    """Deterministic row hash: md5 of the value salted with the row id,
+    folded to a cell index — the independent-hash family of the sketch,
+    reproducible bit-exactly by any engine (the repo's md5 convention)."""
+    return (
+        f"CAST(conv(substr(md5(concat(CAST({value_col} AS STRING),"
+        f" '|r{int(row)}')), 1, 15), 16, 10) AS BIGINT) % {int(width)}"
+    )
+
+
+def _cms_cells_expr(value_col: str, depth: int, width: int) -> str:
+    structs = ", ".join(
+        f"struct(CAST({r} AS BIGINT) AS row,"
+        f" {_cms_cell_sql(value_col, r, width)} AS cell)"
+        for r in range(depth)
+    )
+    return f"array({structs})"
+
+
+def countmin_rollup(
+    long_form: DataFrame,
+    fine_ticks: int = 64,
+    factor: int = 15,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Mergeable Count-Min sketch tier (Cormode & Muthukrishnan 2005,
+    "An improved data stream summary: the count-min sketch") — the
+    fixed-size frequency summary for value domains too large even for
+    the Misra-Gries tier's candidate lists: per (series, coarse bucket)
+    a ``depth x width`` counter grid, stored SPARSE in long form
+    ``(doc_id, bucket, row, cell, ccnt)`` (absent cells are zero).
+
+    Fine tier: each value increments one cell per row
+    (``cell = md5(value || row) % width``); coarse tier: CELL-WISE
+    ADDITION of the fine grids — the sketch is a plain commutative
+    monoid, so tier composition is exact by construction (pinned by
+    test anyway, merge == direct). Point query via
+    :func:`countmin_estimate`.
+
+    Scale: the sketch is ``depth * width`` integers per bucket no
+    matter the value domain — the whole pipeline is two hash
+    aggregates (partial+final map-side combine) keyed on bounded keys;
+    nothing grows with NDV. Zero UDF, zero window."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    fine = (
+        long_form.select(
+            "doc_id",
+            (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
+            F.explode(F.expr(_cms_cells_expr("value", depth, width))).alias("rc"),
+        )
+        .groupBy("doc_id", "fbucket", F.col("rc.row").alias("row"),
+                 F.col("rc.cell").alias("cell"))
+        .agg(F.count("*").cast("long").alias("ccnt"))
+    )
+    return (
+        fine.groupBy(
+            "doc_id",
+            (F.col("fbucket") / factor).cast("long").alias("bucket"),
+            "row", "cell",
+        )
+        .agg(F.sum("ccnt").cast("long").alias("ccnt"))
+    )
+
+
+def countmin_estimate(
+    cms: DataFrame,
+    candidates: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-query estimates off a :func:`countmin_rollup` sketch:
+    for each candidate ``(doc_id, bucket, value)`` row, ``est`` = the
+    MINIMUM over the sketch's ``depth`` rows of the value's cell
+    counter. The Count-Min guarantee (deterministic side, pinned by
+    test): ``est >= true`` always — collisions only ever inflate; the
+    probabilistic side bounds the inflation by ``e * N / width`` per
+    row. Extra candidate columns pass through.
+
+    The join is an equi-join on (doc_id, bucket, row, cell) against the
+    bounded sketch frame; a candidate whose cell is absent from the
+    sparse grid reads 0."""
+    cand = candidates.select(
+        "*",
+        F.explode(F.expr(_cms_cells_expr("value", depth, width))).alias("rc"),
+    ).select(
+        *candidates.columns,
+        F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"),
+    )
+    joined = cand.join(cms, ["doc_id", "bucket", "row", "cell"], "left")
+    return (
+        joined.groupBy(*candidates.columns)
+        .agg(F.min(F.coalesce("ccnt", F.lit(0))).cast("long").alias("est"))
+    )

@@ -1330,3 +1330,111 @@ def test_split_assign_matches_python_md5_twin(spark):
 
     with _pytest.raises(ValueError, match="weights"):
         TX.split_assign(docs, weights=(("train", 0),))
+
+
+def test_split_contamination_matches_python_twin(spark):
+    import hashlib
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    P31 = TX.P31
+    n_words = 3  # narrower than the driver default: more hits at sf0.001
+    docs = _docs(spark)
+    got = {
+        r["doc_id"]: (r["split"], r["n_grams"], r["n_hits"])
+        for r in TX.split_contamination(docs, n_words=n_words).collect()
+    }
+
+    def split_of(doc_id, salt="split-v1"):
+        b = int(
+            hashlib.md5(f"{doc_id}|{salt}".encode()).hexdigest()[:15], 16
+        ) % 100
+        return "train" if b < 98 else ("val" if b < 99 else "test")
+
+    def grams(text):
+        ws = text.split(" ")
+        return {
+            int(
+                hashlib.md5(" ".join(ws[j:j + n_words]).encode())
+                .hexdigest()[:15], 16
+            ) % P31
+            for j in range(len(ws) - n_words + 1)
+        } if len(ws) >= n_words else set()
+
+    rows = docs.select("doc_id", "text").collect()
+    gsets = {r["doc_id"]: grams(r["text"]) for r in rows}
+    train = set().union(
+        *(g for d, g in gsets.items() if split_of(d) == "train")
+    )
+    exp = {
+        d: (split_of(d), len(g), len(g & train))
+        for d, g in gsets.items()
+        if split_of(d) != "train" and g
+    }
+    assert got == exp
+    # the report is the exact rollup of the per-doc frame
+    rep = {
+        r["split"]: (r["n_docs"], r["n_contam_docs"], r["n_grams"], r["n_hits"])
+        for r in TX.split_contamination_report(docs, n_words=n_words).collect()
+    }
+    for sp in ("val", "test"):
+        mine = [(s, ng, nh) for (s, ng, nh) in exp.values() if s == sp]
+        assert rep[sp] == (
+            len(mine),
+            sum(1 for _, _, nh in mine if nh > 0),
+            sum(ng for _, ng, _ in mine),
+            sum(nh for _, _, nh in mine),
+        )
+    with pytest.raises(ValueError, match="n_words"):
+        TX.split_contamination(docs, n_words=0)
+
+
+def test_temperature_mix_matches_math_sqrt_twin(spark):
+    import math
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark).select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    for passes in (1, 2):
+        got = {
+            r["source"]: (
+                r["n_docs"], r["token_mass"], r["nat_share"],
+                r["temp_prob"], r["boost"],
+            )
+            for r in TX.temperature_mix(docs, sqrt_passes=passes).collect()
+        }
+        rows = docs.collect()
+        mass, n = {}, {}
+        for r in rows:
+            mass[r["source"]] = mass.get(r["source"], 0) + r["n_tok"]
+            n[r["source"]] = n.get(r["source"], 0) + 1
+        total = sum(mass.values())
+
+        def w(m):
+            x = float(m)
+            for _ in range(passes):
+                x = math.sqrt(x)
+            return x
+
+        # normalizer folds in sorted source order — replicate exactly
+        wt = 0.0
+        for s in sorted(mass):
+            wt += w(mass[s])
+        exp = {
+            s: (
+                n[s], mass[s], mass[s] / total,
+                w(mass[s]) / wt, (w(mass[s]) / wt) / (mass[s] / total),
+            )
+            for s in mass
+        }
+        assert got == exp  # bit-exact: sqrt is correctly rounded IEEE
+        # temperature flattens: hot sources damped, cold sources boosted
+        hot = max(mass, key=lambda s: (mass[s], s))
+        cold = min(mass, key=lambda s: (mass[s], s))
+        if mass[hot] != mass[cold]:
+            assert got[hot][3] < got[hot][2] or got[hot][4] <= 1.0
+            assert got[cold][4] >= 1.0
+    with pytest.raises(ValueError, match="sqrt_passes"):
+        TX.temperature_mix(docs, sqrt_passes=0)

@@ -107,6 +107,15 @@ EXCHANGE_BOUNDS = [
     ("tx_hard_negatives", 15),     # bm25_topk's 13-exchange DAG + the
                                    # two embedding hash joins on the
                                    # n_queries x k key set
+    ("rollup_cms_estimate", 2),    # fine+coarse sketch aggregates fold
+                                   # into one shuffle; candidate probe
+                                   # joins the bounded grid
+    ("tx_split_contam", 7),        # two gram-set distincts + per-doc +
+                                   # per-split rollups; the held-out
+                                   # vocabulary broadcasts both ways —
+                                   # train grams never shuffle
+    ("tx_temp_mix", 5),            # doc_id mass join + bounded source
+                                   # agg + 1-row sorted-fold normalizer
 ]
 
 

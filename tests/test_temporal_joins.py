@@ -578,3 +578,49 @@ if _HAS_HYPOTHESIS:
             tolerance=tolerance, bucket_width=width,
         )
         assert _rows(got, "pid", "m_t", "m_bv") == _rows(ref, "pid", "m_t", "m_bv")
+
+
+# ------------------------------------------------------ count-min tier
+
+def test_countmin_merge_equals_direct_and_overestimates(spark, long_form):
+    from dtaianomaly_spark.rollup.tiers import (
+        countmin_estimate, countmin_rollup,
+    )
+
+    cms = countmin_rollup(long_form, fine_ticks=16, factor=4)
+    direct = countmin_rollup(long_form, fine_ticks=64, factor=1)
+    cols = ("doc_id", "bucket", "row", "cell", "ccnt")
+    # the sketch is a commutative monoid: fine->coarse cell-wise sums
+    # equal the sketch built at coarse granularity directly
+    assert _rows(cms, *cols) == _rows(direct, *cols)
+    # mass invariant: every row of the grid holds the bucket's count
+    bucket_n = {
+        (r["doc_id"], r["bucket"]): r["n"]
+        for r in long_form.groupBy(
+            "doc_id", (F.col("pos") / 64).cast("long").alias("bucket")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    row_mass = {}
+    for r in cms.collect():
+        k = (r["doc_id"], r["bucket"], r["row"])
+        row_mass[k] = row_mass.get(k, 0) + r["ccnt"]
+    for (d, b, _), m in row_mass.items():
+        assert m == bucket_n[(d, b)]
+    assert {k[2] for k in row_mass} == {0, 1, 2, 3}
+    # point queries: est >= true for EVERY present value (one-sided
+    # Count-Min guarantee), and est <= bucket total trivially
+    truth = long_form.groupBy(
+        "doc_id", (F.col("pos") / 64).cast("long").alias("bucket"), "value"
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    est = countmin_estimate(cms, truth).collect()
+    assert len(est) > 100
+    for r in est:
+        assert r["cnt"] <= r["est"] <= bucket_n[(r["doc_id"], r["bucket"])]
+    # absent value: estimate is bounded by the bucket total too
+    absent = truth.select("doc_id", "bucket").distinct().withColumn(
+        "value", F.lit(10 ** 12)
+    )
+    for r in countmin_estimate(cms, absent).collect():
+        assert 0 <= r["est"] <= bucket_n[(r["doc_id"], r["bucket"])]
+    with pytest.raises(ValueError, match="depth/width"):
+        countmin_rollup(long_form, depth=0)
