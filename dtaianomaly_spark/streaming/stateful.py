@@ -554,3 +554,147 @@ def stateful_hist_rollup(
         if flush_after_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# Streaming Count-Min: the online twin of rollup/tiers.countmin_rollup.
+# ------------------------------------------------------------------
+
+CMS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("row", LongType(), False),
+        StructField("cell", LongType(), False),
+        StructField("ccnt", LongType(), False),
+        StructField("final", BooleanType(), False),
+    ]
+)
+
+CMS_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType()), True),
+        StructField("grids", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
+def _cms_cells_py(value: int, depth: int, width: int) -> list:
+    """The batch tier's md5 row-hash family, verbatim in Python
+    (rollup/tiers._cms_cell_sql): cell_r = md5(value || '|r' || r)
+    first-15-hex-digits mod width."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}|r{r}".encode()).hexdigest()[:15], 16)
+        % width
+        for r in range(depth)
+    ]
+
+
+def _make_cms_update(
+    bucket_ticks: int, depth: int, width: int, flush_after_ms: int | None
+):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        open_b: dict[int, list[int]] = {}
+        if state.exists:
+            buckets, grids = state.get
+            open_b = {b: list(grids[i]) for i, b in enumerate(buckets)}
+
+        def rows_of(items, final):
+            out = []
+            for b, grid in items:
+                out.extend(
+                    (doc_id, b, i // width, i % width, c, final)
+                    for i, c in enumerate(grid) if c > 0
+                )
+            return out
+
+        if state.hasTimedOut:
+            # partial grids are a monoid (cell-wise sum): flushes of a
+            # revived series re-combine exactly downstream
+            state.remove()
+            rows = rows_of(sorted(open_b.items()), False)
+            if rows:
+                yield pd.DataFrame(rows, columns=CMS_OUTPUT_SCHEMA.names)
+            return
+
+        cells: dict[int, list[int]] = {}
+        for pdf in pdfs:
+            grouped = (
+                pdf.assign(bucket=pdf["pos"] // bucket_ticks)
+                .groupby(["bucket", "value"])
+                .size()
+            )
+            for (b, v), c in grouped.items():
+                grid = open_b.setdefault(int(b), [0] * (depth * width))
+                v = int(v)
+                if v not in cells:
+                    cells[v] = _cms_cells_py(v, depth, width)
+                for r, cell in enumerate(cells[v]):
+                    grid[r * width + cell] += int(c)
+
+        done = {
+            b: grid for b, grid in open_b.items()
+            if sum(grid[:width]) >= bucket_ticks  # row 0 sees every point
+        }
+        for b in done:
+            del open_b[b]
+
+        if open_b:
+            bs = sorted(open_b)
+            state.update((bs, [open_b[b] for b in bs]))
+            if flush_after_ms is not None:
+                state.setTimeoutDuration(flush_after_ms)
+        else:
+            state.remove()
+
+        rows = rows_of(sorted(done.items()), True)
+        if rows:
+            yield pd.DataFrame(rows, columns=CMS_OUTPUT_SCHEMA.names)
+
+    return update
+
+
+def stateful_countmin(
+    stream_long_form,
+    bucket_ticks: int = 960,
+    depth: int | None = None,
+    width: int | None = None,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """points stream (doc_id, pos, value) -> append stream of sparse
+    Count-Min cells, the ONLINE twin of ``rollup/tiers.countmin_rollup``
+    (same md5 row-hash family, so completed buckets byte-match the
+    batch sketch built at the same ``bucket_ticks`` — tested). State
+    per open bucket is the depth x width counter grid — FIXED SIZE no
+    matter the value domain, which is the whole point of keeping a
+    sketch online: heavy-hitter state (stateful_topk_tokens) grows
+    with the alphabet, this never does. Completion is detected by row
+    0's mass reaching ``bucket_ticks`` (every point increments exactly
+    one cell per row). Cell counters are a plain monoid, so TTL
+    flushes of partial grids (``final=false``) re-combine exactly by
+    cell-wise sum — revival-safe. Same exactly-once input contract and
+    timeout caveats as :func:`stateful_bucket_rollup`. Geometry
+    defaults come from the batch tier's constants (CMS_DEPTH/CMS_WIDTH)
+    — retuning the tier retunes the twin with it."""
+    from dtaianomaly_spark.rollup.tiers import CMS_DEPTH, CMS_WIDTH
+
+    depth = CMS_DEPTH if depth is None else depth
+    width = CMS_WIDTH if width is None else width
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_cms_update(bucket_ticks, depth, width, flush_after_ms),
+        CMS_OUTPUT_SCHEMA,
+        CMS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -654,3 +654,103 @@ def test_vocab_update_fn_dedups_within_and_across_triggers():
     )[0]
     assert int(out3["new_tokens"].iloc[0]) == 0
     assert st3.updated is None  # no state write on a no-new trigger
+
+
+def test_stateful_countmin_matches_batch(spark, tmp_path):
+    """Out-of-order chunked ingest: completed buckets' sparse Count-Min
+    cells byte-match the batch sketch at the same bucket width."""
+    from dtaianomaly_spark.rollup.tiers import countmin_rollup
+    from dtaianomaly_spark.streaming.stateful import stateful_countmin
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos", "value"
+    )
+    src = str(tmp_path / "src")
+    for cond in ["pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"]:
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_countmin(stream, bucket_ticks=64, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.filter("NOT final").count() == 0
+    assert (
+        got.groupBy("doc_id", "bucket", "row", "cell")
+        .count().filter("count > 1").count() == 0
+    )
+    got = got.drop("final")
+
+    full = (
+        lf.groupBy("doc_id", (F.col("pos") / 64).cast("long").alias("bucket"))
+        .count().filter("count = 64").drop("count")
+    )
+    batch = countmin_rollup(lf, fine_ticks=64, factor=1).join(
+        full, ["doc_id", "bucket"], "semi"
+    )
+    cols = ("doc_id", "bucket", "row", "cell", "ccnt")
+    key = lambda r: tuple(r[c] for c in cols)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() > 200
+
+
+def test_stateful_countmin_ttl_partials_combine_to_batch():
+    """TTL flush mid-bucket: the final=false sparse cells from two
+    flushes monoid-combine (cell-wise sum) to the exact full grid."""
+    import hashlib
+
+    import pandas as pd
+
+    from dtaianomaly_spark.streaming.stateful import _make_cms_update
+
+    depth, width = 4, 8
+    update = _make_cms_update(16, depth, width, 1000)
+    pts = [(i, (i * 7) % 23 - 11) for i in range(16)]
+
+    def run_flush(points):
+        st = _FakeState()
+        out = list(
+            update(("d",), iter([pd.DataFrame(points, columns=["pos", "value"])]), st)
+        )
+        assert out == [] and st.updated is not None
+        st2 = _FakeState(value=st.updated, timed_out=True)
+        flush = list(update(("d",), iter([]), st2))[0]
+        assert st2.removed and not flush["final"].any()
+        return flush
+
+    a, b = run_flush(pts[:5]), run_flush(pts[5:])
+    merged = {}
+    for fl in (a, b):
+        for r in fl.itertuples():
+            merged[(r.row, r.cell)] = merged.get((r.row, r.cell), 0) + r.ccnt
+    want = {}
+    for _, v in pts:
+        for row in range(depth):
+            cell = int(
+                hashlib.md5(f"{v}|r{row}".encode()).hexdigest()[:15], 16
+            ) % width
+            want[(row, cell)] = want.get((row, cell), 0) + 1
+    assert merged == want
+    # completion by count: feeding all 16 points at once emits final=true
+    st = _FakeState()
+    done = list(
+        update(("d",), iter([pd.DataFrame(pts, columns=["pos", "value"])]), st)
+    )[0]
+    assert done["final"].all() and st.updated is None
+    got = {
+        (r.row, r.cell): r.ccnt for r in done.itertuples()
+    }
+    assert got == want
