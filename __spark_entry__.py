@@ -1487,6 +1487,19 @@ def _q_tx_temp_mix(spark, sf_dir):
     return TX.temperature_mix(src.join(mass, "doc_id"))
 
 
+def _q_tx_gopher_rep(spark, sf_dir):
+    """Full Gopher intra-document repetition table (Rae et al. 2021
+    table A1, word-gram reading): per doc the top-{2,3,4}-gram and
+    duplicated-{5..10}-gram character fractions with their table
+    thresholds and the conjunctive keep. One (doc, n, gram-hash) hash
+    aggregate (~9 gram rows per word, text never shuffles) + one
+    per-doc rollup. Rows-only; pinned bit-exactly against a
+    plain-Python twin incl. the total tie order."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.gopher_repetition(TX.load_docs(spark, sf_dir))
+
+
 def _q_rollup_cms_estimate(spark, sf_dir):
     """Count-Min sketch tier (Cormode & Muthukrishnan 2005) audited
     against the exact heavy hitters: the 4x32 counter grids are built
@@ -1977,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_swap_report": _q_tok_swap_report,
         "tx_split_report": _q_tx_split_report,
         "tx_split_contam": _q_tx_split_contam,
+        "tx_gopher_rep": _q_tx_gopher_rep,
         "tx_temp_mix": _q_tx_temp_mix,
         "rollup_cms_estimate": _q_rollup_cms_estimate,
     }

@@ -1720,3 +1720,101 @@ def temperature_mix(docs: DataFrame, sqrt_passes: int = 1) -> DataFrame:
             .alias("boost"),
         )
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, table A1): max fraction
+# of characters in the most frequent word n-gram (n = 2..4) and in all
+# duplicated word n-grams (n = 5..10)
+GOPHER_TOP_NGRAM_MAX_FRAC = ((2, 0.20), (3, 0.18), (4, 0.16))
+GOPHER_DUP_NGRAM_MAX_FRAC = (
+    (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)
+)
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """The full Gopher intra-document repetition table (Rae et al.
+    2021, table A1), adapted from lines to word n-grams (this corpus is
+    single-line): per document, the fraction of characters contained in
+    the MOST FREQUENT word n-gram for n = 2..4 (``top{n}_frac``) and in
+    ALL DUPLICATED word n-grams for n = 5..10 (``dup{n}_frac``), each
+    with its table-A1 pass flag and the conjunctive ``keep``.
+
+    Reading pinned here (the paper is prose; this is the NeMo-Curator/
+    Dolma occurrence-mass reading): char mass of an n-gram = its joined
+    string length times its occurrence count; ``top`` takes the most
+    frequent gram (ties: larger char mass, then smaller hash — total
+    order, partition-invariant), ``dup`` sums the mass of every gram
+    occurring twice-or-more. Fractions divide by ``length(text)``; a
+    document shorter than n words scores 0 for that n; one with fewer
+    than 2 words has no grams at all and produces NO row — compose with
+    :func:`gopher_rules`, whose word-count bound drops it anyway.
+
+    Scale: gram extraction is a map-side HOF over the pre-split words
+    array (no CSE inside lambdas — ``ws`` materialized first); only
+    (doc_id, n, int64 md5 hash, char length) rows shuffle — one hash
+    aggregate keyed on (doc, n, gram) whose fan-out is ~9 gram rows per
+    word, then one per-doc rollup. The gram TEXT never shuffles."""
+    ns = [n for n, _ in GOPHER_TOP_NGRAM_MAX_FRAC] + [
+        n for n, _ in GOPHER_DUP_NGRAM_MAX_FRAC
+    ]
+
+    def grams_expr(n):
+        return (
+            f"CASE WHEN size(ws) >= {n} THEN transform("
+            f"transform(sequence(1, size(ws) - {n - 1}),"
+            f" j -> array_join(slice(ws, j, {n}), ' ')),"
+            f" s -> struct(CAST({n} AS BIGINT) AS n,"
+            f" CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)"
+            f" % {P31} AS h,"
+            f" CAST(length(s) AS BIGINT) AS chars)) ELSE array() END"
+        )
+
+    all_grams = "flatten(array(" + ", ".join(grams_expr(n) for n in ns) + "))"
+    long = docs.select(
+        "doc_id",
+        F.expr("CAST(length(text) AS BIGINT)").alias("total_chars"),
+        F.expr("split(text, ' ')").alias("ws"),
+    ).select(
+        "doc_id", "total_chars", F.explode(F.expr(all_grams)).alias("g")
+    )
+    counted = long.groupBy(
+        "doc_id", F.col("g.n").alias("n"), F.col("g.h").alias("h")
+    ).agg(
+        F.min("total_chars").alias("total_chars"),
+        F.count("*").cast("long").alias("cnt"),
+        F.min("g.chars").alias("chars"),
+    )
+    per_doc_n = counted.groupBy("doc_id", "n").agg(
+        F.min("total_chars").alias("total_chars"),
+        F.max(F.struct("cnt", "chars", F.expr("-h"))).alias("top"),
+        F.sum(
+            F.expr("CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END")
+        ).cast("long").alias("dup_mass"),
+    ).select(
+        "doc_id", "n", "total_chars", "dup_mass",
+        F.expr("top.cnt * top.chars").cast("long").alias("top_mass"),
+    )
+    top_cols, dup_cols, passes = [], [], []
+    for n, thr in GOPHER_TOP_NGRAM_MAX_FRAC:
+        top_cols.append(
+            F.expr(
+                f"coalesce(CAST(max(CASE WHEN n = {n} THEN top_mass END)"
+                f" AS DOUBLE) / min(total_chars), CAST(0 AS DOUBLE))"
+            ).alias(f"top{n}_frac")
+        )
+        passes.append((f"top{n}_frac", thr))
+    for n, thr in GOPHER_DUP_NGRAM_MAX_FRAC:
+        dup_cols.append(
+            F.expr(
+                f"coalesce(CAST(max(CASE WHEN n = {n} THEN dup_mass END)"
+                f" AS DOUBLE) / min(total_chars), CAST(0 AS DOUBLE))"
+            ).alias(f"dup{n}_frac")
+        )
+        passes.append((f"dup{n}_frac", thr))
+    wide = per_doc_n.groupBy("doc_id").agg(*top_cols, *dup_cols)
+    flags = [
+        F.expr(f"CAST({col} <= {thr} AS INT)").alias(f"pass_{col[:-5]}")
+        for col, thr in passes
+    ]
+    keep = " AND ".join(f"{col} <= {thr}" for col, thr in passes)
+    return wide.select("*", *flags, F.expr(f"CAST({keep} AS INT)").alias("keep"))

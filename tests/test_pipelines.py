@@ -1438,3 +1438,69 @@ def test_temperature_mix_matches_math_sqrt_twin(spark):
             assert got[cold][4] >= 1.0
     with pytest.raises(ValueError, match="sqrt_passes"):
         TX.temperature_mix(docs, sqrt_passes=0)
+
+
+def test_gopher_repetition_matches_python_twin(spark):
+    import hashlib
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark).filter(F.col("doc_id") < 120)
+    # inject an adversarial doc: heavy bigram repetition + a long
+    # duplicated 6-gram so the dup columns are exercised non-trivially
+    rep = ("alpha beta " * 30 + "one two three four five six "
+           "junk filler words here " + "one two three four five six").strip()
+    docs = docs.unionByName(
+        spark.createDataFrame(
+            [(999999, rep, "en", "synthetic", len(rep))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    )
+    out = {r["doc_id"]: r.asDict() for r in TX.gopher_repetition(docs).collect()}
+
+    P31 = TX.P31
+
+    def twin(text):
+        ws = text.split(" ")
+        total = len(text)
+        res = {}
+        for n, thr in list(TX.GOPHER_TOP_NGRAM_MAX_FRAC) + list(
+            TX.GOPHER_DUP_NGRAM_MAX_FRAC
+        ):
+            counts = {}
+            for j in range(len(ws) - n + 1):
+                g = " ".join(ws[j:j + n])
+                h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P31
+                c, _ = counts.get(h, (0, len(g)))
+                counts[h] = (c + 1, len(g))
+            kind = "top" if n <= 4 else "dup"
+            if not counts:
+                frac = 0.0
+            elif kind == "top":
+                cnt, chars, negh = max(
+                    (c, ch, -h) for h, (c, ch) in counts.items()
+                )
+                frac = float(cnt * chars) / total
+            else:
+                frac = float(
+                    sum(c * ch for c, ch in counts.values() if c > 1)
+                ) / total
+            res[f"{kind}{n}_frac"] = frac
+            res[f"pass_{kind}{n}"] = int(frac <= thr)
+        res["keep"] = int(
+            all(v for k, v in res.items() if k.startswith("pass_"))
+        )
+        return res
+
+    rows = docs.select("doc_id", "text").collect()
+    assert set(out) == {r["doc_id"] for r in rows}
+    for r in rows:
+        exp = twin(r["text"])
+        got = {k: v for k, v in out[r["doc_id"]].items() if k != "doc_id"}
+        assert got == exp, r["doc_id"]
+    # the adversarial doc must actually trip both rule families
+    bad = out[999999]
+    assert bad["pass_top2"] == 0 and bad["pass_dup6"] == 0 and bad["keep"] == 0
+    # and ordinary synthetic docs mostly survive
+    keeps = [v["keep"] for k, v in out.items() if k != 999999]
+    assert sum(keeps) > len(keeps) * 0.5

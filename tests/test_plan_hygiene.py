@@ -116,6 +116,9 @@ EXCHANGE_BOUNDS = [
                                    # train grams never shuffle
     ("tx_temp_mix", 5),            # doc_id mass join + bounded source
                                    # agg + 1-row sorted-fold normalizer
+    ("tx_gopher_rep", 4),          # one (doc, n, gram-hash) aggregate +
+                                   # per-(doc, n) and per-doc rollups;
+                                   # gram text never shuffles
 ]
 
 
