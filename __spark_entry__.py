@@ -1415,6 +1415,23 @@ def _q_tok_pack_stats(spark, sf_dir):
     return TK.packing_stats(packed, 512)
 
 
+def _q_tok_epoch_order(spark, sf_dir):
+    """Deterministic epoch-0 global training order over the packed
+    rows (md5(grp|bin|epoch|salt) ascending — the loader-facing step
+    after packing; growth-stable keys, bit-reproducible by a Python
+    twin): compact projection (epoch, seq, grp, bin, n_seqs, n_tok).
+    One packing shuffle + one range-partitioned sort on the key.
+    Rows-only; permutation/determinism/twin pinned in pytest."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    chunks = TK.chunk_tokens(C.token_arrays(spark, sf_dir), 512)
+    packed = TK.pack_sequences(chunks, 512, n_groups=32)
+    rows = TK.build_packed_rows(chunks, packed, 512)
+    return TK.epoch_order(rows, 0).select(
+        "epoch", "seq", "grp", "bin", "n_seqs", "n_tok"
+    )
+
+
 def _q_tok_swap_report(spark, sf_dir):
     """Tokenizer-SELECTION report: BPE (rank replay) vs WordPiece
     (maximal munch) vs Unigram-LM (Viterbi) compression per source over
@@ -1983,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_unigram_model": _q_tok_unigram_model,
         "tok_unigram_encode": _q_tok_unigram_encode,
         "tok_pack_stats": _q_tok_pack_stats,
+        "tok_epoch_order": _q_tok_epoch_order,
         "tok_wp_merges": _q_tok_wp_merges,
         "tok_wp_encode": _q_tok_wp_encode,
         "tok_vocab_growth": _q_tok_vocab_growth,

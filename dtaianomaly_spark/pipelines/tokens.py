@@ -1222,3 +1222,49 @@ def tokenizer_swap_report(
             ).alias("compression"),
         )
     )
+
+
+def epoch_order(
+    packed_rows: DataFrame,
+    epoch: int,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle of the packed rows —
+    the step between :func:`build_packed_rows` and the data loader:
+    every epoch every packed bin gets a shuffle key
+    ``md5(grp || bin || epoch || salt)`` (the repo's md5 convention —
+    bit-reproducible by any engine and by the plain-Python pytest
+    twin) and the epoch's training order is the ascending key order.
+    Output: input columns + (epoch, seq) where ``seq`` is the dense
+    0-based position of the row in epoch order.
+
+    Properties that matter for training (all pytest-pinned): the order
+    is a permutation (seq is dense per epoch), reproducible under any
+    partitioning, different across epochs (fresh md5 input), and
+    STABLE under corpus growth in the key sense — a bin's key never
+    changes, so appending new bins interleaves them without reshuffling
+    the relative order of existing ones (the split_assign contract,
+    applied to ordering).
+
+    Scale: one global sort on the 128-bit key (range partitioning —
+    the honest 100-TB shape: epoch shards are WRITTEN in key order so
+    the loader streams sequentially); the window over the sorted order
+    adds no extra exchange. At cluster scale, substitute the
+    row_number window with ``zipWithIndex``-style shard offsets if a
+    single ordering partition column is preferred; the key itself is
+    already the total order."""
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    from pyspark.sql import Window
+
+    key = (
+        f"md5(concat(CAST(grp AS STRING), '|', CAST(bin AS STRING),"
+        f" '|e{int(epoch)}|', '{salt}'))"
+    )
+    w = Window.orderBy("shuffle_key", "grp", "bin")
+    return (
+        packed_rows.withColumn("shuffle_key", F.expr(key))
+        .withColumn("epoch", F.lit(int(epoch)).cast("long"))
+        .withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
+        .drop("shuffle_key")
+    )

@@ -119,6 +119,9 @@ EXCHANGE_BOUNDS = [
     ("tx_gopher_rep", 4),          # one (doc, n, gram-hash) aggregate +
                                    # per-(doc, n) and per-doc rollups;
                                    # gram text never shuffles
+    ("tok_epoch_order", 5),        # packing group shuffle + id join +
+                                   # bin aggregate + the one range-
+                                   # partitioned key sort
 ]
 
 

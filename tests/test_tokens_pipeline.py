@@ -678,3 +678,51 @@ def test_wordpiece_encode_random_property(spark):
         assert got[i] == want, (i, toks)
         flat = [t for p in got[i] for t in expand.get(p, (p,))]
         assert flat == toks
+
+
+def test_epoch_order_is_deterministic_permutation(spark):
+    import hashlib
+
+    chunks = TK.chunk_tokens(C.token_arrays(spark, SF_DIR).limit(40), 128)
+    packed = TK.pack_sequences(chunks, 512, n_groups=4)
+    rows = TK.build_packed_rows(chunks, packed, 512)
+
+    e0 = TK.epoch_order(rows, 0)
+    got = [(r["grp"], r["bin"]) for r in e0.orderBy("seq").collect()]
+    seqs = [r["seq"] for r in e0.orderBy("seq").collect()]
+    n = rows.count()
+    assert seqs == list(range(n))                 # dense 0-based order
+    assert sorted(got) == sorted(
+        (r["grp"], r["bin"]) for r in rows.collect()
+    )                                              # a permutation
+
+    # plain-Python md5 twin reproduces the exact order
+    def key(g, b, epoch, salt="shuffle-v1"):
+        return hashlib.md5(f"{g}|{b}|e{epoch}|{salt}".encode()).hexdigest()
+
+    want = sorted(got, key=lambda gb: (key(*gb, 0), gb[0], gb[1]))
+    assert got == want
+
+    # partitioning invariance
+    again = [
+        (r["grp"], r["bin"])
+        for r in TK.epoch_order(rows.repartition(16), 0)
+        .orderBy("seq").collect()
+    ]
+    assert again == got
+
+    # different epochs genuinely reshuffle; same epoch is stable
+    e1 = [(r["grp"], r["bin"]) for r in TK.epoch_order(rows, 1).orderBy("seq").collect()]
+    assert e1 != got and sorted(e1) == sorted(got)
+
+    # growth stability of the KEY: existing bins keep their relative
+    # order when new bins appear (the split_assign contract for order)
+    sub = rows.filter("bin % 2 = 0")
+    sub_order = [
+        (r["grp"], r["bin"])
+        for r in TK.epoch_order(sub, 0).orderBy("seq").collect()
+    ]
+    assert sub_order == [gb for gb in got if gb[1] % 2 == 0]
+
+    with pytest.raises(ValueError, match="epoch"):
+        TK.epoch_order(rows, -1)
