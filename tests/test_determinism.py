@@ -47,6 +47,9 @@ FAMILIES = [
                           # candidate window
     "tx_split_report",    # md5 cumulative-range assignment
     "mm_resize",          # decode + floor-index-map resize
+    "tx_temp_mix",        # sorted-source float fold + sqrt normalizer
+    "tx_gopher_rep",      # top-gram max(struct) total tie order
+    "tok_epoch_order",    # global md5-key sort + dense row_number
 ]
 
 
