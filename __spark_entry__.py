@@ -1533,6 +1533,33 @@ def _q_rollup_cms_estimate(spark, sf_dir):
     return T.countmin_estimate(cms, top)
 
 
+def _q_rollup_bloom_contains(spark, sf_dir):
+    """Bloom-filter tier (Bloom 1970) audited against ground truth:
+    per-(series, coarse bucket) 256-bit membership filters built at the
+    fine tier and merged by UNION (a Bloom filter of a union of sets IS
+    the OR of the filters — an idempotent commutative monoid, so
+    composition is exact), then probed with each bucket's exact top-3
+    tokens (truly present — ``maybe`` MUST be true, the no-false-
+    negative side) and one deterministic far-out-of-domain value per
+    bucket (the over-admission side, where ``maybe`` may go either
+    way). Output carries the probe arithmetic (n_bits, n_hit) plus an
+    ``expected`` flag so both sides of the guarantee are visible in the
+    rows. Rows-only; merge==direct, no-false-negative and Python-twin
+    byte-equality invariants pinned in pytest."""
+    lf = _spark_long_form(spark, sf_dir)
+    bloom = T.bloom_rollup(lf, 64, 15)
+    top = T.topk_tokens(lf, 960, 3).select(
+        "doc_id", "bucket", "value", F.lit(True).alias("expected")
+    )
+    absent = top.select("doc_id", "bucket").distinct().select(
+        "doc_id", "bucket",
+        (F.crc32(F.concat_ws("|", "doc_id", "bucket")) + F.lit(10 ** 12))
+        .cast("long").alias("value"),
+        F.lit(False).alias("expected"),
+    )
+    return T.bloom_contains(bloom, top.unionByName(absent))
+
+
 def _q_tok_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary-growth ladder (1/8..8/8 of the corpus in
     doc_id order): distinct-token count + token mass per prefix rung —
@@ -2011,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_gopher_rep": _q_tx_gopher_rep,
         "tx_temp_mix": _q_tx_temp_mix,
         "rollup_cms_estimate": _q_rollup_cms_estimate,
+        "rollup_bloom_contains": _q_rollup_bloom_contains,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

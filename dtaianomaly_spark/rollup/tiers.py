@@ -731,3 +731,116 @@ def countmin_estimate(
         joined.groupBy(*candidates.columns)
         .agg(F.min(F.coalesce("ccnt", F.lit(0))).cast("long").alias("est"))
     )
+
+
+# ------------------------------------------------------- Bloom tier
+
+BLOOM_BITS = 256
+BLOOM_K = 4
+
+
+def _bloom_bit_sql(value_col: str, i: int, m_bits: int) -> str:
+    """Deterministic bit index: md5 of the value salted with the hash
+    id, folded to a bit position — the same reproducible md5 family as
+    the Count-Min tier (``_cms_cell_sql``), so any engine (or the plain
+    Python twin) sets byte-identical bits."""
+    return (
+        f"CAST(conv(substr(md5(concat(CAST({value_col} AS STRING),"
+        f" '|b{int(i)}')), 1, 15), 16, 10) AS BIGINT) % {int(m_bits)}"
+    )
+
+
+def _bloom_bits_expr(value_col: str, k: int, m_bits: int) -> str:
+    """The value's k bit positions, DISTINCT (two hash functions may
+    collide on a bit; membership needs the set, not the multiset)."""
+    bits = ", ".join(_bloom_bit_sql(value_col, i, m_bits) for i in range(k))
+    return f"array_distinct(array({bits}))"
+
+
+def bloom_rollup(
+    long_form: DataFrame,
+    fine_ticks: int = 64,
+    factor: int = 15,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Mergeable Bloom-filter tier (Bloom 1970, "Space/time trade-offs
+    in hash coding with allowable errors") — the MEMBERSHIP summary
+    completing the sketch family (HLL = how many distinct, MG/Count-Min
+    = how often, Bloom = is it there at all): per (series, coarse
+    bucket) an ``m_bits``-bit filter of the values present, stored
+    SPARSE as set-bit rows ``(doc_id, bucket, bit)`` (absent bits are
+    zero). This is the 100-TB decontamination/membership primitive: a
+    bounded filter per partition broadcasts where the value set itself
+    cannot.
+
+    Fine tier: each value sets its ``k`` bits
+    (``bit_i = md5(value || '|b' || i) % m_bits``); coarse tier: the
+    UNION of the fine tiers' bit sets — a Bloom filter of a union of
+    sets IS the OR of their filters, so the tier is a commutative
+    idempotent monoid and composition is exact by construction (pinned
+    by test anyway, merge == direct). Membership via
+    :func:`bloom_contains`: no false negatives ever (deterministic
+    side, pinned); false-positive rate ~ (1 - e^{-kn/m})^k
+    (probabilistic side).
+
+    Scale: the filter is at most ``m_bits`` rows per bucket no matter
+    the value domain or count — two DISTINCT hash aggregates (map-side
+    partial dedup) over bounded keys; nothing grows with NDV. Zero
+    UDF, zero window."""
+    if m_bits < 1 or k < 1:
+        raise ValueError(f"m_bits/k must be >= 1, got {m_bits}/{k}")
+    fine = (
+        long_form.select(
+            "doc_id",
+            (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
+            F.explode(F.expr(_bloom_bits_expr("value", k, m_bits))).alias(
+                "bit"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        fine.select(
+            "doc_id",
+            (F.col("fbucket") / factor).cast("long").alias("bucket"),
+            "bit",
+        )
+        .distinct()
+    )
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership probes against a :func:`bloom_rollup` filter: for
+    each candidate ``(doc_id, bucket, value)`` row, ``maybe`` = every
+    one of the value's (distinct) bits is set in the bucket's filter.
+    The Bloom guarantee (deterministic side, pinned by test): a value
+    that WAS in the bucket always probes ``maybe = true`` — the filter
+    can only over-admit, never miss. Extra candidate columns pass
+    through; ``n_bits``/``n_hit`` are carried so the probe arithmetic
+    is visible in the rows.
+
+    The probe is an equi-join on (doc_id, bucket, bit) against the
+    bounded sparse filter; an unset bit simply finds no row."""
+    cand = candidates.select(
+        "*",
+        F.posexplode(
+            F.expr(_bloom_bits_expr("value", k, m_bits))
+        ).alias("_bp", "bit"),
+    ).drop("_bp")
+    hit = bloom.withColumn("_hit", F.lit(1))
+    joined = cand.join(hit, ["doc_id", "bucket", "bit"], "left")
+    return (
+        joined.groupBy(*candidates.columns)
+        .agg(
+            F.count("*").cast("long").alias("n_bits"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .withColumn("maybe", F.col("n_hit") == F.col("n_bits"))
+    )
+

@@ -698,3 +698,157 @@ def stateful_countmin(
         if flush_after_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# Streaming Bloom: the online twin of rollup/tiers.bloom_rollup.
+# ------------------------------------------------------------------
+
+BLOOM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("bit", LongType(), False),
+        StructField("final", BooleanType(), False),
+    ]
+)
+
+BLOOM_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("bits", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
+def _bloom_bits_py(value: int, k: int, m_bits: int) -> list:
+    """The batch tier's md5 bit family, verbatim in Python
+    (rollup/tiers._bloom_bit_sql): bit_i = md5(value || '|b' || i)
+    first-15-hex-digits mod m_bits (distinct-folded by the caller's
+    set semantics)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}|b{i}".encode()).hexdigest()[:15], 16)
+        % m_bits
+        for i in range(k)
+    ]
+
+
+def _make_bloom_update(
+    bucket_ticks: int, m_bits: int, k: int, flush_after_ms: int | None
+):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        open_b: dict[int, tuple[int, set]] = {}
+        if state.exists:
+            buckets, counts, bits = state.get
+            open_b = {
+                b: (int(counts[i]), set(bits[i]))
+                for i, b in enumerate(buckets)
+            }
+
+        def rows_of(items, final):
+            return [
+                (doc_id, b, bit, final)
+                for b, (_, bset) in items
+                for bit in sorted(bset)
+            ]
+
+        if state.hasTimedOut:
+            # bit sets are an idempotent monoid (union): flushes of a
+            # revived series re-combine exactly downstream via distinct
+            state.remove()
+            rows = rows_of(sorted(open_b.items()), False)
+            if rows:
+                yield pd.DataFrame(rows, columns=BLOOM_OUTPUT_SCHEMA.names)
+            return
+
+        vbits: dict[int, list] = {}
+        for pdf in pdfs:
+            grouped = (
+                pdf.assign(bucket=pdf["pos"] // bucket_ticks)
+                .groupby(["bucket", "value"])
+                .size()
+            )
+            for (b, v), c in grouped.items():
+                cnt, bset = open_b.get(int(b), (0, set()))
+                v = int(v)
+                if v not in vbits:
+                    vbits[v] = _bloom_bits_py(v, k, m_bits)
+                bset.update(vbits[v])
+                open_b[int(b)] = (cnt + int(c), bset)
+
+        done = {
+            b: st for b, st in open_b.items() if st[0] >= bucket_ticks
+        }
+        for b in done:
+            del open_b[b]
+
+        if open_b:
+            bs = sorted(open_b)
+            state.update(
+                (
+                    bs,
+                    [open_b[b][0] for b in bs],
+                    [sorted(open_b[b][1]) for b in bs],
+                )
+            )
+            if flush_after_ms is not None:
+                state.setTimeoutDuration(flush_after_ms)
+        else:
+            state.remove()
+
+        rows = rows_of(sorted(done.items()), True)
+        if rows:
+            yield pd.DataFrame(rows, columns=BLOOM_OUTPUT_SCHEMA.names)
+
+    return update
+
+
+def stateful_bloom(
+    stream_long_form,
+    bucket_ticks: int = 960,
+    m_bits: int | None = None,
+    k: int | None = None,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """points stream (doc_id, pos, value) -> append stream of sparse
+    Bloom set-bit rows, the ONLINE twin of ``rollup/tiers.bloom_rollup``
+    (same md5 bit family, so completed buckets byte-match the batch
+    filter built at the same ``bucket_ticks`` — tested). State per open
+    bucket is the bit SET plus one point counter — bounded by
+    ``m_bits`` no matter the value domain, and unlike the Count-Min
+    grid it SATURATES (a hot bucket's state stops growing once its
+    bits fill in). Completion is detected by the point counter reaching
+    ``bucket_ticks``. Bit sets are an idempotent commutative monoid
+    (union), so TTL flushes of partial filters (``final=false``)
+    re-combine exactly by per-(doc_id, bucket) DISTINCT — revival-safe,
+    and even double-delivered flush rows are harmless (idempotence —
+    strictly more forgiving than the counter twins). Same exactly-once
+    input contract for COMPLETION and timeout caveats as
+    :func:`stateful_bucket_rollup`; the bits themselves survive
+    duplicated points (set semantics), only the completion trigger
+    needs uniqueness. Geometry defaults come from the batch tier's
+    constants (BLOOM_BITS/BLOOM_K) — retuning the tier retunes the
+    twin with it."""
+    from dtaianomaly_spark.rollup.tiers import BLOOM_BITS, BLOOM_K
+
+    m_bits = BLOOM_BITS if m_bits is None else m_bits
+    k = BLOOM_K if k is None else k
+    if m_bits < 1 or k < 1:
+        raise ValueError(f"m_bits/k must be >= 1, got {m_bits}/{k}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_bloom_update(bucket_ticks, m_bits, k, flush_after_ms),
+        BLOOM_OUTPUT_SCHEMA,
+        BLOOM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

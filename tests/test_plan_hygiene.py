@@ -110,6 +110,9 @@ EXCHANGE_BOUNDS = [
     ("rollup_cms_estimate", 2),    # fine+coarse sketch aggregates fold
                                    # into one shuffle; candidate probe
                                    # joins the bounded grid
+    ("rollup_bloom_contains", 4),  # fine+coarse distinct bit sets +
+                                   # top-3 probe window + the probe
+                                   # join/group over the bounded filter
     ("tx_split_contam", 7),        # two gram-set distincts + per-doc +
                                    # per-split rollups; the held-out
                                    # vocabulary broadcasts both ways —

@@ -754,3 +754,96 @@ def test_stateful_countmin_ttl_partials_combine_to_batch():
         (r.row, r.cell): r.ccnt for r in done.itertuples()
     }
     assert got == want
+
+
+def test_stateful_bloom_matches_batch(spark, tmp_path):
+    """Out-of-order chunked ingest: completed buckets' sparse Bloom
+    set-bit rows byte-match the batch filter at the same bucket width."""
+    from dtaianomaly_spark.rollup.tiers import bloom_rollup
+    from dtaianomaly_spark.streaming.stateful import stateful_bloom
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos", "value"
+    )
+    src = str(tmp_path / "src")
+    for cond in ["pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"]:
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_bloom(stream, bucket_ticks=64, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.filter("NOT final").count() == 0
+    assert (
+        got.groupBy("doc_id", "bucket", "bit")
+        .count().filter("count > 1").count() == 0
+    )
+    got = got.drop("final")
+
+    full = (
+        lf.groupBy("doc_id", (F.col("pos") / 64).cast("long").alias("bucket"))
+        .count().filter("count = 64").drop("count")
+    )
+    batch = bloom_rollup(lf, fine_ticks=64, factor=1).join(
+        full, ["doc_id", "bucket"], "semi"
+    )
+    cols = ("doc_id", "bucket", "bit")
+    key = lambda r: tuple(r[c] for c in cols)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() > 200
+
+
+def test_stateful_bloom_ttl_partials_union_to_batch():
+    """TTL flush mid-bucket: the final=false set-bit rows from two
+    flushes monoid-combine (union) to the exact full filter — and the
+    union is idempotent, so re-delivered flush rows change nothing."""
+    import hashlib
+
+    import pandas as pd
+
+    from dtaianomaly_spark.streaming.stateful import _make_bloom_update
+
+    m_bits, k = 64, 3
+    update = _make_bloom_update(16, m_bits, k, 1000)
+    pts = [(i, (i * 7) % 23 - 11) for i in range(16)]
+
+    def run_flush(points):
+        st = _FakeState()
+        out = list(
+            update(("d",), iter([pd.DataFrame(points, columns=["pos", "value"])]), st)
+        )
+        assert out == [] and st.updated is not None
+        st2 = _FakeState(value=st.updated, timed_out=True)
+        flush = list(update(("d",), iter([]), st2))[0]
+        assert st2.removed and not flush["final"].any()
+        return flush
+
+    a, b = run_flush(pts[:5]), run_flush(pts[5:])
+    merged = {int(r.bit) for fl in (a, b) for r in fl.itertuples()}
+    want = {
+        int(hashlib.md5(f"{v}|b{i}".encode()).hexdigest()[:15], 16) % m_bits
+        for _, v in pts for i in range(k)
+    }
+    assert merged == want
+    assert merged | merged == want  # idempotent re-delivery
+    # completion by count: feeding all 16 points at once emits final=true
+    st = _FakeState()
+    done = list(
+        update(("d",), iter([pd.DataFrame(pts, columns=["pos", "value"])]), st)
+    )[0]
+    assert done["final"].all() and st.updated is None
+    assert {int(r.bit) for r in done.itertuples()} == want

@@ -624,3 +624,48 @@ def test_countmin_merge_equals_direct_and_overestimates(spark, long_form):
         assert 0 <= r["est"] <= bucket_n[(r["doc_id"], r["bucket"])]
     with pytest.raises(ValueError, match="depth/width"):
         countmin_rollup(long_form, depth=0)
+
+
+def test_bloom_merge_equals_direct_and_no_false_negatives(spark, long_form):
+    import hashlib
+
+    from dtaianomaly_spark.rollup.tiers import (
+        BLOOM_BITS, BLOOM_K, bloom_contains, bloom_rollup,
+    )
+
+    bl = bloom_rollup(long_form, fine_ticks=16, factor=4)
+    direct = bloom_rollup(long_form, fine_ticks=64, factor=1)
+    cols = ("doc_id", "bucket", "bit")
+    # a Bloom filter of a union of sets is the OR of the filters: the
+    # fine->coarse union equals the filter built at coarse granularity
+    assert _rows(bl, *cols) == _rows(direct, *cols)
+    # byte-equality vs the plain-Python twin of the md5 bit family
+    truth = long_form.groupBy(
+        "doc_id", (F.col("pos") / 64).cast("long").alias("bucket"), "value"
+    ).agg(F.count("*").cast("long").alias("cnt")).persist()
+    want = set()
+    for r in truth.collect():
+        for i in range(BLOOM_K):
+            want.add((
+                r["doc_id"], r["bucket"],
+                int(hashlib.md5(
+                    f"{r['value']}|b{i}".encode()
+                ).hexdigest()[:15], 16) % BLOOM_BITS,
+            ))
+    assert set(_rows(bl, *cols)) == want
+    # no false negatives: EVERY truly present value probes maybe=true
+    probed = bloom_contains(bl, truth).collect()
+    assert len(probed) > 100
+    for r in probed:
+        assert r["maybe"] and 1 <= r["n_bits"] <= BLOOM_K
+        assert r["n_hit"] == r["n_bits"]
+    # absent probes can only over-admit; with values far outside the
+    # domain at this fill ratio, at least one must be rejected
+    absent = truth.select("doc_id", "bucket").distinct().withColumn(
+        "value", (F.crc32(F.concat_ws("|", "doc_id", "bucket")) + 10 ** 12)
+    )
+    rej = bloom_contains(bl, absent).filter("NOT maybe")
+    assert rej.count() > 0
+    with pytest.raises(ValueError, match="m_bits/k"):
+        bloom_rollup(long_form, m_bits=0)
+    truth.unpersist()
