@@ -1560,6 +1560,41 @@ def _q_rollup_bloom_contains(spark, sf_dir):
     return T.bloom_contains(bloom, top.unionByName(absent))
 
 
+def _q_rollup_kmv_ndv(spark, sf_dir):
+    """KMV (k-minimum-values) distinct tier (Beyer et al. 2007) audited
+    against the exact NDV: per-(series, coarse bucket) k=64 minimum-hash
+    sketches built at the fine tier and merged by union-take-k (the
+    sketch of a union IS the merge — an idempotent monoid, merge ==
+    direct pinned), joined with the exact distinct rollup so the
+    estimator error is visible in the rows. Buckets holding fewer than
+    k distinct values are flagged exact (the sketch IS the hash set).
+    KMV is the third distinct sketch in the family: exact sets, HLL
+    (union-only counting), KMV (supports intersections — see
+    tx_vocab_overlap). Rows-only; merge==direct, exactness and
+    Python-twin byte-equality pinned in pytest."""
+    lf = _spark_long_form(spark, sf_dir)
+    kmv = T.kmv_rollup(lf, 64, 15, 64).select(
+        "doc_id", "bucket", "ndv_est", "exact"
+    )
+    exact = T.distinct_rollup(lf, 64, 15).select("doc_id", "bucket", "ndv")
+    return kmv.join(exact, ["doc_id", "bucket"]).select(
+        "doc_id", "bucket", "ndv", "ndv_est", "exact"
+    )
+
+
+def _q_tx_vocab_overlap(spark, sf_dir):
+    """Pairwise per-source word-vocabulary overlap from ONE KMV sketch
+    per source: Jaccard + intersection + union estimates for every
+    source pair off k=64 minimum-hash lists — the cross-slice audit
+    HLL cannot answer (unions only). The one corpus-sized stage is the
+    (source, word-hash) dedup; the pairwise join moves only bounded
+    hash lists. Rows-only; byte-equality vs a plain-Python md5 twin
+    and estimate-vs-exact tolerance pinned in pytest."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.source_vocab_overlap(TX.load_docs(spark, sf_dir), 64)
+
+
 def _q_tok_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary-growth ladder (1/8..8/8 of the corpus in
     doc_id order): distinct-token count + token mass per prefix rung —
@@ -2039,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_temp_mix": _q_tx_temp_mix,
         "rollup_cms_estimate": _q_rollup_cms_estimate,
         "rollup_bloom_contains": _q_rollup_bloom_contains,
+        "rollup_kmv_ndv": _q_rollup_kmv_ndv,
+        "tx_vocab_overlap": _q_tx_vocab_overlap,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

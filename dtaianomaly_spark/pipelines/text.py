@@ -1818,3 +1818,72 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     ]
     keep = " AND ".join(f"{col} <= {thr}" for col, thr in passes)
     return wide.select("*", *flags, F.expr(f"CAST({keep} AS INT)").alias("keep"))
+
+
+def source_vocab_overlap(docs: DataFrame, k: int = 64) -> DataFrame:
+    """Pairwise per-source WORD-VOCABULARY overlap from ONE KMV sketch
+    per source (Beyer et al. 2007) — the cross-slice audit a mixture
+    pipeline runs to see which crawls/sources actually share language:
+    HLL answers only "how many distinct", KMV's k-minimum hash lists
+    additionally combine across sources into Jaccard and intersection
+    estimates, because the k smallest hashes of a union are a uniform
+    sample of it.
+
+    For each unordered source pair (source_a < source_b):
+    ``X`` = the k smallest hashes of the union of the two sketches,
+    ``k_int`` = |X ∩ A ∩ B|, ``jaccard_est`` = k_int / |X|,
+    ``union_est`` = the basic KMV estimator on X, ``inter_est`` =
+    jaccard_est * union_est. When a pair's combined vocabulary holds
+    fewer than k distinct hashes the sketches ARE the hash sets and
+    every number is exact (``exact`` flag; md5 collisions aside).
+    All md5/IEEE ops shared verbatim with the plain-Python twin —
+    bit-reproducible.
+
+    Scale shape: the one corpus-sized stage is the (source, word-hash)
+    dedup inside :func:`kmv_agg`; after it every row is a <= k-long
+    hash list, and the pairwise join is |sources|² over bounded arrays
+    — expression-only array ops, no re-touch of the corpus."""
+    from dtaianomaly_spark.rollup.tiers import KMV_EST_SQL, KMV_M, kmv_agg
+
+    words = docs.select(
+        "source", F.explode(F.expr("split(text, ' ')")).alias("word")
+    )
+    # ONE sketch stage feeds both sides of the pairwise self-join:
+    # checkpointing it (lazily — no job at construction time) stops the
+    # corpus dedup + rank window from running once per join side
+    sk = kmv_agg(words, ["source"], "word", k).localCheckpoint(eager=False)
+    a = sk.select(
+        F.col("source").alias("source_a"),
+        F.col("kmin").alias("kmin_a"),
+        F.col("ndv_est").alias("ndv_a_est"),
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"),
+        F.col("kmin").alias("kmin_b"),
+        F.col("ndv_est").alias("ndv_b_est"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    x = f"slice(array_sort(array_distinct(concat(kmin_a, kmin_b))), 1, {int(k)})"
+    union_est = KMV_EST_SQL.format(a="x", k=int(k), m=KMV_M)
+    return (
+        pairs.withColumn("x", F.expr(x))
+        .withColumn(
+            "k_int",
+            F.expr(
+                "CAST(size(array_intersect(x,"
+                " array_intersect(kmin_a, kmin_b))) AS BIGINT)"
+            ),
+        )
+        .select(
+            "source_a", "source_b", "ndv_a_est", "ndv_b_est",
+            F.expr(union_est).alias("union_est"),
+            F.expr(
+                "CAST(k_int AS DOUBLE) / CAST(size(x) AS DOUBLE)"
+            ).alias("jaccard_est"),
+            F.expr(
+                f"(CAST(k_int AS DOUBLE) / CAST(size(x) AS DOUBLE))"
+                f" * ({union_est})"
+            ).alias("inter_est"),
+            (F.size("x") < k).alias("exact"),
+        )
+    )

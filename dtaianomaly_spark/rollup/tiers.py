@@ -844,3 +844,116 @@ def bloom_contains(
         .withColumn("maybe", F.col("n_hit") == F.col("n_bits"))
     )
 
+# ------------------------------------------------------- KMV tier
+
+KMV_K = 256
+# 60-bit md5 hash space (first 15 hex digits), shared with the Bloom
+# and Count-Min families; M is a power of two so h/M divides exactly
+# in IEEE double and the estimator is bit-reproducible by any twin.
+KMV_M = 1 << 60
+
+KMV_HASH_SQL = (
+    "CAST(conv(substr(md5(CAST({v} AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+)
+
+# Beyer et al. 2007 ("On synopses for distinct-value estimation under
+# multiset operations"): with the k-th smallest of n >= k distinct
+# uniform hashes at h_(k), the unbiased basic estimator is
+# (k-1) / (h_(k) / M). Shared verbatim with the Python twin — the only
+# rounding is the correctly-rounded int->double of h_(k).
+KMV_EST_SQL = (
+    "CASE WHEN size({a}) < {k} THEN CAST(size({a}) AS DOUBLE)"
+    " ELSE CAST({k} - 1 AS DOUBLE)"
+    " / (CAST(element_at({a}, {k}) AS DOUBLE) / CAST({m} AS DOUBLE)) END"
+)
+
+
+def kmv_agg(
+    df: DataFrame, keys: list, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-key KMV (k-minimum-values) distinct sketch: the k SMALLEST
+    distinct 60-bit md5 hashes of ``value_col``, sorted ascending, plus
+    the basic estimator ``ndv_est`` (EXACT when the key holds fewer
+    than k distinct values — the sketch then IS the hash set, flagged
+    ``exact``). KMV is the distinct sketch that supports SET
+    INTERSECTIONS (Beyer et al. 2007): HLL unions only; two KMV
+    sketches combine to a Jaccard/intersection estimate because the k
+    smallest hashes of a union are a uniform sample of it — see
+    :func:`kmv_rollup`'s merge and the pipelines' pairwise-overlap
+    queries.
+
+    Shape: dedup to (key, h) — 16-byte rows, the ONLY corpus-sized
+    shuffle — then a sort-based window rank per key keeps rows 1..k.
+    Spark's window sorts spill, so a 10^9-hash key sorts on disk rather
+    than OOMing; when NDV per key is known to dwarf k, pre-filter
+    ``h < M * (c*k) / ndv_lower_bound`` to shrink the sort input (the
+    survivors still contain the k minima with probability -> 1) — the
+    standard refinement, intentionally left to the caller because it
+    changes no output row."""
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashes = df.select(
+        *keys, F.expr(KMV_HASH_SQL.format(v=value_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    kmin = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("h")).alias("kmin"))
+    )
+    est = KMV_EST_SQL.format(a="kmin", k=k, m=KMV_M)
+    return kmin.select(
+        *keys, "kmin",
+        F.expr(est).alias("ndv_est"),
+        (F.size("kmin") < k).alias("exact"),
+    )
+
+
+def kmv_rollup(
+    long_form: DataFrame,
+    fine_ticks: int = 64,
+    factor: int = 15,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Mergeable KMV distinct tier: fine tier = per (series, fine
+    bucket) k-minimum hash lists, coarse tier = MERGE of the fine
+    lists — union the hash sets, keep the k smallest
+    (``slice(array_sort(array_distinct(flatten(...))), 1, k)``), which
+    is exactly the sketch of the union (a commutative idempotent
+    monoid; merge == direct pinned by test). The third distinct sketch
+    in the family: exact sets when small (:func:`distinct_rollup`),
+    HLL registers for pure counting (:func:`distinct_rollup_sketch`),
+    KMV when downstream needs intersections too.
+
+    Scale: after the fine dedup every row is a bounded hash list; the
+    coarse merge moves <= k longs per fine bucket. Zero UDF; the one
+    corpus-sized stage is the fine (key, h) dedup."""
+    fine = kmv_agg(
+        long_form.select(
+            "doc_id",
+            (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
+            "value",
+        ),
+        ["doc_id", "fbucket"], "value", k,
+    )
+    merged = (
+        fine.groupBy(
+            "doc_id",
+            (F.col("fbucket") / factor).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                f"slice(array_sort(array_distinct("
+                f"flatten(collect_list(kmin)))), 1, {int(k)})"
+            ).alias("kmin")
+        )
+    )
+    est = KMV_EST_SQL.format(a="kmin", k=k, m=KMV_M)
+    return merged.select(
+        "doc_id", "bucket", "kmin",
+        F.expr(est).alias("ndv_est"),
+        (F.size("kmin") < k).alias("exact"),
+    )

@@ -1504,3 +1504,55 @@ def test_gopher_repetition_matches_python_twin(spark):
     # and ordinary synthetic docs mostly survive
     keeps = [v["keep"] for k, v in out.items() if k != 999999]
     assert sum(keeps) > len(keeps) * 0.5
+
+
+def test_source_vocab_overlap_matches_python_twin(spark):
+    import hashlib
+
+    from dtaianomaly_spark.pipelines import text as TX
+    from dtaianomaly_spark.rollup.tiers import KMV_M
+
+    k = 64
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in TX.source_vocab_overlap(_docs(spark), k).collect()
+    }
+    assert len(got) > 0
+
+    # plain-Python twin: same md5 hash family, same take-k, same IEEE ops
+    vocab: dict = {}
+    for r in _docs(spark).select("source", "text").collect():
+        vocab.setdefault(r["source"], set()).update(r["text"].split(" "))
+    hsets = {
+        s: sorted(
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in ws
+        )
+        for s, ws in vocab.items()
+    }
+
+    def est(kmin):
+        return (
+            float(len(kmin)) if len(kmin) < k
+            else float(k - 1) / (float(kmin[k - 1]) / float(KMV_M))
+        )
+
+    srcs = sorted(hsets)
+    n_pairs = 0
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            n_pairs += 1
+            a, b = hsets[sa][:k], hsets[sb][:k]
+            x = sorted(set(a) | set(b))[:k]
+            k_int = len(set(x) & set(a) & set(b))
+            r = got[(sa, sb)]
+            assert r["ndv_a_est"] == est(a) and r["ndv_b_est"] == est(b)
+            assert r["union_est"] == est(x)
+            assert r["jaccard_est"] == float(k_int) / float(len(x))
+            assert r["inter_est"] == (
+                float(k_int) / float(len(x))
+            ) * est(x)
+            assert r["exact"] == (len(x) < k)
+            # estimator quality against the exact sets (k=64 -> loose)
+            true_j = len(vocab[sa] & vocab[sb]) / len(vocab[sa] | vocab[sb])
+            assert abs(r["jaccard_est"] - true_j) < 0.35
+    assert len(got) == n_pairs

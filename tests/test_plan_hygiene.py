@@ -113,6 +113,13 @@ EXCHANGE_BOUNDS = [
     ("rollup_bloom_contains", 4),  # fine+coarse distinct bit sets +
                                    # top-3 probe window + the probe
                                    # join/group over the bounded filter
+    ("rollup_kmv_ndv", 5),         # (key, h) dedup + rank window +
+                                   # coarse union-take-k + the exact-
+                                   # NDV tier's dedup/join (co-keyed)
+    ("tx_vocab_overlap", 2),       # pairwise join broadcasts bounded
+                                   # hash lists; the ONE checkpointed
+                                   # sketch stage (dedup + rank window)
+                                   # runs once, shared by both sides
     ("tx_split_contam", 7),        # two gram-set distincts + per-doc +
                                    # per-split rollups; the held-out
                                    # vocabulary broadcasts both ways —

@@ -669,3 +669,63 @@ def test_bloom_merge_equals_direct_and_no_false_negatives(spark, long_form):
     with pytest.raises(ValueError, match="m_bits/k"):
         bloom_rollup(long_form, m_bits=0)
     truth.unpersist()
+
+
+def test_kmv_merge_equals_direct_exactness_and_twin(spark, long_form):
+    import hashlib
+
+    from dtaianomaly_spark.rollup.tiers import (
+        KMV_M, kmv_agg, kmv_rollup,
+    )
+
+    k = 64
+    kmv = kmv_rollup(long_form, fine_ticks=16, factor=4, k=k)
+    direct = kmv_rollup(long_form, fine_ticks=64, factor=1, k=k)
+    cols = ("doc_id", "bucket", "kmin", "ndv_est", "exact")
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["bucket"], tuple(r["kmin"]), r["ndv_est"],
+             r["exact"])
+            for r in df.collect()
+        )
+
+    # union-take-k of the fine sketches IS the coarse sketch
+    assert rows(kmv) == rows(direct)
+
+    # plain-Python twin: same md5 hashes, same take-k, same IEEE divide
+    truth: dict = {}
+    for r in long_form.collect():
+        truth.setdefault((r["doc_id"], r["pos"] // 64), set()).add(r["value"])
+    want = []
+    for (d, b), vals in truth.items():
+        hs = sorted(
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in vals
+        )
+        kmin = tuple(hs[:k])
+        est = (
+            float(len(kmin)) if len(kmin) < k
+            else float(k - 1) / (float(kmin[-1]) / float(KMV_M))
+        )
+        want.append((d, b, kmin, est, len(kmin) < k))
+    assert rows(kmv) == sorted(want)
+
+    # exact flag: sketch == full hash set and ndv_est == true NDV
+    for d, b, kmin, est, exact in want:
+        if exact:
+            assert est == len(truth[(d, b)])
+        else:
+            assert abs(est - len(truth[(d, b)])) / len(truth[(d, b)]) < 0.5
+
+    # kmv_agg on a tiny-domain key is exact and ordered
+    small = kmv_agg(
+        long_form.select("doc_id", (F.abs("value") % 3).alias("value")),
+        ["doc_id"], "value", k,
+    ).collect()
+    for r in small:
+        assert r["exact"] and r["ndv_est"] == len(r["kmin"])
+        assert len(r["kmin"]) <= 3
+        assert list(r["kmin"]) == sorted(r["kmin"])
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_agg(long_form, ["doc_id"], "value", 1)
