@@ -47,7 +47,8 @@ import pandas as pd
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    ArrayType, BooleanType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, LongType, StringType, StructField,
+    StructType,
 )
 
 BUCKET_TICKS = 16
@@ -847,6 +848,165 @@ def stateful_bloom(
         _make_bloom_update(bucket_ticks, m_bits, k, flush_after_ms),
         BLOOM_OUTPUT_SCHEMA,
         BLOOM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# ------------------------------------------------------------------
+# Streaming KMV: the online twin of rollup/tiers.kmv_rollup.
+# ------------------------------------------------------------------
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("kmin", ArrayType(LongType()), False),
+        StructField("ndv_est", DoubleType(), False),
+        StructField("exact", BooleanType(), False),
+        StructField("final", BooleanType(), False),
+    ]
+)
+
+KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType()), True),
+        StructField("counts", ArrayType(LongType()), True),
+        StructField("kmins", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
+def _kmv_hash_py(value: int) -> int:
+    """The batch tier's md5 hash (rollup/tiers.KMV_HASH_SQL), verbatim:
+    first 15 hex digits of md5(value) as a 60-bit integer."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+
+
+def _kmv_est_py(kmin: list, k: int) -> float:
+    """rollup/tiers.KMV_EST_SQL verbatim in Python: exact below k, else
+    the Beyer et al. basic estimator — same correctly-rounded
+    int->double conversion, same IEEE divides."""
+    from dtaianomaly_spark.rollup.tiers import KMV_M
+
+    if len(kmin) < k:
+        return float(len(kmin))
+    return float(k - 1) / (float(kmin[k - 1]) / float(KMV_M))
+
+
+def _make_kmv_update(
+    bucket_ticks: int, k: int, flush_after_ms: int | None
+):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        open_b: dict[int, tuple[int, list]] = {}
+        if state.exists:
+            buckets, counts, kmins = state.get
+            open_b = {
+                b: (int(counts[i]), list(kmins[i]))
+                for i, b in enumerate(buckets)
+            }
+
+        def rows_of(items, final):
+            return [
+                (
+                    doc_id, b, kmin, _kmv_est_py(kmin, k),
+                    len(kmin) < k, final,
+                )
+                for b, (_, kmin) in items
+            ]
+
+        if state.hasTimedOut:
+            # k-min lists are an idempotent monoid (union-take-k):
+            # flushes of a revived series re-combine exactly downstream
+            state.remove()
+            rows = rows_of(sorted(open_b.items()), False)
+            if rows:
+                yield pd.DataFrame(rows, columns=KMV_OUTPUT_SCHEMA.names)
+            return
+
+        hcache: dict[int, int] = {}
+        for pdf in pdfs:
+            grouped = (
+                pdf.assign(bucket=pdf["pos"] // bucket_ticks)
+                .groupby(["bucket", "value"])
+                .size()
+            )
+            for (b, v), c in grouped.items():
+                cnt, kmin = open_b.get(int(b), (0, []))
+                v = int(v)
+                if v not in hcache:
+                    hcache[v] = _kmv_hash_py(v)
+                h = hcache[v]
+                if h not in kmin and (len(kmin) < k or h < kmin[-1]):
+                    kmin = sorted(kmin + [h])[:k]
+                open_b[int(b)] = (cnt + int(c), kmin)
+
+        done = {
+            b: st for b, st in open_b.items() if st[0] >= bucket_ticks
+        }
+        for b in done:
+            del open_b[b]
+
+        if open_b:
+            bs = sorted(open_b)
+            state.update(
+                (
+                    bs,
+                    [open_b[b][0] for b in bs],
+                    [open_b[b][1] for b in bs],
+                )
+            )
+            if flush_after_ms is not None:
+                state.setTimeoutDuration(flush_after_ms)
+        else:
+            state.remove()
+
+        rows = rows_of(sorted(done.items()), True)
+        if rows:
+            yield pd.DataFrame(rows, columns=KMV_OUTPUT_SCHEMA.names)
+
+    return update
+
+
+def stateful_kmv(
+    stream_long_form,
+    bucket_ticks: int = 960,
+    k: int | None = None,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """points stream (doc_id, pos, value) -> append stream of KMV
+    k-minimum-hash sketches, the ONLINE twin of
+    ``rollup/tiers.kmv_rollup`` (same md5 hash family and estimator
+    formula, so completed buckets byte-match the batch sketch built at
+    the same ``bucket_ticks`` — tested). State per open bucket is the
+    sorted k-min list plus one point counter — bounded by ``k`` longs
+    no matter the value domain, and like the Bloom twin it SATURATES
+    (once k hashes are held, only smaller ones displace). Completion is
+    detected by the point counter reaching ``bucket_ticks``. K-min
+    lists are an idempotent commutative monoid (union-take-k), so TTL
+    flushes of partial sketches (``final=false``) re-combine exactly —
+    revival-safe, re-delivery harmless. Same exactly-once input
+    contract for COMPLETION as :func:`stateful_bucket_rollup`; the
+    sketch itself survives duplicated points (set semantics). ``k``
+    defaults to the batch tier's KMV_K."""
+    from dtaianomaly_spark.rollup.tiers import KMV_K
+
+    k = KMV_K if k is None else k
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_kmv_update(bucket_ticks, k, flush_after_ms),
+        KMV_OUTPUT_SCHEMA,
+        KMV_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout
         if flush_after_ms is None

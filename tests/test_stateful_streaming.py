@@ -847,3 +847,94 @@ def test_stateful_bloom_ttl_partials_union_to_batch():
     )[0]
     assert done["final"].all() and st.updated is None
     assert {int(r.bit) for r in done.itertuples()} == want
+
+
+def test_stateful_kmv_matches_batch(spark, tmp_path):
+    """Out-of-order chunked ingest: completed buckets' KMV sketches
+    byte-match the batch tier at the same bucket width — hash lists,
+    estimator floats and exact flags alike."""
+    from dtaianomaly_spark.rollup.tiers import kmv_rollup
+    from dtaianomaly_spark.streaming.stateful import stateful_kmv
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos", "value"
+    )
+    src = str(tmp_path / "src")
+    for cond in ["pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"]:
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_kmv(stream, bucket_ticks=64, k=16, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.filter("NOT final").count() == 0
+    got = got.drop("final")
+
+    full = (
+        lf.groupBy("doc_id", (F.col("pos") / 64).cast("long").alias("bucket"))
+        .count().filter("count = 64").drop("count")
+    )
+    batch = kmv_rollup(lf, fine_ticks=64, factor=1, k=16).join(
+        full, ["doc_id", "bucket"], "semi"
+    )
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["bucket"], tuple(r["kmin"]), r["ndv_est"], r["exact"]
+    )
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() > 50
+
+
+def test_stateful_kmv_ttl_partials_union_to_batch():
+    """TTL flush mid-bucket: the final=false k-min lists from two
+    flushes monoid-combine (union-take-k) to the exact full sketch."""
+    import hashlib
+
+    import pandas as pd
+
+    from dtaianomaly_spark.streaming.stateful import _make_kmv_update
+
+    k = 8
+    update = _make_kmv_update(16, k, 1000)
+    pts = [(i, (i * 7) % 23 - 11) for i in range(16)]
+
+    def run_flush(points):
+        st = _FakeState()
+        out = list(
+            update(("d",), iter([pd.DataFrame(points, columns=["pos", "value"])]), st)
+        )
+        assert out == [] and st.updated is not None
+        st2 = _FakeState(value=st.updated, timed_out=True)
+        flush = list(update(("d",), iter([]), st2))[0]
+        assert st2.removed and not flush["final"].any()
+        return flush
+
+    a, b = run_flush(pts[:5]), run_flush(pts[5:])
+    merged = sorted(
+        set(a["kmin"].iloc[0]) | set(b["kmin"].iloc[0])
+    )[:k]
+    want = sorted({
+        int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        for _, v in pts
+    })[:k]
+    assert merged == want
+    # completion by count: all 16 points at once emits the final sketch
+    st = _FakeState()
+    done = list(
+        update(("d",), iter([pd.DataFrame(pts, columns=["pos", "value"])]), st)
+    )[0]
+    assert done["final"].all() and st.updated is None
+    assert list(done["kmin"].iloc[0]) == want
