@@ -1517,6 +1517,47 @@ def _q_tx_gopher_rep(spark, sf_dir):
     return TX.gopher_repetition(TX.load_docs(spark, sf_dir))
 
 
+def _q_tx_quota_sample(spark, sf_dir):
+    """Exact-count temperature-rebalanced sampling audit: per-source
+    quotas = floor(temperature probability x total docs) (alpha = 0.5,
+    the Conneau & Lample rebalancing), filled EXACTLY by md5-rank
+    selection (quota_sample), reported as (source, n_docs, quota,
+    taken, taken_tokens) — taken == min(quota, n_docs) by construction,
+    visible in the rows. The companion to tx_mix_sample's binomial
+    thresholding when the mixture config demands exact counts.
+    Rows-only; md5-rank twin, exactness and partition-invariance pinned
+    in pytest."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    mass = C.token_arrays(spark, sf_dir).select("doc_id", "n_tok")
+    # the (doc_id, source, n_tok) metadata frame feeds three consumers
+    # (the temperature model, the rank window, the taken rollup):
+    # checkpoint it lazily so the join runs once, and likewise the tiny
+    # quota frame so the model stages don't re-run per branch
+    docs = src.join(mass, "doc_id").localCheckpoint(eager=False)
+    tm = TX.temperature_mix(docs)
+    total = tm.agg(F.sum("n_docs").cast("double").alias("_total"))
+    quotas = tm.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs",
+        F.expr("CAST(floor(temp_prob * _total) AS BIGINT)").alias("quota"),
+    ).localCheckpoint(eager=False)
+    sel = TX.quota_sample(docs, quotas.select("source", "quota"))
+    taken = sel.groupBy("source").agg(
+        F.count("*").cast("long").alias("taken"),
+        F.sum("n_tok").cast("long").alias("taken_tokens"),
+    )
+    return quotas.join(taken, "source", "left").select(
+        "source", "n_docs", "quota",
+        F.coalesce("taken", F.lit(0)).cast("long").alias("taken"),
+        F.coalesce("taken_tokens", F.lit(0)).cast("long").alias(
+            "taken_tokens"
+        ),
+    )
+
+
 def _q_rollup_cms_estimate(spark, sf_dir):
     """Count-Min sketch tier (Cormode & Muthukrishnan 2005) audited
     against the exact heavy hitters: the 4x32 counter grids are built
@@ -1593,6 +1634,22 @@ def _q_tx_vocab_overlap(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
     return TX.source_vocab_overlap(TX.load_docs(spark, sf_dir), 64)
+
+
+def _q_tok_oov_ladder(spark, sf_dir):
+    """Per-source OOV rate under top-{32,64,128} token vocabularies
+    (pinned total order: count DESC, token ASC) — the tokenizer-sizing
+    audit next to tok_vocab_growth's saturation curve. ONE (source,
+    token) aggregate feeds the whole ladder; the global rank folds that
+    bounded cell table and broadcasts back. Rows-only; pinned against
+    a plain-Python counter twin."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    arrays = C.token_arrays(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return TK.oov_ladder(arrays.join(src, "doc_id"))
 
 
 def _q_tok_vocab_growth(spark, sf_dir):
@@ -2066,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_wp_merges": _q_tok_wp_merges,
         "tok_wp_encode": _q_tok_wp_encode,
         "tok_vocab_growth": _q_tok_vocab_growth,
+        "tok_oov_ladder": _q_tok_oov_ladder,
         "tok_zipf_fit": _q_tok_zipf_fit,
         "tok_swap_report": _q_tok_swap_report,
         "tx_split_report": _q_tx_split_report,
@@ -2076,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_bloom_contains": _q_rollup_bloom_contains,
         "rollup_kmv_ndv": _q_rollup_kmv_ndv,
         "tx_vocab_overlap": _q_tx_vocab_overlap,
+        "tx_quota_sample": _q_tx_quota_sample,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

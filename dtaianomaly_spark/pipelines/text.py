@@ -1887,3 +1887,43 @@ def source_vocab_overlap(docs: DataFrame, k: int = 64) -> DataFrame:
             (F.size("x") < k).alias("exact"),
         )
     )
+
+
+def quota_sample(
+    docs: DataFrame, quotas: DataFrame, salt: str = "quota-v1"
+) -> DataFrame:
+    """EXACT-count deterministic per-source sampling — the companion to
+    :func:`mixture_sample` (hash thresholding: reproducible but
+    binomial counts) when the mixture config demands exact quotas:
+    within each source, order documents by ``md5(doc_id || salt)``
+    (doc_id as the collision tiebreak — a total order) and keep the
+    first ``quota``. The sample is a pure function of (doc_id, salt,
+    quota): reproducible under any partitioning, cluster size or retry,
+    and growing a source never evicts a kept document except by the
+    md5 order itself (rank-based selection is NOT growth-stable the
+    way :func:`split_assign` is — new documents hashing low displace
+    the tail; pin the corpus snapshot, or use mixture_sample when
+    growth-stability matters more than exact counts).
+
+    ``quotas``: a (source, quota) frame — tiny, broadcast. Returns the
+    selected documents with their ``rank``.
+
+    Scale shape: ONE sort-based rank window per source over (source,
+    60-bit key) rows — Spark window sorts spill, and the standard
+    KMV-style refinement (pre-filter keys below quota/n_docs-scaled
+    thresholds) bounds the sort input when quotas are tiny fractions;
+    text never enters the window, only the key and ids."""
+    keyed = docs.withColumn(
+        "_qk",
+        F.expr(
+            f"CAST(conv(substr(md5(concat_ws(':', doc_id, '{salt}')),"
+            f" 1, 15), 16, 10) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("_qk", "doc_id")
+    return (
+        keyed.join(F.broadcast(quotas), "source")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("quota"))
+        .drop("_qk")
+    )

@@ -1268,3 +1268,70 @@ def epoch_order(
         .withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
         .drop("shuffle_key")
     )
+
+
+def oov_ladder(
+    corpus: DataFrame, vocab_sizes: Tuple[int, ...] = (32, 64, 128)
+) -> DataFrame:
+    """Per-source OOV rate under truncated token vocabularies — the
+    tokenizer-sizing audit: if the deployed vocabulary kept only the
+    top-``V`` tokens by corpus frequency, what fraction of each
+    source's token mass falls out-of-vocabulary? One row per
+    (source, vocab_size): total token mass, OOV mass, and their ratio
+    (one IEEE divide). The vocabulary order is the pinned total order
+    ``count DESC, token ASC`` — deterministic under ties, shared with
+    the plain-Python twin.
+
+    Input: the canonical corpus shape (doc_id, tokens, n_tok, source).
+
+    Scale shape: ONE (source, token) hash aggregate is the only
+    corpus-sized stage (map-side combined; bounded by
+    |sources| x |token domain| cells); the global vocabulary ranks fold
+    THOSE cells, the rank join broadcasts, and the ladder is
+    conditional sums over the cell table — the whole ladder re-reads
+    the corpus zero times."""
+    if not vocab_sizes or any(v < 1 for v in vocab_sizes):
+        raise ValueError(f"vocab_sizes must be >= 1, got {vocab_sizes!r}")
+    from pyspark.sql import Window
+
+    sv = (
+        corpus.select("source", F.explode("tokens").alias("value"))
+        .groupBy("source", "value")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    gcnt = sv.groupBy("value").agg(F.sum("cnt").cast("long").alias("gcnt"))
+    # token-domain-bounded frame: the single-partition rank window runs
+    # over distinct tokens, never the corpus
+    ranked = gcnt.withColumn(
+        "vrank",
+        F.row_number().over(
+            Window.orderBy(F.col("gcnt").desc(), F.col("value").asc())
+        ),
+    )
+    cells = sv.join(F.broadcast(ranked.select("value", "vrank")), "value")
+    # the whole ladder in ONE per-source aggregate (one conditional sum
+    # per rung), unpivoted to long form with stack() — no shuffle per rung
+    per_src = cells.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("vrank") > v, F.col("cnt"))), F.lit(0)
+            ).cast("long").alias(f"_oov_{v}")
+            for v in vocab_sizes
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({int(v)} AS BIGINT), _oov_{v}" for v in vocab_sizes
+    )
+    return per_src.select(
+        "source", "total_tokens",
+        F.expr(
+            f"stack({len(vocab_sizes)}, {stack}) AS (vocab_size, oov_tokens)"
+        ),
+    ).select(
+        "source", "vocab_size", "total_tokens", "oov_tokens",
+        F.expr(
+            "CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)"
+        ).alias("oov_rate"),
+    )

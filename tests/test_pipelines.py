@@ -1556,3 +1556,54 @@ def test_source_vocab_overlap_matches_python_twin(spark):
             true_j = len(vocab[sa] & vocab[sb]) / len(vocab[sa] | vocab[sb])
             assert abs(r["jaccard_est"] - true_j) < 0.35
     assert len(got) == n_pairs
+
+
+def test_quota_sample_exact_deterministic_twin(spark):
+    import hashlib
+
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark).select("doc_id", "source", "n_chars")
+    rows = docs.collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    quotas = spark.createDataFrame(
+        [(s, max(1, len(ids) // 3)) for s, ids in by_src.items()],
+        "source string, quota long",
+    )
+    sel = TX.quota_sample(docs, quotas)
+    got = {
+        (r["source"], r["doc_id"]): r["rank"] for r in sel.collect()
+    }
+    # exact counts: taken == min(quota, n_docs) per source
+    taken: dict = {}
+    for s, _ in got:
+        taken[s] = taken.get(s, 0) + 1
+    for s, ids in by_src.items():
+        assert taken[s] == min(max(1, len(ids) // 3), len(ids))
+
+    # plain-Python md5-rank twin: same key, same order, same cut
+    def key(d):
+        return (
+            int(
+                hashlib.md5(f"{d}:quota-v1".encode()).hexdigest()[:15], 16
+            ),
+            d,
+        )
+
+    want = {}
+    for s, ids in by_src.items():
+        for i, d in enumerate(sorted(ids, key=key)[: max(1, len(ids) // 3)]):
+            want[(s, d)] = i + 1
+    assert got == want
+
+    # partition invariance: any physical layout selects the same set
+    sel7 = TX.quota_sample(docs.repartition(7), quotas)
+    got7 = {(r["source"], r["doc_id"]): r["rank"] for r in sel7.collect()}
+    assert got7 == got
+
+    # a different salt selects a different set (the knob is real)
+    other = TX.quota_sample(docs, quotas, salt="quota-v2")
+    got2 = {(r["source"], r["doc_id"]) for r in other.collect()}
+    assert got2 != set(got)

@@ -120,6 +120,12 @@ EXCHANGE_BOUNDS = [
                                    # hash lists; the ONE checkpointed
                                    # sketch stage (dedup + rank window)
                                    # runs once, shared by both sides
+    ("tx_quota_sample", 3),        # md5-rank window + taken rollup over
+                                   # the checkpointed metadata frame;
+                                   # quota model frame checkpointed too
+    ("tok_oov_ladder", 3),         # global-rank fold of the checkpointed
+                                   # (source, token) cells + broadcast
+                                   # rank join + ONE stacked ladder agg
     ("tx_split_contam", 7),        # two gram-set distincts + per-doc +
                                    # per-split rollups; the held-out
                                    # vocabulary broadcasts both ways —

@@ -726,3 +726,44 @@ def test_epoch_order_is_deterministic_permutation(spark):
 
     with pytest.raises(ValueError, match="epoch"):
         TK.epoch_order(rows, -1)
+
+
+def test_oov_ladder_matches_python_twin(spark):
+    from collections import Counter
+
+    arrays = C.token_arrays(spark, SF_DIR)
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    corpus = arrays.join(src, "doc_id")
+    sizes = (8, 32, 64)
+    got = {
+        (r["source"], r["vocab_size"]): (
+            r["total_tokens"], r["oov_tokens"], r["oov_rate"]
+        )
+        for r in TK.oov_ladder(corpus, sizes).collect()
+    }
+
+    rows = corpus.select("source", "tokens").collect()
+    per_src: dict = {}
+    glob: Counter = Counter()
+    for r in rows:
+        c = per_src.setdefault(r["source"], Counter())
+        for t in r["tokens"]:
+            c[t] += 1
+            glob[t] += 1
+    order = sorted(glob, key=lambda t: (-glob[t], t))
+    n_pairs = 0
+    for v in sizes:
+        keep = set(order[:v])
+        for s, c in per_src.items():
+            n_pairs += 1
+            total = sum(c.values())
+            oov = sum(n for t, n in c.items() if t not in keep)
+            assert got[(s, v)] == (total, oov, float(oov) / float(total))
+    assert len(got) == n_pairs
+    # monotone: a bigger vocabulary never increases OOV mass
+    for s in per_src:
+        assert got[(s, 8)][1] >= got[(s, 32)][1] >= got[(s, 64)][1]
+    with pytest.raises(ValueError, match="vocab_sizes"):
+        TK.oov_ladder(corpus, ())
