@@ -621,6 +621,22 @@ def _q_dd_dup_clusters(spark, sf_dir):
     )
 
 
+def _q_dd_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix over the shared Jaccard >= 0.2
+    pair stage: unordered source pairs with pair counts and min/max
+    jaccard — the diagonal is within-crawl boilerplate, off-diagonal
+    cells are cross-crawl mirrors (the decide-whether-dedup-crosses-
+    source-boundaries report). Shares the persisted pair stage with
+    dd_jaccard/dd_dup_clusters/tx_curation_funnel; only order-
+    independent aggregates, so floats need no sorted fold. Rows-only;
+    mass-conservation and constructed-case twins pinned in pytest."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, sf_dir)
+    pairs = _shared_jaccard_pairs(spark, sf_dir, threshold=0.2)
+    return TX.dup_source_matrix(docs, pairs)
+
+
 def _q_tx_curation_funnel(spark, sf_dir):
     """End-to-end curation accounting: raw -> exact dedup -> transitive
     near-dup cluster dedup -> quality filter, with doc + ws-token mass
@@ -2023,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": _q_dd_simhash,
         "dd_jaccard": _q_dd_jaccard,
         "dd_dup_clusters": _q_dd_dup_clusters,
+        "dd_source_matrix": _q_dd_source_matrix,
         "tx_curation_funnel": _q_tx_curation_funnel,
         "tx_lang_id": _q_tx_lang_id,
         "tx_quality": _q_tx_quality,

@@ -1927,3 +1927,41 @@ def quota_sample(
         .filter(F.col("rank") <= F.col("quota"))
         .drop("_qk")
     )
+
+
+def dup_source_matrix(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cross-source duplication matrix — WHERE the near-duplicates come
+    from: every near-dup pair (doc_a, doc_b, jaccard) mapped to its
+    unordered source pair and aggregated to (source_a <= source_b,
+    n_pairs, min_jaccard, max_jaccard). The diagonal is within-source
+    duplication (boilerplate, mirrored pages inside one crawl); heavy
+    off-diagonal cells are cross-crawl mirrors — the signal that decides
+    whether dedup must run across source boundaries at all. Only
+    order-independent aggregates (count/min/max), so the floats are
+    reproducible at any partitioning without a sorted fold.
+
+    Scale shape: the pair table is already threshold-pruned (orders of
+    magnitude smaller than the corpus); two keyed joins attach sources,
+    then one bounded |sources|² aggregate. The corpus itself is touched
+    only for the (doc_id, source) projection."""
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.select("doc_a", "doc_b", "jaccard")
+        .join(src.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("source", "src_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("source", "src_b"), "doc_b")
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

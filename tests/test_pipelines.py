@@ -1607,3 +1607,40 @@ def test_quota_sample_exact_deterministic_twin(spark):
     other = TX.quota_sample(docs, quotas, salt="quota-v2")
     got2 = {(r["source"], r["doc_id"]) for r in other.collect()}
     assert got2 != set(got)
+
+
+def test_dup_source_matrix_constructed_and_conservation(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = spark.createDataFrame(
+        [("d1", "web"), ("d2", "web"), ("d3", "books"), ("d4", "code")],
+        "doc_id string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2", 0.9), ("d1", "d3", 0.4), ("d3", "d1", 0.6),
+         ("d2", "d4", 0.3)],
+        "doc_a string, doc_b string, jaccard double",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_pairs"], r["min_jaccard"], r["max_jaccard"]
+        )
+        for r in TX.dup_source_matrix(docs, pairs).collect()
+    }
+    # unordered normalization folds (web, books) and (books, web)
+    assert got == {
+        ("web", "web"): (1, 0.9, 0.9),
+        ("books", "web"): (2, 0.4, 0.6),
+        ("code", "web"): (1, 0.3, 0.3),
+    }
+
+    # real pair stage: every pair lands in exactly one cell, cells are
+    # normalized (source_a <= source_b), min <= max within each
+    real_docs = _docs(spark)
+    real_pairs = TX.jaccard_pairs(real_docs, threshold=0.2).persist()
+    m = TX.dup_source_matrix(real_docs, real_pairs).collect()
+    assert sum(r["n_pairs"] for r in m) == real_pairs.count()
+    for r in m:
+        assert r["source_a"] <= r["source_b"]
+        assert 0.2 <= r["min_jaccard"] <= r["max_jaccard"]
+    real_pairs.unpersist()
