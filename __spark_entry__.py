@@ -637,6 +637,23 @@ def _q_dd_source_matrix(spark, sf_dir):
     return TX.dup_source_matrix(docs, pairs)
 
 
+def _q_dd_canonical(spark, sf_dir):
+    """Canonical selection per near-dup cluster — the actionable end of
+    dedup: one kept doc per transitive cluster by the pinned order
+    (quality DESC, doc_id ASC), everyone else dropped with a redirect
+    to its canonical. Shares the persisted pair stage; the selection is
+    one rank window over cluster metadata. Rows-only; one-keep-per-
+    cluster, redirect and mass-conservation invariants pinned in
+    pytest."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, sf_dir)
+    pairs = _shared_jaccard_pairs(spark, sf_dir, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    return TX.canonical_select(docs, pairs)
+
+
 def _q_tx_curation_funnel(spark, sf_dir):
     """End-to-end curation accounting: raw -> exact dedup -> transitive
     near-dup cluster dedup -> quality filter, with doc + ws-token mass
@@ -1652,6 +1669,45 @@ def _q_tx_vocab_overlap(spark, sf_dir):
     return TX.source_vocab_overlap(TX.load_docs(spark, sf_dir), 64)
 
 
+def _q_tok_roundtrip(spark, sf_dir):
+    """Tokenizer round-trip audit — the encode/decode safety invariant
+    a pipeline pins before swapping tokenizers: encode with the shared
+    learned BPE table (rank-order merge replay), decode by expanding
+    every unit back to base tokens (expression-only CASE over the
+    bounded model), and verify decoded == original PER ROW (the
+    north-rule token-array-equality invariant applied to the
+    tokenizer). Per source: docs, round-trip-exact docs, token mass
+    before/after encode. n_exact == n_docs by construction — visible
+    in the rows. Encode and decode fuse into ONE Arrow + expression map
+    stage; the per-source rollup is the only shuffle. Rows-only;
+    decode-inverts-encode pinned in pytest."""
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    arrays = C.token_arrays(spark, sf_dir).withColumn(
+        "orig", F.col("tokens")
+    )
+    merges = _shared_bpe_training(spark, sf_dir)
+    encoded = TK.apply_merges(arrays, merges).withColumn(
+        "enc_tok", F.col("n_tok").cast("long")
+    )
+    decoded = TK.bpe_decode(encoded, merges)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return (
+        decoded.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("CAST(tokens = orig AS INT)")).cast("long").alias(
+                "n_exact"
+            ),
+            F.sum(F.size("orig")).cast("long").alias("tokens_in"),
+            F.sum("enc_tok").cast("long").alias("tokens_encoded"),
+        )
+    )
+
+
 def _q_tok_oov_ladder(spark, sf_dir):
     """Per-source OOV rate under top-{32,64,128} token vocabularies
     (pinned total order: count DESC, token ASC) — the tokenizer-sizing
@@ -2040,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard": _q_dd_jaccard,
         "dd_dup_clusters": _q_dd_dup_clusters,
         "dd_source_matrix": _q_dd_source_matrix,
+        "dd_canonical": _q_dd_canonical,
         "tx_curation_funnel": _q_tx_curation_funnel,
         "tx_lang_id": _q_tx_lang_id,
         "tx_quality": _q_tx_quality,
@@ -2141,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_wp_encode": _q_tok_wp_encode,
         "tok_vocab_growth": _q_tok_vocab_growth,
         "tok_oov_ladder": _q_tok_oov_ladder,
+        "tok_roundtrip": _q_tok_roundtrip,
         "tok_zipf_fit": _q_tok_zipf_fit,
         "tok_swap_report": _q_tok_swap_report,
         "tx_split_report": _q_tx_split_report,

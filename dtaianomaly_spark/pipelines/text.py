@@ -1965,3 +1965,44 @@ def dup_source_matrix(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def canonical_select(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Canonical-document selection — the ACTIONABLE end of near-dedup:
+    within each transitive duplicate cluster (:func:`dedup_clusters`),
+    keep exactly ONE document, the one the pinned total order prefers
+    (:func:`quality` score DESC, then doc_id ASC as the tiebreak), and
+    mark the rest dropped. Output per doc: (doc_id, cluster_id,
+    cluster_size, keep, kept_doc_id) — the keep-list a curation run
+    materializes plus the redirect map (dup -> canonical) that
+    downstream lineage wants.
+
+    Scale shape: clusters come from the iterative pair propagation
+    (bounded by the pair graph, not the corpus); the selection is ONE
+    rank window per cluster over (cluster_id, quality, doc_id) rows —
+    metadata only, text never enters the shuffle. Singleton clusters
+    pass through the same window at size 1."""
+    q = quality(docs).select("doc_id", "quality")
+    cl = dedup_clusters(docs, pairs).join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        cl.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .withColumn(
+            "kept_doc_id",
+            F.first("doc_id").over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .select(
+            "doc_id", "cluster_id", "cluster_size",
+            (F.col("rk") == 1).alias("keep"), "kept_doc_id",
+        )
+    )

@@ -1335,3 +1335,32 @@ def oov_ladder(
             "CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)"
         ).alias("oov_rate"),
     )
+
+
+def bpe_decode(encoded: DataFrame, merges) -> DataFrame:
+    """The BPE DECODE step: expand every learned unit id back to its
+    base-token sequence (:func:`expand_merges` — recursive expansion
+    resolved driver-side over the bounded model table, never a corpus)
+    in ONE expression-only map stage: ``flatten(transform(tokens,
+    CASE ...))``. Zero Python, zero shuffle. ``decode(encode(x)) == x``
+    for every sequence by construction of the merge replay — the
+    round-trip invariant tok_roundtrip pins corpus-wide.
+
+    Extra columns pass through; ``n_tok`` (when present) is updated to
+    the decoded length."""
+    exp = expand_merges(merges)
+    branches = " ".join(
+        f"WHEN t = {mid} THEN array({', '.join(str(x) for x in seq)})"
+        for mid, seq in exp
+    )
+    case = f"CASE {branches} ELSE array(t) END" if exp else "array(t)"
+    out = encoded.withColumn(
+        "tokens",
+        F.expr(
+            f"CAST(flatten(transform(tokens, t -> {case}))"
+            f" AS array<int>)"
+        ),
+    )
+    if "n_tok" in encoded.columns:
+        out = out.withColumn("n_tok", F.size("tokens"))
+    return out

@@ -1644,3 +1644,43 @@ def test_dup_source_matrix_constructed_and_conservation(spark):
         assert r["source_a"] <= r["source_b"]
         assert 0.2 <= r["min_jaccard"] <= r["max_jaccard"]
     real_pairs.unpersist()
+
+
+def test_canonical_select_invariants_and_constructed(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    # constructed: quality favors longer low-digit text; d2 beats d1
+    docs = spark.createDataFrame(
+        [("d1", "ab 12", "web", 5), ("d2", "aa bb cc dd", "web", 11),
+         ("d3", "zz", "web", 2)],
+        "doc_id string, text string, source string, n_chars int",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2")], "doc_a string, doc_b string"
+    )
+    got = {r["doc_id"]: r for r in TX.canonical_select(docs, pairs).collect()}
+    assert got["d2"]["keep"] and not got["d1"]["keep"]
+    assert got["d1"]["kept_doc_id"] == "d2" == got["d2"]["kept_doc_id"]
+    assert got["d1"]["cluster_size"] == 2 == got["d2"]["cluster_size"]
+    assert got["d3"]["keep"] and got["d3"]["cluster_size"] == 1
+
+    # real pair stage invariants
+    real_docs = _docs(spark)
+    real_pairs = TX.jaccard_pairs(real_docs, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    rows = TX.canonical_select(real_docs, real_pairs).collect()
+    assert len(rows) == real_docs.count()
+    by_cl: dict = {}
+    for r in rows:
+        by_cl.setdefault(r["cluster_id"], []).append(r)
+    q = {r["doc_id"]: r["quality"]
+         for r in TX.quality(real_docs).collect()}
+    for cid, members in by_cl.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1
+        want = min(members, key=lambda m: (-q[m["doc_id"]], m["doc_id"]))
+        assert keeps[0]["doc_id"] == want["doc_id"]
+        for m in members:
+            assert m["kept_doc_id"] == want["doc_id"]
+            assert m["cluster_size"] == len(members)

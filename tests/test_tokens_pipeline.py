@@ -767,3 +767,20 @@ def test_oov_ladder_matches_python_twin(spark):
         assert got[(s, 8)][1] >= got[(s, 32)][1] >= got[(s, 64)][1]
     with pytest.raises(ValueError, match="vocab_sizes"):
         TK.oov_ladder(corpus, ())
+
+
+def test_bpe_decode_inverts_encode(spark):
+    arrays = C.token_arrays(spark, SF_DIR).withColumn(
+        "orig", F.col("tokens")
+    )
+    merges, _merged = TK.bpe_train(arrays.drop("orig"), n_merges=4)
+    encoded = TK.apply_merges(arrays, merges)
+    # encode actually changed something (the invariant isn't vacuous)
+    assert encoded.filter("tokens != orig").count() > 0
+    decoded = TK.bpe_decode(encoded, merges)
+    assert decoded.filter("tokens != orig").count() == 0
+    # n_tok tracks the decoded length again
+    assert decoded.filter("n_tok != size(orig)").count() == 0
+    # empty merge table: decode is the identity
+    ident = TK.bpe_decode(arrays, [])
+    assert ident.filter("tokens != orig").count() == 0
