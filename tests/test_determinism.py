@@ -50,6 +50,17 @@ FAMILIES = [
     "tx_temp_mix",        # sorted-source float fold + sqrt normalizer
     "tx_gopher_rep",      # top-gram max(struct) total tie order
     "tok_epoch_order",    # global md5-key sort + dense row_number
+    "rollup_bloom_contains",  # md5 bit family + distinct bit unions
+    "rollup_kmv_ndv",     # union-take-k hash lists + int->double
+                          # estimator divides
+    "tx_vocab_overlap",   # pairwise sketch combine (array ops on
+                          # bounded hash lists)
+    "tx_quota_sample",    # md5-rank selection must ignore partitioning
+    "tok_oov_ladder",     # global vocab rank (cnt DESC, value ASC) +
+                          # stacked conditional sums
+    "dd_canonical",       # per-cluster (quality DESC, doc_id ASC)
+                          # keep selection
+    "tok_roundtrip",      # Arrow merge replay + expression decode
 ]
 
 
