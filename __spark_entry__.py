@@ -1591,6 +1591,41 @@ def _q_tx_quota_sample(spark, sf_dir):
     )
 
 
+def _q_tx_mix_plan(spark, sf_dir):
+    """Executable mixture recipe: the temperature probabilities turned
+    into per-source token budgets under a 4-epoch repetition cap
+    (Muennighoff et al. 2023) at a budget of 3x the corpus mass —
+    capped sources keep 4 x their own mass, the surplus water-fills the
+    rest via the closed-form sorted-fold watermark (no iteration).
+    Rows-only; bit-pinned against a plain-Python fold twin including
+    budget conservation and cap/monotonicity invariants."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    mass = C.token_arrays(spark, sf_dir).select("doc_id", "n_tok")
+    docs = src.join(mass, "doc_id")
+    tm = TX.temperature_mix(docs).localCheckpoint(eager=False)
+    budget = tm.agg(
+        (F.sum("token_mass") * 3).cast("long").alias("budget")
+    )
+    return TX.mix_plan(tm, budget, 4.0)
+
+
+def _q_tx_length_drift(spark, sf_dir):
+    """Per-source doc-length distribution drift: exact two-sample KS
+    statistic vs the corpus (integer cross-difference max, one IEEE
+    divide) — the shape-of-content monitor next to tx_source_drift's
+    vocabulary chi-square. The cell grid spans DISTINCT LENGTHS
+    (bounded by max doc length, not content), so the dense step-carry
+    is scale-safe where a vocab grid is not. Rows-only; pinned against
+    a plain-Python/scipy-free KS twin."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.length_drift(TX.load_docs(spark, sf_dir))
+
+
 def _q_rollup_cms_estimate(spark, sf_dir):
     """Count-Min sketch tier (Cormode & Muthukrishnan 2005) audited
     against the exact heavy hitters: the 4x32 counter grids are built
@@ -2210,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_kmv_ndv": _q_rollup_kmv_ndv,
         "tx_vocab_overlap": _q_tx_vocab_overlap,
         "tx_quota_sample": _q_tx_quota_sample,
+        "tx_length_drift": _q_tx_length_drift,
+        "tx_mix_plan": _q_tx_mix_plan,
     }
     # Oracle-mapped queries first: if the driver's correctness pass caps
     # the query count (it checks the first 50), every query with a DuckDB

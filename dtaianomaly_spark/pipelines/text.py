@@ -2006,3 +2006,175 @@ def canonical_select(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             (F.col("rk") == 1).alias("keep"), "kept_doc_id",
         )
     )
+
+
+def length_drift(docs: DataFrame) -> DataFrame:
+    """Per-source document-LENGTH distribution drift: the exact
+    two-sample Kolmogorov-Smirnov statistic between each source's
+    doc-length distribution and the whole corpus — the shape-of-content
+    monitor that complements :func:`source_drift`'s vocabulary
+    chi-square (a source can keep its vocabulary and still collapse to
+    stub pages; that moves length, not words). D = max |F_src(x) -
+    F_corpus(x)|; both CDFs are step functions that only jump at
+    observed lengths, so the max is attained at observed values and the
+    whole statistic is EXACT: integer cumulative counts, one IEEE
+    divide per side at the max, computed as max over the integer-exact
+    cross-difference |c_src * n_corpus - c_corpus * n_src| first
+    (bit-reproducible without float folds).
+
+    Output: (source, n_docs, ks_d) with dn = the integer numerator
+    max |c_s * n - c * n_s| and ks_d = dn / (n_s * n) as one divide.
+
+    Scale shape: the value domain is DISTINCT LENGTHS — bounded by the
+    max document length, not by content — so the (source, length) cell
+    grid is safe (unlike a vocab grid); one corpus-sized aggregate to
+    cells, a dense per-source step-carry over the corpus's length grid
+    (two windows on one partitioning), one max per source."""
+    from pyspark.sql import Window
+
+    lengths = docs.select(
+        "source", F.length("text").cast("long").alias("len")
+    )
+    cells = lengths.groupBy("source", "len").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    grid_x = cells.select("len").distinct()
+    src_n = cells.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_s")
+    )
+    # dense (source, x) grid over DISTINCT LENGTHS (bounded domain);
+    # absent cells read 0 via the left join, the step carry is a
+    # running sum per source in length order
+    grid = (
+        src_n.crossJoin(F.broadcast(grid_x))
+        .join(cells, ["source", "len"], "left")
+        .select(
+            "source", "n_s", "len",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    w_s = Window.partitionBy("source").orderBy("len")
+    corpus = cells.groupBy("len").agg(F.sum("c").cast("long").alias("cc"))
+    w_c = Window.orderBy("len")
+    corpus_cdf = corpus.select(
+        "len",
+        F.sum("cc").over(
+            w_c.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cum_c"),
+    )
+    n_tot = cells.agg(F.sum("c").cast("long").alias("n")).localCheckpoint(
+        eager=False
+    )
+    stepped = (
+        grid.withColumn(
+            "cum_s",
+            F.sum("c").over(
+                w_s.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("long"),
+        )
+        .join(corpus_cdf, "len")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return (
+        stepped.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.max(
+                F.abs(F.col("cum_s") * F.col("n") - F.col("cum_c") * F.col("n_s"))
+            ).cast("long").alias("dn"),
+            F.max(F.col("n_s") * F.col("n")).cast("long").alias("_den"),
+        )
+        .select(
+            "source", "n_docs", "dn",
+            F.expr("CAST(dn AS DOUBLE) / CAST(_den AS DOUBLE)").alias("ks_d"),
+        )
+    )
+
+
+def mix_plan(
+    mix: DataFrame, budget_tokens, max_epochs: float = 4.0
+) -> DataFrame:
+    """Token-budget allocation with an EPOCH CAP — the mixture planner
+    that turns :func:`temperature_mix`'s probabilities into an
+    executable data recipe: allocate ``budget_tokens`` across sources
+    proportional to ``temp_prob``, but never schedule any source for
+    more than ``max_epochs`` passes over its own mass (the repetition
+    ceiling the data-constrained-scaling literature imposes — Muennighoff
+    et al. 2023 find ~4 epochs is where repeated tokens stop paying).
+    Capped sources keep ``max_epochs * token_mass``; their surplus
+    re-spreads over the uncapped, which may cap more sources — classic
+    water-filling, computed in CLOSED FORM by one sorted fold instead
+    of iteration: sources cap exactly in decreasing ``temp_prob /
+    token_mass`` order, so a single pass in that order (fold state =
+    remaining budget and probability mass) finds the KKT watermark
+    (B*, P*), and each source is then capped iff its uncapped share at
+    the watermark would exceed the cap. Every float op is one shared
+    expression — bit-reproducible by the plain-Python twin.
+
+    Input: (source, token_mass, temp_prob) — the temperature_mix
+    output. Output per source: target_tokens, epochs, capped; when the
+    budget exceeds ``max_epochs`` x the whole corpus, every source caps
+    and the leftover is visible as budget - sum(target_tokens).
+
+    Scale: the frame is |sources| rows; the fold and the watermark
+    broadcast are O(|sources|) — nothing touches a corpus."""
+    if isinstance(budget_tokens, DataFrame):
+        # lazy budget: a 1-row frame whose single column is the budget
+        # (e.g. an aggregate of the mix itself) — keeps the builder free
+        # of construction-time Spark jobs
+        bcol = budget_tokens.columns[0]
+        mix = mix.crossJoin(
+            F.broadcast(budget_tokens.select(F.col(bcol).alias("_budget")))
+        )
+        b0 = "max(CAST(_budget AS DOUBLE))"
+    else:
+        if budget_tokens < 0:
+            raise ValueError(
+                f"budget_tokens must be >= 0, got {budget_tokens}"
+            )
+        b0 = f"CAST({int(budget_tokens)} AS DOUBLE)"
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    cap = f"CAST({float(max_epochs)} AS DOUBLE)"
+    # fold in capping order (temp_prob/token_mass DESC, source ASC):
+    # a source caps iff its share of the CURRENT remainder exceeds the
+    # cap; once one declines, all later (smaller-ratio) ones decline too
+    fold = (
+        "aggregate("
+        " array_sort(collect_list(struct("
+        "   -(temp_prob / CAST(token_mass AS DOUBLE)) AS negr,"
+        "   source, temp_prob AS p,"
+        "   CAST(token_mass AS DOUBLE) AS m))),"
+        f" struct({b0} AS b, CAST(1.0 AS DOUBLE) AS p),"
+        " (acc, x) -> IF(acc.p > CAST(0 AS DOUBLE)"
+        f"   AND x.p * acc.b / (acc.p * x.m) > {cap},"
+        "   struct(acc.b - " + cap + " * x.m AS b, acc.p - x.p AS p), acc))"
+    )
+    keep = ["source", "token_mass", "temp_prob"] + (
+        ["_budget"] if "_budget" in mix.columns else []
+    )
+    water = mix.select(*keep).agg(F.expr(fold).alias("w")).select(
+        F.col("w.b").alias("_bstar"), F.col("w.p").alias("_pstar")
+    )
+    target = (
+        f"CASE WHEN _pstar <= CAST(0 AS DOUBLE)"
+        f" OR temp_prob * _bstar / (_pstar * CAST(token_mass AS DOUBLE))"
+        f" > {cap}"
+        f" THEN {cap} * CAST(token_mass AS DOUBLE)"
+        f" ELSE temp_prob * _bstar / _pstar END"
+    )
+    return (
+        mix.select("source", "token_mass", "temp_prob")
+        .crossJoin(F.broadcast(water))
+        .withColumn("target_tokens", F.expr(target))
+        .select(
+            "source", "token_mass", "temp_prob", "target_tokens",
+            F.expr(
+                "target_tokens / CAST(token_mass AS DOUBLE)"
+            ).alias("epochs"),
+            F.expr(
+                f"_pstar <= CAST(0 AS DOUBLE) OR temp_prob * _bstar"
+                f" / (_pstar * CAST(token_mass AS DOUBLE)) > {cap}"
+            ).alias("capped"),
+        )
+    )

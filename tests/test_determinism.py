@@ -61,6 +61,9 @@ FAMILIES = [
     "dd_canonical",       # per-cluster (quality DESC, doc_id ASC)
                           # keep selection
     "tok_roundtrip",      # Arrow merge replay + expression decode
+    "tx_length_drift",    # integer KS cross-difference max over the
+                          # dense length grid
+    "tx_mix_plan",        # sorted watermark fold + shared float formula
 ]
 
 

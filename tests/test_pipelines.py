@@ -1684,3 +1684,104 @@ def test_canonical_select_invariants_and_constructed(spark):
         for m in members:
             assert m["kept_doc_id"] == want["doc_id"]
             assert m["cluster_size"] == len(members)
+
+
+def test_length_drift_matches_exact_ks_twin(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark)
+    got = {
+        r["source"]: (r["n_docs"], r["dn"], r["ks_d"])
+        for r in TX.length_drift(docs).collect()
+    }
+
+    rows = docs.select("source", F.length("text").alias("len")).collect()
+    by_src: dict = {}
+    all_len = []
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["len"])
+        all_len.append(r["len"])
+    n = len(all_len)
+    xs = sorted(set(all_len))
+    assert len(got) == len(by_src)
+    for s, ls in by_src.items():
+        ls_sorted = sorted(ls)
+        n_s = len(ls)
+        import bisect
+
+        dn = max(
+            abs(
+                bisect.bisect_right(ls_sorted, x) * n
+                - bisect.bisect_right(sorted(all_len), x) * n_s
+            )
+            for x in xs
+        )
+        assert got[s] == (n_s, dn, float(dn) / float(n_s * n))
+        # KS is a probability distance: within [0, 1]
+        assert 0.0 <= got[s][2] <= 1.0
+
+    # identical distributions drift zero: a single-source corpus
+    one = docs.withColumn("source", F.lit("only"))
+    z = TX.length_drift(one).collect()
+    assert len(z) == 1 and z[0]["dn"] == 0 and z[0]["ks_d"] == 0.0
+
+
+def test_mix_plan_waterfill_matches_python_twin(spark):
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = _docs(spark).select(
+        "doc_id", "source", F.col("n_chars").alias("n_tok")
+    )
+    tm = TX.temperature_mix(docs)
+    tm_rows = tm.collect()
+    total = sum(r["token_mass"] for r in tm_rows)
+
+    def twin(rows, budget, cap):
+        items = sorted(
+            rows,
+            key=lambda r: (
+                -(r["temp_prob"] / float(r["token_mass"])), r["source"]
+            ),
+        )
+        b, p = float(budget), 1.0
+        for x in items:
+            m = float(x["token_mass"])
+            if p > 0.0 and x["temp_prob"] * b / (p * m) > cap:
+                b, p = b - cap * m, p - x["temp_prob"]
+        out = {}
+        for x in rows:
+            m = float(x["token_mass"])
+            capped = p <= 0.0 or x["temp_prob"] * b / (p * m) > cap
+            t = cap * m if capped else x["temp_prob"] * b / p
+            out[x["source"]] = (t, t / m, capped)
+        return out
+
+    for budget, cap in ((3 * total, 4.0), (total // 2, 4.0),
+                        (20 * total, 4.0), (3 * total, 1.5)):
+        got = {
+            r["source"]: (r["target_tokens"], r["epochs"], r["capped"])
+            for r in TX.mix_plan(tm, budget, cap).collect()
+        }
+        want = twin(tm_rows, budget, cap)
+        assert got == want
+        # invariants: epoch cap respected; uncapped budget conserved
+        eps = 1e-9 * max(budget, 1)
+        spent = sum(t for t, _, _ in got.values())
+        if all(c for _, _, c in got.values()):
+            assert spent <= budget + eps  # leftover visible to caller
+        else:
+            assert abs(spent - budget) <= eps
+        for t, e, c in got.values():
+            assert e <= cap + 1e-12
+
+    # lazy budget frame: same result as the int path, no collect needed
+    bframe = tm.agg((F.sum("token_mass") * 3).cast("long").alias("b"))
+    got_lazy = {
+        r["source"]: (r["target_tokens"], r["epochs"], r["capped"])
+        for r in TX.mix_plan(tm, bframe, 4.0).collect()
+    }
+    assert got_lazy == twin(tm_rows, 3 * total, 4.0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        TX.mix_plan(tm, 10, 0.0)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        TX.mix_plan(tm, -1)

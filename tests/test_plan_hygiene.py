@@ -126,6 +126,12 @@ EXCHANGE_BOUNDS = [
     ("tok_oov_ladder", 3),         # global-rank fold of the checkpointed
                                    # (source, token) cells + broadcast
                                    # rank join + ONE stacked ladder agg
+    ("tx_length_drift", 4),        # length-cell grid (bounded by max
+                                   # doc length) + per-source step-carry
+                                   # + corpus-CDF window + per-source max
+    ("tx_mix_plan", 3),            # |sources|-row frames only: one
+                                   # sorted watermark fold + broadcast
+                                   # back over the checkpointed mix
     ("tx_split_contam", 7),        # two gram-set distincts + per-doc +
                                    # per-split rollups; the held-out
                                    # vocabulary broadcasts both ways —
