@@ -1704,6 +1704,33 @@ def _q_tx_vocab_overlap(spark, sf_dir):
     return TX.source_vocab_overlap(TX.load_docs(spark, sf_dir), 64)
 
 
+def _q_tok_pack_contam(spark, sf_dir):
+    """Packing cross-contamination audit: bins of the standard packing
+    run (capacity 2048) that hold chunks of 2+ DISTINCT near-duplicate
+    documents (cluster map = the shared Jaccard >= 0.2 pair stage over
+    the documents table, doc ids aligned by construction) — the
+    mini-epoch leak the mixture accounting never records. Per bin:
+    sequences, distinct docs, distinct clusters, contaminated flag
+    (pigeonhole: n_clusters < n_docs). Rows-only; constructed-case twin
+    and conservation invariants pinned in pytest."""
+    from dtaianomaly_spark.pipelines import text as TX
+    from dtaianomaly_spark.pipelines import tokens as TK
+
+    arrays = C.token_arrays(spark, sf_dir)
+    chunks = TK.chunk_tokens(arrays, 2048)
+    packed = TK.pack_sequences(
+        chunks.select("doc_id", "chunk", "n_tok"), 2048
+    )
+    docs = TX.load_docs(spark, sf_dir)
+    pairs = _shared_jaccard_pairs(spark, sf_dir, threshold=0.2).select(
+        "doc_a", "doc_b"
+    )
+    clusters = TX.dedup_clusters(docs, pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    return TK.pack_contamination(packed, clusters)
+
+
 def _q_tok_roundtrip(spark, sf_dir):
     """Tokenizer round-trip audit — the encode/decode safety invariant
     a pipeline pins before swapping tokenizers: encode with the shared
@@ -2234,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_vocab_growth": _q_tok_vocab_growth,
         "tok_oov_ladder": _q_tok_oov_ladder,
         "tok_roundtrip": _q_tok_roundtrip,
+        "tok_pack_contam": _q_tok_pack_contam,
         "tok_zipf_fit": _q_tok_zipf_fit,
         "tok_swap_report": _q_tok_swap_report,
         "tx_split_report": _q_tx_split_report,

@@ -1364,3 +1364,35 @@ def bpe_decode(encoded: DataFrame, merges) -> DataFrame:
     if "n_tok" in encoded.columns:
         out = out.withColumn("n_tok", F.size("tokens"))
     return out
+
+
+def pack_contamination(
+    packed: DataFrame, clusters: DataFrame
+) -> DataFrame:
+    """Cross-contamination audit for packed training rows: Krell et
+    al.'s packing is safe because attention masks separate the
+    sequences inside a bin — but a bin holding TWO CHUNKS OF NEAR-
+    DUPLICATE DOCUMENTS still leaks (the model sees the same content
+    twice in one optimizer step, a mini epoch-2 the mixture accounting
+    never recorded). Given the packing assignment
+    (:func:`pack_sequences` output: id cols + grp, bin) and a doc ->
+    cluster map (:func:`...text.dedup_clusters`), report per (grp,
+    bin): sequences, distinct docs, distinct clusters, and the
+    contaminated flag (some cluster contributes 2+ DISTINCT docs —
+    same-doc chunk pairs are the normal case and don't count).
+
+    Scale shape: one join on doc_id (the cluster map is corpus-
+    metadata-sized), one (grp, bin) aggregate over bounded per-bin
+    member lists. Output is one row per training bin."""
+    joined = packed.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+    return (
+        joined.groupBy("grp", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+        .withColumn(
+            "contaminated", F.col("n_clusters") < F.col("n_docs")
+        )
+    )

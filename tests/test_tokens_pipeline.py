@@ -784,3 +784,45 @@ def test_bpe_decode_inverts_encode(spark):
     # empty merge table: decode is the identity
     ident = TK.bpe_decode(arrays, [])
     assert ident.filter("tokens != orig").count() == 0
+
+
+def test_pack_contamination_constructed_and_conservation(spark):
+    # constructed: bin (0,0) holds two docs of one cluster -> leak;
+    # bin (0,1) holds two chunks of ONE doc -> clean by definition;
+    # bin (1,0) holds two docs of different clusters -> clean
+    packed = spark.createDataFrame(
+        [(10, 0, 0, 0), (11, 0, 0, 0),
+         (12, 0, 0, 1), (12, 1, 0, 1),
+         (13, 0, 1, 0), (14, 0, 1, 0)],
+        "doc_id long, chunk long, grp long, bin long",
+    )
+    clusters = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 12), (13, 13), (14, 14)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        (r["grp"], r["bin"]): (
+            r["n_seqs"], r["n_docs"], r["n_clusters"], r["contaminated"]
+        )
+        for r in TK.pack_contamination(packed, clusters).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2, 1, True),
+        (0, 1): (2, 1, 1, False),
+        (1, 0): (2, 2, 2, False),
+    }
+
+    # real run: every assigned sequence lands in exactly one bin row
+    arrays = C.token_arrays(spark, SF_DIR)
+    chunks = TK.chunk_tokens(arrays, 512)
+    packed = TK.pack_sequences(
+        chunks.select("doc_id", "chunk", "n_tok"), 512
+    )
+    ident = arrays.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    rep = TK.pack_contamination(packed, ident).persist()
+    assert rep.agg(F.sum("n_seqs")).collect()[0][0] == packed.count()
+    # identity clustering: nothing can be contaminated
+    assert rep.filter("contaminated").count() == 0
+    rep.unpersist()
