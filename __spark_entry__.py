@@ -1691,6 +1691,47 @@ def _q_rollup_kmv_ndv(spark, sf_dir):
     )
 
 
+def _q_rollup_dd_quantile(spark, sf_dir):
+    """DDSketch relative-error quantile tier (Masson, Rim & Lee 2019)
+    audited against the exact p95: per-(series, coarse bucket) signed
+    log-gamma bucket counts with gamma = 51/50 EXACTLY (big-int
+    rational edges — the value->bucket map is pure integer arithmetic,
+    no log()), built at the fine tier and merged by index-wise addition
+    (a commutative monoid, merge == direct pinned). The read-off walks
+    ONE window cumulative sum to the rank-r bucket and reports its
+    exact integer value range [lo, hi]; the join against the exact
+    rank-r value makes the containment guarantee lo <= true <= hi
+    visible in every row. Rows-only (oracle set at the rotation
+    ceiling); merge==direct, Python index-map twin, containment and
+    the integer alpha pin |hi|*50 <= |lo|*51 - 1 all pinned in pytest
+    (test_temporal_joins.py)."""
+    from pyspark.sql import Window
+
+    lf = _spark_long_form(spark, sf_dir)
+    dd = T.ddsketch_rollup(lf, 64, 15)
+    q95 = T.ddsketch_quantile(dd, 19, 20)
+    ranked = lf.select(
+        "doc_id",
+        (F.col("pos") / 960).cast("long").alias("bucket"),
+        "value", "pos",
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id", "bucket").orderBy("value", "pos")
+        ),
+    )
+    truth = ranked.select(
+        F.col("doc_id").alias("t_doc"), F.col("bucket").alias("t_bucket"),
+        F.col("rn").alias("t_rn"), F.col("value").alias("true_val"),
+    )
+    return q95.join(
+        truth,
+        (q95["doc_id"] == truth["t_doc"])
+        & (q95["bucket"] == truth["t_bucket"])
+        & (q95["rank"] == truth["t_rn"]),
+    ).select("doc_id", "bucket", "n", "rank", "sidx", "lo", "hi", "true_val")
+
+
 def _q_tx_vocab_overlap(spark, sf_dir):
     """Pairwise per-source word-vocabulary overlap from ONE KMV sketch
     per source: Jaccard + intersection + union estimates for every
@@ -2271,6 +2312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cms_estimate": _q_rollup_cms_estimate,
         "rollup_bloom_contains": _q_rollup_bloom_contains,
         "rollup_kmv_ndv": _q_rollup_kmv_ndv,
+        "rollup_dd_quantile": _q_rollup_dd_quantile,
         "tx_vocab_overlap": _q_tx_vocab_overlap,
         "tx_quota_sample": _q_tx_quota_sample,
         "tx_length_drift": _q_tx_length_drift,

@@ -957,3 +957,166 @@ def kmv_rollup(
         F.expr(est).alias("ndv_est"),
         (F.size("kmin") < k).alias("exact"),
     )
+
+
+# ------------------------------------------------------- DDSketch tier
+
+# gamma = 51/50 (alpha ~ 1%): EXACT RATIONAL bucket boundaries so the
+# value -> bucket map is pure integer arithmetic — bit-reproducible by
+# any engine and by the plain-Python twin, with no log() in sight.
+DD_G_NUM = 51
+DD_G_DEN = 50
+DD_VMAX = 1 << 20
+
+
+def dd_boundaries(vmax: int = DD_VMAX, g_num: int = DD_G_NUM,
+                  g_den: int = DD_G_DEN) -> list:
+    """Exact DDSketch bucket upper edges ``T[i] = floor(gamma^i)`` for
+    ``gamma = g_num/g_den``, computed with Python big-int rationals
+    (``51**i // 50**i`` — never a float), extended until the edge
+    covers ``vmax``. Positive bucket ``j`` (0-based) holds the integers
+    ``T[j-1] < v <= T[j]`` (with ``T[-1] == 0``); consecutive equal
+    edges are empty buckets that the count-based index map skips over
+    naturally."""
+    if vmax < 1:
+        raise ValueError(f"vmax must be >= 1, got {vmax}")
+    out, num, den = [], 1, 1
+    while True:
+        out.append(num // den)
+        if out[-1] >= vmax:
+            return out
+        num *= g_num
+        den *= g_den
+
+
+def dd_index_py(v: int, bounds: list) -> int:
+    """Plain-Python twin of the SQL index map: signed DDSketch bucket
+    index for integer ``v`` — 0 for 0, ``+(1 + #{T < |v|})`` for
+    positive, the negative mirror for negative; |v| clamps to the last
+    edge (documented saturation, like the Bloom tier's fixed bits)."""
+    if v == 0:
+        return 0
+    a = min(abs(v), bounds[-1])
+    idx = 1 + sum(1 for t in bounds if t < a)
+    return idx if v > 0 else -idx
+
+
+def dd_bounds_py(sidx: int, bounds: list):
+    """Exact integer value range ``[lo, hi]`` covered by signed bucket
+    ``sidx`` — the read-off side of the index map, shared with the SQL
+    expression in :func:`ddsketch_quantile`."""
+    if sidx == 0:
+        return 0, 0
+    j = abs(sidx) - 1
+    lo = (bounds[j - 1] if j > 0 else 0) + 1
+    hi = bounds[j]
+    return (lo, hi) if sidx > 0 else (-hi, -lo)
+
+
+def _dd_sidx_sql(value_col: str, bounds: list) -> str:
+    arr = f"array({', '.join(f'{int(t)}L' for t in bounds)})"
+    clamped = f"LEAST(ABS({value_col}), {int(bounds[-1])}L)"
+    return (
+        f"CASE WHEN {value_col} = 0 THEN 0L"
+        f" ELSE CAST(SIGN({value_col}) AS BIGINT)"
+        f" * (1 + size(filter({arr}, t -> t < {clamped}))) END"
+    )
+
+
+def ddsketch_rollup(
+    long_form: DataFrame,
+    fine_ticks: int = 64,
+    factor: int = 15,
+    vmax: int = DD_VMAX,
+) -> DataFrame:
+    """Mergeable DDSketch quantile tier (Masson, Rim & Lee 2019,
+    "DDSketch: a fast and fully-mergeable quantile sketch with
+    relative-error guarantees") — the RELATIVE-error companion to the
+    absolute-error histogram tier and the rank-error quantile summary:
+    per (series, bucket) the counts of signed log-gamma buckets
+    ``(doc_id, bucket, sidx, dcnt)``, gamma = 51/50 exactly (alpha ~
+    1%), stored sparse. Unlike the float DDSketch, the bucket map here
+    is EXACT integer arithmetic against big-int rational edges
+    (:func:`dd_boundaries`), so every engine and the Python twin agree
+    bit-for-bit.
+
+    Fine tier: one count per (series, fine bucket, signed index);
+    coarse tier: INDEX-WISE ADDITION of the fine grids — the sketch is
+    a plain commutative monoid, composition exact by construction
+    (merge == direct pinned by test). Quantile read-off via
+    :func:`ddsketch_quantile`.
+
+    Scale: state per bucket is bounded by the number of NONEMPTY
+    log-buckets (<= 2 * len(bounds) + 1, ~700 for the default edge
+    table — independent of n and of NDV); the pipeline is two hash
+    aggregates with map-side partials, zero UDF, zero window."""
+    bounds = dd_boundaries(vmax)
+    fine = (
+        long_form.select(
+            "doc_id",
+            (F.col("pos") / fine_ticks).cast("long").alias("fbucket"),
+            F.expr(_dd_sidx_sql("value", bounds)).alias("sidx"),
+        )
+        .groupBy("doc_id", "fbucket", "sidx")
+        .agg(F.count("*").cast("long").alias("dcnt"))
+    )
+    return (
+        fine.groupBy(
+            "doc_id",
+            (F.col("fbucket") / factor).cast("long").alias("bucket"),
+            "sidx",
+        )
+        .agg(F.sum("dcnt").cast("long").alias("dcnt"))
+    )
+
+
+def ddsketch_quantile(
+    dd: DataFrame, q_num: int, q_den: int, vmax: int = DD_VMAX
+) -> DataFrame:
+    """Rank-``q`` read-off from a :func:`ddsketch_rollup` frame: for
+    each (series, bucket), the 1-based target rank is the integer
+    rational ``r = floor(q_num * (n - 1) / q_den) + 1`` (never a float
+    quantile), and the answer is the unique signed log-bucket whose
+    cumulative count first reaches ``r`` — found with ONE window
+    cumulative sum over ``sidx`` order (sidx order IS value order) and
+    the two-sided pick ``cum - dcnt < r <= cum``; no second aggregate,
+    no join. Output ``(doc_id, bucket, n, rank, sidx, lo, hi)`` with
+    the EXACT integer value range of the winning bucket; the DDSketch
+    guarantee, pinned by test: the true r-th smallest value lies in
+    ``[lo, hi]`` and ``|hi| * 50 <= |lo| * 51`` on nonzero buckets
+    (the alpha relative-error bound in exact integers)."""
+    from pyspark.sql import Window
+
+    if not (0 <= q_num <= q_den) or q_den <= 0:
+        raise ValueError(f"need 0 <= q_num <= q_den, got {q_num}/{q_den}")
+    bounds = dd_boundaries(vmax)
+    arr = f"array({', '.join(f'{int(t)}L' for t in bounds)})"
+    j = "CAST(ABS(sidx) AS INT)"
+    alo = f"(CASE WHEN {j} >= 2 THEN element_at({arr}, {j} - 1) ELSE 0L END + 1)"
+    ahi = f"element_at({arr}, {j})"
+    w = Window.partitionBy("doc_id", "bucket").orderBy("sidx")
+    wall = Window.partitionBy("doc_id", "bucket")
+    return (
+        dd.withColumn("cum", F.sum("dcnt").over(w))
+        .withColumn("n", F.sum("dcnt").over(wall))
+        .withColumn(
+            "rank",
+            (F.lit(q_num) * (F.col("n") - 1) / F.lit(q_den))
+            .cast("long") + 1,
+        )
+        .filter(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("dcnt") < F.col("rank"))
+        )
+        .select(
+            "doc_id", "bucket", "n", "rank", "sidx",
+            F.expr(
+                f"CASE WHEN sidx = 0 THEN 0L WHEN sidx > 0 THEN {alo}"
+                f" ELSE -{ahi} END"
+            ).alias("lo"),
+            F.expr(
+                f"CASE WHEN sidx = 0 THEN 0L WHEN sidx > 0 THEN {ahi}"
+                f" ELSE -{alo} END"
+            ).alias("hi"),
+        )
+    )

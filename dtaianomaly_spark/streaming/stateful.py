@@ -1012,3 +1012,136 @@ def stateful_kmv(
         if flush_after_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# Streaming DDSketch: the online twin of rollup/tiers.ddsketch_rollup.
+# ------------------------------------------------------------------
+
+DD_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("sidx", LongType(), False),
+        StructField("dcnt", LongType(), False),
+        StructField("final", BooleanType(), False),
+    ]
+)
+
+DD_STATE_SCHEMA = StructType(
+    [
+        StructField("buckets", ArrayType(LongType()), True),
+        StructField("sidxs", ArrayType(ArrayType(LongType())), True),
+        StructField("cnts", ArrayType(ArrayType(LongType())), True),
+    ]
+)
+
+
+def _make_dd_update(bucket_ticks: int, bounds: list,
+                    flush_after_ms: int | None):
+    from dtaianomaly_spark.rollup.tiers import dd_index_py
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        open_b: dict[int, dict[int, int]] = {}
+        if state.exists:
+            buckets, sidxs, cnts = state.get
+            open_b = {
+                b: dict(zip(sidxs[i], cnts[i]))
+                for i, b in enumerate(buckets)
+            }
+
+        def rows_of(items, final):
+            return [
+                (doc_id, b, s, c, final)
+                for b, hist in items
+                for s, c in sorted(hist.items())
+            ]
+
+        if state.hasTimedOut:
+            # log-bucket counts are a monoid (index-wise sum): flushes
+            # of a revived series re-combine exactly downstream
+            state.remove()
+            rows = rows_of(sorted(open_b.items()), False)
+            if rows:
+                yield pd.DataFrame(rows, columns=DD_OUTPUT_SCHEMA.names)
+            return
+
+        idx_cache: dict[int, int] = {}
+        for pdf in pdfs:
+            grouped = (
+                pdf.assign(bucket=pdf["pos"] // bucket_ticks)
+                .groupby(["bucket", "value"])
+                .size()
+            )
+            for (b, v), c in grouped.items():
+                hist = open_b.setdefault(int(b), {})
+                v = int(v)
+                if v not in idx_cache:
+                    idx_cache[v] = dd_index_py(v, bounds)
+                s = idx_cache[v]
+                hist[s] = hist.get(s, 0) + int(c)
+
+        done = {
+            b: hist for b, hist in open_b.items()
+            if sum(hist.values()) >= bucket_ticks
+        }
+        for b in done:
+            del open_b[b]
+
+        if open_b:
+            bs = sorted(open_b)
+            state.update((
+                bs,
+                [sorted(open_b[b]) for b in bs],
+                [[open_b[b][s] for s in sorted(open_b[b])] for b in bs],
+            ))
+            if flush_after_ms is not None:
+                state.setTimeoutDuration(flush_after_ms)
+        else:
+            state.remove()
+
+        rows = rows_of(sorted(done.items()), True)
+        if rows:
+            yield pd.DataFrame(rows, columns=DD_OUTPUT_SCHEMA.names)
+
+    return update
+
+
+def stateful_ddsketch(
+    stream_long_form,
+    bucket_ticks: int = 960,
+    vmax: int | None = None,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """points stream (doc_id, pos, value) -> append stream of sparse
+    signed log-gamma bucket counts, the ONLINE twin of
+    ``rollup/tiers.ddsketch_rollup`` (same exact-rational gamma = 51/50
+    index map via the shared :func:`dd_index_py`, so completed buckets
+    byte-match the batch sketch built at the same ``bucket_ticks`` —
+    tested). State per open bucket is the nonempty-log-bucket
+    histogram — bounded by ``2 * len(bounds) + 1`` entries no matter n
+    or NDV (the DDSketch point: quantile state that never grows with
+    the data). Completion is detected by the histogram mass reaching
+    ``bucket_ticks``. Log-bucket counts are a plain commutative monoid,
+    so TTL flushes of partials (``final=false``) re-combine exactly by
+    index-wise sum — revival-safe. Same exactly-once input contract
+    and timeout caveats as :func:`stateful_bucket_rollup`. ``vmax``
+    defaults to the batch tier's DD_VMAX — retuning the tier retunes
+    the twin with it."""
+    from dtaianomaly_spark.rollup.tiers import DD_VMAX, dd_boundaries
+
+    bounds = dd_boundaries(DD_VMAX if vmax is None else vmax)
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_dd_update(bucket_ticks, bounds, flush_after_ms),
+        DD_OUTPUT_SCHEMA,
+        DD_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

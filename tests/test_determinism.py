@@ -53,6 +53,8 @@ FAMILIES = [
     "rollup_bloom_contains",  # md5 bit family + distinct bit unions
     "rollup_kmv_ndv",     # union-take-k hash lists + int->double
                           # estimator divides
+    "rollup_dd_quantile",  # window cumsum + rank-bucket pick + exact
+                          # rank audit join
     "tx_vocab_overlap",   # pairwise sketch combine (array ops on
                           # bounded hash lists)
     "tx_quota_sample",    # md5-rank selection must ignore partitioning

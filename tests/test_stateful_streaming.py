@@ -938,3 +938,98 @@ def test_stateful_kmv_ttl_partials_union_to_batch():
     )[0]
     assert done["final"].all() and st.updated is None
     assert list(done["kmin"].iloc[0]) == want
+
+
+def test_stateful_ddsketch_matches_batch(spark, tmp_path):
+    """Out-of-order chunked ingest: completed buckets' sparse log-gamma
+    bucket counts byte-match the batch DDSketch at the same width."""
+    from dtaianomaly_spark.rollup.tiers import ddsketch_rollup
+    from dtaianomaly_spark.streaming.stateful import stateful_ddsketch
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos", "value"
+    )
+    src = str(tmp_path / "src")
+    for cond in ["pos % 3 = 1", "pos % 3 = 2", "pos % 3 = 0"]:
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        stateful_ddsketch(stream, bucket_ticks=64, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    assert got.filter("NOT final").count() == 0
+    assert (
+        got.groupBy("doc_id", "bucket", "sidx")
+        .count().filter("count > 1").count() == 0
+    )
+    got = got.drop("final")
+
+    full = (
+        lf.groupBy("doc_id", (F.col("pos") / 64).cast("long").alias("bucket"))
+        .count().filter("count = 64").drop("count")
+    )
+    batch = ddsketch_rollup(lf, fine_ticks=64, factor=1).join(
+        full, ["doc_id", "bucket"], "semi"
+    )
+    cols = ("doc_id", "bucket", "sidx", "dcnt")
+    key = lambda r: tuple(r[c] for c in cols)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.count() > 200
+
+
+def test_stateful_ddsketch_ttl_partials_combine_to_batch():
+    """TTL flush mid-bucket: the final=false histograms from two flushes
+    monoid-combine (index-wise sum) to the exact full histogram."""
+    import pandas as pd
+
+    from dtaianomaly_spark.rollup.tiers import dd_boundaries, dd_index_py
+    from dtaianomaly_spark.streaming.stateful import _make_dd_update
+
+    bounds = dd_boundaries(1 << 10)
+    update = _make_dd_update(16, bounds, 1000)
+    pts = [(i, (i * 7) % 23 - 14) for i in range(16)]
+
+    def run_flush(points):
+        st = _FakeState()
+        out = list(
+            update(("d",), iter([pd.DataFrame(points, columns=["pos", "value"])]), st)
+        )
+        assert out == [] and st.updated is not None
+        st2 = _FakeState(value=st.updated, timed_out=True)
+        flush = list(update(("d",), iter([]), st2))[0]
+        assert st2.removed and not flush["final"].any()
+        return flush
+
+    a, b = run_flush(pts[:5]), run_flush(pts[5:])
+    merged = {}
+    for fl in (a, b):
+        for r in fl.itertuples():
+            merged[r.sidx] = merged.get(r.sidx, 0) + r.dcnt
+    want = {}
+    for _, v in pts:
+        s = dd_index_py(v, bounds)
+        want[s] = want.get(s, 0) + 1
+    assert merged == want
+    # zero, negative and positive stores all live in this input
+    assert min(want) < 0 < max(want) and 0 in want
+    # completion by count: feeding all 16 points at once emits final=true
+    st = _FakeState()
+    done = list(
+        update(("d",), iter([pd.DataFrame(pts, columns=["pos", "value"])]), st)
+    )[0]
+    assert done["final"].all() and st.updated is None
+    assert {r.sidx: r.dcnt for r in done.itertuples()} == want

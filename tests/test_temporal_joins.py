@@ -729,3 +729,66 @@ def test_kmv_merge_equals_direct_exactness_and_twin(spark, long_form):
         assert list(r["kmin"]) == sorted(r["kmin"])
     with pytest.raises(ValueError, match="k must be"):
         kmv_agg(long_form, ["doc_id"], "value", 1)
+
+
+# ------------------------------------------------------ ddsketch tier
+
+def test_ddsketch_merge_direct_twin_and_quantile_guarantee(spark, long_form):
+    from dtaianomaly_spark.rollup.tiers import (
+        dd_boundaries, dd_bounds_py, dd_index_py,
+        ddsketch_quantile, ddsketch_rollup,
+    )
+
+    bounds = dd_boundaries()
+    dd = ddsketch_rollup(long_form, fine_ticks=16, factor=4)
+    direct = ddsketch_rollup(long_form, fine_ticks=64, factor=1)
+    cols = ("doc_id", "bucket", "sidx", "dcnt")
+    # commutative monoid: fine->coarse index-wise sums == direct coarse
+    assert _rows(dd, *cols) == _rows(direct, *cols)
+    # index map is the plain-Python twin, bit-for-bit, on every distinct
+    # corpus value (negative, zero and positive stores all exercised)
+    vals = [r["value"] for r in long_form.select("value").distinct().collect()]
+    assert min(vals) < 0 < max(vals)
+    from dtaianomaly_spark.rollup.tiers import _dd_sidx_sql
+    got = {
+        r["value"]: r["sidx"]
+        for r in long_form.select("value").distinct().select(
+            "value", F.expr(_dd_sidx_sql("value", bounds)).alias("sidx")
+        ).collect()
+    }
+    assert got == {v: dd_index_py(v, bounds) for v in vals}
+    # mass invariant + bounded state: per coarse bucket the sketch holds
+    # the full count in <= 2*len(bounds)+1 rows
+    per_bucket = {}
+    for r in dd.collect():
+        k = (r["doc_id"], r["bucket"])
+        n, rows = per_bucket.get(k, (0, 0))
+        per_bucket[k] = (n + r["dcnt"], rows + 1)
+    truth = {}
+    for r in long_form.collect():
+        k = (r["doc_id"], r["pos"] // 64)
+        truth.setdefault(k, []).append(r["value"])
+    assert {k: v[0] for k, v in per_bucket.items()} == {
+        k: len(v) for k, v in truth.items()
+    }
+    assert max(rows for _, rows in per_bucket.values()) <= 2 * len(bounds) + 1
+    # quantile read-off: for several ranks, the EXACT r-th smallest value
+    # lies in [lo, hi] (DDSketch containment) and the bucket width obeys
+    # the integer relative-error pin |hi| * 50 <= |lo| * 51 - 1
+    for q_num, q_den in ((0, 1), (1, 2), (19, 20), (1, 1)):
+        rows = ddsketch_quantile(dd, q_num, q_den).collect()
+        assert {(r["doc_id"], r["bucket"]) for r in rows} == set(truth)
+        for r in rows:
+            xs = sorted(truth[(r["doc_id"], r["bucket"])])
+            rank = q_num * (len(xs) - 1) // q_den + 1
+            assert r["n"] == len(xs) and r["rank"] == rank
+            assert r["lo"] <= xs[rank - 1] <= r["hi"]
+            lo, hi = dd_bounds_py(r["sidx"], bounds)
+            assert (r["lo"], r["hi"]) == (lo, hi)
+            if r["sidx"] != 0:
+                assert abs(r["hi"] if r["sidx"] > 0 else r["lo"]) * 50 \
+                    <= abs(r["lo"] if r["sidx"] > 0 else r["hi"]) * 51 - 1
+    with pytest.raises(ValueError, match="q_num"):
+        ddsketch_quantile(dd, 3, 2)
+    with pytest.raises(ValueError, match="vmax"):
+        dd_boundaries(0)
