@@ -233,6 +233,19 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_spectral_residual(spark, sf_dir):
+    """Spectral-residual saliency detector (Ren et al. 2019, KDD):
+    FFT log-amplitude minus its moving average, phase-preserving
+    reconstruction, relative local deviation as the per-observation
+    score. Engine addition (public SR paper) in the change/novelty
+    family next to det_cusum. Map-only Arrow stage — zero exchange;
+    rows-only, pinned in pytest against an independent O(n^2)
+    DFT-matrix implementation (test_operators_vs_kernels.py)."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.spectral_residual_scores(C.token_arrays(spark, sf_dir))
+
+
 def _q_det_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page's one-sided CUSUM (drift k=60, threshold h=300) as two
     running window aggregates via the prefix-min identity — relational,
@@ -2215,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bm25_topk": _q_tx_bm25_topk,
         "tx_hard_negatives": _q_tx_hard_negatives,
         "det_cusum": _q_det_cusum,
+        "det_spectral_residual": _q_det_spectral_residual,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,

@@ -448,3 +448,74 @@ def rpca_fit(train: np.ndarray, max_iter: int = 100, tol: float = 1e-6,
 
 
 rpca_score = pca_score
+
+
+# ------------------------------------------------ spectral residual (SR)
+
+def _causal_mavg(a: np.ndarray, q: int) -> np.ndarray:
+    """Causal moving average with a growing head: position i averages the
+    last ``min(i + 1, q)`` values — the standard SR ``average_filter``
+    shape, vectorized with one cumulative sum."""
+    c = np.cumsum(a, dtype=np.float64)
+    out = c.copy()
+    out[q:] = c[q:] - c[:-q]
+    div = np.minimum(np.arange(1, a.shape[0] + 1, dtype=np.float64), float(q))
+    return out / div
+
+
+def sr_extend(x: np.ndarray, m: int = 5, kappa: int = 5) -> np.ndarray:
+    """The SR paper's tail extrapolation (Ren et al. 2019, KDD, "Time-
+    Series Anomaly Detection Service at Microsoft", eq. 8-9): append
+    ``kappa`` copies of the estimated next point
+    ``x_{n+1} = x_{n-m+1} + m * mean_i (x_n - x_{n-i}) / i`` so the
+    FFT sees the most recent points away from the boundary. Series
+    shorter than ``m + 1`` repeat the last value."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        return x
+    if n < m + 1:
+        est = x[-1]
+    else:
+        i = np.arange(1, m + 1, dtype=np.float64)
+        grad = (x[-1] - x[-1 - np.arange(1, m + 1)]) / i
+        est = x[n - m] + grad.mean() * m
+    return np.concatenate([x, np.full(kappa, est)])
+
+
+def sr_saliency(x: np.ndarray, q: int = 3, m: int = 5,
+                kappa: int = 5) -> np.ndarray:
+    """Spectral-residual saliency map of a series (Ren et al. 2019,
+    section 3.1): log-amplitude spectrum minus its ``q``-point moving
+    average, recombined with the original phase, back-transformed —
+    ``S = |IFFT(exp(L - h_q * L + i * phase))|``. The tail is
+    extrapolated with :func:`sr_extend` before the FFT and trimmed
+    after. Zero-amplitude frequency bins (an all-zero series) keep a
+    log floor so the map stays finite everywhere."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n == 0:
+        return x
+    ext = sr_extend(x, m, kappa)
+    spec = np.fft.fft(ext)
+    amp = np.abs(spec)
+    safe = np.where(amp > 0, amp, 1.0)
+    log_amp = np.log(safe)
+    resid = log_amp - _causal_mavg(log_amp, q)
+    # exp(resid) rescales each bin's amplitude; zero bins stay zero
+    sal = np.abs(np.fft.ifft(spec * (np.exp(resid) / safe)))
+    return sal[:n]
+
+
+def sr_scores_1d(x: np.ndarray, q: int = 3, m: int = 5, kappa: int = 5,
+                 z: int = 21) -> np.ndarray:
+    """Per-observation SR anomaly score: relative deviation of the
+    saliency map from its ``z``-point causal local average,
+    ``(S - S_loc) / S_loc`` (Ren et al. 2019 eq. 5 with the local
+    average as the expected saliency). Zero local average (constant
+    series) scores 0 — finite everywhere by construction."""
+    sal = sr_saliency(x, q, m, kappa)
+    if sal.shape[0] == 0:
+        return sal
+    loc = _causal_mavg(sal, z)
+    return np.where(loc > 0, (sal - loc) / np.where(loc > 0, loc, 1.0), 0.0)

@@ -843,6 +843,34 @@ def kmeans_scores(
     return _score_map(arrays, per_series)
 
 
+def spectral_residual_scores(
+    arrays: DataFrame, q: int = 3, m: int = 5, kappa: int = 5, z: int = 21
+) -> DataFrame:
+    """Spectral-residual saliency scores (Ren et al. 2019, KDD, "Time-
+    Series Anomaly Detection Service at Microsoft") — the FFT-based
+    per-observation detector: log-amplitude spectrum minus its q-point
+    moving average, recombined with the phase, back-transformed, then
+    scored as relative deviation from the local saliency average
+    (kernels/detectors_ext.sr_scores_1d). Not a reference detector —
+    an engine addition from the public SR paper, next to CUSUM in the
+    change/novelty family.
+
+    Scale: map-only — one Arrow pass per series, no shuffle, no fit
+    stage, no broadcast state; O(n log n) per series. Multivariate
+    input scores each attribute independently and keeps the max
+    per-timestep deviation."""
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        if x.ndim == 2:
+            cols = [KX.sr_scores_1d(x[:, j], q, m, kappa, z)
+                    for j in range(x.shape[1])]
+            return np.max(np.stack(cols, axis=1), axis=1)
+        return KX.sr_scores_1d(x, q, m, kappa, z)
+
+    return _score_map(arrays, per_series)
+
+
 def iforest_scores(
     arrays: DataFrame, window_size: int, stride: int,
     n_trees: int = 50, seed: int = 42,

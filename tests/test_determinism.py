@@ -66,6 +66,8 @@ FAMILIES = [
     "tx_length_drift",    # integer KS cross-difference max over the
                           # dense length grid
     "tx_mix_plan",        # sorted watermark fold + shared float formula
+    "det_spectral_residual",  # per-series FFT map must ignore
+                          # partitioning
 ]
 
 

@@ -297,3 +297,58 @@ def test_m4_matches_naive_per_bucket(spark):
     for (d, bk), (pf, vf, pl, vl, pmin, vmin, pmax, vmax) in got.items():
         assert pf <= pmin <= pl and pf <= pmax <= pl
         assert vmin <= min(vf, vl) and vmax >= max(vf, vl)
+
+
+# ------------------------------------------------ spectral residual
+
+def test_sr_saliency_matches_naive_dft():
+    """The FFT path reproduces an independent O(n^2) DFT-matrix
+    implementation of the same SR pipeline (different algorithm, same
+    math) to float precision."""
+    from dtaianomaly_spark.kernels.detectors_ext import (
+        _causal_mavg, sr_extend, sr_saliency,
+    )
+
+    rng = np.random.default_rng(7)
+    for n in (17, 64, 129):
+        x = np.cumsum(rng.normal(0, 1, n))
+        ext = sr_extend(x)
+        ne = ext.shape[0]
+        W = np.exp(-2j * np.pi * np.outer(np.arange(ne), np.arange(ne)) / ne)
+        spec = W @ ext
+        amp = np.abs(spec)
+        safe = np.where(amp > 0, amp, 1.0)
+        resid = np.log(safe) - _causal_mavg(np.log(safe), 3)
+        sal = np.abs(np.conj(W).T @ (spec * (np.exp(resid) / safe)) / ne)
+        np.testing.assert_allclose(sr_saliency(x), sal[:n], atol=1e-9)
+
+
+def test_sr_scores_spike_finite_and_deterministic():
+    from dtaianomaly_spark.kernels.detectors_ext import sr_scores_1d
+
+    rng = np.random.default_rng(1)
+    x = np.sin(np.linspace(0, 20 * np.pi, 500)) + rng.normal(0, 0.05, 500)
+    x[300] += 5.0
+    s = sr_scores_1d(x)
+    assert s.shape == x.shape and np.isfinite(s).all()
+    assert int(np.argmax(s)) == 300
+    np.testing.assert_array_equal(s, sr_scores_1d(x))
+    # degenerate inputs stay finite and shaped
+    for bad in (np.zeros(50), np.full(64, 3.0), np.array([]), np.arange(3.0)):
+        out = sr_scores_1d(bad)
+        assert out.shape == bad.shape and np.isfinite(out).all()
+
+
+def test_sr_operator_matches_kernel_per_series(spark):
+    from dtaianomaly_spark.kernels.detectors_ext import sr_scores_1d
+    from dtaianomaly_spark.operators.detectors import spectral_residual_scores
+
+    arrays = C.token_arrays(spark, SF_DIR).limit(12)
+    got = {
+        (r["doc_id"], r["pos"]): r["score"]
+        for r in spectral_residual_scores(arrays).collect()
+    }
+    for r in arrays.collect():
+        want = sr_scores_1d(np.asarray(r["tokens"], dtype=np.float64))
+        for p, v in enumerate(want):
+            assert got[(str(r["doc_id"]), p)] == v

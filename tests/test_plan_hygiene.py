@@ -39,6 +39,9 @@ EXCHANGE_BOUNDS = [
     ("tx_curation_funnel", 6),     # 4 stage aggregates over checkpointed
                                    # keep-sets (was 53 when the dedup
                                    # chain unrolled per stage)
+    ("det_spectral_residual", 1),  # map-only Arrow FFT stage; the one
+                                   # exchange is token_arrays' rebuild
+                                   # of (doc, tokens) rows
     ("det_cusum", 1),              # two running windows share one
                                    # (doc_id, pos) partition order
     ("pp_sax", 2),                 # segment agg + series agg, join
