@@ -233,6 +233,22 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_shesd_report(spark, sf_dir):
+    """Seasonal-Hybrid ESD anomaly report (Hochenbaum et al. 2017 /
+    Rosner 1983): classical seasonal adjustment, median/MAD
+    studentization, and the many-outlier ESD decision at alpha=0.05 —
+    the statistically-calibrated extraction report next to the motif/
+    discord reports (k rows per series, NOT a per-observation scorer).
+    Engine addition from the public papers. Rows-only; t-quantiles
+    pinned against textbook critical values, the lambda_i ladder
+    against an independently-written Rosner formula, and the report
+    against the generator's planted-spike ground truth
+    (test_operators_vs_kernels.py)."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.shesd_report(_spark_long_form(spark, sf_dir), period=64)
+
+
 def _q_det_spectral_residual(spark, sf_dir):
     """Spectral-residual saliency detector (Ren et al. 2019, KDD):
     FFT log-amplitude minus its moving average, phase-preserving
@@ -2229,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_hard_negatives": _q_tx_hard_negatives,
         "det_cusum": _q_det_cusum,
         "det_spectral_residual": _q_det_spectral_residual,
+        "det_shesd_report": _q_det_shesd_report,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,

@@ -519,3 +519,101 @@ def sr_scores_1d(x: np.ndarray, q: int = 3, m: int = 5, kappa: int = 5,
         return sal
     loc = _causal_mavg(sal, z)
     return np.where(loc > 0, (sal - loc) / np.where(loc > 0, loc, 1.0), 0.0)
+
+
+# ----------------------------------------- generalized ESD / S-H-ESD
+
+def t_cdf(t: float, df: float) -> float:
+    """Student-t CDF via the regularized incomplete beta:
+    ``P(T <= t) = 1 - I_x(df/2, 1/2) / 2`` with ``x = df / (df + t^2)``
+    for ``t >= 0``, mirrored below — the same betainc the ExCeeD path
+    uses (kernels/detectors.betainc_reg)."""
+    from dtaianomaly_spark.kernels.detectors import betainc_reg
+
+    if df <= 0:
+        raise ValueError(f"df must be > 0, got {df}")
+    x = df / (df + t * t)
+    half = 0.5 * betainc_reg(df / 2.0, 0.5, x)
+    return 1.0 - half if t >= 0 else half
+
+
+def t_ppf(p: float, df: float) -> float:
+    """Student-t quantile by monotone bisection on :func:`t_cdf` —
+    deterministic, no lookup tables, ~1e-12 absolute. Pinned against
+    textbook critical values in tests."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if p == 0.5:
+        return 0.0
+    if p < 0.5:
+        return -t_ppf(1.0 - p, df)
+    lo, hi = 0.0, 1.0
+    while t_cdf(hi, df) < p:
+        hi *= 2.0
+        if hi > 1e18:  # pragma: no cover — p astronomically close to 1
+            return hi
+    for _ in range(120):
+        mid = 0.5 * (lo + hi)
+        if t_cdf(mid, df) < p:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def gesd_outliers(
+    x: np.ndarray,
+    max_k: int,
+    alpha: float = 0.05,
+    robust: bool = False,
+):
+    """Generalized (many-outlier) ESD test (Rosner 1983, "Percentage
+    points for a generalized ESD many-outlier procedure"): iteratively
+    remove the most extreme point and compare each test statistic
+    ``R_i = max |x - center| / spread`` against the critical value
+    ``lambda_i = (n - i) * t / sqrt((n - i - 1 + t^2) * (n - i + 1))``
+    with ``t = t_ppf(1 - alpha / (2 (n - i + 1)), n - i - 1)``; the
+    declared outlier count is the LARGEST ``i`` with ``R_i > lambda_i``
+    (later exceedances resurrect earlier non-exceedances — the part
+    naive repeated Grubbs gets wrong).
+
+    ``robust=True`` is the Seasonal-Hybrid ESD reading (Hochenbaum,
+    Vallis & Kejariwal 2017, "Automatic anomaly detection in the cloud
+    via statistical learning"): median/MAD replace mean/std so massive
+    anomalies cannot mask each other. Ties on the max deviation break
+    on the LOWEST index — a pinned total order.
+
+    Returns ``(idx, r_stats, lambdas, n_declared)`` where ``idx`` holds
+    the removal order (first ``n_declared`` entries are the declared
+    anomalies)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    max_k = int(min(max_k, max(n - 2, 0)))
+    if max_k < 1:
+        return (np.empty(0, np.int64), np.empty(0), np.empty(0), 0)
+    live = np.ones(n, dtype=bool)
+    idx = np.empty(max_k, dtype=np.int64)
+    r_stats = np.empty(max_k, dtype=np.float64)
+    lambdas = np.empty(max_k, dtype=np.float64)
+    for i in range(max_k):
+        vals = x[live]
+        if robust:
+            center = float(np.median(vals))
+            mad = float(np.median(np.abs(vals - center)))
+            spread = 1.4826 * mad  # consistent sigma-hat under normality
+        else:
+            center = float(vals.mean())
+            spread = float(vals.std(ddof=1))
+        dev = np.abs(x - center)
+        dev[~live] = -np.inf
+        j = int(np.argmax(dev))  # argmax takes the lowest index on ties
+        r_stats[i] = dev[j] / spread if spread > 0 else np.inf
+        ni = int(live.sum())  # Rosner's n - i + 1 == points still live
+        p = 1.0 - alpha / (2.0 * ni)
+        t = t_ppf(p, ni - 2)
+        lambdas[i] = (ni - 1) * t / np.sqrt((ni - 2 + t * t) * ni)
+        idx[i] = j
+        live[j] = False
+    exceed = np.nonzero(r_stats > lambdas)[0]
+    n_declared = int(exceed[-1]) + 1 if exceed.size else 0
+    return idx, r_stats, lambdas, n_declared

@@ -843,6 +843,88 @@ def kmeans_scores(
     return _score_map(arrays, per_series)
 
 
+def shesd_report(
+    long_form: DataFrame,
+    period: int = 64,
+    max_frac: float = 0.05,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Seasonal-Hybrid ESD anomaly report (Hochenbaum, Vallis &
+    Kejariwal 2017; the generalized ESD test of Rosner 1983 on
+    seasonally-adjusted residuals): per series, residual = value -
+    seasonal - median(value) (the hybrid step: median, not trend, so
+    level shifts cannot mask outliers), then the many-outlier ESD
+    procedure with median/MAD studentization declares up to
+    ``ceil(max_frac * n)`` anomalies at level ``alpha``. Engine
+    addition from the public papers — the statistically-calibrated
+    companion to det_cusum/det_spectral_residual (it returns a
+    DECISION with a significance level, not just a score).
+
+    Extraction report (k rows per series), not a per-observation
+    scorer: output (doc_id, pos, value, resid, r_stat, lambda_crit,
+    iteration) for declared anomalies only, iteration = removal order.
+
+    Scale: seasonal adjustment is the relational classical_decompose
+    (doc_id-keyed window + aggregates); the ESD sweep is one Arrow
+    stage per series with bounded iterations (max_k × O(n) with
+    vectorized deviations). Everything is keyed on doc_id — the rollup
+    partitioning, no corpus-wide state."""
+    import math
+
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+    from dtaianomaly_spark.operators.preprocessing import classical_decompose
+
+    if not 0.0 < max_frac <= 0.5:
+        raise ValueError(f"max_frac must be in (0, 0.5], got {max_frac}")
+    dec = classical_decompose(long_form, period)
+    med = long_form.groupBy("doc_id").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    resid = dec.join(med, "doc_id").select(
+        "doc_id", "pos", "value",
+        (F.col("value") - F.coalesce("seasonal", F.lit(0.0)) - F.col("_med"))
+        .alias("resid"),
+    )
+    arrays = resid.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "resid", "value"))
+        ).alias("pv")
+    )
+    out_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("pos", LongType(), False),
+            StructField("value", DoubleType(), False),
+            StructField("resid", DoubleType(), False),
+            StructField("r_stat", DoubleType(), False),
+            StructField("lambda_crit", DoubleType(), False),
+            StructField("iteration", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, pv in zip(pdf["doc_id"], pdf["pv"]):
+                pos = np.asarray([e["pos"] for e in pv], dtype=np.int64)
+                r = np.asarray([e["resid"] for e in pv], dtype=np.float64)
+                val = np.asarray([e["value"] for e in pv], dtype=np.float64)
+                max_k = math.ceil(max_frac * r.shape[0])
+                idx, rs, lam, k = KX.gesd_outliers(
+                    r, max_k, alpha, robust=True
+                )
+                rows.extend(
+                    (str(doc_id), int(pos[idx[i]]), float(val[idx[i]]),
+                     float(r[idx[i]]), float(rs[i]), float(lam[i]), i)
+                    for i in range(k)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return arrays.mapInPandas(run, out_schema)
+
+
 def spectral_residual_scores(
     arrays: DataFrame, q: int = 3, m: int = 5, kappa: int = 5, z: int = 21
 ) -> DataFrame:

@@ -23,7 +23,8 @@ SF_DIR = "/root/testdata/sf0.001"
 DET_QUERIES = sorted(
     k for k in E.queries()
     if k.startswith("det_")
-    and k not in ("det_motif_topk", "det_discord_topk")
+    and k not in ("det_motif_topk", "det_discord_topk",
+                  "det_shesd_report")
 )
 
 

@@ -68,6 +68,8 @@ FAMILIES = [
     "tx_mix_plan",        # sorted watermark fold + shared float formula
     "det_spectral_residual",  # per-series FFT map must ignore
                           # partitioning
+    "det_shesd_report",   # sorted decompose folds + lowest-index tie
+                          # break in the ESD sweep
 ]
 
 

@@ -352,3 +352,91 @@ def test_sr_operator_matches_kernel_per_series(spark):
         want = sr_scores_1d(np.asarray(r["tokens"], dtype=np.float64))
         for p, v in enumerate(want):
             assert got[(str(r["doc_id"]), p)] == v
+
+
+# ------------------------------------------------ generalized ESD / S-H-ESD
+
+def test_t_ppf_textbook_values_and_roundtrip():
+    from dtaianomaly_spark.kernels.detectors_ext import t_cdf, t_ppf
+
+    # standard t-table critical values (4 decimals)
+    for p, df, want in [
+        (0.975, 10, 2.2281), (0.95, 5, 2.0150), (0.975, 1, 12.7062),
+        (0.995, 20, 2.8453), (0.95, 30, 1.6973),
+    ]:
+        assert abs(t_ppf(p, df) - want) < 2e-4
+    for p in (0.01, 0.3, 0.5, 0.9, 0.999):
+        assert abs(t_cdf(t_ppf(p, 7), 7) - p) < 1e-10
+    assert t_ppf(0.25, 9) == -t_ppf(0.75, 9)
+    with pytest.raises(ValueError, match="p must"):
+        t_ppf(1.0, 5)
+    with pytest.raises(ValueError, match="df must"):
+        t_cdf(1.0, 0)
+
+
+def test_gesd_planted_outliers_masking_and_independent_lambda():
+    from dtaianomaly_spark.kernels.detectors_ext import gesd_outliers, t_ppf
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 200)
+    planted = [10, 50, 120]
+    x[planted] += np.array([9.0, -8.0, 10.0])
+    for robust in (False, True):
+        idx, rs, lam, k = gesd_outliers(x, 10, robust=robust)
+        assert k == 3 and sorted(idx[:k].tolist()) == planted
+    # lambda_i recomputed independently from Rosner 1983's published
+    # formula with the ORIGINAL-n indexing (i = 1..k)
+    n = 200
+    _, _, lam, _ = gesd_outliers(x, 10)
+    for i1 in range(1, 11):
+        t = t_ppf(1.0 - 0.05 / (2 * (n - i1 + 1)), n - i1 - 1)
+        want = (n - i1) * t / np.sqrt((n - i1 - 1 + t * t) * (n - i1 + 1))
+        assert abs(lam[i1 - 1] - want) < 1e-12
+    # clean data declares nothing at this seed
+    assert gesd_outliers(rng.normal(0, 1, 200), 10)[3] == 0
+    # MASKING: a tight pair of extreme duplicates inflates the plain
+    # std enough that naive one-at-a-time Grubbs would stop early; the
+    # robust (median/MAD) variant must still catch both
+    y = rng.normal(0, 1, 100)
+    y[[20, 70]] = 40.0
+    idx, _, _, k = gesd_outliers(y, 5, robust=True)
+    assert k >= 2 and {20, 70} <= set(idx[:k].tolist())
+    # degenerate sizes
+    assert gesd_outliers(np.array([1.0, 2.0]), 3)[3] == 0
+
+
+def test_shesd_report_finds_generator_spikes(spark):
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators.detectors import shesd_report
+
+    lf = C.token_long_form(spark, SF_DIR)
+    rows = shesd_report(lf, period=64).collect()
+    assert len(rows) > 100
+    # the synthetic generator plants +400 spikes exactly where
+    # (doc_id * 7919 + pos * 104729) % 997 == 0 — ground truth
+    is_spike = lambda d, p: (int(d) * 7919 + p * 104729) % 997 == 0  # noqa: E731
+    hits = sum(is_spike(r["doc_id"], r["pos"]) for r in rows)
+    assert hits / len(rows) > 0.6  # true spikes dominate the report
+    # the FIRST removal per series (the most extreme point) is almost
+    # always a true planted spike
+    it0 = [r for r in rows if r["iteration"] == 0]
+    assert sum(is_spike(r["doc_id"], r["pos"]) for r in it0) / len(it0) > 0.9
+    # recall: most planted spikes in reported series are found
+    reported = {(r["doc_id"], r["pos"]) for r in rows}
+    docs = {r["doc_id"] for r in rows}
+    n_of = {str(r["doc_id"]): r["n"] for r in
+            lf.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    planted = {
+        (d, p) for d in docs for p in range(n_of[d]) if is_spike(d, p)
+    }
+    assert len(reported & planted) / len(planted) > 0.8
+    # per-series cap and iteration contract
+    import collections
+    per_doc = collections.Counter(r["doc_id"] for r in rows)
+    for d, c in per_doc.items():
+        assert c <= -(-n_of[d] * 5 // 100)  # ceil(0.05 n)
+    for r in rows:
+        assert r["r_stat"] > 0 and r["lambda_crit"] > 0
+    with pytest.raises(ValueError, match="max_frac"):
+        shesd_report(lf, period=64, max_frac=0.9)
