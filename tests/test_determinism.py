@@ -70,6 +70,7 @@ FAMILIES = [
                           # partitioning
     "det_shesd_report",   # sorted decompose folds + lowest-index tie
                           # break in the ESD sweep
+    "compress_pla",       # sequential corridor walk per series
 ]
 
 
