@@ -2074,6 +2074,22 @@ def _q_det_proba_median(spark, sf_dir):
     return DET.predict_proba(scores)
 
 
+def _q_ev_anomaly_spans(spark, sf_dir):
+    """Alerting output: MedianMethod scores -> per-series contamination
+    threshold -> gaps-and-islands anomaly SPANS with merge_gap=2 and
+    min_length=1 (the detect -> page loop closed relationally). The
+    score and threshold stages are the oracle-verified median_method /
+    th_contamination formulas, so only the span collapse is new logic —
+    pinned against a plain-Python islands twin in pytest
+    (test_evaluation_ext.py). Rows-only (oracle set at the rotation
+    ceiling); flagged rows only enter the span window, zero UDF."""
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    scored = _q_median_method(spark, sf_dir)
+    labeled = EV.contamination_rate(scored, 0.02)
+    return EV.anomaly_spans(labeled, merge_gap=2, min_length=1)
+
+
 def _q_det_exceed_median(spark, sf_dir):
     from dtaianomaly_spark.operators import detectors as DET
 
@@ -2316,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_kmeans": _q_det_kmeans,
         "det_iforest": _q_det_iforest,
         "det_proba_median": _q_det_proba_median,
+        "ev_anomaly_spans": _q_ev_anomaly_spans,
         "det_exceed_median": _q_det_exceed_median,
         "compress_roundtrip": _q_compress_roundtrip,
         "compress_pla": _q_compress_pla,

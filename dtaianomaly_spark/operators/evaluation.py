@@ -453,3 +453,68 @@ def best_threshold_point_adjusted(
     return conf.groupBy("doc_id").agg(
         F.max(F.expr(metric_sql)).alias(out_col)
     )
+
+
+def anomaly_spans(
+    labeled: DataFrame,
+    merge_gap: int = 0,
+    min_length: int = 1,
+) -> DataFrame:
+    """Alerting output: collapse per-observation labels into anomaly
+    SPANS with the classic gaps-and-islands identity — island id =
+    pos - row_number() over labeled positions, constant exactly while
+    flagged positions are consecutive. ``merge_gap`` bridges runs
+    separated by <= that many unflagged ticks (bridge first, then
+    island: positions whose predecessor flagged position is within
+    merge_gap + 1 join its island), ``min_length`` drops blips shorter
+    than the floor — the two knobs every paging pipeline needs
+    (Hochenbaum et al. 2017 report anomalies exactly this way).
+
+    Input: (doc_id, pos, label[, score]) — a threshold operator's
+    output; when a ``score`` column is present the span carries its
+    peak and mean. Output one row per span:
+    (doc_id, span_start, span_end, length, n_flagged[, peak_score,
+    mean_score]).
+
+    Scale: flagged rows only enter the window (the filter comes first,
+    so the sort is over the anomalies, not the corpus — anomalies are
+    rare by definition); one doc_id-keyed window + one aggregate, both
+    on the rollup partitioning. Fully relational, zero UDF."""
+    if merge_gap < 0 or min_length < 1:
+        raise ValueError(
+            f"need merge_gap >= 0 and min_length >= 1,"
+            f" got {merge_gap}/{min_length}"
+        )
+    has_score = "score" in labeled.columns
+    flagged = labeled.filter(F.col("label") == 1)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # bridge: a flagged position within merge_gap + 1 of its flagged
+    # predecessor continues the island; farther starts a new one
+    islands = flagged.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > merge_gap + 1),
+            1,
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    aggs = [
+        F.min("pos").alias("span_start"),
+        F.max("pos").alias("span_end"),
+        (F.max("pos") - F.min("pos") + 1).alias("length"),
+        F.count("*").alias("n_flagged"),
+    ]
+    if has_score:
+        aggs += [
+            F.max("score").cast("double").alias("peak_score"),
+            F.avg("score").alias("mean_score"),
+        ]
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(*aggs)
+        .filter(F.col("length") >= min_length)
+        .drop("_isl")
+    )

@@ -71,6 +71,7 @@ FAMILIES = [
     "det_shesd_report",   # sorted decompose folds + lowest-index tie
                           # break in the ESD sweep
     "compress_pla",       # sequential corridor walk per series
+    "ev_anomaly_spans",   # islands over flagged positions + span aggs
 ]
 
 

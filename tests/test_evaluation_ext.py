@@ -113,3 +113,95 @@ def test_predict_proba_raises_on_constant_outside_unit(spark):
     # non-strict passes through (round-1 behavior)
     vals = {r["proba"] for r in DET.predict_proba(scored, strict=False).collect()}
     assert vals == {5.0}
+
+
+# ------------------------------------------------------- anomaly spans
+
+def _spans_twin(pairs, merge_gap, min_length):
+    """Plain-Python islands twin over (pos, score) flagged pairs of one
+    series: bridge gaps <= merge_gap, drop spans < min_length."""
+    out, cur = [], None
+    for pos, score in sorted(pairs):
+        if cur is None or pos - cur["end"] > merge_gap + 1:
+            if cur is not None:
+                out.append(cur)
+            cur = {"start": pos, "end": pos, "n": 1,
+                   "peak": score, "sum": score}
+        else:
+            cur["end"] = pos
+            cur["n"] += 1
+            cur["peak"] = max(cur["peak"], score)
+            cur["sum"] += score
+        if cur is not None:
+            pass
+    if cur is not None:
+        out.append(cur)
+    return [
+        (c["start"], c["end"], c["end"] - c["start"] + 1, c["n"],
+         c["peak"], c["sum"] / c["n"])
+        for c in out
+        if c["end"] - c["start"] + 1 >= min_length
+    ]
+
+
+@pytest.mark.parametrize("merge_gap,min_length", [(0, 1), (2, 2), (5, 3)])
+def test_anomaly_spans_matches_python_twin(spark, merge_gap, min_length):
+    from dtaianomaly_spark.operators.evaluation import anomaly_spans
+
+    # handcrafted labels with singletons, runs, bridgeable gaps and a
+    # second series
+    rows = []
+    flagged = {
+        "a": [3, 4, 5, 8, 20, 22, 23, 40],
+        "b": [0, 1, 2, 3, 10, 99],
+    }
+    for d, n in (("a", 100), ("b", 100)):
+        for p in range(n):
+            lab = 1 if p in flagged[d] else 0
+            rows.append((d, p, float(p % 7) + lab * 10.0, lab))
+    df = spark.createDataFrame(
+        rows, "doc_id string, pos long, score double, label int"
+    )
+    got = {}
+    for r in anomaly_spans(df, merge_gap, min_length).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["length"], r["n_flagged"],
+             r["peak_score"], r["mean_score"])
+        )
+    for d, poss in flagged.items():
+        want = _spans_twin(
+            [(p, float(p % 7) + 10.0) for p in poss], merge_gap, min_length
+        )
+        assert sorted(got.get(d, [])) == sorted(want), (d, merge_gap)
+    # without a score column the span stats are omitted
+    cols = anomaly_spans(df.drop("score"), merge_gap, min_length).columns
+    assert "peak_score" not in cols and "n_flagged" in cols
+    with pytest.raises(ValueError, match="merge_gap"):
+        anomaly_spans(df, -1, 1)
+
+
+def test_ev_anomaly_spans_query_consistent(spark):
+    import __spark_entry__ as E
+
+    SF_DIR = "/root/testdata/sf0.001"
+    from dtaianomaly_spark.operators import evaluation as EV
+
+    labeled = EV.contamination_rate(
+        E.queries()["median_method"](spark, SF_DIR), 0.02
+    )
+    flagged = {}
+    for r in labeled.filter("label = 1").collect():
+        flagged.setdefault(r["doc_id"], []).append((r["pos"], r["score"]))
+    got = {}
+    for r in E.queries()["ev_anomaly_spans"](spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["length"], r["n_flagged"],
+             r["peak_score"], r["mean_score"])
+        )
+    assert set(got) <= set(flagged)
+    n_spans = 0
+    for d, pairs in flagged.items():
+        want = _spans_twin(pairs, 2, 1)
+        assert sorted(got.get(d, [])) == sorted(want), d
+        n_spans += len(want)
+    assert n_spans > 50
