@@ -487,6 +487,33 @@ def _q_det_baseline_anomalous(spark, sf_dir):
 SW_W, SW_S = 64, 32
 
 
+def _q_sw_eh_sliding(spark, sf_dir):
+    """Sliding-window spike counts with DGIM bounded state (Datar et
+    al. 2002): per position, the exponential histogram's estimate of
+    spikes (value > 300) in the last 256 ticks, replayed per series in
+    one Arrow stage, JOINED with the exact relational window count so
+    the max(1/2, true/r) error bound and the O(r log W) bucket bound
+    are visible in every row — the sliding shape the tumbling monoid
+    tiers cannot express with bounded state. Rows-only; kernel bounds
+    pinned against adversarial bursty streams in pytest
+    (test_windowing_kernels.py)."""
+    from dtaianomaly_spark.operators.windows import eh_sliding_count_map
+    from pyspark.sql import Window as W
+
+    lf = _spark_long_form(spark, sf_dir).select(
+        "doc_id", "pos", (F.col("value") > 300).cast("int").alias("flag")
+    )
+    est = eh_sliding_count_map(lf, window=256, r=4)
+    w = W.partitionBy("doc_id").orderBy("pos").rangeBetween(-255, 0)
+    exact = lf.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos",
+        F.sum("flag").over(w).cast("long").alias("exact"),
+    )
+    return est.join(exact, ["doc_id", "pos"]).select(
+        "doc_id", "pos", "est", "n_buckets", "exact"
+    )
+
+
 def _q_sw_stats(spark, sf_dir):
     from dtaianomaly_spark.operators import windows as W
 
@@ -2248,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_baseline_anomalous": _q_det_baseline_anomalous,
         "sw_stats": _q_sw_stats,
         "sw_reverse": _q_sw_reverse,
+        "sw_eh_sliding": _q_sw_eh_sliding,
         "ws_select_fft": _q_ws_select_fft,
         "ws_select_acf": _q_ws_select_acf,
         "ws_select_mwf": _q_ws_select_mwf,

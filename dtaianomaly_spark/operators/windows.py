@@ -181,3 +181,59 @@ def window_size_select(arrays: DataFrame, mode: str, **kwargs) -> DataFrame:
     return arrays.select(
         F.col("doc_id").cast("string").alias("doc_id"), "tokens"
     ).mapInPandas(run, schema)
+
+
+def eh_sliding_count_map(
+    flagged_long: DataFrame, window: int, r: int = 4
+) -> DataFrame:
+    """Sliding-window flagged-event counts with DGIM bounded state
+    (kernels/eh.ExpHistogram; Datar et al. 2002): for every position
+    of every series, the exponential histogram's estimate of how many
+    flagged ticks fall in the last ``window`` positions — the ONLINE
+    answer replayed in one batch Arrow pass, so the whole trajectory of
+    the bounded-state counter is audit-able against the exact
+    relational window count (which the driver query joins alongside).
+
+    Input: (doc_id, pos, flag) long form with every position present
+    (flag 0/1). Output: (doc_id, pos, est, n_buckets) — ``n_buckets``
+    makes the O(r log W) state bound visible in the rows.
+
+    Scale: per-series state is ``r * (log2 W + 2)`` buckets no matter
+    how long the series or how dense the flags — the sliding shape the
+    tumbling monoid tiers cannot express with bounded state. One
+    doc-keyed array rebuild feeds a map-only Arrow stage."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from dtaianomaly_spark.kernels.eh import ExpHistogram
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("pos", LongType(), False),
+            StructField("est", DoubleType(), False),
+            StructField("n_buckets", LongType(), False),
+        ]
+    )
+    arrays = flagged_long.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "flag"))).alias("pf")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "pf")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, pf in zip(pdf["doc_id"], pdf["pf"]):
+                eh = ExpHistogram(window, r)
+                for e in pf:
+                    p = int(e["pos"])
+                    if e["flag"]:
+                        eh.add(p)
+                    rows.append(
+                        (doc_id, p, eh.estimate(p), eh.n_buckets())
+                    )
+            yield pd.DataFrame(rows, columns=schema.names)
+
+    return arrays.mapInPandas(run, schema)

@@ -72,6 +72,7 @@ FAMILIES = [
                           # break in the ESD sweep
     "compress_pla",       # sequential corridor walk per series
     "ev_anomaly_spans",   # islands over flagged positions + span aggs
+    "sw_eh_sliding",      # sequential DGIM replay per series
 ]
 
 

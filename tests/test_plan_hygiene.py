@@ -39,6 +39,8 @@ EXCHANGE_BOUNDS = [
     ("tx_curation_funnel", 6),     # 4 stage aggregates over checkpointed
                                    # keep-sets (was 53 when the dedup
                                    # chain unrolled per stage)
+    ("sw_eh_sliding", 3),          # per-doc array rebuild + exact
+                                   # window pass + audit join (co-keyed)
     ("ev_anomaly_spans", 3),       # score window + threshold ranks +
                                    # island window/agg on flagged rows
     ("compress_pla", 1),           # map-only Arrow encode+verify; the

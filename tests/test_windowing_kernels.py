@@ -155,3 +155,95 @@ class TestComputeWindowSize:
             )
             == 16
         )
+
+
+# --------------------------------------- DGIM exponential histogram
+
+def test_eh_bounds_on_adversarial_streams():
+    import math
+
+    from dtaianomaly_spark.kernels.eh import ExpHistogram
+
+    rng = np.random.default_rng(9)
+    for r in (2, 4, 8):
+        for W in (32, 256):
+            flags, t = [], 0
+            for _ in range(2500):
+                t += int(rng.integers(1, 4))
+                # bursty: dense and sparse regimes alternate
+                if rng.random() < (0.95 if (t // 150) % 2 == 0 else 0.02):
+                    flags.append(t)
+            eh = ExpHistogram(W, r)
+            fi, fset = 0, set(flags)
+            true = 0
+            from collections import deque
+            dq = deque()
+            for now in range(1, t + 1):
+                if now in fset:
+                    eh.add(now)
+                    dq.append(now)
+                while dq and dq[0] <= now - W:
+                    dq.popleft()
+                true = len(dq)
+                est = eh.estimate(now)
+                # analytic per-instant bound: half the oldest bucket
+                assert abs(est - true) <= eh.max_error() + 1e-9
+                # uniform bound: max(1/2, true / r) — see kernels/eh.py
+                assert abs(est - true) <= max(0.5, true / r) + 1e-9
+                # O(r log W) state
+                assert eh.n_buckets() <= r * (int(math.log2(W)) + 2)
+            # something actually happened
+            assert len(flags) > 500
+
+
+def test_eh_exact_when_sparse_and_errors():
+    from dtaianomaly_spark.kernels.eh import ExpHistogram
+
+    eh = ExpHistogram(100, 4)
+    # fewer than r events: no merge ever happens -> exact except the
+    # half-count of the oldest bucket
+    for t in (10, 30, 50):
+        eh.add(t)
+    assert eh.estimate(50) == 2.5  # 3 size-1 buckets, oldest halved
+    assert eh.estimate(200) == 0.0  # all expired
+    with pytest.raises(ValueError, match="window"):
+        ExpHistogram(0)
+    with pytest.raises(ValueError, match="r must"):
+        ExpHistogram(10, 1)
+
+
+def test_eh_operator_and_query_audit(spark):
+    from dtaianomaly_spark.kernels.eh import ExpHistogram
+    from dtaianomaly_spark.operators.windows import eh_sliding_count_map
+
+    rows = []
+    rng = np.random.default_rng(4)
+    flags = {}
+    for d in ("a", "b"):
+        fl = (rng.random(600) < 0.3).astype(int)
+        flags[d] = fl
+        rows += [(d, p, int(fl[p])) for p in range(600)]
+    df = spark.createDataFrame(rows, "doc_id string, pos long, flag int")
+    got = {
+        (r["doc_id"], r["pos"]): (r["est"], r["n_buckets"])
+        for r in eh_sliding_count_map(df, window=64, r=4).collect()
+    }
+    for d, fl in flags.items():
+        eh = ExpHistogram(64, 4)
+        for p in range(600):
+            if fl[p]:
+                eh.add(p)
+            assert got[(d, p)] == (eh.estimate(p), eh.n_buckets())
+    # driver query: bound visible in every row at sf0.001
+    import __spark_entry__ as E
+
+    out = E.queries()["sw_eh_sliding"](spark, "/root/testdata/sf0.001")
+    agg = out.selectExpr(
+        "max(abs(est - exact) - greatest(0.5, exact / 4.0)) AS worst",
+        "max(n_buckets) AS mb",
+        "count(*) AS n",
+        "sum(CASE WHEN exact > 0 THEN 1 ELSE 0 END) AS nz",
+    ).collect()[0]
+    assert agg["worst"] <= 1e-9
+    assert agg["mb"] <= 4 * 10  # r * (log2(256) + 2)
+    assert agg["n"] > 100_000 and agg["nz"] > 1000
