@@ -233,6 +233,18 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_hw_error(spark, sf_dir):
+    """Holt-Winters forecast-error detector (Winters 1960): additive
+    level/trend/seasonal recursion, per-observation |one-step-ahead
+    error|, two-period causal warmup scoring 0. Engine addition; the
+    streaming twin shares the hw_step code path and byte-matches.
+    Rows-only; pinned against an independently-written recursion twin
+    and planted-spike detection in pytest."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.holt_winters_scores(C.token_arrays(spark, sf_dir), period=64)
+
+
 def _q_det_shesd_report(spark, sf_dir):
     """Seasonal-Hybrid ESD anomaly report (Hochenbaum et al. 2017 /
     Rosner 1983): classical seasonal adjustment, median/MAD
@@ -2305,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_cusum": _q_det_cusum,
         "det_spectral_residual": _q_det_spectral_residual,
         "det_shesd_report": _q_det_shesd_report,
+        "det_hw_error": _q_det_hw_error,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,

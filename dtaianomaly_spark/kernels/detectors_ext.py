@@ -617,3 +617,61 @@ def gesd_outliers(
     exceed = np.nonzero(r_stats > lambdas)[0]
     n_declared = int(exceed[-1]) + 1 if exceed.size else 0
     return idx, r_stats, lambdas, n_declared
+
+
+# ------------------------------------------------ Holt-Winters (additive)
+
+def hw_init(x2m, m: int, alpha: float, beta: float, gamma: float):
+    """Additive Holt-Winters warmup (Winters 1960) over the first
+    ``2m`` observations: textbook init from the first two periods
+    (level = first-period mean, trend = (second-period mean - first) /
+    m, seasonals = first-period deviations), then the recursion is run
+    over the second period so the state leaving warmup has consumed
+    exactly ``x2m``. Returns ``(level, trend, seasonals)`` as plain
+    floats — the O(m) state both the batch kernel and the streaming
+    twin carry."""
+    if len(x2m) != 2 * m:
+        raise ValueError(f"warmup needs exactly 2m={2 * m} values")
+    mean1 = sum(x2m[:m]) / m
+    mean2 = sum(x2m[m:]) / m
+    s = [x2m[i] - mean1 for i in range(m)]
+    lvl, b = mean1, (mean2 - mean1) / m
+    for t in range(m, 2 * m):
+        _, lvl, b = hw_step(lvl, b, s, t, x2m[t], m, alpha, beta, gamma)
+    return lvl, b, s
+
+
+def hw_step(lvl, b, s, t: int, x_t, m: int,
+            alpha: float, beta: float, gamma: float):
+    """One Holt-Winters update: returns ``(abs one-step-ahead forecast
+    error, new level, new trend)`` and rewrites ``s[t % m]`` in place —
+    the SINGLE shared code path for the batch kernel and the streaming
+    twin, so streamed scores are byte-equal by construction."""
+    i = t % m
+    f = lvl + b + s[i]
+    err = abs(x_t - f)
+    lvl_new = alpha * (x_t - s[i]) + (1.0 - alpha) * (lvl + b)
+    b_new = beta * (lvl_new - lvl) + (1.0 - beta) * b
+    s[i] = gamma * (x_t - lvl_new) + (1.0 - gamma) * s[i]
+    return err, lvl_new, b_new
+
+
+def hw_scores_1d(x: np.ndarray, m: int, alpha: float = 0.3,
+                 beta: float = 0.1, gamma: float = 0.2) -> np.ndarray:
+    """Per-observation Holt-Winters forecast-error scores: |x_t - (level
+    + trend + seasonal)| one step ahead, 0 through the 2m-point causal
+    warmup (and everywhere when the series is shorter than 2m + 1).
+    The score of a point never uses that point's own value — a genuine
+    online forecaster replayed in batch."""
+    if m < 2:
+        raise ValueError(f"period must be >= 2, got {m}")
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    out = np.zeros(n, dtype=np.float64)
+    if n < 2 * m + 1:
+        return out
+    xs = x.tolist()
+    lvl, b, s = hw_init(xs[: 2 * m], m, alpha, beta, gamma)
+    for t in range(2 * m, n):
+        out[t], lvl, b = hw_step(lvl, b, s, t, xs[t], m, alpha, beta, gamma)
+    return out

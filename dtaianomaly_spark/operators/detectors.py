@@ -843,6 +843,33 @@ def kmeans_scores(
     return _score_map(arrays, per_series)
 
 
+def holt_winters_scores(
+    arrays: DataFrame, period: int = 64, alpha: float = 0.3,
+    beta: float = 0.1, gamma: float = 0.2,
+) -> DataFrame:
+    """Holt-Winters one-step-ahead forecast-error scores (Winters 1960,
+    additive): per observation, |x_t - (level + trend + seasonal)|
+    with the textbook two-period warmup scoring 0 — a genuine online
+    forecaster replayed in batch (a point's score never uses its own
+    value). Engine addition in the forecasting-error family next to
+    det_cusum/det_spectral_residual; the same hw_step code path drives
+    the streaming twin, so streamed scores byte-match.
+
+    Scale: map-only Arrow stage, O(n) sequential recursion with O(m)
+    state per series, no shuffle, no fit stage. Multivariate input
+    scores each attribute independently and keeps the max."""
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    def per_series(x: np.ndarray) -> np.ndarray:
+        if x.ndim == 2:
+            cols = [KX.hw_scores_1d(x[:, j], period, alpha, beta, gamma)
+                    for j in range(x.shape[1])]
+            return np.max(np.stack(cols, axis=1), axis=1)
+        return KX.hw_scores_1d(x, period, alpha, beta, gamma)
+
+    return _score_map(arrays, per_series)
+
+
 def shesd_report(
     long_form: DataFrame,
     period: int = 64,

@@ -469,3 +469,130 @@ def stateful_cusum(
         "append",
         timeout,
     )
+
+
+# ------------------------------------------------ streaming Holt-Winters
+
+HW_SCORE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("score", DoubleType(), False),
+    ]
+)
+
+# state: position cursor, warmup buffer (grows to 2m then clears), and
+# the O(m) forecaster state (level, trend, seasonals); `warm` marks
+# whether (lvl, b, s) is live
+HW_STATE_SCHEMA = StructType(
+    [
+        StructField("next_pos", LongType(), True),
+        StructField("buf", ArrayType(DoubleType()), True),
+        StructField("warm", IntegerType(), True),
+        StructField("lvl", DoubleType(), True),
+        StructField("b", DoubleType(), True),
+        StructField("s", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def _make_hw_update(m: int, alpha: float, beta: float, gamma: float,
+                    ttl_ms: int | None):
+    from dtaianomaly_spark.kernels.detectors_ext import hw_init, hw_step
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        if state.exists:
+            next_pos, buf, warm, lvl, b, s = state.get
+            next_pos, buf, warm = int(next_pos), list(buf), bool(warm)
+            s = list(s)
+            cold_start = False
+        else:
+            next_pos, buf, warm, lvl, b, s = 0, [], False, 0.0, 0.0, []
+            cold_start = True
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+
+        batch = pd.concat(chunks).sort_values("pos")
+        vals = batch["value"].to_numpy(dtype=np.float64)
+        poss = batch["pos"].to_numpy(dtype=np.int64)
+        if cold_start:
+            # TTL-evicted series restart their warmup (the bounded-state
+            # trade, same as the streaming CUSUM's s = 0 reset)
+            next_pos = int(poss[0])
+        expected = next_pos + np.arange(vals.shape[0])
+        if not np.array_equal(poss, expected):
+            raise ValueError(
+                f"streaming Holt-Winters requires in-order contiguous"
+                f" points; series {doc_id!r} expected pos {next_pos},"
+                f" got {poss[:5].tolist()}..."
+            )
+        scores = np.zeros(vals.shape[0], dtype=np.float64)
+        for j, x_t in enumerate(vals.tolist()):
+            t = int(poss[j])
+            if not warm:
+                buf.append(x_t)
+                if len(buf) == 2 * m:
+                    lvl, b, s = hw_init(buf, m, alpha, beta, gamma)
+                    warm, buf = True, []
+                continue  # warmup scores stay 0, as in the batch kernel
+            scores[j], lvl, b = hw_step(
+                lvl, b, s, t, x_t, m, alpha, beta, gamma
+            )
+        state.update(
+            (int(poss[-1]) + 1, buf, int(warm), float(lvl), float(b), s)
+        )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_id, scores.shape[0]),
+                "pos": poss,
+                "score": scores,
+            }
+        )
+
+    return update
+
+
+def stateful_holt_winters(
+    stream_long_form, period: int = 64, alpha: float = 0.3,
+    beta: float = 0.1, gamma: float = 0.2,
+    state_ttl_ms: int | None = STATE_TTL_MS,
+):
+    """(doc_id, pos, value) stream -> append stream of Holt-Winters
+    one-step forecast-error scores, byte-equal to the batch
+    ``holt_winters_scores`` over the full series (the SAME ``hw_step``
+    code path runs in both — no reimplementation to drift). State per
+    series is O(period): the (level, trend, seasonals) triple after
+    warmup, the warmup buffer (<= 2 * period values) before. Same
+    in-order exactly-once input contract and TTL caveats as
+    :func:`stateful_cusum`; a point scored in a different micro-batch
+    than its neighbors scores identically because the recursion carries
+    the full forecaster state across batches."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_hw_update(period, alpha, beta, gamma, state_ttl_ms),
+        HW_SCORE_SCHEMA,
+        HW_STATE_SCHEMA,
+        "append",
+        timeout,
+    )

@@ -73,6 +73,7 @@ FAMILIES = [
     "compress_pla",       # sequential corridor walk per series
     "ev_anomaly_spans",   # islands over flagged positions + span aggs
     "sw_eh_sliding",      # sequential DGIM replay per series
+    "det_hw_error",       # sequential HW recursion per series
 ]
 
 

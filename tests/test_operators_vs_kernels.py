@@ -440,3 +440,64 @@ def test_shesd_report_finds_generator_spikes(spark):
         assert r["r_stat"] > 0 and r["lambda_crit"] > 0
     with pytest.raises(ValueError, match="max_frac"):
         shesd_report(lf, period=64, max_frac=0.9)
+
+
+# ------------------------------------------------ Holt-Winters
+
+def test_hw_matches_independent_recursion_twin():
+    """The kernel against a from-scratch rewrite of the additive
+    Holt-Winters equations (different code, same math — byte-equal
+    because both use plain float arithmetic in the same order)."""
+    from dtaianomaly_spark.kernels.detectors_ext import hw_scores_1d
+
+    rng = np.random.default_rng(31)
+    m, n, a, b_, g = 7, 300, 0.3, 0.1, 0.2
+    x = (np.arange(n) * 0.2 + 5 * np.sin(np.arange(n) * 2 * np.pi / m)
+         + rng.normal(0, 0.5, n))
+
+    # independent twin
+    want = np.zeros(n)
+    mean1 = sum(x[:m]) / m
+    mean2 = sum(x[m:2 * m]) / m
+    lvl, tr = mean1, (mean2 - mean1) / m
+    seas = [x[i] - mean1 for i in range(m)]
+    for t in range(m, n):
+        f = lvl + tr + seas[t % m]
+        if t >= 2 * m:
+            want[t] = abs(x[t] - f)
+        lvl_new = a * (x[t] - seas[t % m]) + (1 - a) * (lvl + tr)
+        tr = b_ * (lvl_new - lvl) + (1 - b_) * tr
+        seas[t % m] = g * (x[t] - lvl_new) + (1 - g) * seas[t % m]
+        lvl = lvl_new
+    np.testing.assert_array_equal(hw_scores_1d(x, m, a, b_, g), want)
+
+
+def test_hw_properties_and_operator(spark):
+    from dtaianomaly_spark.kernels.detectors_ext import hw_scores_1d
+    from dtaianomaly_spark.operators.detectors import holt_winters_scores
+
+    m = 24
+    t = np.arange(600, dtype=float)
+    x = 0.05 * t + 10 * np.sin(2 * np.pi * t / m)
+    s = hw_scores_1d(x, m)
+    # forecaster learns the periodic + linear structure
+    assert np.abs(s[-100:]).max() < 0.5
+    # a planted spike is the top score
+    x2 = x.copy()
+    x2[400] += 50
+    assert int(np.argmax(hw_scores_1d(x2, m))) == 400
+    # warmup zeros / short series / errors
+    assert not hw_scores_1d(x, m)[: 2 * m].any()
+    assert not hw_scores_1d(np.arange(10.0), m).any()
+    with pytest.raises(ValueError, match="period"):
+        hw_scores_1d(x, 1)
+    # operator == kernel per series
+    arrays = C.token_arrays(spark, SF_DIR).limit(10)
+    got = {
+        (r["doc_id"], r["pos"]): r["score"]
+        for r in holt_winters_scores(arrays, period=24).collect()
+    }
+    for r in arrays.collect():
+        want = hw_scores_1d(np.asarray(r["tokens"], dtype=np.float64), 24)
+        for p, v in enumerate(want):
+            assert got[(str(r["doc_id"]), p)] == v

@@ -48,6 +48,8 @@ EXCHANGE_BOUNDS = [
     ("det_shesd_report", 5),       # decompose window + phase/center
                                    # aggregates + median join + per-doc
                                    # array rebuild before the Arrow ESD
+    ("det_hw_error", 1),           # map-only Arrow recursion; the one
+                                   # exchange is token_arrays
     ("det_spectral_residual", 1),  # map-only Arrow FFT stage; the one
                                    # exchange is token_arrays' rebuild
                                    # of (doc, tokens) rows

@@ -375,3 +375,74 @@ def test_streamed_cusum_equals_batch_operator(spark, tmp_path):
     }
     assert got == batch
     assert any(a for _, a in got.values())  # the spikes really alarm
+
+
+def test_streamed_holt_winters_equals_batch_operator(spark, tmp_path):
+    """O(period)-state streaming Holt-Winters over chunked in-order
+    micro-batches is byte-equal to the batch operator over each full
+    series — warmup buffer, then the shared hw_step recursion carried
+    across batches."""
+    from dtaianomaly_spark.operators.detectors import holt_winters_scores
+    from dtaianomaly_spark.streaming.detect import stateful_holt_winters
+
+    rng = np.random.default_rng(23)
+    m, n = 12, 160
+    rows, arrays = [], []
+    for d in range(4):
+        t = np.arange(n, dtype=float)
+        vals = (0.3 * t + 20 * np.sin(2 * np.pi * t / m)
+                + rng.normal(0, 1, n)).round(3)
+        vals[90 + d * 9] += 80.0
+        rows += [(f"doc-{d}", p, float(v)) for p, v in enumerate(vals)]
+        arrays.append((f"doc-{d}", [float(v) for v in vals]))
+    lf = spark.createDataFrame(rows, "doc_id string, pos long, value double")
+
+    src = str(tmp_path / "hw_src")
+    bounds = np.linspace(0, n, 5).astype(int)
+    seen: set = set()
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base, base))
+                seen.add(p)
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "hw_out")
+    q = (
+        stateful_holt_winters(stream, period=m, state_ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "hw_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["pos"]): r["score"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert len(got) == 4 * n
+    corpus = spark.createDataFrame(
+        arrays, "doc_id string, tokens array<double>"
+    )
+    batch = {
+        (r["doc_id"], r["pos"]): r["score"]
+        for r in holt_winters_scores(corpus, period=m).collect()
+    }
+    assert got == batch  # byte-equal, warmup zeros included
+    # spikes dominate: per series the argmax score sits on the spike
+    for d in range(4):
+        doc = f"doc-{d}"
+        top = max(
+            (s, p) for (dd, p), s in got.items() if dd == doc
+        )
+        assert top[1] == 90 + d * 9
