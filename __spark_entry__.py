@@ -1767,37 +1767,26 @@ def _q_rollup_dd_quantile(spark, sf_dir):
     no log()), built at the fine tier and merged by index-wise addition
     (a commutative monoid, merge == direct pinned). The read-off walks
     ONE window cumulative sum to the rank-r bucket and reports its
-    exact integer value range [lo, hi]; the join against the exact
-    rank-r value makes the containment guarantee lo <= true <= hi
-    visible in every row. Rows-only (oracle set at the rotation
+    exact integer value range [lo, hi]; the co-keyed per-bucket
+    sorted-array audit (element_at at rank r — no corpus-wide sort)
+    makes the containment guarantee lo <= true <= hi visible in every
+    row. Rows-only (oracle set at the rotation
     ceiling); merge==direct, Python index-map twin, containment and
     the integer alpha pin |hi|*50 <= |lo|*51 - 1 all pinned in pytest
     (test_temporal_joins.py)."""
-    from pyspark.sql import Window
-
     lf = _spark_long_form(spark, sf_dir)
     dd = T.ddsketch_rollup(lf, 64, 15)
     q95 = T.ddsketch_quantile(dd, 19, 20)
-    ranked = lf.select(
-        "doc_id",
-        (F.col("pos") / 960).cast("long").alias("bucket"),
-        "value", "pos",
-    ).withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id", "bucket").orderBy("value", "pos")
-        ),
+    # exact rank-r audit WITHOUT a corpus-wide sort: per-bucket sorted
+    # value arrays (<= 960 longs each), rank read by element_at — one
+    # aggregate co-keyed with the sketch, then a bucket-count join
+    exact = lf.groupBy(
+        "doc_id", (F.col("pos") / 960).cast("long").alias("bucket")
+    ).agg(F.sort_array(F.collect_list("value")).alias("_sv"))
+    return q95.join(exact, ["doc_id", "bucket"]).select(
+        "doc_id", "bucket", "n", "rank", "sidx", "lo", "hi",
+        F.expr("element_at(_sv, CAST(rank AS INT))").alias("true_val"),
     )
-    truth = ranked.select(
-        F.col("doc_id").alias("t_doc"), F.col("bucket").alias("t_bucket"),
-        F.col("rn").alias("t_rn"), F.col("value").alias("true_val"),
-    )
-    return q95.join(
-        truth,
-        (q95["doc_id"] == truth["t_doc"])
-        & (q95["bucket"] == truth["t_bucket"])
-        & (q95["rank"] == truth["t_rn"]),
-    ).select("doc_id", "bucket", "n", "rank", "sidx", "lo", "hi", "true_val")
 
 
 def _q_tx_vocab_overlap(spark, sf_dir):

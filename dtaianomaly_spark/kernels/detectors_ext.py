@@ -561,6 +561,24 @@ def t_ppf(p: float, df: float) -> float:
     return 0.5 * (lo + hi)
 
 
+# lambda_i depends only on (alpha, live count): series share lengths, so
+# one process-wide ladder cache turns ~max_k t-quantile bisections per
+# series into at most one per distinct (alpha, n) — the executor-side
+# speedup that keeps the sf0.1 sweep in seconds
+_LAMBDA_CACHE: dict = {}
+
+
+def _gesd_lambda(alpha: float, ni: int) -> float:
+    key = (alpha, ni)
+    lam = _LAMBDA_CACHE.get(key)
+    if lam is None:
+        p = 1.0 - alpha / (2.0 * ni)
+        t = t_ppf(p, ni - 2)
+        lam = (ni - 1) * t / np.sqrt((ni - 2 + t * t) * ni)
+        _LAMBDA_CACHE[key] = lam
+    return lam
+
+
 def gesd_outliers(
     x: np.ndarray,
     max_k: int,
@@ -609,9 +627,7 @@ def gesd_outliers(
         j = int(np.argmax(dev))  # argmax takes the lowest index on ties
         r_stats[i] = dev[j] / spread if spread > 0 else np.inf
         ni = int(live.sum())  # Rosner's n - i + 1 == points still live
-        p = 1.0 - alpha / (2.0 * ni)
-        t = t_ppf(p, ni - 2)
-        lambdas[i] = (ni - 1) * t / np.sqrt((ni - 2 + t * t) * ni)
+        lambdas[i] = _gesd_lambda(alpha, ni)
         idx[i] = j
         live[j] = False
     exceed = np.nonzero(r_stats > lambdas)[0]

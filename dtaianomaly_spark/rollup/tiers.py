@@ -1014,12 +1014,29 @@ def dd_bounds_py(sidx: int, bounds: list):
 
 
 def _dd_sidx_sql(value_col: str, bounds: list) -> str:
+    """Signed bucket index as ~a dozen codegen-able scalar ops per row
+    (NOT an O(len(bounds)) higher-order filter): the float estimate
+    ``ln(v)/ln(51/50)`` lands within +-1 of the true index, and FIVE
+    exact integer probes of the edge array around it make the result
+    exact regardless of float rounding — ``idx = start + #{probed
+    T[j] < v}`` is correct because T is non-decreasing, every j < start
+    has T[j] < v (start <= idx) and every j >= start + 5 has
+    T[j] >= v (idx < start + 5). Bit-equal to :func:`dd_index_py` on
+    every integer (pinned over the whole corpus domain in pytest)."""
     arr = f"array({', '.join(f'{int(t)}L' for t in bounds)})"
-    clamped = f"LEAST(ABS({value_col}), {int(bounds[-1])}L)"
+    nb = len(bounds)
+    a = f"LEAST(ABS({value_col}), {int(bounds[-1])}L)"
+    approx = f"CAST(LN({a}) / LN({DD_G_NUM} / CAST({DD_G_DEN} AS DOUBLE)) AS BIGINT)"
+    start = f"GREATEST(0L, LEAST({approx} - 2L, {nb - 5}L))"
+    probes = " + ".join(
+        f"(CASE WHEN element_at({arr}, CAST({start} + {k + 1} AS INT))"
+        f" < {a} THEN 1L ELSE 0L END)"
+        for k in range(5)
+    )
     return (
         f"CASE WHEN {value_col} = 0 THEN 0L"
         f" ELSE CAST(SIGN({value_col}) AS BIGINT)"
-        f" * (1 + size(filter({arr}, t -> t < {clamped}))) END"
+        f" * (1 + {start} + {probes}) END"
     )
 
 

@@ -130,9 +130,9 @@ EXCHANGE_BOUNDS = [
     ("rollup_kmv_ndv", 5),         # (key, h) dedup + rank window +
                                    # coarse union-take-k + the exact-
                                    # NDV tier's dedup/join (co-keyed)
-    ("rollup_dd_quantile", 7),     # fine+coarse log-bucket aggregates +
-                                   # read-off window + the exact rank-r
-                                   # audit window/join
+    ("rollup_dd_quantile", 3),     # fine+coarse log-bucket aggregates
+                                   # fold + read-off window + the
+                                   # co-keyed sorted-array audit join
     ("tx_vocab_overlap", 2),       # pairwise join broadcasts bounded
                                    # hash lists; the ONE checkpointed
                                    # sketch stage (dedup + rank window)
