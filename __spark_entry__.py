@@ -233,6 +233,35 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_pelt_report(spark, sf_dir):
+    """PELT exact changepoint segmentation (Killick et al. 2012) ON THE
+    ROLLUP TIER: per series, the globally optimal mean-shift
+    segmentation of the 64-tick bucket-mean sequence under the
+    BIC-style penalty 2 var ln(n), one row per segment — changepoint
+    detection on the continuous aggregate, the production monitoring
+    shape (the detector consumes the engine's own rollup output, 64x
+    smaller than raw, and segment boundaries are bucket-aligned by
+    construction). Engine addition; retrospective exact companion to
+    det_cusum. Rows-only; the kernel is pinned against the O(n^2)
+    optimal-partitioning DP, planted-shift recovery and
+    beta-monotonicity on RAW arrays in pytest
+    (test_operators_vs_kernels.py)."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    lf = _spark_long_form(spark, sf_dir)
+    means = T.rollup_relational(lf, 64, "raw").select(
+        "doc_id", "bucket",
+        (F.col("sum").cast("double") / F.col("cnt")).alias("m"),
+    )
+    arrays = means.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(bucket, m))),"
+            " s -> s.m)"
+        ).alias("tokens")
+    )
+    return DET.pelt_report(arrays)
+
+
 def _q_det_hw_error(spark, sf_dir):
     """Holt-Winters forecast-error detector (Winters 1960): additive
     level/trend/seasonal recursion, per-observation |one-step-ahead
@@ -2307,6 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_spectral_residual": _q_det_spectral_residual,
         "det_shesd_report": _q_det_shesd_report,
         "det_hw_error": _q_det_hw_error,
+        "det_pelt_report": _q_det_pelt_report,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,

@@ -691,3 +691,98 @@ def hw_scores_1d(x: np.ndarray, m: int, alpha: float = 0.3,
     for t in range(2 * m, n):
         out[t], lvl, b = hw_step(lvl, b, s, t, xs[t], m, alpha, beta, gamma)
     return out
+
+
+# ------------------------------------------------ PELT changepoints
+
+def _seg_cost(cs: np.ndarray, cs2: np.ndarray, a, b):
+    """Gaussian mean-shift segment cost of x[a:b): residual sum of
+    squares around the segment mean, ``sumsq - sum^2 / len`` —
+    vectorized over an array of starts ``a``."""
+    ln = b - a
+    sm = cs[b] - cs[a]
+    return (cs2[b] - cs2[a]) - sm * sm / ln
+
+
+def pelt_mean(x: np.ndarray, beta: float):
+    """PELT exact changepoint segmentation (Killick, Fearnhead &
+    Eckley 2012, "Optimal detection of changepoints with a linear
+    computational cost"): minimize ``sum of segment RSS + beta * (#
+    changepoints)`` over ALL segmentations — the same optimum as the
+    O(n^2) optimal-partitioning DP (pinned by test), found with the
+    paper's pruning ``F(s) + C(s, t) <= F(t) -> keep s`` (valid here
+    because RSS cost is concave-additive: C(a,c) >= C(a,b) + C(b,c)).
+
+    Returns the sorted array of changepoint positions (each the FIRST
+    index of a new segment; empty when one segment is optimal)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if beta < 0 or not np.isfinite(beta):
+        raise ValueError(f"beta must be finite and >= 0, got {beta}")
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    csa = np.concatenate([[0.0], np.cumsum(x)])
+    cs2a = np.concatenate([[0.0], np.cumsum(x * x)])
+    # hybrid inner loop: plain-float candidate scan while the pruned set
+    # is small (the common case — numpy's per-call overhead dominates
+    # tiny arrays), vectorized scan once it grows. Both compute the
+    # identical recursion; the switch changes nothing but speed.
+    cs = csa.tolist()
+    cs2 = cs2a.tolist()
+    F = np.empty(n + 1)
+    F[0] = -beta
+    Fl = F  # numpy buffer is indexable from both paths
+    prev = np.zeros(n + 1, dtype=np.int64)
+    R: list = [0]
+    SWITCH = 64
+    Rbuf = cand = None
+    m = 1
+    use_np = False
+    for t in range(1, n + 1):
+        if not use_np and len(R) >= SWITCH:
+            use_np = True
+            Rbuf = np.empty(n + 1, dtype=np.int64)
+            m = len(R)
+            Rbuf[:m] = R
+            cand = np.empty(n + 1)
+        if use_np:
+            r = Rbuf[:m]
+            c = cand[:m]
+            np.subtract(csa[t], csa[r], out=c)
+            c *= c
+            c /= t - r
+            np.subtract(cs2a[t] - cs2a[r], c, out=c)
+            c += Fl[r]
+            j = int(np.argmin(c))
+            best = c[j]
+            F[t] = best + beta
+            prev[t] = r[j]
+            keep = c <= best + beta
+            m2 = int(keep.sum())
+            Rbuf[:m2] = r[keep]
+            Rbuf[m2] = t
+            m = m2 + 1
+        else:
+            cst, cst2 = cs[t], cs2[t]
+            best = None
+            bs = 0
+            vals = []
+            for sv in R:
+                sm = cst - cs[sv]
+                v = Fl[sv] + (cst2 - cs2[sv]) - sm * sm / (t - sv)
+                vals.append(v)
+                if best is None or v < best:
+                    best, bs = v, sv
+            F[t] = best + beta
+            prev[t] = bs
+            thr = best + beta
+            R = [sv for sv, v in zip(R, vals) if v <= thr]
+            R.append(t)
+    cps = []
+    t = n
+    while t > 0:
+        s = int(prev[t])
+        if s > 0:
+            cps.append(s)
+        t = s
+    return np.asarray(sorted(cps), dtype=np.int64)

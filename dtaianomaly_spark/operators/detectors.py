@@ -843,6 +843,56 @@ def kmeans_scores(
     return _score_map(arrays, per_series)
 
 
+def pelt_report(arrays: DataFrame, beta_factor: float = 2.0) -> DataFrame:
+    """PELT exact changepoint segmentation report (Killick, Fearnhead &
+    Eckley 2012): per series, the GLOBALLY optimal mean-shift
+    segmentation under penalty ``beta = beta_factor * var(x) * ln(n)``
+    (the BIC-style default), one row per segment with its bounds, mean
+    and residual sum of squares. Engine addition in the changepoint
+    family next to det_cusum (sequential alarm) — PELT is the exact
+    retrospective answer. Extraction report, not a per-observation
+    scorer.
+
+    Scale: map-only Arrow stage; PELT's pruning makes the per-series
+    sweep effectively linear (worst-case O(n^2) like the DP it equals,
+    pinned by test). No shuffle, no fit stage."""
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("seg", LongType(), False),
+            StructField("seg_start", LongType(), False),
+            StructField("seg_end", LongType(), False),
+            StructField("seg_mean", DoubleType(), False),
+            StructField("seg_rss", DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                n = x.shape[0]
+                if n == 0:
+                    continue
+                beta = beta_factor * float(x.var()) * float(np.log(max(n, 2)))
+                cps = KX.pelt_mean(x, beta)
+                bounds = [0] + cps.tolist() + [n]
+                for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+                    seg = x[a:b]
+                    rows.append(
+                        (str(doc_id), i, a, b - 1, float(seg.mean()),
+                         float(((seg - seg.mean()) ** 2).sum()))
+                    )
+            yield pd.DataFrame(rows, columns=schema.names)
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)
+
+
 def holt_winters_scores(
     arrays: DataFrame, period: int = 64, alpha: float = 0.3,
     beta: float = 0.1, gamma: float = 0.2,

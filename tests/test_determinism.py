@@ -74,6 +74,7 @@ FAMILIES = [
     "ev_anomaly_spans",   # islands over flagged positions + span aggs
     "sw_eh_sliding",      # sequential DGIM replay per series
     "det_hw_error",       # sequential HW recursion per series
+    "det_pelt_report",    # pruned DP argmin per series
 ]
 
 

@@ -501,3 +501,86 @@ def test_hw_properties_and_operator(spark):
         want = hw_scores_1d(np.asarray(r["tokens"], dtype=np.float64), 24)
         for p, v in enumerate(want):
             assert got[(str(r["doc_id"]), p)] == v
+
+
+# ------------------------------------------------ PELT changepoints
+
+def _brute_optimal_partition(x, beta):
+    """O(n^2) optimal-partitioning DP — the exactness oracle PELT must
+    equal (same cost, full minimization, no pruning)."""
+    from dtaianomaly_spark.kernels.detectors_ext import _seg_cost
+
+    n = len(x)
+    cs = np.concatenate([[0.0], np.cumsum(np.asarray(x, float))])
+    cs2 = np.concatenate([[0.0], np.cumsum(np.asarray(x, float) ** 2)])
+    F, prev = [-beta], [0]
+    for t in range(1, n + 1):
+        best, bs = None, 0
+        for s in range(t):
+            v = F[s] + _seg_cost(cs, cs2, np.int64(s), t) + beta
+            if best is None or v < best - 1e-12:
+                best, bs = v, s
+        F.append(best)
+        prev.append(bs)
+    cps, t = [], n
+    while t > 0:
+        s = prev[t]
+        if s > 0:
+            cps.append(s)
+        t = s
+    return sorted(cps)
+
+
+def test_pelt_equals_brute_dp_and_properties():
+    from dtaianomaly_spark.kernels.detectors_ext import pelt_mean
+
+    rng = np.random.default_rng(8)
+    for trial in range(10):
+        n = int(rng.integers(20, 120))
+        x = rng.normal(0, 1, n)
+        for cp in rng.choice(np.arange(5, n - 5), size=2, replace=False):
+            x[cp:] += rng.normal(0, 4)
+        prev_count = None
+        for beta in (2.0, 8.0, 20.0, 80.0):
+            got = pelt_mean(x, beta).tolist()
+            assert got == _brute_optimal_partition(x, beta)
+            # larger penalty never yields more changepoints
+            if prev_count is not None:
+                assert len(got) <= prev_count
+            prev_count = len(got)
+    # planted high-SNR shifts recovered exactly; constants segment once
+    x = np.concatenate([np.zeros(100), np.full(100, 10.0), np.zeros(100)])
+    x += rng.normal(0, 0.3, 300)
+    assert pelt_mean(x, 15.0).tolist() == [100, 200]
+    assert pelt_mean(np.full(200, 3.0), 5.0).tolist() == []
+    assert pelt_mean(np.array([]), 5.0).tolist() == []
+    with pytest.raises(ValueError, match="beta"):
+        pelt_mean(x, -1.0)
+
+
+def test_pelt_operator_matches_kernel(spark):
+    from dtaianomaly_spark.kernels.detectors_ext import pelt_mean
+    from dtaianomaly_spark.operators.detectors import pelt_report
+
+    arrays = C.token_arrays(spark, SF_DIR).limit(15)
+    arrays.persist().count()
+    got = {}
+    for r in pelt_report(arrays).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["seg"], r["seg_start"], r["seg_end"],
+             r["seg_mean"], r["seg_rss"])
+        )
+    for r in arrays.collect():
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        beta = 2.0 * float(x.var()) * float(np.log(max(x.shape[0], 2)))
+        cps = pelt_mean(x, beta)
+        bounds = [0] + cps.tolist() + [x.shape[0]]
+        want = []
+        for i, (a, b) in enumerate(zip(bounds[:-1], bounds[1:])):
+            seg = x[a:b]
+            want.append((i, a, b - 1, float(seg.mean()),
+                         float(((seg - seg.mean()) ** 2).sum())))
+        assert sorted(got[str(r["doc_id"])]) == want
+        # segments tile the series
+        assert want[0][1] == 0 and want[-1][2] == x.shape[0] - 1
+    arrays.unpersist()

@@ -48,6 +48,9 @@ EXCHANGE_BOUNDS = [
     ("det_shesd_report", 5),       # decompose window + phase/center
                                    # aggregates + median join + per-doc
                                    # array rebuild before the Arrow ESD
+    ("det_pelt_report", 1),        # rollup agg + doc-level mean-array
+                                   # fold share one doc_id shuffle
+                                   # before the Arrow segmentation
     ("det_hw_error", 1),           # map-only Arrow recursion; the one
                                    # exchange is token_arrays
     ("det_spectral_residual", 1),  # map-only Arrow FFT stage; the one
