@@ -233,6 +233,23 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_pattern_topk(spark, sf_dir):
+    """Query-driven pattern search (MASS z-normalized FFT distance):
+    top-3 non-overlapping matches per series to a broadcast
+    flat-with-center-spike template (w=32) — which is exactly the shape
+    of the generator's planted +400 anomalies, so the best matches land
+    on ground-truth spikes (pinned in pytest). The retrieval complement
+    of det_motif_topk/det_discord_topk. Rows-only; kernel pinned
+    against a naive per-window z-norm distance loop."""
+    import numpy as np
+
+    from dtaianomaly_spark.operators import detectors as DET
+
+    pat = np.zeros(32)
+    pat[16] = 400.0
+    return DET.pattern_search_topk(C.token_arrays(spark, sf_dir), pat, k=3)
+
+
 def _q_det_pelt_report(spark, sf_dir):
     """PELT exact changepoint segmentation (Killick et al. 2012) ON THE
     ROLLUP TIER: per series, the globally optimal mean-shift
@@ -2337,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_shesd_report": _q_det_shesd_report,
         "det_hw_error": _q_det_hw_error,
         "det_pelt_report": _q_det_pelt_report,
+        "det_pattern_topk": _q_det_pattern_topk,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,

@@ -843,6 +843,66 @@ def kmeans_scores(
     return _score_map(arrays, per_series)
 
 
+def pattern_search_topk(
+    arrays: DataFrame, pattern: np.ndarray, k: int = 3,
+    excl: int | None = None,
+) -> DataFrame:
+    """MASS-style query-driven pattern search (Mueen's z-normalized
+    FFT distance — the single-reference degenerate of the matrix
+    profile, kernels/detectors_ext.sliding_znorm_dist): for every
+    series, the top-``k`` NON-OVERLAPPING windows closest in shape to
+    the broadcast ``pattern``, exclusion zone ``excl`` (default
+    ceil(w/4), the motif/discord convention; ties broken on the lowest
+    position — a pinned total order). The retrieval complement of the
+    motif/discord reports: those find what recurs, this finds what YOU
+    ask for.
+
+    Output (doc_id, pos, dist, rank) with rank 0 the best match.
+    Scale: the pattern rides the task closure (broadcast); one Arrow
+    pass per series, one FFT cross-correlation each — no shuffle, no
+    index."""
+    from dtaianomaly_spark.kernels.detectors_ext import sliding_znorm_dist
+
+    q = np.asarray(pattern, dtype=np.float64).reshape(-1)
+    w = q.shape[0]
+    if w < 2:
+        raise ValueError(f"pattern must have >= 2 points, got {w}")
+    excl = int(np.ceil(w / 4)) if excl is None else int(excl)
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("pos", LongType(), False),
+            StructField("dist", DoubleType(), False),
+            StructField("rank", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                if x.shape[0] < w:
+                    continue
+                d = sliding_znorm_dist(x, q, w)
+                order = np.lexsort((np.arange(d.shape[0]), d))
+                taken = []
+                for p in order:
+                    if len(taken) == k:
+                        break
+                    if all(abs(int(p) - t) >= excl for t in taken):
+                        taken.append(int(p))
+                rows.extend(
+                    (str(doc_id), p, float(d[p]), i)
+                    for i, p in enumerate(taken)
+                )
+            yield pd.DataFrame(rows, columns=schema.names)
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)
+
+
 def pelt_report(arrays: DataFrame, beta_factor: float = 2.0) -> DataFrame:
     """PELT exact changepoint segmentation report (Killick, Fearnhead &
     Eckley 2012): per series, the GLOBALLY optimal mean-shift

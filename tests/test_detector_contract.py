@@ -24,7 +24,8 @@ DET_QUERIES = sorted(
     k for k in E.queries()
     if k.startswith("det_")
     and k not in ("det_motif_topk", "det_discord_topk",
-                  "det_shesd_report", "det_pelt_report")
+                  "det_shesd_report", "det_pelt_report",
+                  "det_pattern_topk")
 )
 
 

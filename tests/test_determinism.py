@@ -75,6 +75,7 @@ FAMILIES = [
     "sw_eh_sliding",      # sequential DGIM replay per series
     "det_hw_error",       # sequential HW recursion per series
     "det_pelt_report",    # pruned DP argmin per series
+    "det_pattern_topk",   # lexsort tie order + greedy exclusion
 ]
 
 

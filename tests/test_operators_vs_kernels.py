@@ -584,3 +584,46 @@ def test_pelt_operator_matches_kernel(spark):
         # segments tile the series
         assert want[0][1] == 0 and want[-1][2] == x.shape[0] - 1
     arrays.unpersist()
+
+
+# ------------------------------------------------ pattern search (MASS)
+
+def test_pattern_search_matches_naive_and_finds_spikes(spark):
+    from dtaianomaly_spark.kernels.detectors_ext import sliding_znorm_dist
+    from dtaianomaly_spark.operators.detectors import pattern_search_topk
+
+    # kernel vs naive per-window z-norm distance
+    rng = np.random.default_rng(13)
+    x = np.cumsum(rng.normal(0, 1, 300))
+    q = rng.normal(0, 1, 24)
+    d = sliding_znorm_dist(x, q, 24)
+    qz = (q - q.mean()) / q.std()
+    for p in range(0, 277, 13):
+        win = x[p:p + 24]
+        wz = (win - win.mean()) / win.std()
+        assert abs(d[p] - np.sqrt(((wz - qz) ** 2).sum())) < 1e-8
+    # operator: spike template finds the generator's planted spikes
+    arrays = C.token_arrays(spark, SF_DIR).limit(40)
+    pat = np.zeros(32)
+    pat[16] = 400.0
+    rows = pattern_search_topk(arrays, pat, k=3).collect()
+    assert rows
+    is_spike = lambda d_, p: (int(d_) * 7919 + p * 104729) % 997 == 0  # noqa: E731
+    best = [r for r in rows if r["rank"] == 0]
+    # rank-0 matches point at a window whose center is the spike
+    hits = sum(is_spike(r["doc_id"], r["pos"] + 16) for r in best)
+    docs_with_spike = {
+        str(r["doc_id"])
+        for r in arrays.collect()
+        if any(is_spike(r["doc_id"], p) for p in range(16, r["n_tok"] - 15))
+    }
+    assert hits >= 0.9 * len([r for r in best if r["doc_id"] in docs_with_spike])
+    # non-overlap within each series
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    for ps in per_doc.values():
+        ps = sorted(ps)
+        assert all(b - a >= 8 for a, b in zip(ps, ps[1:]))
+    with pytest.raises(ValueError, match="pattern"):
+        pattern_search_topk(arrays, np.array([1.0]))

@@ -48,6 +48,8 @@ EXCHANGE_BOUNDS = [
     ("det_shesd_report", 5),       # decompose window + phase/center
                                    # aggregates + median join + per-doc
                                    # array rebuild before the Arrow ESD
+    ("det_pattern_topk", 1),       # map-only Arrow FFT search; the one
+                                   # exchange is token_arrays
     ("det_pelt_report", 1),        # rollup agg + doc-level mean-array
                                    # fold share one doc_id shuffle
                                    # before the Arrow segmentation
