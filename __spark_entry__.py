@@ -233,6 +233,20 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_corr_pairs(spark, sf_dir):
+    """Correlated-series discovery: all series pairs whose Pearson
+    correlation of 16-bucket mean profiles reaches 0.9, via the SRP-LSH
+    candidate machinery (never the N^2 all-pairs scan) and the EXACT
+    integer identity Pearson(means) == cosine(B*sum - total) — one
+    float divide at the end. The classic "which metrics move together"
+    TSDB feature over the engine's own rollup profiles. Rows-only;
+    pinned against numpy Pearson and brute-force all-pairs
+    recall/precision in pytest (test_pipelines.py)."""
+    from dtaianomaly_spark.pipelines.similarity import series_corr_pairs
+
+    return series_corr_pairs(_spark_long_form(spark, sf_dir), threshold=0.9)
+
+
 def _q_det_pattern_topk(spark, sf_dir):
     """Query-driven pattern search (MASS z-normalized FFT distance):
     top-3 non-overlapping matches per series to a broadcast
@@ -2355,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_hw_error": _q_det_hw_error,
         "det_pelt_report": _q_det_pelt_report,
         "det_pattern_topk": _q_det_pattern_topk,
+        "ann_corr_pairs": _q_ann_corr_pairs,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,

@@ -458,7 +458,15 @@ def embed_neardup_pairs(
     deterministic (the hyperplanes are hash-derived), so the DuckDB
     oracle reproduces the result bit-for-bit — including which
     near-dups the LSH recalls."""
-    qv = quantized(emb)
+    return _neardup_pairs_from_qv(quantized(emb), threshold, probe_bits)
+
+
+def _neardup_pairs_from_qv(
+    qv: DataFrame, threshold: float, probe_bits: int = 1
+) -> DataFrame:
+    """SRP-bucketed candidate pairs + exact integer-cosine filter over
+    any pre-quantized (vec_id, q, norm2) frame — shared by the
+    embedding near-dup pipeline and the correlated-series finder."""
     bk = _srp_buckets(qv)
     probes = [F.expr("bucket")]
     if probe_bits >= 1:
@@ -806,3 +814,74 @@ def kcenter_coreset(emb: DataFrame, k: int = 8) -> DataFrame:
         F.col("s.dist").alias("dist"),
         (F.col("vec_id") == F.col("s.center_id")).alias("is_center"),
     )
+
+
+def series_corr_pairs(
+    long_form: DataFrame,
+    bucket_ticks: int = 64,
+    n_buckets: int = 16,
+    threshold: float = 0.9,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Correlated-series discovery (the classic TSDB "which metrics move
+    together" feature): all series pairs whose PEARSON CORRELATION of
+    bucket-mean profiles reaches ``threshold``, found with the
+    embedding pipeline's SRP-LSH candidate machinery instead of the
+    O(N^2) all-pairs scan.
+
+    The exactness trick: over the first ``n_buckets`` FULL buckets
+    (every bucket holds exactly ``bucket_ticks`` points, so means are
+    sums / a shared constant), the centered profile
+    ``v_i = B * sum_i - sum_j sum_j`` is an exact int64 vector, and
+    Pearson(means) == cosine(v) IDENTICALLY — centering and the shared
+    1/(B * ticks) scale cancel in the cosine. So the exact
+    integer-cosine filter the near-dup pipeline already has IS the
+    correlation test; one float divide at the end, bit-reproducible.
+    Constant-profile series (norm2 = 0, undefined correlation) are
+    excluded explicitly. Output (va, vb, dot, cos), va < vb, cos =
+    the exact Pearson correlation.
+
+    Scale shape: inherited from :func:`embed_neardup_pairs` — the
+    self-join shuffles on (table, bucket); candidate volume is the sum
+    of per-bucket sizes squared, never N^2. Series shorter than
+    ``n_buckets * bucket_ticks`` ticks don't participate (documented
+    contract: correlation needs aligned windows).
+
+    Magnitude check for int64 exactness: |sum_i| <= ticks * max|value|,
+    |v_i| <= 2 B ticks max|value| (~10^6 at the defaults), squares
+    ~10^12, B-dim dots ~10^13 — comfortably exact."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    b = n_buckets
+    sums = (
+        long_form.filter(F.col("pos") < b * bucket_ticks)
+        .groupBy(
+            "doc_id",
+            (F.col("pos") / bucket_ticks).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.sum("value").cast("long").alias("s"),
+            F.count("*").alias("c"),
+        )
+    )
+    prof = (
+        sums.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(bucket, s, c))),"
+                " e -> e.s)"
+            ).alias("sv"),
+            F.count("*").alias("nb"),
+            F.min("c").alias("minc"),
+        )
+        .filter((F.col("nb") == b) & (F.col("minc") == bucket_ticks))
+    )
+    qv = prof.select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(
+            f"transform(sv, s -> {int(b)}L * s"
+            " - aggregate(sv, 0L, (acc, x) -> acc + x))"
+        ).alias("q"),
+    ).select("vec_id", "q", F.expr(_SELF_DOT).alias("norm2"))
+    qv = qv.filter(F.col("norm2") > 0)
+    return _neardup_pairs_from_qv(qv, threshold, probe_bits)

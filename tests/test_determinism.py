@@ -76,6 +76,7 @@ FAMILIES = [
     "det_hw_error",       # sequential HW recursion per series
     "det_pelt_report",    # pruned DP argmin per series
     "det_pattern_topk",   # lexsort tie order + greedy exclusion
+    "ann_corr_pairs",     # SRP buckets + exact integer cosine filter
 ]
 
 

@@ -1785,3 +1785,46 @@ def test_mix_plan_waterfill_matches_python_twin(spark):
         TX.mix_plan(tm, 10, 0.0)
     with pytest.raises(ValueError, match="budget_tokens"):
         TX.mix_plan(tm, -1)
+
+
+# ------------------------------------------------ correlated series
+
+def test_series_corr_pairs_exact_pearson_and_recall(spark):
+    import collections
+
+    from dtaianomaly_spark.pipelines.similarity import series_corr_pairs
+    from dtaianomaly_spark.sources.corpus import token_long_form
+
+    lf = token_long_form(spark, "/root/testdata/sf0.001")
+    got = {
+        (r["va"], r["vb"]): r["cos"]
+        for r in series_corr_pairs(lf, threshold=0.9).collect()
+    }
+    assert got and all(a < b for a, b in got)
+    # ground truth: numpy Pearson over every eligible pair
+    rows = lf.filter("pos < 1024").collect()
+    series = collections.defaultdict(dict)
+    for r in rows:
+        series[r["doc_id"]][r["pos"]] = r["value"]
+    profs = {}
+    for d, vals in series.items():
+        if len(vals) == 1024:
+            xs = np.array([vals[p] for p in range(1024)], dtype=np.float64)
+            pr = xs.reshape(16, 64).sum(axis=1)
+            if pr.std() > 0:
+                profs[d] = pr
+    docs = sorted(profs)
+    true_pairs = {}
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            c = float(np.corrcoef(profs[a], profs[b])[0, 1])
+            if c >= 0.9:
+                true_pairs[(a, b)] = c
+    # every emitted pair is a true pair with the EXACT Pearson value
+    for (a, b), c in got.items():
+        assert (a, b) in true_pairs
+        assert abs(c - true_pairs[(a, b)]) < 1e-9
+    # LSH recall floor over the true pair set
+    assert len(got) / len(true_pairs) > 0.5, (len(got), len(true_pairs))
+    with pytest.raises(ValueError, match="n_buckets"):
+        series_corr_pairs(lf, n_buckets=1)

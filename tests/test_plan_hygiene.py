@@ -48,6 +48,9 @@ EXCHANGE_BOUNDS = [
     ("det_shesd_report", 5),       # decompose window + phase/center
                                    # aggregates + median join + per-doc
                                    # array rebuild before the Arrow ESD
+    ("ann_corr_pairs", 8),         # bucket sums + profile fold + SRP
+                                   # bucket agg + bucketed self-join +
+                                   # pair dedup + two profile joins
     ("det_pattern_topk", 1),       # map-only Arrow FFT search; the one
                                    # exchange is token_arrays
     ("det_pelt_report", 1),        # rollup agg + doc-level mean-array
