@@ -233,6 +233,18 @@ def _q_median_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ev_forecast_skill(spark, sf_dir):
+    """Forecast-skill report: per series, Holt-Winters one-step MAE vs
+    the naive and seasonal-naive baselines over the same post-warmup
+    positions (the MASE benchmark convention, Hyndman & Koehler 2006);
+    skill < 1 = the forecaster earns its keep on that series. One
+    bounded row per series from one Arrow pass. Rows-only; arithmetic
+    pinned against a per-series numpy recomputation in pytest."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.forecast_skill_report(C.token_arrays(spark, sf_dir), period=64)
+
+
 def _q_ann_corr_pairs(spark, sf_dir):
     """Correlated-series discovery: all series pairs whose Pearson
     correlation of 16-bucket mean profiles reaches 0.9, via the SRP-LSH
@@ -2370,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "det_pelt_report": _q_det_pelt_report,
         "det_pattern_topk": _q_det_pattern_topk,
         "ann_corr_pairs": _q_ann_corr_pairs,
+        "ev_forecast_skill": _q_ev_forecast_skill,
         "pp_sax": _q_pp_sax,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,

@@ -980,6 +980,66 @@ def holt_winters_scores(
     return _score_map(arrays, per_series)
 
 
+def forecast_skill_report(
+    arrays: DataFrame, period: int = 64, alpha: float = 0.3,
+    beta: float = 0.1, gamma: float = 0.2,
+) -> DataFrame:
+    """Forecast-skill report: per series, the Holt-Winters one-step
+    MAE against the two canonical no-model baselines over the SAME
+    evaluation positions (t >= 2 * period, the post-warmup region) —
+    ``naive`` (tomorrow == today) and ``seasonal naive`` (tomorrow ==
+    one period ago), the standard skill denominators (Hyndman &
+    Koehler 2006's benchmark convention from the MASE definition).
+    ``skill_* = hw_mae / *_mae`` < 1 means the forecaster beats that
+    baseline. Series shorter than 2 * period + 1 are skipped (no
+    evaluation region).
+
+    One Arrow pass computes all three error streams from the same
+    array — no second scan, no join; output is one bounded row per
+    series."""
+    import math
+
+    from dtaianomaly_spark.kernels import detectors_ext as KX
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("n_eval", LongType(), False),
+            StructField("hw_mae", DoubleType(), False),
+            StructField("naive_mae", DoubleType(), False),
+            StructField("snaive_mae", DoubleType(), False),
+            StructField("skill_naive", DoubleType(), False),
+            StructField("skill_snaive", DoubleType(), False),
+        ]
+    )
+    m = period
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                n = x.shape[0]
+                if n < 2 * m + 1:
+                    continue
+                hw = KX.hw_scores_1d(x, m, alpha, beta, gamma)[2 * m:]
+                naive = np.abs(np.diff(x))[2 * m - 1:]
+                snaive = np.abs(x[2 * m:] - x[m:-m])
+                hw_mae = float(hw.mean())
+                nv = float(naive.mean())
+                sn = float(snaive.mean())
+                rows.append(
+                    (str(doc_id), n - 2 * m, hw_mae, nv, sn,
+                     hw_mae / nv if nv > 0 else math.inf if hw_mae > 0 else 1.0,
+                     hw_mae / sn if sn > 0 else math.inf if hw_mae > 0 else 1.0)
+                )
+            yield pd.DataFrame(rows, columns=schema.names)
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)
+
+
 def shesd_report(
     long_form: DataFrame,
     period: int = 64,

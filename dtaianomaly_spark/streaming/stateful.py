@@ -1145,3 +1145,120 @@ def stateful_ddsketch(
         if flush_after_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ------------------------------------------------------------------
+# Streaming DGIM: the online twin of operators/windows.eh_sliding_count_map.
+# ------------------------------------------------------------------
+
+EH_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("est", DoubleType(), False),
+        StructField("n_buckets", LongType(), False),
+    ]
+)
+
+EH_STATE_SCHEMA = StructType(
+    [
+        StructField("next_pos", LongType(), True),
+        StructField("ts", ArrayType(LongType()), True),
+        StructField("sz", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _make_eh_update(window: int, r: int, ttl_ms: int | None):
+    import numpy as np
+
+    from dtaianomaly_spark.kernels.eh import ExpHistogram
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        eh = ExpHistogram(window, r)
+        if state.exists:
+            next_pos, ts, sz = state.get
+            next_pos = int(next_pos)
+            eh.buckets = list(zip(ts, sz))
+            cold_start = False
+        else:
+            next_pos, cold_start = 0, True
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+
+        batch = pd.concat(chunks).sort_values("pos")
+        poss = batch["pos"].to_numpy(dtype=np.int64)
+        flags = batch["flag"].to_numpy(dtype=np.int64)
+        if cold_start:
+            # TTL-evicted series restart with an empty histogram — the
+            # bounded-state trade the whole sketch family makes
+            next_pos = int(poss[0])
+        expected = next_pos + np.arange(poss.shape[0])
+        if not np.array_equal(poss, expected):
+            raise ValueError(
+                f"streaming DGIM requires in-order contiguous points;"
+                f" series {doc_id!r} expected pos {next_pos}, got"
+                f" {poss[:5].tolist()}..."
+            )
+        est = np.empty(poss.shape[0], dtype=np.float64)
+        nb = np.empty(poss.shape[0], dtype=np.int64)
+        for j in range(poss.shape[0]):
+            p = int(poss[j])
+            if flags[j]:
+                eh.add(p)
+            est[j] = eh.estimate(p)
+            nb[j] = eh.n_buckets()
+        state.update((
+            int(poss[-1]) + 1,
+            [int(t) for t, _ in eh.buckets],
+            [int(s) for _, s in eh.buckets],
+        ))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc_id, poss.shape[0]),
+                "pos": poss,
+                "est": est,
+                "n_buckets": nb,
+            }
+        )
+
+    return update
+
+
+def stateful_eh_sliding(
+    stream_long_form, window: int = 256, r: int = 4,
+    flush_after_ms: int | None = FLUSH_AFTER_MS,
+):
+    """(doc_id, pos, flag) stream -> append stream of DGIM sliding-
+    window count estimates, byte-equal to the batch replay operator
+    ``operators/windows.eh_sliding_count_map`` (the SAME ExpHistogram
+    class steps in both — the state IS the bucket list, serialized
+    verbatim). The first twin in the family whose state answers a
+    SLIDING question: O(r log W) buckets per series no matter how long
+    the stream or how dense the flags. In-order exactly-once input
+    contract (the structure is causal); same TTL caveats as the other
+    twins — an evicted series restarts empty."""
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_eh_update(window, r, flush_after_ms),
+        EH_OUTPUT_SCHEMA,
+        EH_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if flush_after_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -77,6 +77,7 @@ FAMILIES = [
     "det_pelt_report",    # pruned DP argmin per series
     "det_pattern_topk",   # lexsort tie order + greedy exclusion
     "ann_corr_pairs",     # SRP buckets + exact integer cosine filter
+    "ev_forecast_skill",  # per-series HW recursion + mean folds
 ]
 
 

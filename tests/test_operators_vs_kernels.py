@@ -627,3 +627,40 @@ def test_pattern_search_matches_naive_and_finds_spikes(spark):
         assert all(b - a >= 8 for a, b in zip(ps, ps[1:]))
     with pytest.raises(ValueError, match="pattern"):
         pattern_search_topk(arrays, np.array([1.0]))
+
+
+def test_forecast_skill_report_matches_recomputation(spark):
+    from dtaianomaly_spark.kernels.detectors_ext import hw_scores_1d
+    from dtaianomaly_spark.operators.detectors import forecast_skill_report
+
+    arrays = C.token_arrays(spark, SF_DIR).limit(25)
+    arrays.persist().count()
+    m = 24
+    got = {r["doc_id"]: r for r in
+           forecast_skill_report(arrays, period=m).collect()}
+    n_checked = 0
+    for r in arrays.collect():
+        x = np.asarray(r["tokens"], dtype=np.float64)
+        if x.shape[0] < 2 * m + 1:
+            assert str(r["doc_id"]) not in got
+            continue
+        rep = got[str(r["doc_id"])]
+        hw = hw_scores_1d(x, m)[2 * m:]
+        naive = np.abs(np.diff(x))[2 * m - 1:]
+        snaive = np.abs(x[2 * m:] - x[m:-m])
+        assert rep["n_eval"] == x.shape[0] - 2 * m
+        assert rep["hw_mae"] == float(hw.mean())
+        assert rep["naive_mae"] == float(naive.mean())
+        assert rep["snaive_mae"] == float(snaive.mean())
+        assert rep["skill_naive"] == rep["hw_mae"] / rep["naive_mae"]
+        n_checked += 1
+    assert n_checked > 10
+    # on a genuinely seasonal series the forecaster beats both baselines
+    t = np.arange(800, dtype=float)
+    xs = 0.1 * t + 20 * np.sin(2 * np.pi * t / m)
+    df = spark.createDataFrame(
+        [("s", [float(v) for v in xs])], "doc_id string, tokens array<double>"
+    )
+    rep = forecast_skill_report(df, period=m).collect()[0]
+    assert rep["skill_naive"] < 1.0 and rep["skill_snaive"] < 1.0
+    arrays.unpersist()

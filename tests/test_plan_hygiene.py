@@ -48,6 +48,8 @@ EXCHANGE_BOUNDS = [
     ("det_shesd_report", 5),       # decompose window + phase/center
                                    # aggregates + median join + per-doc
                                    # array rebuild before the Arrow ESD
+    ("ev_forecast_skill", 1),      # map-only Arrow pass; the one
+                                   # exchange is token_arrays
     ("ann_corr_pairs", 8),         # bucket sums + profile fold + SRP
                                    # bucket agg + bucketed self-join +
                                    # pair dedup + two profile joins

@@ -1033,3 +1033,57 @@ def test_stateful_ddsketch_ttl_partials_combine_to_batch():
     )[0]
     assert done["final"].all() and st.updated is None
     assert {r.sidx: r.dcnt for r in done.itertuples()} == want
+
+
+def test_stateful_eh_sliding_matches_batch_replay(spark, tmp_path):
+    """In-order chunked ingest: the streaming DGIM's per-position
+    estimates byte-match the batch replay operator (same ExpHistogram
+    stepping in both; the state is the bucket list, carried verbatim
+    across micro-batches)."""
+    import os
+
+    from dtaianomaly_spark.operators.windows import eh_sliding_count_map
+    from dtaianomaly_spark.streaming.stateful import stateful_eh_sliding
+
+    lf = C.token_long_form(spark, SF_DIR).filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "pos",
+        (F.col("value") > 300).cast("int").alias("flag"),
+    )
+    src = str(tmp_path / "eh_src")
+    seen: set = set()
+    for i, cond in enumerate(
+        ["pos < 100", "pos >= 100 AND pos < 400", "pos >= 400"]
+    ):
+        lf.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base, base))
+                seen.add(p)
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "eh_out")
+    q = (
+        stateful_eh_sliding(stream, window=64, r=4, flush_after_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "eh_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["pos"]): (r["est"], r["n_buckets"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["doc_id"], r["pos"]): (r["est"], r["n_buckets"])
+        for r in eh_sliding_count_map(lf, window=64, r=4).collect()
+    }
+    assert got == batch and len(got) == lf.count()
+    assert any(nb > 0 for _, nb in got.values())
