@@ -1831,6 +1831,16 @@ def _q_rollup_kmv_ndv(spark, sf_dir):
     )
 
 
+def _q_rollup_entropy(spark, sf_dir):
+    """Exact per-bucket Shannon entropy of the token distribution —
+    the information-content tier next to NDV and heavy hitters (same
+    bucket keys); H = ln(n) - (sum c ln c)/n with the c*ln(c) mass as
+    a deterministic sorted fold (the engine's bit-reproducibility
+    idiom). Rows-only; pinned against a Python twin incl. the H = 0
+    constant and H = ln(ndv) uniform identities in pytest."""
+    return T.entropy_rollup(_spark_long_form(spark, sf_dir), 960)
+
+
 def _q_rollup_dd_quantile(spark, sf_dir):
     """DDSketch relative-error quantile tier (Masson, Rim & Lee 2019)
     audited against the exact p95: per-(series, coarse bucket) signed
@@ -2483,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_bloom_contains": _q_rollup_bloom_contains,
         "rollup_kmv_ndv": _q_rollup_kmv_ndv,
         "rollup_dd_quantile": _q_rollup_dd_quantile,
+        "rollup_entropy": _q_rollup_entropy,
         "tx_vocab_overlap": _q_tx_vocab_overlap,
         "tx_quota_sample": _q_tx_quota_sample,
         "tx_length_drift": _q_tx_length_drift,

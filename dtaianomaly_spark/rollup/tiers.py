@@ -1137,3 +1137,51 @@ def ddsketch_quantile(
             ).alias("hi"),
         )
     )
+
+
+# ------------------------------------------------------- entropy read-off
+
+def entropy_rollup(long_form: DataFrame, bucket_ticks: int = 960) -> DataFrame:
+    """Exact per-(series, bucket) Shannon entropy of the token
+    distribution, ``H = ln(n) - (sum_v c_v ln c_v) / n`` (nats) — the
+    information-content lens next to the NDV and heavy-hitter tiers
+    (a bucket can keep its NDV while its entropy collapses onto one
+    hot token; compression ratio and sample weighting follow entropy,
+    not NDV). ``H = 0`` for constant buckets, ``H = ln(ndv)`` exactly
+    when uniform — both pinned.
+
+    Reproducibility: float addition is not associative, so the
+    ``c ln c`` mass is a DETERMINISTIC SORTED FOLD over (value asc)
+    per bucket — the engine's standard idiom (same as the seasonal
+    phase means and the drift folds). The fold order is pinned; the
+    individual ``ln`` evaluations are the platform's (ln is not
+    IEEE-correctly-rounded, so engines may differ in the last ulp —
+    the Python twin is pinned at 1e-12, the fold order bit-for-bit).
+    One (series, bucket, value) count aggregate
+    then one bucket-level fold; fold state is bounded by the bucket's
+    NDV (<= value domain, <= bucket_ticks)."""
+    counts = (
+        long_form.groupBy(
+            "doc_id",
+            (F.col("pos") / bucket_ticks).cast("long").alias("bucket"),
+            "value",
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("ndv"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(value, c))),"
+                " CAST(0.0 AS DOUBLE),"
+                " (acc, e) -> acc + CAST(e.c AS DOUBLE) * ln(CAST(e.c AS DOUBLE)))"
+            ).alias("_clnc"),
+        )
+        .select(
+            "doc_id", "bucket", "n", "ndv",
+            (F.log(F.col("n").cast("double"))
+             - F.col("_clnc") / F.col("n").cast("double")).alias("entropy"),
+        )
+    )

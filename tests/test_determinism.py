@@ -78,6 +78,7 @@ FAMILIES = [
     "det_pattern_topk",   # lexsort tie order + greedy exclusion
     "ann_corr_pairs",     # SRP buckets + exact integer cosine filter
     "ev_forecast_skill",  # per-series HW recursion + mean folds
+    "rollup_entropy",     # sorted c*ln(c) fold per bucket
 ]
 
 

@@ -140,6 +140,8 @@ EXCHANGE_BOUNDS = [
     ("rollup_kmv_ndv", 5),         # (key, h) dedup + rank window +
                                    # coarse union-take-k + the exact-
                                    # NDV tier's dedup/join (co-keyed)
+    ("rollup_entropy", 2),         # value-count agg + bucket-level
+                                   # sorted fold
     ("rollup_dd_quantile", 3),     # fine+coarse log-bucket aggregates
                                    # fold + read-off window + the
                                    # co-keyed sorted-array audit join

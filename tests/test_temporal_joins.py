@@ -792,3 +792,41 @@ def test_ddsketch_merge_direct_twin_and_quantile_guarantee(spark, long_form):
         ddsketch_quantile(dd, 3, 2)
     with pytest.raises(ValueError, match="vmax"):
         dd_boundaries(0)
+
+
+def test_entropy_rollup_twin_and_identities(spark, long_form):
+    import math
+
+    from dtaianomaly_spark.rollup.tiers import entropy_rollup
+
+    got = {
+        (r["doc_id"], r["bucket"]): (r["n"], r["ndv"], r["entropy"])
+        for r in entropy_rollup(long_form, 64).collect()
+    }
+    truth = {}
+    for r in long_form.collect():
+        truth.setdefault((r["doc_id"], r["pos"] // 64), []).append(r["value"])
+    assert set(got) == set(truth)
+    for k, vals in truth.items():
+        counts = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        # the same sorted fold, in Python
+        clnc = 0.0
+        for v in sorted(counts):
+            clnc += float(counts[v]) * math.log(float(counts[v]))
+        h = math.log(len(vals)) - clnc / len(vals)
+        n, ndv, ent = got[k]
+        assert (n, ndv) == (len(vals), len(counts))
+        # ln is not correctly-rounded; engines may differ in the last ulp
+        assert abs(ent - h) < 1e-12, k
+        assert -1e-12 <= ent <= math.log(ndv) + 1e-12
+    # identities: constant bucket -> 0; uniform bucket -> ln(ndv)
+    const = spark.createDataFrame(
+        [("c", p, 7) for p in range(64)]
+        + [("u", p, p % 16) for p in range(64)],
+        "doc_id string, pos long, value long",
+    )
+    rows = {r["doc_id"]: r for r in entropy_rollup(const, 64).collect()}
+    assert abs(rows["c"]["entropy"]) < 1e-12
+    assert abs(rows["u"]["entropy"] - math.log(16)) < 1e-12
