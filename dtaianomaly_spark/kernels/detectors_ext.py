@@ -538,9 +538,15 @@ def t_cdf(t: float, df: float) -> float:
 
 
 def t_ppf(p: float, df: float) -> float:
-    """Student-t quantile by monotone bisection on :func:`t_cdf` —
-    deterministic, no lookup tables, ~1e-12 absolute. Pinned against
-    textbook critical values in tests."""
+    """Student-t quantile: bracket doubling, ten bisections to tighten,
+    then safeguarded Newton on :func:`t_cdf` with the closed-form t
+    density (each step stays inside the live bracket, so convergence is
+    monotone-guaranteed like plain bisection but ~6x fewer betainc
+    evaluations). Deterministic, no lookup tables, ~1e-14 relative —
+    pinned against textbook critical values and a CDF round-trip in
+    tests."""
+    import math
+
     if not 0.0 < p < 1.0:
         raise ValueError(f"p must be in (0, 1), got {p}")
     if p == 0.5:
@@ -549,16 +555,35 @@ def t_ppf(p: float, df: float) -> float:
         return -t_ppf(1.0 - p, df)
     lo, hi = 0.0, 1.0
     while t_cdf(hi, df) < p:
+        lo = hi
         hi *= 2.0
         if hi > 1e18:  # pragma: no cover — p astronomically close to 1
             return hi
-    for _ in range(120):
+    for _ in range(10):
         mid = 0.5 * (lo + hi)
         if t_cdf(mid, df) < p:
             lo = mid
         else:
             hi = mid
-    return 0.5 * (lo + hi)
+    log_c = (
+        math.lgamma((df + 1.0) / 2.0) - math.lgamma(df / 2.0)
+        - 0.5 * math.log(df * math.pi)
+    )
+    t = 0.5 * (lo + hi)
+    for _ in range(12):
+        f = t_cdf(t, df) - p
+        if f < 0.0:
+            lo = t
+        else:
+            hi = t
+        pdf = math.exp(log_c - 0.5 * (df + 1.0) * math.log1p(t * t / df))
+        nxt = t - f / pdf if pdf > 0.0 else 0.5 * (lo + hi)
+        if not lo < nxt < hi:  # safeguard: fall back to bisection
+            nxt = 0.5 * (lo + hi)
+        if abs(nxt - t) <= 1e-15 * max(1.0, abs(t)):
+            return nxt
+        t = nxt
+    return t
 
 
 # lambda_i depends only on (alpha, live count): series share lengths, so

@@ -1043,7 +1043,7 @@ def forecast_skill_report(
 def shesd_report(
     long_form: DataFrame,
     period: int = 64,
-    max_frac: float = 0.05,
+    max_frac: float = 0.02,
     alpha: float = 0.05,
 ) -> DataFrame:
     """Seasonal-Hybrid ESD anomaly report (Hochenbaum, Vallis &
@@ -1052,7 +1052,8 @@ def shesd_report(
     seasonal - median(value) (the hybrid step: median, not trend, so
     level shifts cannot mask outliers), then the many-outlier ESD
     procedure with median/MAD studentization declares up to
-    ``ceil(max_frac * n)`` anomalies at level ``alpha``. Engine
+    ``ceil(max_frac * n)`` anomalies at level ``alpha`` (max_frac defaults to the S-H-ESD
+    paper's 2% max_anoms; the sweep cost scales with it). Engine
     addition from the public papers — the statistically-calibrated
     companion to det_cusum/det_spectral_residual (it returns a
     DECISION with a significance level, not just a score).

@@ -435,7 +435,7 @@ def test_shesd_report_finds_generator_spikes(spark):
     import collections
     per_doc = collections.Counter(r["doc_id"] for r in rows)
     for d, c in per_doc.items():
-        assert c <= -(-n_of[d] * 5 // 100)  # ceil(0.05 n)
+        assert c <= -(-n_of[d] * 2 // 100)  # ceil(0.02 n)
     for r in rows:
         assert r["r_stat"] > 0 and r["lambda_crit"] > 0
     with pytest.raises(ValueError, match="max_frac"):
