@@ -647,10 +647,16 @@ def gesd_outliers(
         else:
             center = float(vals.mean())
             spread = float(vals.std(ddof=1))
+        if spread <= 0.0:
+            # no variation left in the live set: nothing further is
+            # declarable (the reference S-H-ESD stops here too) —
+            # truncate the sweep instead of emitting inf statistics
+            idx, r_stats, lambdas = idx[:i], r_stats[:i], lambdas[:i]
+            break
         dev = np.abs(x - center)
         dev[~live] = -np.inf
         j = int(np.argmax(dev))  # argmax takes the lowest index on ties
-        r_stats[i] = dev[j] / spread if spread > 0 else np.inf
+        r_stats[i] = dev[j] / spread
         ni = int(live.sum())  # Rosner's n - i + 1 == points still live
         lambdas[i] = _gesd_lambda(alpha, ni)
         idx[i] = j
@@ -750,8 +756,9 @@ def pelt_mean(x: np.ndarray, beta: float):
     cs2a = np.concatenate([[0.0], np.cumsum(x * x)])
     # hybrid inner loop: plain-float candidate scan while the pruned set
     # is small (the common case — numpy's per-call overhead dominates
-    # tiny arrays), vectorized scan once it grows. Both compute the
-    # identical recursion; the switch changes nothing but speed.
+    # tiny arrays), vectorized scan once it grows. Both branches use
+    # the IDENTICAL float summation order ((d2 - q) + F), so the
+    # switch changes nothing but speed — ties resolve the same way.
     cs = csa.tolist()
     cs2 = cs2a.tolist()
     F = np.empty(n + 1)
@@ -794,7 +801,9 @@ def pelt_mean(x: np.ndarray, beta: float):
             vals = []
             for sv in R:
                 sm = cst - cs[sv]
-                v = Fl[sv] + (cst2 - cs2[sv]) - sm * sm / (t - sv)
+                # same float summation ORDER as the vectorized branch
+                # ((d2 - q) + F), so the path switch cannot flip a tie
+                v = ((cst2 - cs2[sv]) - sm * sm / (t - sv)) + Fl[sv]
                 vals.append(v)
                 if best is None or v < best:
                     best, bs = v, sv

@@ -850,10 +850,13 @@ def pattern_search_topk(
     """MASS-style query-driven pattern search (Mueen's z-normalized
     FFT distance — the single-reference degenerate of the matrix
     profile, kernels/detectors_ext.sliding_znorm_dist): for every
-    series, the top-``k`` NON-OVERLAPPING windows closest in shape to
-    the broadcast ``pattern``, exclusion zone ``excl`` (default
-    ceil(w/4), the motif/discord convention; ties broken on the lowest
-    position — a pinned total order). The retrieval complement of the
+    series, the top-``k`` windows closest in shape to the broadcast
+    ``pattern``, mutually separated by an EXCLUSION ZONE of ``excl``
+    positions (default ceil(w/4), the motif/discord convention — it
+    suppresses trivial one-step shifts of the same match but still
+    allows partial overlap; pass ``excl=w`` for strictly
+    non-overlapping windows; ties break on the lowest position — a
+    pinned total order). The retrieval complement of the
     motif/discord reports: those find what recurs, this finds what YOU
     ask for.
 

@@ -498,8 +498,7 @@ def anomaly_spans(
             1,
         ).otherwise(0),
     ).withColumn("_isl", F.sum("_new").over(
-        Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        w.rowsBetween(Window.unboundedPreceding, 0)
     ))
     aggs = [
         F.min("pos").alias("span_start"),

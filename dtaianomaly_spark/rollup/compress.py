@@ -252,9 +252,13 @@ def pla_report_map(corpus: DataFrame, eps: float) -> DataFrame:
                 rec = KC.swing_decode(segs, x.shape[0])
                 err = float(np.abs(rec - x).max()) if x.shape[0] else 0.0
                 m = segs.shape[0]
+                # connected segments share endpoints: m + 1 knots, except
+                # the degenerate single-point segment (one knot) and the
+                # empty series (none)
+                knots = 0 if m == 0 else (1 if x.shape[0] == 1 else m + 1)
                 rows.append(
-                    (str(doc_id), x.shape[0], m, m + 1,
-                     x.shape[0] / (m + 1) if m else 0.0, err)
+                    (str(doc_id), x.shape[0], m, knots,
+                     x.shape[0] / knots if knots else 0.0, err)
                 )
             yield pd.DataFrame(rows, columns=PLA_SCHEMA.names)
 

@@ -1026,6 +1026,14 @@ def _dd_sidx_sql(value_col: str, bounds: list) -> str:
     arr = f"array({', '.join(f'{int(t)}L' for t in bounds)})"
     nb = len(bounds)
     a = f"LEAST(ABS({value_col}), {int(bounds[-1])}L)"
+    if nb < 5:
+        # edge table too short for the 5-probe window (vmax <= ~1.08):
+        # count the whole (tiny) array directly — same exact semantics
+        return (
+            f"CASE WHEN {value_col} = 0 THEN 0L"
+            f" ELSE CAST(SIGN({value_col}) AS BIGINT)"
+            f" * (1 + size(filter({arr}, t -> t < {a}))) END"
+        )
     approx = f"CAST(LN({a}) / LN({DD_G_NUM} / CAST({DD_G_DEN} AS DOUBLE)) AS BIGINT)"
     start = f"GREATEST(0L, LEAST({approx} - 2L, {nb - 5}L))"
     probes = " + ".join(

@@ -546,6 +546,16 @@ def _make_hw_update(m: int, alpha: float, beta: float, gamma: float,
                 buf.append(x_t)
                 if len(buf) == 2 * m:
                     lvl, b, s = hw_init(buf, m, alpha, beta, gamma)
+                    # hw_init indexes seasonals by BUFFER-LOCAL phase;
+                    # post-warmup steps read s[t % m] with the GLOBAL
+                    # position. Rotate so slot phi holds the seasonal of
+                    # global phase phi — for a stream starting at g = t
+                    # - 2m + 1, s_global[phi] = s_local[(phi - g) % m].
+                    # (g % m == 0, e.g. a stream from pos 0, is the
+                    # identity; this matters after a TTL restart.)
+                    g = t - 2 * m + 1
+                    if g % m:
+                        s = [s[(phi - g) % m] for phi in range(m)]
                     warm, buf = True, []
                 continue  # warmup scores stay 0, as in the batch kernel
             scores[j], lvl, b = hw_step(

@@ -132,8 +132,6 @@ def _spans_twin(pairs, merge_gap, min_length):
             cur["n"] += 1
             cur["peak"] = max(cur["peak"], score)
             cur["sum"] += score
-        if cur is not None:
-            pass
     if cur is not None:
         out.append(cur)
     return [

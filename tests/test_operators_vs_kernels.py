@@ -664,3 +664,20 @@ def test_forecast_skill_report_matches_recomputation(spark):
     rep = forecast_skill_report(df, period=m).collect()[0]
     assert rep["skill_naive"] < 1.0 and rep["skill_snaive"] < 1.0
     arrays.unpersist()
+
+
+def test_gesd_zero_spread_declares_nothing():
+    from dtaianomaly_spark.kernels.detectors_ext import gesd_outliers
+
+    # constant input: zero spread at iteration 0 -> empty sweep
+    for robust in (False, True):
+        idx, rs, lam, k = gesd_outliers(np.full(50, 7.0), 5, robust=robust)
+        assert k == 0 and len(idx) == len(rs) == len(lam) == 0
+    # becomes constant mid-sweep: one huge outlier over a constant base
+    y = np.full(40, 3.0)
+    y[10] = 1000.0
+    idx, rs, lam, k = gesd_outliers(y, 5, robust=False)
+    # iteration 0 removes the spike; spread then hits 0 and the sweep
+    # truncates instead of declaring constant points with inf stats
+    assert idx.tolist()[:1] == [10] and len(rs) == 1
+    assert np.isfinite(rs).all() and k == 1

@@ -446,3 +446,34 @@ def test_streamed_holt_winters_equals_batch_operator(spark, tmp_path):
             (s, p) for (dd, p), s in got.items() if dd == doc
         )
         assert top[1] == 90 + d * 9
+
+
+def test_streamed_hw_restart_mid_series_phase_aligned():
+    """A stream whose first point is NOT at pos 0 (a TTL restart) must
+    forecast with phase-consistent seasonals: the emitted scores equal
+    the batch kernel run on the suffix values — slot LABELS differ, the
+    position grouping (m apart) must not."""
+    import pandas as pd
+
+    from dtaianomaly_spark.kernels.detectors_ext import hw_scores_1d
+    from dtaianomaly_spark.streaming.detect import _make_hw_update
+    from tests.test_stateful_streaming import _FakeState
+
+    m, g, n = 12, 200, 160  # g % m = 8 — the misalignment case
+    t = np.arange(n, dtype=float)
+    x = 0.3 * t + 20 * np.sin(2 * np.pi * t / m)
+    update = _make_hw_update(m, 0.3, 0.1, 0.2, None)
+    st = _FakeState()
+    out = list(update(
+        ("d",),
+        iter([pd.DataFrame({"pos": np.arange(g, g + n), "value": x})]),
+        st,
+    ))[0]
+    got = dict(zip(out["pos"], out["score"]))
+    want = hw_scores_1d(x, m)
+    for i in range(n):
+        assert got[g + i] == want[i], (i, got[g + i], want[i])
+    # the seasonal signal is actually learned (errors shrink far below
+    # the amplitude) — this is what the misaligned version fails
+    tail = np.array([got[g + i] for i in range(n - 40, n)])
+    assert np.abs(tail).max() < 2.0
