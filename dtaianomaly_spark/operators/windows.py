@@ -222,18 +222,68 @@ def eh_sliding_count_map(
         F.array_sort(F.collect_list(F.struct("pos", "flag"))).alias("pf")
     ).select(F.col("doc_id").cast("string").alias("doc_id"), "pf")
 
+    def _fill(P, buckets, est_out, nb_out):
+        """Vectorized estimates over positions P for a FROZEN bucket
+        list (no adds inside the span): buckets only EXPIRE as the
+        clock advances, at known death times ts + W — so the live
+        count at each position is one searchsorted, and the estimate
+        is a gather over prefix totals. Arithmetic matches
+        ExpHistogram.estimate exactly: int total - int oldest +
+        oldest / 2.0 (ints < 2^53 — the float results are identical
+        to the per-step replay, pinned by test)."""
+        L = len(buckets)
+        if L == 0:
+            est_out[:] = 0.0
+            nb_out[:] = 0
+            return
+        ts = np.array([t for t, _ in buckets], dtype=np.int64)
+        sz = np.array([z for _, z in buckets], dtype=np.int64)
+        deaths = ts[::-1] + window  # oldest-first -> ascending
+        dead = np.searchsorted(deaths, P, side="right")
+        j = L - dead
+        totals = np.concatenate([[0], np.cumsum(sz)])
+        oldest = sz[np.maximum(j - 1, 0)]
+        est_out[:] = np.where(
+            j > 0, (totals[j] - oldest) + oldest / 2.0, 0.0
+        )
+        nb_out[:] = j
+
     def run(batches):
         for pdf in batches:
             rows = []
             for doc_id, pf in zip(pdf["doc_id"], pdf["pf"]):
+                n = len(pf)
+                poss = np.fromiter(
+                    (e["pos"] for e in pf), dtype=np.int64, count=n
+                )
+                flags = np.fromiter(
+                    (1 if e["flag"] else 0 for e in pf),
+                    dtype=np.int64, count=n,
+                )
+                est = np.empty(n, dtype=np.float64)
+                nb = np.empty(n, dtype=np.int64)
                 eh = ExpHistogram(window, r)
-                for e in pf:
-                    p = int(e["pos"])
-                    if e["flag"]:
-                        eh.add(p)
-                    rows.append(
-                        (doc_id, p, eh.estimate(p), eh.n_buckets())
-                    )
-            yield pd.DataFrame(rows, columns=schema.names)
+                hits = np.nonzero(flags)[0]
+                prev = 0
+                for h in np.concatenate([hits, [n]]):
+                    h = int(h)
+                    if h > prev:  # frozen span: vectorized fill
+                        _fill(poss[prev:h], eh.buckets,
+                              est[prev:h], nb[prev:h])
+                    if h == n:
+                        break
+                    p = int(poss[h])
+                    eh.add(p)
+                    est[h] = eh.estimate(p)
+                    nb[h] = eh.n_buckets()
+                    prev = h + 1
+                rows.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_id, n),
+                    "pos": poss, "est": est, "n_buckets": nb,
+                }))
+            yield (
+                pd.concat(rows, ignore_index=True)
+                if rows else pd.DataFrame(columns=schema.names)
+            )
 
     return arrays.mapInPandas(run, schema)
