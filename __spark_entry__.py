@@ -1208,6 +1208,35 @@ def _q_ev_asof_fwd(spark, sf_dir):
     return EVT.asof_error_after_click(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_counter_agg(spark, sf_dir):
+    """Counter-reset-corrected delta + rate per event_type (TimescaleDB
+    counter_agg / PromQL increase semantics): decreases are resets, the
+    step sum is integer-exact, one float divide for the rate."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.counter_agg(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_counter_1h(spark, sf_dir):
+    """Hour-bucketed counter rollup: each reset-corrected step attributed
+    to the LATER sample's bucket (PromQL-style) — the counter twin of the
+    rollup retention tiers."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.counter_agg(
+        EVT.load_events(spark, sf_dir), bucket_us=3_600_000_000
+    )
+
+
+def _q_ev_time_weight(spark, sf_dir):
+    """Time-weighted average per event_type under LOCF and linear
+    interpolation (TimescaleDB time_weight): decimal-exact integrals,
+    one shared float divide per column."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.time_weight(EVT.load_events(spark, sf_dir))
+
+
 def _q_rollup_refresh_tail(spark, sf_dir):
     """Late-data (time-range) refresh: everything at/after pos 1500 is
     invalidated (late points mutate there), the boundary bucket is
@@ -2427,6 +2456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_join": _q_ev_asof_join,
         "ev_asof_fwd": _q_ev_asof_fwd,
         "ev_asof_skew": _q_ev_asof_skew,
+        "ev_counter_agg": _q_ev_counter_agg,
+        "ev_counter_1h": _q_ev_counter_1h,
+        "ev_time_weight": _q_ev_time_weight,
         "ev_range_join": _q_ev_range_join,
         "rollup_refresh_incr": _q_rollup_refresh_incr,
         "rollup_refresh_tail": _q_rollup_refresh_tail,
@@ -4105,6 +4137,96 @@ SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS cnt,
 FROM e GROUP BY event_type, bucket
 """
 
+    from dtaianomaly_spark.pipelines.events import (
+        COUNTER_RATE_SQL as _CR,
+        COUNTER_RESET_SQL as _CRST,
+        COUNTER_STEP_SQL as _CST,
+        TWA_LINEAR_SQL as _TWL,
+        TWA_LOCF_SQL as _TWF,
+    )
+
+    _counter_cte = f"""
+WITH t AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+           CAST(floor(value * 1000) AS BIGINT) AS mval
+    FROM events
+),
+s AS (
+    SELECT event_type, ts_us,
+           LAG(mval) OVER (PARTITION BY event_type
+                           ORDER BY ts_us, event_id) AS prev,
+           mval
+    FROM t
+),
+st AS (
+    SELECT event_type, ts_us, {_CST} AS step, {_CRST} AS is_reset FROM s
+)"""
+
+    ev_counter_agg = f"""
+{_counter_cte},
+a AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(is_reset) AS BIGINT) AS n_resets,
+           CAST(SUM(step) AS BIGINT) AS delta,
+           MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+    FROM st GROUP BY event_type
+)
+SELECT event_type, n_samples, n_resets, delta, first_us, last_us,
+       {_CR} AS rate_per_s
+FROM a
+"""
+
+    ev_counter_1h = f"""
+{_counter_cte},
+a AS (
+    SELECT event_type, ts_us // 3600000000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(is_reset) AS BIGINT) AS n_resets,
+           CAST(SUM(step) AS BIGINT) AS delta,
+           MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+    FROM st GROUP BY event_type, ts_us // 3600000000
+)
+SELECT event_type, bucket, n_samples, n_resets, delta, first_us, last_us,
+       {_CR} AS rate_per_s
+FROM a
+"""
+
+    ev_time_weight = f"""
+WITH t AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+           CAST(floor(value * 1000) AS BIGINT) AS mval
+    FROM events
+),
+s AS (
+    SELECT event_type, ts_us, mval,
+           LEAD(ts_us) OVER (PARTITION BY event_type
+                             ORDER BY ts_us, event_id) AS nxt_us,
+           LEAD(mval) OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS nxt_mval
+    FROM t
+),
+st AS (
+    SELECT event_type, ts_us,
+           CASE WHEN nxt_us IS NULL THEN CAST(0 AS DECIMAL(18,0))
+                ELSE CAST(mval AS DECIMAL(18,0))
+                     * CAST(nxt_us - ts_us AS DECIMAL(18,0)) END AS a_locf,
+           CASE WHEN nxt_us IS NULL THEN CAST(0 AS DECIMAL(18,0))
+                ELSE CAST(mval + nxt_mval AS DECIMAL(18,0))
+                     * CAST(nxt_us - ts_us AS DECIMAL(18,0)) END AS a_lin
+    FROM s
+),
+a AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_samples,
+           MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+           MAX(ts_us) - MIN(ts_us) AS dur_us,
+           SUM(a_locf) AS s_locf, SUM(a_lin) AS s_lin
+    FROM st GROUP BY event_type
+)
+SELECT event_type, n_samples, first_us, last_us,
+       {_TWF} AS twa_locf, {_TWL} AS twa_linear
+FROM a
+"""
+
     det_proba_median = f"""
 {C.TOKEN_SQL_CTE},
 stats AS (
@@ -4997,6 +5119,9 @@ FROM agg
         "ev_asof_join": ev_asof_join,
         "ev_asof_fwd": ev_asof_fwd,
         "ev_asof_skew": ev_asof_join,
+        "ev_counter_agg": ev_counter_agg,
+        "ev_counter_1h": ev_counter_1h,
+        "ev_time_weight": ev_time_weight,
         "gapfill_interp": gapfill_interp,
         "rollup_topk_tokens": rollup_topk_tokens,
         "rollup_hist_merge": rollup_hist_merge,

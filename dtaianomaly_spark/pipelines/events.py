@@ -221,3 +221,150 @@ def asof_error_after_click(events: DataFrame) -> DataFrame:
         F.col("err_ts_us"), F.col("err_mval"),
         (F.col("err_ts_us") - F.col("ts_us")).alias("ttf_us"),
     )
+
+
+# Counter-reset semantics (TimescaleDB `counter_agg` / PromQL `increase`):
+# a step's contribution is the non-negative increment, and a decrease is
+# a RESET — the counter restarted, so the new sample itself is the
+# increment. Every step term is a BIGINT on quantized values, so the
+# per-group sum is integer-exact and order-free.
+COUNTER_STEP_SQL = (
+    "CASE WHEN prev IS NULL THEN CAST(0 AS BIGINT)"
+    " WHEN mval >= prev THEN mval - prev ELSE mval END"
+)
+COUNTER_RESET_SQL = (
+    "CASE WHEN prev IS NOT NULL AND mval < prev THEN 1 ELSE 0 END"
+)
+# rate in ORIGINAL value units / second: delta is in milli-units, the
+# duration in µs — one float divide at the end, shared verbatim with
+# the oracle so the double is bit-reproducible.
+COUNTER_RATE_SQL = (
+    "CASE WHEN last_us > first_us THEN"
+    " CAST(delta AS DOUBLE) * 1000.0 / CAST(last_us - first_us AS DOUBLE)"
+    " ELSE CAST(NULL AS DOUBLE) END"
+)
+
+
+def counter_agg(events: DataFrame, bucket_us: int | None = None) -> DataFrame:
+    """Counter-reset-corrected delta + rate per event_type — the
+    TimescaleDB ``counter_agg`` / PromQL ``increase``/``rate`` semantics
+    the reference's monotone-cumulative loaders never needed but every
+    production metrics rollup does. Each series (event_type) is a
+    sampled counter: ordered by (ts_us, event_id), a non-negative step
+    adds ``mval - prev``; a decrease is a counter RESET and adds the new
+    sample value itself (``COUNTER_STEP_SQL``).
+
+    ``bucket_us=None`` → one row per event_type:
+    (event_type, n_samples, n_resets, delta, first_us, last_us,
+    rate_per_s). With ``bucket_us`` → tumbling-bucket rollup rows
+    (event_type, bucket, n_samples, n_resets, delta, first_us, last_us,
+    rate_per_s) where each STEP is assigned to the LATER sample's bucket
+    (the deterministic PromQL-style attribution; a bucket's delta is the
+    increase that LANDED in it), first_us/last_us are the bucket's own
+    sample extent, and rate uses that extent.
+
+    Scale shape: ONE window pass partitioned by the series key computes
+    prev via lag; the per-series aggregate reuses that hash partitioning
+    (1 exchange), the bucketed variant adds the (series, bucket) partial
+    +final hash aggregate. At 100 TB the series key is the natural
+    partitioner (series count >> executor count for metrics workloads);
+    a single mega-hot series would use the rollup tiers' two-level
+    bucket-partial trick — steps are associative once prev is attached.
+    All step terms integer; the only float is the final rate divide."""
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    stepped = (
+        _typed(events)
+        .select("event_type", "ts_us", "event_id", "mval")
+        .withColumn("prev", F.lag("mval").over(w))
+        .select(
+            "event_type", "ts_us",
+            F.expr(COUNTER_STEP_SQL).alias("step"),
+            F.expr(COUNTER_RESET_SQL).alias("is_reset"),
+        )
+    )
+    keys = ["event_type"]
+    if bucket_us is not None:
+        if bucket_us < 1:
+            raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
+        stepped = stepped.withColumn(
+            "bucket", F.expr(f"ts_us DIV {int(bucket_us)}")
+        )
+        keys = ["event_type", "bucket"]
+    agg = stepped.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum("is_reset").cast("long").alias("n_resets"),
+        F.sum("step").cast("long").alias("delta"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+    return agg.select(*keys, "n_samples", "n_resets", "delta",
+                      "first_us", "last_us",
+                      F.expr(COUNTER_RATE_SQL).alias("rate_per_s"))
+
+
+# Time-weighted average (TimescaleDB `time_weight`): the integral of the
+# interpolated value curve divided by the observed span. Products are
+# DECIMAL(18,0) x DECIMAL(18,0) — exact at any magnitude this table can
+# produce (|mval| < 10^18 / span_us) — and the sums are decimal-exact and
+# order-free; ONE float divide at the end converts back to original value
+# units (mval is value*1000, the trapezoid carries a further factor 2).
+TWA_LOCF_SQL = (
+    "CASE WHEN dur_us > 0 THEN CAST(s_locf AS DOUBLE)"
+    " / (CAST(dur_us AS DOUBLE) * 1000.0) ELSE CAST(NULL AS DOUBLE) END"
+)
+TWA_LINEAR_SQL = (
+    "CASE WHEN dur_us > 0 THEN CAST(s_lin AS DOUBLE)"
+    " / (CAST(dur_us AS DOUBLE) * 2000.0) ELSE CAST(NULL AS DOUBLE) END"
+)
+
+
+def time_weight(events: DataFrame) -> DataFrame:
+    """Time-weighted average of ``value`` per event_type under BOTH
+    standard interpolations — LOCF (step function: each sample holds
+    until the next) and linear (trapezoid between consecutive samples)
+    — the irregular-sampling average that a plain AVG gets wrong
+    whenever sampling density correlates with level (TimescaleDB
+    ``time_weight('LOCF'|'Linear', ts, value)``).
+
+    Output: (event_type, n_samples, first_us, last_us, twa_locf,
+    twa_linear); NULL averages for series with zero observed span.
+
+    Scale shape: one lead() window pass partitioned by the series key
+    attaches the next timestamp (and value, for the trapezoid); the
+    per-series aggregate reuses the window's hash partitioning — 1
+    exchange total. Integrals are decimal-exact: each step contributes
+    mval * dt_us (LOCF) / (mval + next_mval) * dt_us (linear) as
+    DECIMAL(18,0) products summed without float order-sensitivity; the
+    single final divide is the shared ``TWA_*_SQL`` formula."""
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    stepped = (
+        _typed(events)
+        .select("event_type", "ts_us", "event_id", "mval")
+        .withColumn("nxt_us", F.lead("ts_us").over(w))
+        .withColumn("nxt_mval", F.lead("mval").over(w))
+        .select(
+            "event_type", "ts_us",
+            F.expr(
+                "CASE WHEN nxt_us IS NULL THEN CAST(0 AS DECIMAL(18,0))"
+                " ELSE CAST(mval AS DECIMAL(18,0))"
+                " * CAST(nxt_us - ts_us AS DECIMAL(18,0)) END"
+            ).alias("a_locf"),
+            F.expr(
+                "CASE WHEN nxt_us IS NULL THEN CAST(0 AS DECIMAL(18,0))"
+                " ELSE CAST(mval + nxt_mval AS DECIMAL(18,0))"
+                " * CAST(nxt_us - ts_us AS DECIMAL(18,0)) END"
+            ).alias("a_lin"),
+        )
+    )
+    agg = stepped.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.sum("a_locf").alias("s_locf"),
+        F.sum("a_lin").alias("s_lin"),
+    ).withColumn("dur_us", F.expr("last_us - first_us"))
+    return agg.select(
+        "event_type", "n_samples", "first_us", "last_us",
+        F.expr(TWA_LOCF_SQL).alias("twa_locf"),
+        F.expr(TWA_LINEAR_SQL).alias("twa_linear"),
+    )

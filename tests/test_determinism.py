@@ -79,6 +79,9 @@ FAMILIES = [
     "ann_corr_pairs",     # SRP buckets + exact integer cosine filter
     "ev_forecast_skill",  # per-series HW recursion + mean folds
     "rollup_entropy",     # sorted c*ln(c) fold per bucket
+    "ev_counter_1h",      # lag-step bucket attribution across the
+                          # window/groupBy partitioning reuse
+    "ev_time_weight",     # decimal integral sums + one float divide
 ]
 
 

@@ -173,6 +173,13 @@ EXCHANGE_BOUNDS = [
     ("tok_epoch_order", 5),        # packing group shuffle + id join +
                                    # bin aggregate + the one range-
                                    # partitioned key sort
+    ("ev_counter_agg", 1),         # lag window + per-type agg share one
+                                   # event_type hash partitioning
+    ("ev_counter_1h", 1),          # (type, bucket) agg reuses the
+                                   # window's type partitioning (hash-
+                                   # on-subset satisfies the clustering)
+    ("ev_time_weight", 1),         # lead window + per-type decimal agg
+                                   # on one partitioning
 ]
 
 
