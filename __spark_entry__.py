@@ -1129,6 +1129,19 @@ def _q_dd_embed_neardup(spark, sf_dir):
     return SIM.embed_neardup_pairs(SIM.load_embeddings(spark, sf_dir), 0.4)
 
 
+def _q_ann_dtw_topk(spark, sf_dir):
+    """DTW similarity search over token series, UCR-Suite shape: one
+    map-only Arrow PAA+z-norm pass, JVM-side LB_Keogh envelope pruning
+    (admissible lower bound, property-tested), exact banded DTW only on
+    the m survivors per query. Rows-only; the DP kernel is pinned vs an
+    independent full-matrix DP, the prune-then-DTW contract is replayed
+    bit-for-bit in NumPy, and the m >= corpus path equals brute force
+    (tests/test_dtw.py)."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.series_dtw_topk(C.token_arrays(spark, sf_dir))
+
+
 def _q_ann_kcenter_coreset(spark, sf_dir):
     """Greedy k-center coreset (Gonzalez farthest-point, Sener &
     Savarese 2018) under exact integer-cosine distance — diversity
@@ -2448,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed_neardup": _q_dd_embed_neardup,
         "dd_semdedup": _q_dd_semdedup,
         "ann_kcenter_coreset": _q_ann_kcenter_coreset,
+        "ann_dtw_topk": _q_ann_dtw_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ev_sessionize": _q_ev_sessionize,

@@ -885,3 +885,136 @@ def series_corr_pairs(
     ).select("vec_id", "q", F.expr(_SELF_DOT).alias("norm2"))
     qv = qv.filter(F.col("norm2") > 0)
     return _neardup_pairs_from_qv(qv, threshold, probe_bits)
+
+
+DTW_PAA = 64     # PAA width before DTW (PDTW, Keogh & Pazzani 2000);
+                 # == the corpus minimum series length, so EVERY series
+                 # reduces to exactly DTW_PAA points and envelopes align
+DTW_BAND = 8     # Sakoe-Chiba radius on PAA positions (12.5%)
+DTW_PRUNE = 32   # LB_Keogh survivors per query that reach exact DTW
+
+
+def series_dtw_topk(
+    tokens: DataFrame,
+    n_queries: int = 4,
+    k: int = 8,
+    paa: int = DTW_PAA,
+    band: int = DTW_BAND,
+    m: int = DTW_PRUNE,
+) -> DataFrame:
+    """DTW similarity search over token series — the UCR-Suite shape
+    (Rakthanmanon et al. 2012) re-expressed in Spark: every series is
+    PAA-reduced to ``paa`` points and z-normalized in ONE map-only
+    Arrow pass (kernels/dtw.py:paa_znorm); each of the ``n_queries``
+    lowest-doc_id series becomes a query whose Sakoe-Chiba envelope
+    (U/L arrays) is built with array HOFs; the LB_Keogh lower bound —
+    a cheap JVM-side fold over (candidate, envelope) — prunes the
+    corpus to ``m`` candidates per query (rank by lb, doc_id), and only
+    those survivors pay the exact banded-DTW DP in the second Arrow
+    stage. Result: top ``k`` nearest neighbours per query by exact
+    banded DTW (squared-cost domain), ties to the lower doc_id.
+
+    The operator's CONTRACT is "top-k by exact DTW among the m-best
+    LB_Keogh candidates" — a deterministic, well-defined approximate
+    search (pytest replays the contract in NumPy bit-for-bit and pins
+    the m >= corpus path against brute force). Recall at fixed m
+    depends on how much structure the corpus has: LB_Keogh is tight on
+    shaped series and loose on noise-like ones (this synthetic corpus
+    is the worst case — raise m when the bound is loose). The
+    admissible-bound guarantee LB_Keogh <= banded DTW is
+    property-tested separately.
+
+    Scale shape: the normalize pass is map-only over token_arrays; the
+    LB stage crossJoins each candidate row against the BROADCAST
+    ``n_queries``-row query frame (map-side, no candidate shuffle) and
+    the only shuffles are the two tiny rank windows over (qid,
+    bounded-candidate) rows. DTW cost is m * n_queries * O(paa * band)
+    — independent of corpus size, which only pays the linear PAA pass
+    and the LB fold. Deterministic: PAA/z-norm/LB all fold in fixed
+    array order, the DP is sequential, ties break on doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaianomaly_spark.kernels import dtw as DTW
+
+    if not (0 < k <= m):
+        raise ValueError(f"need 0 < k <= m, got k={k} m={m}")
+
+    znorm_schema = "doc_id long, z array<double>"
+
+    def _znorm(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "z": [
+                    DTW.paa_znorm(np.asarray(t, dtype=np.float64), paa).tolist()
+                    for t in pdf["tokens"]
+                ],
+            })
+
+    z = tokens.select("doc_id", "tokens").mapInPandas(_znorm, znorm_schema)
+    z = z.persist()
+
+    p = f"size(z)"
+    qf = (
+        z.orderBy("doc_id").limit(n_queries)
+        .select(
+            F.col("doc_id").alias("qid"),
+            F.col("z").alias("qz"),
+            F.expr(
+                f"transform(sequence(0, {p} - 1), i ->"
+                f" array_max(slice(z, greatest(i - {band}, 0) + 1,"
+                f" least(i + {band} + 1, {p}) - greatest(i - {band}, 0))))"
+            ).alias("u"),
+            F.expr(
+                f"transform(sequence(0, {p} - 1), i ->"
+                f" array_min(slice(z, greatest(i - {band}, 0) + 1,"
+                f" least(i + {band} + 1, {p}) - greatest(i - {band}, 0))))"
+            ).alias("l"),
+        )
+    )
+    # LB_Keogh fold in fixed position order (matches the kernel's cumsum)
+    lb_sql = (
+        "aggregate(transform(sequence(0, size(z) - 1), i ->"
+        " CASE WHEN z[i] > u[i] THEN (z[i] - u[i]) * (z[i] - u[i])"
+        "      WHEN z[i] < l[i] THEN (l[i] - z[i]) * (l[i] - z[i])"
+        "      ELSE CAST(0 AS DOUBLE) END),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = (
+        z.crossJoin(F.broadcast(qf))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .withColumn("lb", F.expr(lb_sql))
+    )
+    wlb = Window.partitionBy("qid").orderBy("lb", "doc_id")
+    cand = (
+        scored.withColumn("r", F.row_number().over(wlb))
+        .filter(F.col("r") <= m)
+        .select("qid", "qz", "doc_id", "z", "lb")
+    )
+
+    dtw_schema = "qid long, doc_id long, lb double, dtw double"
+
+    def _exact(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "qid": pdf["qid"].astype("int64"),
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "lb": pdf["lb"].astype("float64"),
+                "dtw": [
+                    DTW.dtw_banded(
+                        np.asarray(q, dtype=np.float64),
+                        np.asarray(c, dtype=np.float64),
+                        band,
+                    )
+                    for q, c in zip(pdf["qz"], pdf["z"])
+                ],
+            })
+
+    exact = cand.mapInPandas(_exact, dtw_schema)
+    wk = Window.partitionBy("qid").orderBy("dtw", "doc_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "doc_id", "rank", "lb", "dtw")
+    )

@@ -82,6 +82,8 @@ FAMILIES = [
     "ev_counter_1h",      # lag-step bucket attribution across the
                           # window/groupBy partitioning reuse
     "ev_time_weight",     # decimal integral sums + one float divide
+    "ann_dtw_topk",       # ordered PAA/z-norm/LB folds + sequential DP
+                          # + (lb, doc_id)/(dtw, doc_id) tie-breaks
 ]
 
 
