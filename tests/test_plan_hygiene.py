@@ -180,6 +180,10 @@ EXCHANGE_BOUNDS = [
                                    # on-subset satisfies the clustering)
     ("ev_time_weight", 1),         # lead window + per-type decimal agg
                                    # on one partitioning
+    ("ann_dtw_topk", 4),           # token_arrays repartition + query
+                                   # TakeOrdered + the two bounded
+                                   # (qid) rank windows; the LB stage
+                                   # itself is a broadcast map pass
 ]
 
 
@@ -209,6 +213,12 @@ def _plan(df):
 
 @pytest.mark.parametrize("name,bound", EXCHANGE_BOUNDS)
 def test_exchange_bound(spark, name, bound):
+    # cold-cache plan, exactly how scripts/plan_audit.py measures: a
+    # cache left materialized by an EARLIER test whose subtree matches
+    # this query (e.g. the dtw z-norm stage) would otherwise swap in an
+    # InMemoryRelation whose displayed child inflates the count
+    # order-dependently
+    spark.catalog.clearCache()
     plan = _plan(E.queries()[name](spark, SF_DIR))
     tree = plan.split("\n\n")[0]
     n_ex = len(re.findall(r"\bExchange\b", tree))
