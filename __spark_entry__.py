@@ -1250,6 +1250,16 @@ def _q_ev_time_weight(spark, sf_dir):
     return EVT.time_weight(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_leadlag(spark, sf_dir):
+    """Lead-lag discovery: per unordered event-type pair, the minute
+    offset in [-5, 5] maximizing Pearson corr over dense zero-filled
+    minute-count series (cross-correlation function) — exact int64
+    moments, one float divide, bit-equal to the DuckDB oracle."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.leadlag_pairs(EVT.load_events(spark, sf_dir))
+
+
 def _q_rollup_refresh_tail(spark, sf_dir):
     """Late-data (time-range) refresh: everything at/after pos 1500 is
     invalidated (late points mutate there), the boundary bucket is
@@ -2473,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_counter_agg": _q_ev_counter_agg,
         "ev_counter_1h": _q_ev_counter_1h,
         "ev_time_weight": _q_ev_time_weight,
+        "ev_leadlag": _q_ev_leadlag,
         "ev_range_join": _q_ev_range_join,
         "rollup_refresh_incr": _q_rollup_refresh_incr,
         "rollup_refresh_tail": _q_rollup_refresh_tail,
@@ -4241,6 +4252,62 @@ SELECT event_type, n_samples, first_us, last_us,
 FROM a
 """
 
+    # mirrors pipelines/events.py:leadlag_pairs — integer moments on the
+    # dense zero-filled global minute grid, LEADLAG_R_SQL verbatim
+    ev_leadlag = """
+WITH ev AS (
+    SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 60000000 AS m
+    FROM events
+),
+cnts AS (
+    SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY event_type, m
+),
+bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM cnts),
+grid AS (
+    SELECT t.event_type, unnest(generate_series(0, b.mx - b.mn)) AS idx
+    FROM (SELECT DISTINCT event_type FROM cnts) t, bounds b
+),
+dense AS (
+    SELECT g.event_type, g.idx, COALESCE(c.c, 0) AS c
+    FROM grid g
+    LEFT JOIN (SELECT event_type, m - b.mn AS idx, c FROM cnts, bounds b) c
+      ON g.event_type = c.event_type AND g.idx = c.idx
+),
+lags AS (SELECT unnest(generate_series(-5, 5)) AS lag),
+shifted AS (
+    -- the shifted index must be a plain projected COLUMN before the
+    -- join: an a.idx + l.lag equality spanning the cross join plans
+    -- as a nested loop over dense x lags x dense in DuckDB
+    SELECT a.event_type AS a_type, a.c AS ca, l.lag, a.idx + l.lag AS bidx
+    FROM dense a CROSS JOIN lags l
+),
+moments AS (
+    SELECT s.a_type, b.event_type AS b_type, s.lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s.ca) AS BIGINT) AS sx,
+           CAST(SUM(b.c) AS BIGINT) AS sy,
+           CAST(SUM(s.ca * s.ca) AS BIGINT) AS sxx,
+           CAST(SUM(b.c * b.c) AS BIGINT) AS syy,
+           CAST(SUM(s.ca * b.c) AS BIGINT) AS sxy
+    FROM shifted s
+    JOIN dense b ON b.idx = s.bidx AND s.a_type < b.event_type
+    GROUP BY s.a_type, b.event_type, s.lag
+),
+scored AS (
+    SELECT a_type, b_type, lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+    FROM moments
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+)
+SELECT a_type, b_type, lag AS best_lag, n, corr
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY a_type, b_type
+                           ORDER BY corr DESC, abs(lag), lag) = 1
+"""
+
     det_proba_median = f"""
 {C.TOKEN_SQL_CTE},
 stats AS (
@@ -5136,6 +5203,7 @@ FROM agg
         "ev_counter_agg": ev_counter_agg,
         "ev_counter_1h": ev_counter_1h,
         "ev_time_weight": ev_time_weight,
+        "ev_leadlag": ev_leadlag,
         "gapfill_interp": gapfill_interp,
         "rollup_topk_tokens": rollup_topk_tokens,
         "rollup_hist_merge": rollup_hist_merge,

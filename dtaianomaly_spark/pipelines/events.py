@@ -368,3 +368,108 @@ def time_weight(events: DataFrame) -> DataFrame:
         F.expr(TWA_LOCF_SQL).alias("twa_locf"),
         F.expr(TWA_LINEAR_SQL).alias("twa_linear"),
     )
+
+
+# Lead-lag cross-correlation: all integer aggregates; r is assembled
+# from three exact int64 moments (each < 2^53, so the DOUBLE casts are
+# exact) with ONE float divide + sqrt — bit-equal across engines.
+LEADLAG_R_SQL = (
+    "CAST(n * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    "        * CAST(n * syy - sy * sy AS DOUBLE))"
+)
+
+
+def leadlag_pairs(events: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Lead-lag discovery — "which metric LEADS which": for every
+    unordered pair of event types, the minute offset ``l`` in
+    [-max_lag, max_lag] that maximizes Pearson corr(A_t, B_{t+l}) over
+    the pair's dense zero-filled minute-count series (a positive best
+    lag means A leads B by ``l`` minutes). The classic TSDB
+    root-cause / metric-graph primitive (cross-correlation function,
+    Box & Jenkins ch. 11) that none of the rigid-alignment similarity
+    ops (`series_corr_pairs` at lag 0, DTW's elastic alignment)
+    answers.
+
+    Correctness discipline: counts on the shared global minute grid
+    are integers, zero-filled via a left join from the (types x grid)
+    frame (an absent minute IS zero traffic — skipping it would bias
+    every moment); all five moments (n, sx, sy, sxx(=sum a*a), sxy) are
+    exact int64 sums; Pearson is ONE double divide over exact DOUBLE
+    casts (LEADLAG_R_SQL) so the DuckDB oracle reproduces it
+    bit-for-bit. Zero-variance windows (denominator 0) are excluded
+    before ranking; the winner per pair is row_number over
+    (r DESC, abs(lag), lag) — fully deterministic.
+
+    Scale shape: the dense grid is |types| x span/60s rows — bounded by
+    time span x series cardinality, NOT event count (100 TB of events
+    over a month at 1k series is a 43M-row grid). The global bounds
+    row is a broadcast scalar cross join (never a collect); the
+    lag-exploded A side joins the B side on the single equi-key
+    ``idx`` (both sides co-partitioned by the shuffle on idx, the
+    type-pair inequality is a post-join filter on co-located rows);
+    the (a, b, lag) aggregate is a partial+final hash agg over
+    (2*max_lag+1) * |pairs| groups. No window over the raw grid — the
+    only window ranks the tiny per-pair lag table."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    ev = events.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("m"),
+    )
+    cnts = ev.groupBy("event_type", "m").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bounds = cnts.groupBy().agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    )
+    cnts_n = cnts.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.expr("m - mn").alias("idx"), "c"
+    )
+    grid = (
+        cnts.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(0, mx - mn)")).alias("idx"),
+        )
+    )
+    dense = (
+        grid.join(cnts_n, ["event_type", "idx"], "left")
+        .select("event_type", "idx", F.expr("coalesce(c, 0)").alias("c"))
+    )
+    a = dense.select(
+        F.col("event_type").alias("a_type"),
+        F.col("idx").alias("t"),
+        F.col("c").alias("ca"),
+        F.explode(
+            F.expr(f"sequence({-max_lag}, {max_lag})")
+        ).alias("lag"),
+    ).withColumn("idx", F.expr("t + lag"))
+    b = dense.select(
+        F.col("event_type").alias("b_type"), "idx", F.col("c").alias("cb")
+    )
+    moments = (
+        a.join(b, "idx")
+        .filter(F.col("a_type") < F.col("b_type"))
+        .groupBy("a_type", "b_type", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.expr("ca * ca")).alias("sxx"),
+            F.sum(F.expr("cb * cb")).alias("syy"),
+            F.sum(F.expr("ca * cb")).alias("sxy"),
+        )
+        .filter(F.expr("n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"))
+        .withColumn("corr", F.expr(LEADLAG_R_SQL))
+    )
+    wbest = Window.partitionBy("a_type", "b_type").orderBy(
+        F.desc("corr"), F.abs(F.col("lag")), F.col("lag")
+    )
+    return (
+        moments.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select("a_type", "b_type",
+                F.col("lag").cast("long").alias("best_lag"), "n", "corr")
+    )

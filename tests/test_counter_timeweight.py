@@ -110,3 +110,101 @@ def test_counter_agg_validates_bucket(spark):
     ev = _events(spark, [(1, 0, "a", 1.0)])
     with pytest.raises(ValueError):
         EVT.counter_agg(ev, bucket_us=0)
+
+
+# ---------------------------------------------------------------- lead-lag
+
+
+def test_leadlag_recovers_planted_shift(spark):
+    """b IS a shifted by 2 minutes (plus a flat floor): the best lag
+    must be +2 with corr == 1.0 exactly (all integer moments)."""
+    rows = []
+    eid = 0
+    # type a: a burst of k events in minute m for a deterministic pattern
+    pattern = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3]
+    for m, k in enumerate(pattern):
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, m * 60, "a", 1.0))
+        # type b: the SAME pattern two minutes later
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, (m + 2) * 60, "b", 1.0))
+    ev = _events(spark, rows)
+    got = EVT.leadlag_pairs(ev, max_lag=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a_type, r.b_type) == ("a", "b")
+    assert r.best_lag == 2
+    assert r.corr == pytest.approx(1.0, abs=1e-12)
+
+
+def test_leadlag_matches_numpy_corrcoef(spark):
+    """Every (pair, lag) winner equals an independent NumPy replay:
+    dense zero-filled grids, np.corrcoef per lag, same tie-break."""
+    import numpy as np
+
+    rng_rows = []
+    eid = 0
+    # three types with irregular, partly-empty minutes
+    bursts = {
+        "x": [(0, 2), (1, 5), (3, 1), (4, 4), (7, 2), (9, 6)],
+        "y": [(1, 3), (2, 5), (5, 1), (6, 4), (8, 2), (9, 1)],
+        "z": [(0, 1), (2, 2), (4, 7), (6, 1), (8, 3), (10, 2)],
+    }
+    for et, mins in bursts.items():
+        for m, k in mins:
+            for _ in range(k):
+                eid += 1
+                rng_rows.append((eid, m * 60 + 5, et, 1.0))
+    ev = _events(spark, rng_rows)
+    L = 2
+    got = {(r.a_type, r.b_type): (r.best_lag, r.n, r.corr)
+           for r in EVT.leadlag_pairs(ev, max_lag=L).collect()}
+
+    # NumPy replay
+    lo = min(m for v in bursts.values() for m, _ in v)
+    hi = max(m for v in bursts.values() for m, _ in v)
+    nn = hi - lo + 1
+    dense = {}
+    for et, mins in bursts.items():
+        arr = np.zeros(nn, dtype=np.int64)
+        for m, k in mins:
+            arr[m - lo] = k
+        dense[et] = arr
+    types = sorted(bursts)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            best = None
+            for lag in range(-L, L + 1):
+                # corr(A_t, B_{t+l}) over in-range t
+                t0, t1 = max(0, -lag), nn - max(0, lag)
+                xa, xb = dense[a][t0:t1], dense[b][t0 + lag:t1 + lag]
+                if xa.std() == 0 or xb.std() == 0:
+                    continue
+                r = float(np.corrcoef(xa, xb)[0, 1])
+                key = (-r, abs(lag), lag)
+                if best is None or key < best[0]:
+                    best = (key, lag, len(xa), r)
+            _, lag, n, r = best
+            assert got[(a, b)][0] == lag, (a, b, got[(a, b)], best)
+            assert got[(a, b)][1] == n
+            assert got[(a, b)][2] == pytest.approx(r, rel=1e-9)
+
+
+def test_leadlag_excludes_zero_variance_and_validates(spark):
+    # constant-count series: every lag window has zero variance for
+    # type c -> the (a, c) pair never reaches the ranking
+    rows = []
+    eid = 0
+    for m in range(8):
+        eid += 1
+        rows.append((eid, m * 60, "c", 1.0))  # exactly 1 event/minute
+        for _ in range(m % 3 + 1):
+            eid += 1
+            rows.append((eid, m * 60 + 1, "a", 1.0))
+    ev = _events(spark, rows)
+    got = EVT.leadlag_pairs(ev, max_lag=2).collect()
+    assert got == []
+    with pytest.raises(ValueError):
+        EVT.leadlag_pairs(ev, max_lag=0)

@@ -84,6 +84,8 @@ FAMILIES = [
     "ev_time_weight",     # decimal integral sums + one float divide
     "ann_dtw_topk",       # ordered PAA/z-norm/LB folds + sequential DP
                           # + (lb, doc_id)/(dtw, doc_id) tie-breaks
+    "ev_leadlag",         # integer moments on the zero-filled grid +
+                          # (corr DESC, |lag|, lag) winner per pair
 ]
 
 

@@ -184,6 +184,11 @@ EXCHANGE_BOUNDS = [
                                    # TakeOrdered + the two bounded
                                    # (qid) rank windows; the LB stage
                                    # itself is a broadcast map pass
+    ("ev_leadlag", 12),            # cnts/bounds/distinct aggs, the two
+                                   # grid joins and the tiny per-pair
+                                   # rank window — all over the bounded
+                                   # |types| x span grid, never the raw
+                                   # events beyond the first agg
 ]
 
 
