@@ -375,6 +375,16 @@ def _q_pp_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PP.sax_symbols(_spark_long_form(spark, sf_dir), 32)
 
 
+def _q_pp_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series autocorrelation at lags 1..8 (statsmodels
+    convention — the relational twin of the FFT kernel the acf
+    window-size selector uses): integer moments via the n²-scaled
+    identity, ONE double divide, bit-equal to the DuckDB oracle."""
+    from dtaianomaly_spark.operators.windows import acf_report
+
+    return acf_report(_spark_long_form(spark, sf_dir), 8)
+
+
 def _q_pp_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsample to 48 points/series
     (Steinarsson 2013) — the visualization-grade tier next to the
@@ -2446,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_corr_pairs": _q_ann_corr_pairs,
         "ev_forecast_skill": _q_ev_forecast_skill,
         "pp_sax": _q_pp_sax,
+        "pp_acf": _q_pp_acf,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,
@@ -2675,7 +2686,44 @@ FROM cus
         SAX_SYMBOL_SQL, SAX_Z_SQL,
     )
 
+    # exact relational ACF — mirrors operators/windows.py:acf_report:
+    # same leads, same n²-scaled integer identity, same single divide
+    _acf_leads = ",\n           ".join(
+        f"LEAD(value, {l}) OVER w AS v{l}" for l in range(1, 9)
+    )
+    _acf_moms = ",\n           ".join(
+        f"CAST(SUM(value * v{l}) AS BIGINT) AS sxy{l},"
+        f" CAST(SUM(CASE WHEN v{l} IS NOT NULL THEN value END) AS BIGINT)"
+        f" AS h{l}, CAST(SUM(v{l}) AS BIGINT) AS t{l}"
+        for l in range(1, 9)
+    )
+    _acf_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, CAST({l} AS BIGINT) AS lag,"
+        f" CAST(cnt*cnt*sxy{l} - cnt*s*(h{l}+t{l}) + (cnt-{l})*s*s AS DOUBLE)"
+        f" / CAST(cnt*cnt*sxx - cnt*s*s AS DOUBLE) AS acf"
+        f" FROM m WHERE cnt*cnt*sxx - cnt*s*s > 0 AND sxy{l} IS NOT NULL"
+        for l in range(1, 9)
+    )
+    pp_acf = f"""
+{C.TOKEN_SQL_CTE},
+leads AS (
+    SELECT doc_id, value,
+           {_acf_leads}
+    FROM long_form
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+m AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS BIGINT) AS s,
+           CAST(SUM(value * value) AS BIGINT) AS sxx,
+           {_acf_moms}
+    FROM leads GROUP BY doc_id
+)
+{_acf_rows}
+"""
+
     sax = f"""
+
 {C.TOKEN_SQL_CTE},
 seg_agg AS (
     SELECT doc_id, CAST(pos // 32 AS BIGINT) AS seg,
@@ -5173,6 +5221,7 @@ FROM agg
         "tx_bm25_topk": tx_bm25_topk,
         "det_cusum": cusum,
         "pp_sax": sax,
+        "pp_acf": pp_acf,
         "pp_decompose": decompose,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,

@@ -287,3 +287,64 @@ def eh_sliding_count_map(
             )
 
     return arrays.mapInPandas(run, schema)
+
+
+def acf_report(long_form: DataFrame, nlags: int = 8) -> DataFrame:
+    """Exact per-series autocorrelation report: acf at lags 1..nlags
+    under the statsmodels convention the kernel's FFT path implements
+    (`kernels/windowing.py:acf` — full-series mean, biased
+    autocovariance, lag-0 normalization) but computed RELATIONALLY as
+    exact integer moments, zero UDF, so the DuckDB oracle reproduces
+    every float bit.
+
+    The n²-scaled identity removes the rational mean: with S = Σx,
+    H_l = Σ_{t<=n-l} x_t, T_l = Σ_{t>l} x_t, Sxy_l = Σ x_t·x_{t+l},
+
+        n²·C_l = n²·Sxy_l − n·S·(H_l + T_l) + (n−l)·S²
+        n²·C_0 = n²·Σx² − n·S²
+        acf_l  = C_l / C_0   (ONE double divide of two exact int64s)
+
+    Every moment of this corpus fits int64 with room (|x| <= 505,
+    n <= 2048 ⇒ n²·Sxy < 2^51), and both operands are < 2^53 so the
+    DOUBLE casts are exact.
+
+    Scale shape: ONE window pass attaches all nlags leads in a single
+    (doc_id, pos) sort; the per-doc aggregate reuses that hash
+    partitioning (hash-on-subset) — 1 exchange beyond the corpus
+    repartition; `stack` unpivots the bounded per-doc row to (doc_id,
+    lag, acf) rows map-side. Zero-variance series (C_0 = 0) and lags
+    >= n drop out (NULL acf filtered), exactly as the oracle does."""
+    if nlags < 1:
+        raise ValueError(f"nlags must be >= 1, got {nlags}")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = long_form.select(
+        "doc_id", "value",
+        *[F.lead("value", lag).over(w).alias(f"v{lag}")
+          for lag in range(1, nlags + 1)],
+    )
+    aggs = [
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("value").alias("s"),
+        F.sum(F.expr("value * value")).alias("sxx"),
+    ]
+    for lag in range(1, nlags + 1):
+        aggs += [
+            F.sum(F.expr(f"value * v{lag}")).alias(f"sxy{lag}"),
+            F.sum(F.expr(
+                f"CASE WHEN v{lag} IS NOT NULL THEN value END"
+            )).alias(f"h{lag}"),
+            F.sum(f"v{lag}").alias(f"t{lag}"),
+        ]
+    m = leads.groupBy("doc_id").agg(*aggs)
+    pairs = ", ".join(
+        f"CAST({lag} AS BIGINT),"
+        f" CAST(cnt*cnt*sxy{lag} - cnt*s*(h{lag}+t{lag})"
+        f"      + (cnt-{lag})*s*s AS DOUBLE)"
+        f" / CAST(cnt*cnt*sxx - cnt*s*s AS DOUBLE)"
+        for lag in range(1, nlags + 1)
+    )
+    return (
+        m.filter(F.expr("cnt*cnt*sxx - cnt*s*s > 0"))
+        .selectExpr("doc_id", f"stack({nlags}, {pairs}) AS (lag, acf)")
+        .filter(F.col("acf").isNotNull())
+    )

@@ -86,6 +86,7 @@ FAMILIES = [
                           # + (lb, doc_id)/(dtw, doc_id) tie-breaks
     "ev_leadlag",         # integer moments on the zero-filled grid +
                           # (corr DESC, |lag|, lag) winner per pair
+    "pp_acf",             # int64 lead moments + one divide per lag
 ]
 
 

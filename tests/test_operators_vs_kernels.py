@@ -681,3 +681,55 @@ def test_gesd_zero_spread_declares_nothing():
     # truncates instead of declaring constant points with inf stats
     assert idx.tolist()[:1] == [10] and len(rs) == 1
     assert np.isfinite(rs).all() and k == 1
+
+
+def test_acf_report_matches_fft_kernel_and_exact_replay(spark):
+    """The relational exact-integer ACF equals (a) the FFT kernel the
+    acf window-size selector uses (statsmodels semantics) to float
+    tolerance, and (b) a direct exact NumPy replay of the n²-scaled
+    identity bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from dtaianomaly_spark.operators.windows import acf_report
+
+    series = _token_series(spark, limit=12)
+    lf = C.token_long_form(spark, SF_DIR).filter(
+        F.col("doc_id").isin(*series.keys())
+    )
+    got = {}
+    for r in acf_report(lf, 8).collect():
+        got[(int(r.doc_id), int(r.lag))] = r.acf
+    assert len(got) == 12 * 8
+    for did, x in series.items():
+        fft = KW.acf(x, 8)
+        n = x.shape[0]
+        S_, Sxx = int(x.sum()), int((x * x).sum())
+        den = n * n * Sxx - n * S_ * S_
+        for lag in range(1, 9):
+            # (a) float-tolerance vs the FFT kernel
+            assert got[(did, lag)] == pytest.approx(fft[lag], rel=1e-9,
+                                                    abs=1e-12)
+            # (b) bit-for-bit vs the exact integer identity
+            sxy = int((x[:-lag] * x[lag:]).sum())
+            h, t = int(x[:-lag].sum()), int(x[lag:].sum())
+            num = n * n * sxy - n * S_ * (h + t) + (n - lag) * S_ * S_
+            assert got[(did, lag)] == float(num) / float(den)
+
+
+def test_acf_report_validates_and_drops_degenerates(spark):
+    from dtaianomaly_spark.operators.windows import acf_report
+    import pandas as pd
+
+    with pytest.raises(ValueError):
+        acf_report(None, 0)
+    # constant series (zero variance) and lags >= n produce no rows
+    lf = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1] * 4 + [2] * 3,
+            "pos": [0, 1, 2, 3, 0, 1, 2],
+            "value": [7, 7, 7, 7, 1, 5, 2],
+        })
+    )
+    rows = acf_report(lf, 5).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert sorted(r.lag for r in rows) == [1, 2]  # lags 3,4,5 >= n drop

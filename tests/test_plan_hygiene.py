@@ -184,6 +184,10 @@ EXCHANGE_BOUNDS = [
                                    # TakeOrdered + the two bounded
                                    # (qid) rank windows; the LB stage
                                    # itself is a broadcast map pass
+    ("pp_acf", 1),                 # all 8 leads in ONE (doc_id, pos)
+                                   # window pass; the per-doc moment
+                                   # agg and the stack unpivot reuse
+                                   # that partitioning
     ("ev_leadlag", 12),            # cnts/bounds/distinct aggs, the two
                                    # grid joins and the tiny per-pair
                                    # rank window — all over the bounded
