@@ -606,3 +606,127 @@ def stateful_holt_winters(
         "append",
         timeout,
     )
+
+
+# ----------------------------------------------------------------- ACF
+# Streaming twin of operators/windows.py:acf_report — after every
+# micro-batch it emits the prefix-series ACF snapshot (lags 1..nlags),
+# bit-equal to the batch operator run over the same prefix. Bounded
+# state per series: the FIRST nlags values (fixed once seen), the last
+# nlags values (ring), and 3 + nlags integer moments — the n²-scaled
+# identity needs nothing else, because h_l = S - sum(last l) and
+# t_l = S - sum(first l).
+
+ACF_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n", LongType(), False),
+        StructField("lag", LongType(), False),
+        StructField("acf", DoubleType(), False),
+    ]
+)
+
+ACF_STATE_SCHEMA = StructType(
+    [
+        StructField("first", ArrayType(LongType()), True),
+        StructField("ring", ArrayType(LongType()), True),
+        StructField("cnt", LongType(), True),
+        StructField("s", LongType(), True),
+        StructField("sxx", LongType(), True),
+        StructField("sxy", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _make_acf_update(nlags: int, ttl_ms: int | None):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            first, ring, cnt, s, sxx, sxy = state.get
+            first, ring = list(first), list(ring)
+            sxy = np.asarray(sxy, dtype=np.int64)
+            cnt, s, sxx = int(cnt), int(s), int(sxx)
+        else:
+            first, ring, cnt, s, sxx = [], [], 0, 0, 0
+            sxy = np.zeros(nlags, dtype=np.int64)
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        batch = pd.concat(chunks).sort_values("pos")
+        vals = batch["value"].to_numpy(dtype=np.int64)
+        poss = batch["pos"].to_numpy(dtype=np.int64)
+        expected = cnt + np.arange(vals.shape[0])
+        if not np.array_equal(poss, expected):
+            raise ValueError(
+                f"streaming ACF requires in-order contiguous points from"
+                f" pos 0; series {doc_id!r} expected pos {cnt}, got"
+                f" {poss[:5].tolist()}..."
+            )
+        ext = np.concatenate([np.asarray(ring, dtype=np.int64), vals])
+        r = len(ring)
+        idx = np.arange(vals.shape[0]) + r
+        for l in range(1, nlags + 1):
+            ok = idx - l >= 0
+            sxy[l - 1] += int((ext[idx[ok]] * ext[idx[ok] - l]).sum())
+        s += int(vals.sum())
+        sxx += int((vals * vals).sum())
+        cnt += int(vals.shape[0])
+        if len(first) < nlags:
+            first = (first + vals.tolist())[:nlags]
+        ring_arr = ext[-nlags:]
+        state.update((
+            first, ring_arr.tolist(), cnt, s, sxx, sxy.tolist(),
+        ))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+        den = cnt * cnt * sxx - cnt * s * s
+        if den <= 0:
+            return
+        lags, acfs = [], []
+        for l in range(1, min(nlags, cnt - 1) + 1):
+            h = s - int(ring_arr[-l:].sum())
+            t = s - sum(first[:l])
+            num = cnt * cnt * int(sxy[l - 1]) - cnt * s * (h + t) \
+                + (cnt - l) * s * s
+            lags.append(l)
+            acfs.append(float(num) / float(den))
+        if lags:
+            yield pd.DataFrame({
+                "doc_id": np.repeat(doc_id, len(lags)),
+                "n": np.full(len(lags), cnt, dtype=np.int64),
+                "lag": np.asarray(lags, dtype=np.int64),
+                "acf": np.asarray(acfs, dtype=np.float64),
+            })
+
+    return update
+
+
+def stateful_acf(
+    stream_long_form, nlags: int = 8, state_ttl_ms: int | None = STATE_TTL_MS
+):
+    """(doc_id, pos, value) stream -> append stream of prefix-series ACF
+    snapshots at lags 1..nlags, each snapshot bit-equal to the batch
+    acf_report over the same prefix (same integer moments, same single
+    divide). State per series: 2*nlags values + nlags + 3 int64s."""
+    if nlags < 1:
+        raise ValueError(f"nlags must be >= 1, got {nlags}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_acf_update(nlags, state_ttl_ms),
+        ACF_OUT_SCHEMA,
+        ACF_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -477,3 +477,71 @@ def test_streamed_hw_restart_mid_series_phase_aligned():
     # the amplitude) — this is what the misaligned version fails
     tail = np.array([got[g + i] for i in range(n - 40, n)])
     assert np.abs(tail).max() < 2.0
+
+
+def test_streamed_acf_snapshots_equal_batch_operator(spark, tmp_path):
+    """Bounded-state streaming ACF: after EVERY micro-batch the emitted
+    snapshot is bit-equal to the batch acf_report run over the same
+    prefix — the 2*nlags-value + integer-moment state carries the
+    n²-scaled identity exactly."""
+    from dtaianomaly_spark.operators.windows import acf_report
+    from dtaianomaly_spark.streaming.detect import stateful_acf
+
+    rng = np.random.default_rng(23)
+    n, n_docs = 120, 3
+    rows = []
+    for d in range(n_docs):
+        vals = rng.integers(-105, 106, n)
+        vals[1::7] += d + 1  # mild per-series structure
+        rows += [(f"doc-{d}", p, int(v)) for p, v in enumerate(vals)]
+    schema = "doc_id string, pos long, value long"
+    lf = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "acf_src")
+    bounds = np.linspace(0, n, 5).astype(int)
+    seen: set = set()
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base, base))
+                seen.add(p)
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "acf_out")
+    q = (
+        stateful_acf(stream, nlags=8, state_ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "acf_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_dir).collect()
+    # one snapshot per (doc, chunk): 4 prefixes x 3 docs x 8 lags
+    assert len(out) == 4 * n_docs * 8
+    got = {(r["doc_id"], r["n"], r["lag"]): r["acf"] for r in out}
+    for hi in bounds[1:]:
+        prefix = lf.filter(f"pos < {hi}")
+        batch = {
+            (r["doc_id"], int(hi), r["lag"]): r["acf"]
+            for r in acf_report(prefix, 8).collect()
+        }
+        snap = {k: v for k, v in got.items() if k[1] == int(hi)}
+        assert snap == batch  # bit-equal floats, every prefix
+
+
+def test_streamed_acf_contiguity_and_validation():
+    from dtaianomaly_spark.streaming.detect import stateful_acf
+
+    with pytest.raises(ValueError):
+        stateful_acf(None, nlags=0)
