@@ -385,6 +385,15 @@ def _q_pp_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_report(_spark_long_form(spark, sf_dir), 8)
 
 
+def _q_pp_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test per series (Q at K=8 vs the chi-square
+    5% critical value): exact integer acf moments, explicit
+    left-associated float sum — bit-equal to the DuckDB oracle."""
+    from dtaianomaly_spark.operators.windows import ljung_box_report
+
+    return ljung_box_report(_spark_long_form(spark, sf_dir), 8)
+
+
 def _q_pp_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsample to 48 points/series
     (Steinarsson 2013) — the visualization-grade tier next to the
@@ -2457,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_forecast_skill": _q_ev_forecast_skill,
         "pp_sax": _q_pp_sax,
         "pp_acf": _q_pp_acf,
+        "pp_ljungbox": _q_pp_ljungbox,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,
@@ -2720,6 +2730,36 @@ m AS (
     FROM leads GROUP BY doc_id
 )
 {_acf_rows}
+"""
+
+    _lb_terms = " + ".join(
+        f"(CAST(cnt*cnt*sxy{l} - cnt*s*(h{l}+t{l}) + (cnt-{l})*s*s AS DOUBLE)"
+        f" / CAST(cnt*cnt*sxx - cnt*s*s AS DOUBLE))"
+        f" * (CAST(cnt*cnt*sxy{l} - cnt*s*(h{l}+t{l}) + (cnt-{l})*s*s AS DOUBLE)"
+        f" / CAST(cnt*cnt*sxx - cnt*s*s AS DOUBLE))"
+        f" / CAST(cnt - {l} AS DOUBLE)"
+        for l in range(1, 9)
+    )
+    pp_ljungbox = f"""
+{C.TOKEN_SQL_CTE},
+leads AS (
+    SELECT doc_id, value,
+           {_acf_leads}
+    FROM long_form
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+m AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(value) AS BIGINT) AS s,
+           CAST(SUM(value * value) AS BIGINT) AS sxx,
+           {_acf_moms}
+    FROM leads GROUP BY doc_id
+)
+SELECT doc_id, cnt AS n,
+       CAST(cnt AS DOUBLE) * CAST(cnt + 2 AS DOUBLE) * ({_lb_terms}) AS q,
+       CAST(CAST(cnt AS DOUBLE) * CAST(cnt + 2 AS DOUBLE) * ({_lb_terms})
+            < 15.50731305586545 AS INT) AS white
+FROM m WHERE cnt > 8 AND cnt*cnt*sxx - cnt*s*s > 0
 """
 
     sax = f"""
@@ -5222,6 +5262,7 @@ FROM agg
         "det_cusum": cusum,
         "pp_sax": sax,
         "pp_acf": pp_acf,
+        "pp_ljungbox": pp_ljungbox,
         "pp_decompose": decompose,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,

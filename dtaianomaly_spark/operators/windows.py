@@ -289,6 +289,86 @@ def eh_sliding_count_map(
     return arrays.mapInPandas(run, schema)
 
 
+def _acf_moments(long_form: DataFrame, nlags: int) -> DataFrame:
+    """Shared moment stage for acf_report / ljung_box_report: one
+    (doc_id, pos) window pass attaching all nlags leads, then the
+    per-doc integer aggregate (cnt, s, sxx, and per-lag sxy/h/t) on the
+    same partitioning."""
+    if nlags < 1:
+        raise ValueError(f"nlags must be >= 1, got {nlags}")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = long_form.select(
+        "doc_id", "value",
+        *[F.lead("value", lag).over(w).alias(f"v{lag}")
+          for lag in range(1, nlags + 1)],
+    )
+    aggs = [
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("value").alias("s"),
+        F.sum(F.expr("value * value")).alias("sxx"),
+    ]
+    for lag in range(1, nlags + 1):
+        aggs += [
+            F.sum(F.expr(f"value * v{lag}")).alias(f"sxy{lag}"),
+            F.sum(F.expr(
+                f"CASE WHEN v{lag} IS NOT NULL THEN value END"
+            )).alias(f"h{lag}"),
+            F.sum(f"v{lag}").alias(f"t{lag}"),
+        ]
+    return leads.groupBy("doc_id").agg(*aggs)
+
+
+# chi-square(8 dof) upper 5% critical value (Abramowitz & Stegun table
+# 26.8 convention) — the whiteness cut both engines share verbatim
+LJUNG_BOX_CRIT_K8 = 15.50731305586545
+
+
+def ljung_box_report(long_form: DataFrame, nlags: int = 8) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per series (Ljung & Box
+    1978): Q = n(n+2) * Σ_{l=1..K} acf_l² / (n−l), compared against the
+    chi-square(K) 5% critical value — the classic "is this series just
+    noise?" gate run before fitting any seasonal/AR structure.
+
+    Q is assembled from the SAME exact integer moments as acf_report
+    (shared `_acf_moments` stage, 1 exchange): each acf_l is one double
+    divide of two exact int64s, and the K terms are added in an
+    EXPLICIT left-associated expression (never a SQL SUM, whose order
+    is partition-dependent) — so the DuckDB oracle reproduces Q to the
+    bit. Series with n <= nlags or zero variance drop out, as in the
+    oracle. Output: (doc_id, n, q, white)."""
+    m = _acf_moments(long_form, nlags)
+    terms = " + ".join(
+        f"(CAST(cnt*cnt*sxy{lag} - cnt*s*(h{lag}+t{lag})"
+        f"      + (cnt-{lag})*s*s AS DOUBLE)"
+        f" / CAST(cnt*cnt*sxx - cnt*s*s AS DOUBLE))"
+        f" * (CAST(cnt*cnt*sxy{lag} - cnt*s*(h{lag}+t{lag})"
+        f"      + (cnt-{lag})*s*s AS DOUBLE)"
+        f" / CAST(cnt*cnt*sxx - cnt*s*s AS DOUBLE))"
+        f" / CAST(cnt - {lag} AS DOUBLE)"
+        for lag in range(1, nlags + 1)
+    )
+    crit = repr(LJUNG_BOX_CRIT_K8) if nlags == 8 else None
+    if crit is None:
+        raise ValueError(
+            "ljung_box_report pins the chi-square critical value for"
+            f" nlags=8 only, got {nlags}"
+        )
+    return (
+        m.filter(F.expr(f"cnt > {nlags} AND cnt*cnt*sxx - cnt*s*s > 0"))
+        .select(
+            "doc_id",
+            F.col("cnt").alias("n"),
+            F.expr(
+                f"CAST(cnt AS DOUBLE) * CAST(cnt + 2 AS DOUBLE)"
+                f" * ({terms})"
+            ).alias("q"),
+        )
+        .withColumn(
+            "white", (F.col("q") < F.lit(LJUNG_BOX_CRIT_K8)).cast("int")
+        )
+    )
+
+
 def acf_report(long_form: DataFrame, nlags: int = 8) -> DataFrame:
     """Exact per-series autocorrelation report: acf at lags 1..nlags
     under the statsmodels convention the kernel's FFT path implements
@@ -314,28 +394,7 @@ def acf_report(long_form: DataFrame, nlags: int = 8) -> DataFrame:
     repartition; `stack` unpivots the bounded per-doc row to (doc_id,
     lag, acf) rows map-side. Zero-variance series (C_0 = 0) and lags
     >= n drop out (NULL acf filtered), exactly as the oracle does."""
-    if nlags < 1:
-        raise ValueError(f"nlags must be >= 1, got {nlags}")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = long_form.select(
-        "doc_id", "value",
-        *[F.lead("value", lag).over(w).alias(f"v{lag}")
-          for lag in range(1, nlags + 1)],
-    )
-    aggs = [
-        F.count("*").cast("long").alias("cnt"),
-        F.sum("value").alias("s"),
-        F.sum(F.expr("value * value")).alias("sxx"),
-    ]
-    for lag in range(1, nlags + 1):
-        aggs += [
-            F.sum(F.expr(f"value * v{lag}")).alias(f"sxy{lag}"),
-            F.sum(F.expr(
-                f"CASE WHEN v{lag} IS NOT NULL THEN value END"
-            )).alias(f"h{lag}"),
-            F.sum(f"v{lag}").alias(f"t{lag}"),
-        ]
-    m = leads.groupBy("doc_id").agg(*aggs)
+    m = _acf_moments(long_form, nlags)
     pairs = ", ".join(
         f"CAST({lag} AS BIGINT),"
         f" CAST(cnt*cnt*sxy{lag} - cnt*s*(h{lag}+t{lag})"

@@ -87,6 +87,7 @@ FAMILIES = [
     "ev_leadlag",         # integer moments on the zero-filled grid +
                           # (corr DESC, |lag|, lag) winner per pair
     "pp_acf",             # int64 lead moments + one divide per lag
+    "pp_ljungbox",        # same moments + explicit left-assoc Q sum
 ]
 
 

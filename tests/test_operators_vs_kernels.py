@@ -733,3 +733,44 @@ def test_acf_report_validates_and_drops_degenerates(spark):
     rows = acf_report(lf, 5).collect()
     assert {r.doc_id for r in rows} == {2}
     assert sorted(r.lag for r in rows) == [1, 2]  # lags 3,4,5 >= n drop
+
+
+def test_ljung_box_discriminates_noise_from_structure(spark):
+    """An iid series passes the whiteness test (Q below the chi-sq(8)
+    5% cut), the corpus' modular pattern fails it, and Q equals an
+    exact NumPy replay bit-for-bit (same left-to-right term order)."""
+    import pandas as pd
+
+    from dtaianomaly_spark.operators.windows import (
+        LJUNG_BOX_CRIT_K8, ljung_box_report,
+    )
+
+    rng = np.random.default_rng(31)
+    white_vals = rng.integers(-100, 101, 512)
+    periodic_vals = np.array([((17 * t) % 13) - 6 for t in range(512)])
+    lf = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1] * 512 + [2] * 512,
+        "pos": list(range(512)) * 2,
+        "value": np.concatenate([white_vals, periodic_vals]),
+    }))
+    got = {r.doc_id: r for r in ljung_box_report(lf, 8).collect()}
+    assert got[1].white == 1 and got[1].q < LJUNG_BOX_CRIT_K8
+    assert got[2].white == 0 and got[2].q > LJUNG_BOX_CRIT_K8
+
+    for did, x in ((1, white_vals), (2, periodic_vals)):
+        x = np.asarray(x, dtype=np.int64)
+        n = x.shape[0]
+        S_, Sxx = int(x.sum()), int((x * x).sum())
+        den = n * n * Sxx - n * S_ * S_
+        q = 0.0
+        for lag in range(1, 9):
+            sxy = int((x[:-lag] * x[lag:]).sum())
+            h, t = int(x[:-lag].sum()), int(x[lag:].sum())
+            num = n * n * sxy - n * S_ * (h + t) + (n - lag) * S_ * S_
+            a = float(num) / float(den)
+            q = q + (a * a) / float(n - lag)
+        q = float(n) * float(n + 2) * q
+        assert got[did].q == q  # bit-equal
+
+    with pytest.raises(ValueError):
+        ljung_box_report(lf, 4)  # critical value pinned for K=8 only

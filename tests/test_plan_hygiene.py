@@ -188,6 +188,8 @@ EXCHANGE_BOUNDS = [
                                    # window pass; the per-doc moment
                                    # agg and the stack unpivot reuse
                                    # that partitioning
+    ("pp_ljungbox", 1),            # the same shared moments stage;
+                                   # Q is a map-side expression
     ("ev_leadlag", 12),            # cnts/bounds/distinct aggs, the two
                                    # grid joins and the tiny per-pair
                                    # rank window — all over the bounded
