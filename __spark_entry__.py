@@ -394,6 +394,15 @@ def _q_pp_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ljung_box_report(_spark_long_form(spark, sf_dir), 8)
 
 
+def _q_pp_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (PromQL predict_linear / TimescaleDB
+    stats_agg): slope, intercept, R2 and the 64-step linear forecast
+    from exact int64 moments — bit-equal to the DuckDB oracle."""
+    from dtaianomaly_spark.operators.windows import trend_report
+
+    return trend_report(_spark_long_form(spark, sf_dir), 64)
+
+
 def _q_pp_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsample to 48 points/series
     (Steinarsson 2013) — the visualization-grade tier next to the
@@ -2467,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_sax": _q_pp_sax,
         "pp_acf": _q_pp_acf,
         "pp_ljungbox": _q_pp_ljungbox,
+        "pp_trend": _q_pp_trend,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,
@@ -2760,6 +2770,32 @@ SELECT doc_id, cnt AS n,
        CAST(CAST(cnt AS DOUBLE) * CAST(cnt + 2 AS DOUBLE) * ({_lb_terms})
             < 15.50731305586545 AS INT) AS white
 FROM m WHERE cnt > 8 AND cnt*cnt*sxx - cnt*s*s > 0
+"""
+
+    _tr_slope = ("(CAST(cnt*sty - st*sy AS DOUBLE)"
+                 " / CAST(cnt*stt - st*st AS DOUBLE))")
+    _tr_icept = (f"((CAST(sy AS DOUBLE) - {_tr_slope} * CAST(st AS DOUBLE))"
+                 " / CAST(cnt AS DOUBLE))")
+    pp_trend = f"""
+{C.TOKEN_SQL_CTE},
+m AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS st,
+           CAST(SUM(pos * pos) AS BIGINT) AS stt,
+           CAST(SUM(value) AS BIGINT) AS sy,
+           CAST(SUM(value * value) AS BIGINT) AS syy,
+           CAST(SUM(pos * value) AS BIGINT) AS sty
+    FROM long_form GROUP BY doc_id
+)
+SELECT doc_id, cnt AS n,
+       {_tr_slope} AS slope,
+       {_tr_icept} AS intercept,
+       CASE WHEN cnt*syy - sy*sy > 0 THEN
+         (CAST(cnt*sty - st*sy AS DOUBLE) * CAST(cnt*sty - st*sy AS DOUBLE))
+         / (CAST(cnt*stt - st*st AS DOUBLE) * CAST(cnt*syy - sy*sy AS DOUBLE))
+       ELSE CAST(NULL AS DOUBLE) END AS r2,
+       {_tr_icept} + {_tr_slope} * CAST(cnt - 1 + 64 AS DOUBLE) AS forecast
+FROM m WHERE cnt >= 2
 """
 
     sax = f"""
@@ -5263,6 +5299,7 @@ FROM agg
         "pp_sax": sax,
         "pp_acf": pp_acf,
         "pp_ljungbox": pp_ljungbox,
+        "pp_trend": pp_trend,
         "pp_decompose": decompose,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,

@@ -407,3 +407,61 @@ def acf_report(long_form: DataFrame, nlags: int = 8) -> DataFrame:
         .selectExpr("doc_id", f"stack({nlags}, {pairs}) AS (lag, acf)")
         .filter(F.col("acf").isNotNull())
     )
+
+
+def trend_report(long_form: DataFrame, horizon: int = 64) -> DataFrame:
+    """Per-series OLS trend over (pos, value) — the PromQL
+    ``predict_linear`` / TimescaleDB ``stats_agg`` analytic: slope,
+    intercept, R² and the linear forecast ``horizon`` steps past the
+    series end, from exact integer moments (pos IS the regressor, so
+    St/Stt are closed-form but summed like everything else):
+
+        slope = (n·Sty − St·Sy) / (n·Stt − St²)
+        intercept = (Sy − slope·St) / n
+        R² = (n·Sty − St·Sy)² / ((n·Stt − St²)(n·Syy − Sy²))
+        forecast = intercept + slope·(n − 1 + horizon)
+
+    All moments int64 (n ≤ 2048, |value| ≤ 505 ⇒ n·Stt < 2^43); every
+    float is derived from exact DOUBLE casts in a fixed expression
+    shape, so the DuckDB oracle reproduces each bit. Constant series
+    (zero y-variance) report R² = NULL (slope 0 is still emitted); the
+    single aggregate reuses the corpus partitioning — 1 exchange."""
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    m = long_form.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("pos").alias("st"),
+        F.sum(F.expr("pos * pos")).alias("stt"),
+        F.sum("value").alias("sy"),
+        F.sum(F.expr("value * value")).alias("syy"),
+        F.sum(F.expr("pos * value")).alias("sty"),
+    )
+    slope = (
+        "(CAST(cnt*sty - st*sy AS DOUBLE)"
+        " / CAST(cnt*stt - st*st AS DOUBLE))"
+    )
+    intercept = (
+        f"((CAST(sy AS DOUBLE) - {slope} * CAST(st AS DOUBLE))"
+        " / CAST(cnt AS DOUBLE))"
+    )
+    return (
+        m.filter(F.col("cnt") >= 2)
+        .select(
+            "doc_id",
+            F.col("cnt").alias("n"),
+            F.expr(slope).alias("slope"),
+            F.expr(intercept).alias("intercept"),
+            F.expr(
+                "CASE WHEN cnt*syy - sy*sy > 0 THEN"
+                " (CAST(cnt*sty - st*sy AS DOUBLE)"
+                "  * CAST(cnt*sty - st*sy AS DOUBLE))"
+                " / (CAST(cnt*stt - st*st AS DOUBLE)"
+                "    * CAST(cnt*syy - sy*sy AS DOUBLE))"
+                " ELSE CAST(NULL AS DOUBLE) END"
+            ).alias("r2"),
+            F.expr(
+                f"{intercept} + {slope}"
+                f" * CAST(cnt - 1 + {int(horizon)} AS DOUBLE)"
+            ).alias("forecast"),
+        )
+    )

@@ -88,6 +88,7 @@ FAMILIES = [
                           # (corr DESC, |lag|, lag) winner per pair
     "pp_acf",             # int64 lead moments + one divide per lag
     "pp_ljungbox",        # same moments + explicit left-assoc Q sum
+    "pp_trend",           # int64 OLS moments, fixed float shapes
 ]
 
 

@@ -774,3 +774,41 @@ def test_ljung_box_discriminates_noise_from_structure(spark):
 
     with pytest.raises(ValueError):
         ljung_box_report(lf, 4)  # critical value pinned for K=8 only
+
+
+def test_trend_report_matches_numpy_lstsq(spark):
+    """Slope/intercept/R2/forecast per series equal np.polyfit-style
+    least squares on the raw values; a perfectly linear series gives
+    R2 == 1 and an exact forecast."""
+    import pandas as pd
+
+    from dtaianomaly_spark.operators.windows import trend_report
+
+    lf = C.token_long_form(spark, SF_DIR).filter("CAST(doc_id AS BIGINT) < 8")
+    got = {int(r.doc_id): r for r in trend_report(lf, 64).collect()}
+    series = _token_series(spark, limit=8)
+    for did, x in series.items():
+        n = x.shape[0]
+        t = np.arange(n, dtype=np.float64)
+        A = np.vstack([t, np.ones(n)]).T
+        (sl, ic), res, *_ = np.linalg.lstsq(A, x.astype(np.float64),
+                                            rcond=None)
+        r = got[did]
+        assert r.slope == pytest.approx(sl, rel=1e-9)
+        assert r.intercept == pytest.approx(ic, rel=1e-9)
+        ss_tot = float(((x - x.mean()) ** 2).sum())
+        ss_res = float(res[0]) if len(res) else 0.0
+        assert r.r2 == pytest.approx(1 - ss_res / ss_tot, rel=1e-9)
+        assert r.forecast == pytest.approx(ic + sl * (n - 1 + 64), rel=1e-9)
+
+    # exact linear series: R2 == 1, forecast continues the line exactly
+    lin = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [99] * 50, "pos": range(50),
+        "value": [3 * p - 7 for p in range(50)],
+    }))
+    r = trend_report(lin, 10).collect()[0]
+    assert r.slope == pytest.approx(3.0, abs=1e-12)
+    assert r.r2 == pytest.approx(1.0, abs=1e-12)
+    assert r.forecast == pytest.approx(3 * 59 - 7, abs=1e-9)
+    with pytest.raises(ValueError):
+        trend_report(lin, -1)

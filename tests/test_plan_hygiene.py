@@ -190,6 +190,8 @@ EXCHANGE_BOUNDS = [
                                    # that partitioning
     ("pp_ljungbox", 1),            # the same shared moments stage;
                                    # Q is a map-side expression
+    ("pp_trend", 1),               # one per-doc moment aggregate on
+                                   # the corpus partitioning
     ("ev_leadlag", 12),            # cnts/bounds/distinct aggs, the two
                                    # grid joins and the tiny per-pair
                                    # rank window — all over the bounded
