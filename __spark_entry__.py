@@ -403,6 +403,17 @@ def _q_pp_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_report(_spark_long_form(spark, sf_dir), 64)
 
 
+def _q_pp_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF at lags 1..8 per series (Durbin-Levinson over the exact
+    relational ACF — AR-order identification). Rows-only: the recursion
+    is not SQL-expressible; the kernel is pinned vs an independent
+    Yule-Walker Toeplitz solve and the acf inputs are the bit-exact
+    pp_acf values."""
+    from dtaianomaly_spark.operators.windows import pacf_report
+
+    return pacf_report(_spark_long_form(spark, sf_dir), 8)
+
+
 def _q_pp_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsample to 48 points/series
     (Steinarsson 2013) — the visualization-grade tier next to the
@@ -2477,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_acf": _q_pp_acf,
         "pp_ljungbox": _q_pp_ljungbox,
         "pp_trend": _q_pp_trend,
+        "pp_pacf": _q_pp_pacf,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,

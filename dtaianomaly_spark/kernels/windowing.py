@@ -299,3 +299,33 @@ def suss(x: np.ndarray, lower_bound: int, threshold: float) -> int:
             lo = w
             break
     return 2 * lo
+
+
+def pacf_from_acf(rho: np.ndarray) -> np.ndarray:
+    """Partial autocorrelations at lags 1..K from the autocorrelations
+    rho[0..K] (rho[0] == 1) via the Durbin-Levinson recursion — the
+    statsmodels ``pacf(method='ld')`` convention. pacf_k is the lag-k
+    coefficient of the order-k Yule-Walker AR fit (pinned in pytest
+    against an independent per-order Toeplitz solve). Sequential float
+    recursion — bit-reproducible."""
+    rho = np.asarray(rho, dtype=np.float64)
+    K = rho.shape[0] - 1
+    if K < 1:
+        raise ValueError("need rho[0..K] with K >= 1")
+    pacf = np.empty(K, dtype=np.float64)
+    phi = np.zeros(K + 1, dtype=np.float64)  # phi[j] = phi_{k,j}
+    pacf[0] = phi[1] = rho[1]
+    denom = 1.0 - rho[1] * rho[1]
+    for k in range(2, K + 1):
+        num = rho[k]
+        for j in range(1, k):
+            num -= phi[j] * rho[k - j]
+        a = num / denom
+        new = phi.copy()
+        new[k] = a
+        for j in range(1, k):
+            new[j] = phi[j] - a * phi[k - j]
+        phi = new
+        pacf[k - 1] = a
+        denom *= 1.0 - a * a
+    return pacf

@@ -465,3 +465,55 @@ def trend_report(long_form: DataFrame, horizon: int = 64) -> DataFrame:
             ).alias("forecast"),
         )
     )
+
+
+def pacf_report(long_form: DataFrame, nlags: int = 8) -> DataFrame:
+    """Partial autocorrelations at lags 1..nlags per series: the exact
+    relational ACF (same `_acf_moments` stage and float shapes as
+    acf_report, so pacf is derived from BIT-identical autocorrelations)
+    fed through the Durbin-Levinson recursion
+    (`kernels/windowing.py:pacf_from_acf`, statsmodels method='ld') in
+    one Arrow stage over the bounded per-doc moment rows. The AR-order
+    identification companion to acf_report/ljung_box_report; rows-only
+    (the recursion is not SQL-expressible), pinned in pytest against an
+    independent per-order Yule-Walker Toeplitz solve.
+
+    Scale shape: 1 exchange (the shared moment aggregate); the Arrow
+    stage sees ONE bounded row per series, never the positions."""
+    import pandas as pd
+
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    if nlags < 1:
+        raise ValueError(f"nlags must be >= 1, got {nlags}")
+    m = _acf_moments(long_form, nlags).filter(
+        F.expr(f"cnt > {nlags} AND cnt*cnt*sxx - cnt*s*s > 0")
+    )
+    schema = "doc_id long, lag long, pacf double"
+
+    def run(batches):
+        for pdf in batches:
+            out_doc, out_lag, out_p = [], [], []
+            for row in pdf.itertuples(index=False):
+                cnt, s, sxx = int(row.cnt), int(row.s), int(row.sxx)
+                den = float(cnt * cnt * sxx - cnt * s * s)
+                rho = np.empty(nlags + 1)
+                rho[0] = 1.0
+                for lag in range(1, nlags + 1):
+                    sxy = int(getattr(row, f"sxy{lag}"))
+                    h = int(getattr(row, f"h{lag}"))
+                    t = int(getattr(row, f"t{lag}"))
+                    num = (cnt * cnt * sxy - cnt * s * (h + t)
+                           + (cnt - lag) * s * s)
+                    rho[lag] = float(num) / den
+                pacf = KW.pacf_from_acf(rho)
+                out_doc += [int(row.doc_id)] * nlags
+                out_lag += list(range(1, nlags + 1))
+                out_p += pacf.tolist()
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "lag": pd.Series(out_lag, dtype="int64"),
+                "pacf": pd.Series(out_p, dtype="float64"),
+            })
+
+    return m.mapInPandas(run, schema)

@@ -89,6 +89,7 @@ FAMILIES = [
     "pp_acf",             # int64 lead moments + one divide per lag
     "pp_ljungbox",        # same moments + explicit left-assoc Q sum
     "pp_trend",           # int64 OLS moments, fixed float shapes
+    "pp_pacf",            # exact-acf inputs + sequential DL recursion
 ]
 
 

@@ -812,3 +812,39 @@ def test_trend_report_matches_numpy_lstsq(spark):
     assert r.forecast == pytest.approx(3 * 59 - 7, abs=1e-9)
     with pytest.raises(ValueError):
         trend_report(lin, -1)
+
+
+def test_pacf_report_matches_exact_acf_plus_kernel(spark):
+    """pacf_report == Durbin-Levinson over the bit-exact integer-moment
+    ACF, replayed independently in NumPy per series; lag-1 pacf == the
+    pp_acf lag-1 autocorrelation by definition."""
+    from dtaianomaly_spark.operators.windows import acf_report, pacf_report
+
+    lf = C.token_long_form(spark, SF_DIR).filter("CAST(doc_id AS BIGINT) < 8")
+    got = {}
+    for r in pacf_report(lf, 8).collect():
+        got[(int(r.doc_id), int(r.lag))] = r.pacf
+    acf1 = {
+        int(r.doc_id): r.acf
+        for r in acf_report(lf, 8).filter("lag = 1").collect()
+    }
+    series = _token_series(spark, limit=8)
+    assert len(got) == 8 * 8
+    for did, x in series.items():
+        n = x.shape[0]
+        S_, Sxx = int(x.sum()), int((x * x).sum())
+        den = float(n * n * Sxx - n * S_ * S_)
+        rho = np.empty(9)
+        rho[0] = 1.0
+        for lag in range(1, 9):
+            sxy = int((x[:-lag] * x[lag:]).sum())
+            h, t = int(x[:-lag].sum()), int(x[lag:].sum())
+            rho[lag] = float(n * n * sxy - n * S_ * (h + t)
+                             + (n - lag) * S_ * S_) / den
+        expect = KW.pacf_from_acf(rho)
+        for lag in range(1, 9):
+            assert got[(did, lag)] == expect[lag - 1]  # bit-equal
+        assert got[(did, 1)] == acf1[did]
+    from dtaianomaly_spark.operators.windows import pacf_report as PR
+    with pytest.raises(ValueError):
+        PR(lf, 0)

@@ -192,6 +192,8 @@ EXCHANGE_BOUNDS = [
                                    # Q is a map-side expression
     ("pp_trend", 1),               # one per-doc moment aggregate on
                                    # the corpus partitioning
+    ("pp_pacf", 1),                # shared moments stage + map-side
+                                   # Arrow Durbin-Levinson
     ("ev_leadlag", 12),            # cnts/bounds/distinct aggs, the two
                                    # grid joins and the tiny per-pair
                                    # rank window — all over the bounded

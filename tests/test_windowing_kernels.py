@@ -247,3 +247,38 @@ def test_eh_operator_and_query_audit(spark):
     assert agg["worst"] <= 1e-9
     assert agg["mb"] <= 4 * 10  # r * (log2(256) + 2)
     assert agg["n"] > 100_000 and agg["nz"] > 1000
+
+
+def test_pacf_from_acf_matches_yule_walker_solve():
+    """Durbin-Levinson pacf_k equals the last coefficient of the
+    order-k Yule-Walker solution solved independently via a dense
+    Toeplitz system, for several random stationary-ish series."""
+    rng = np.random.RandomState(5)
+    for _ in range(6):
+        x = np.cumsum(rng.normal(size=400)) * 0.1 + rng.normal(size=400)
+        rho = W.acf(x, 8)
+        got = W.pacf_from_acf(rho)
+        for k in range(1, 9):
+            R = np.empty((k, k))
+            for i in range(k):
+                for j in range(k):
+                    R[i, j] = rho[abs(i - j)]
+            sol = np.linalg.solve(R, rho[1:k + 1])
+            assert got[k - 1] == pytest.approx(sol[-1], rel=1e-8, abs=1e-10)
+
+
+def test_pacf_white_noise_near_zero_and_ar1_spike():
+    rng = np.random.RandomState(9)
+    w = rng.normal(size=5000)
+    p = W.pacf_from_acf(W.acf(w, 8))
+    assert np.all(np.abs(p) < 0.05)  # white: all pacf ~ 0
+    # AR(1): pacf_1 ~ phi, higher lags ~ 0
+    x = np.empty(5000)
+    x[0] = 0.0
+    for t in range(1, 5000):
+        x[t] = 0.6 * x[t - 1] + w[t]
+    p = W.pacf_from_acf(W.acf(x, 8))
+    assert p[0] == pytest.approx(0.6, abs=0.05)
+    assert np.all(np.abs(p[1:]) < 0.06)
+    with pytest.raises(ValueError):
+        W.pacf_from_acf(np.array([1.0]))
