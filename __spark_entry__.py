@@ -980,6 +980,90 @@ def _q_rel_q18(spark, sf_dir):
     )
 
 
+def _q_rel_q6(spark, sf_dir):
+    """TPC-H Q6-shape forecast revenue change (pure pushdown scan-agg:
+    date/discount/quantity predicates all reach the parquet reader)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q6_forecast_revenue(R.load(spark, sf_dir, "lineitem"))
+
+
+def _q_rel_q4(spark, sf_dir):
+    """TPC-H Q4-shape order-priority checking: LEFT SEMI join (EXISTS a
+    returned line item — this schema has no commit/receipt dates)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q4_priority_semi(
+        R.load(spark, sf_dir, "orders"), R.load(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_rel_q8(spark, sf_dir):
+    """TPC-H Q8-shape national market share per order year (ratio of two
+    exact int64 revenue sums; all dims broadcast)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q8_market_share(
+        R.load(spark, sf_dir, "region"),
+        R.load(spark, sf_dir, "nation"),
+        R.load(spark, sf_dir, "customer"),
+        R.load(spark, sf_dir, "supplier"),
+        R.load(spark, sf_dir, "orders"),
+        R.load(spark, sf_dir, "lineitem"),
+        R.load(spark, sf_dir, "part"),
+    )
+
+
+def _q_rel_q14(spark, sf_dir):
+    """TPC-H Q14-shape promotion effect (1-row KPI: scan → broadcast
+    part probe → exact int64 sums → shared-float percentage)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q14_promo_effect(
+        R.load(spark, sf_dir, "lineitem"), R.load(spark, sf_dir, "part")
+    )
+
+
+def _q_rel_q15(spark, sf_dir):
+    """TPC-H Q15-shape top supplier: shared per-supplier revenue view +
+    broadcast 1-row MAX scalar (view computed once, not twice)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q15_top_supplier(
+        R.load(spark, sf_dir, "supplier"), R.load(spark, sf_dir, "lineitem")
+    )
+
+
+def _q_rel_q17(spark, sf_dir):
+    """TPC-H Q17-shape small-quantity revenue: decorrelated per-part
+    average-quantity subquery, 20% cutoff compared in exact integers."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q17_small_quantity(
+        R.load(spark, sf_dir, "lineitem"), R.load(spark, sf_dir, "part")
+    )
+
+
+def _q_rel_q19(spark, sf_dir):
+    """TPC-H Q19-shape disjunctive revenue (OR-of-ANDs over brand x
+    size x quantity band; per-branch conjunctions post-broadcast-join)."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q19_disjunctive(
+        R.load(spark, sf_dir, "lineitem"), R.load(spark, sf_dir, "part")
+    )
+
+
+def _q_rel_q22(spark, sf_dir):
+    """TPC-H Q22-shape sales opportunity: LEFT ANTI join (NOT EXISTS an
+    order) + integer-exact above-average balance scalar."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.q22_no_orders(
+        R.load(spark, sf_dir, "customer"), R.load(spark, sf_dir, "orders")
+    )
+
+
 def _q_tx_dup_ngram_rate(spark, sf_dir):
     """Per-doc duplicate-8-gram fraction (substring-dedup signal)."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -2509,6 +2593,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q7_volume": _q_rel_q7,
         "rel_q10_returns": _q_rel_q10,
         "rel_q18_volume": _q_rel_q18,
+        "rel_q6_forecast": _q_rel_q6,
+        "rel_q4_priority": _q_rel_q4,
+        "rel_q8_share": _q_rel_q8,
+        "rel_q14_promo": _q_rel_q14,
+        "rel_q15_top_supplier": _q_rel_q15,
+        "rel_q17_small_qty": _q_rel_q17,
+        "rel_q19_disjunct": _q_rel_q19,
+        "rel_q22_no_orders": _q_rel_q22,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
@@ -4158,6 +4250,156 @@ SELECT month, o_orderstatus, n_orders, sum_price,
 FROM g
 """
 
+    rel_q6_forecast = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= 820454400000000
+  AND epoch_us(l_shipdate) < 852076800000000
+  AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 2 AND 4
+  AND CAST(floor(l_quantity * 100) AS BIGINT) < 2400
+"""
+
+    rel_q4_priority = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE epoch_us(o_orderdate) >= 820454400000000
+  AND epoch_us(o_orderdate) < 828316800000000
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+    rel_q8_share = f"""
+WITH pk AS (SELECT p_partkey FROM part WHERE p_type = 'STANDARD'),
+sflag AS (
+    SELECT s_suppkey,
+           CAST(CASE WHEN n_name = 'NATION_2' THEN 1 ELSE 0 END AS BIGINT)
+               AS is_target
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+cust AS (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+),
+g AS (
+    SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(SUM(({_REL_REV}) * is_target) AS BIGINT) AS target_revenue,
+           CAST(SUM({_REL_REV}) AS BIGINT) AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN pk ON l_partkey = p_partkey
+    JOIN sflag ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN cust ON o_custkey = c_custkey
+    GROUP BY o_year
+)
+SELECT o_year, target_revenue, total_revenue, n_items,
+       CAST(target_revenue AS DOUBLE) / total_revenue AS mkt_share
+FROM g
+"""
+
+    rel_q14_promo = f"""
+WITH g AS (
+    SELECT CAST(SUM(({_REL_REV})
+               * CAST(CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS BIGINT))
+               AS BIGINT) AS promo_revenue,
+           CAST(SUM({_REL_REV}) AS BIGINT) AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE epoch_us(l_shipdate) >= 820454400000000
+      AND epoch_us(l_shipdate) < 852076800000000
+)
+SELECT promo_revenue, total_revenue, n_items,
+       CAST(100 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct
+FROM g
+"""
+
+    rel_q15_top_supplier = f"""
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(SUM({_REL_REV}) AS BIGINT) AS total_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) >= 820454400000000
+      AND epoch_us(l_shipdate) < 828316800000000
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue, n_items
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+"""
+
+    rel_q17_small_qty = """
+WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+li AS (
+    SELECT l_partkey,
+           CAST(floor(l_quantity * 100) AS BIGINT) AS qty_cents,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+    FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)
+),
+stats AS (
+    SELECT l_partkey,
+           CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM li GROUP BY l_partkey
+),
+g AS (
+    SELECT CAST(SUM(price_cents) AS BIGINT) AS total_price_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM li JOIN stats USING (l_partkey)
+    WHERE 5 * qty_cents * cnt < sum_qty_cents
+)
+SELECT total_price_cents, n_items,
+       CAST(total_price_cents AS DOUBLE) / CAST(700 AS DOUBLE) AS avg_yearly
+FROM g
+"""
+
+    rel_q19_disjunct = f"""
+SELECT CAST(SUM({_REL_REV}) AS BIGINT) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(floor(l_quantity * 100) AS BIGINT) BETWEEN 100 AND 3000
+  AND p_brand IN ('Brand#4', 'Brand#2', 'Brand#19')
+  AND p_size BETWEEN 1 AND 15
+  AND ((p_brand = 'Brand#4' AND p_size <= 5
+        AND CAST(floor(l_quantity * 100) AS BIGINT) BETWEEN 100 AND 1100)
+    OR (p_brand = 'Brand#2' AND p_size <= 10
+        AND CAST(floor(l_quantity * 100) AS BIGINT) BETWEEN 1000 AND 2000)
+    OR (p_brand = 'Brand#19' AND p_size <= 15
+        AND CAST(floor(l_quantity * 100) AS BIGINT) BETWEEN 2000 AND 3000))
+"""
+
+    rel_q22_no_orders = """
+WITH bal AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+),
+pos AS (
+    SELECT CAST(SUM(acctbal_cents) AS BIGINT) AS sum_pos_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_pos
+    FROM bal WHERE acctbal_cents > 0
+),
+g AS (
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(acctbal_cents) AS BIGINT) AS totacctbal_cents
+    FROM bal, pos
+    WHERE acctbal_cents * n_pos > sum_pos_cents
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND epoch_us(o_orderdate) >= 915148800000000)
+    GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, numcust, totacctbal_cents,
+       CAST(totacctbal_cents AS DOUBLE) / numcust AS avg_acctbal_cents
+FROM g
+"""
+
     _QV = """
 qv AS (
     SELECT vec_id,
@@ -5330,6 +5572,14 @@ FROM agg
         "rel_q7_volume": rel_q7_volume,
         "rel_q10_returns": rel_q10_returns,
         "rel_q18_volume": rel_q18_volume,
+        "rel_q6_forecast": rel_q6_forecast,
+        "rel_q4_priority": rel_q4_priority,
+        "rel_q8_share": rel_q8_share,
+        "rel_q14_promo": rel_q14_promo,
+        "rel_q15_top_supplier": rel_q15_top_supplier,
+        "rel_q17_small_qty": rel_q17_small_qty,
+        "rel_q19_disjunct": rel_q19_disjunct,
+        "rel_q22_no_orders": rel_q22_no_orders,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_srp_topk": ann_srp_topk,
         "dd_embed_neardup": dd_embed_neardup,

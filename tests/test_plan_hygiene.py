@@ -199,6 +199,17 @@ EXCHANGE_BOUNDS = [
                                    # rank window — all over the bounded
                                    # |types| x span grid, never the raw
                                    # events beyond the first agg
+    ("rel_q6_forecast", 1),        # pure pushdown scan + 1-row agg
+    ("rel_q4_priority", 1),        # broadcast LEFT SEMI + 5-group agg
+    ("rel_q8_share", 3),           # lineitem<->orders shuffle + year agg
+                                   # (+AQE read); all dims broadcast
+    ("rel_q14_promo", 1),          # broadcast part probe + 1-row agg
+    ("rel_q15_top_supplier", 1),   # ONE per-supplier agg (checkpointed
+                                   # view shared by MAX and probe)
+    ("rel_q17_small_qty", 2),      # per-part stats agg + co-keyed
+                                   # self-join; brand keys broadcast
+    ("rel_q19_disjunct", 1),       # broadcast part probe + 1-row agg
+    ("rel_q22_no_orders", 2),      # anti-join shuffle + segment agg
 ]
 
 
@@ -272,6 +283,15 @@ def test_filters_and_pruning_reach_scans(spark):
     assert re.search(
         r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan
     ) and re.search(r"LessThan\(o_orderdate", plan), plan[:2000]
+    # Q6 is NOTHING BUT pushdown: date range, discount band and
+    # quantity cap must all reach the lineitem scan (the discount/
+    # quantity bounds arrive as GreaterThan/LessThan on the raw
+    # doubles — the floor(*100) integer forms are evaluated post-scan,
+    # but Catalyst derives the raw-column range predicates)
+    plan = _plan(E.queries()["rel_q6_forecast"](spark, SF_DIR))
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan
+    ) and re.search(r"LessThan\(l_shipdate", plan), plan[:2000]
     # metadata-only multimodal query never reads the binary payload
     plan = _plan(E.queries()["mm_frame_sample"](spark, SF_DIR))
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
