@@ -1383,6 +1383,30 @@ def _q_ev_leadlag(spark, sf_dir):
     return EVT.leadlag_pairs(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_funnel(spark, sf_dir):
+    """Strict-order signup→click→purchase funnel: per-user MIN-after-
+    previous-step chain, every join user_id-co-keyed, 1-row KPI."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.funnel_conversion(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_cohort(spark, sf_dir):
+    """Day-cohort retention triangle (cohort = first signup day, active
+    = any event): user-keyed aggregates, days²-bounded matrix."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.cohort_retention(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_transitions(spark, sf_dir):
+    """First-order event-type transition counts + global rank (sankey
+    path table): one user-partitioned lag window + one pair aggregate."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.type_transitions(EVT.load_events(spark, sf_dir))
+
+
 def _q_rollup_refresh_tail(spark, sf_dir):
     """Late-data (time-range) refresh: everything at/after pos 1500 is
     invalidated (late points mutate there), the boundary bucket is
@@ -2619,6 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_counter_1h": _q_ev_counter_1h,
         "ev_time_weight": _q_ev_time_weight,
         "ev_leadlag": _q_ev_leadlag,
+        "ev_funnel": _q_ev_funnel,
+        "ev_cohort": _q_ev_cohort,
+        "ev_transitions": _q_ev_transitions,
         "ev_range_join": _q_ev_range_join,
         "rollup_refresh_incr": _q_rollup_refresh_incr,
         "rollup_refresh_tail": _q_rollup_refresh_tail,
@@ -4686,6 +4713,93 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_type, b_type
                            ORDER BY corr DESC, abs(lag), lag) = 1
 """
 
+    ev_funnel = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+t1 AS (
+    SELECT user_id, MIN(ts_us) AS t1 FROM ev
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+    SELECT ev.user_id, MIN(ts_us) AS t2
+    FROM ev JOIN t1 ON ev.user_id = t1.user_id
+    WHERE event_type = 'click' AND ts_us > t1
+    GROUP BY ev.user_id
+),
+t3 AS (
+    SELECT ev.user_id, MIN(ts_us) AS t3
+    FROM ev JOIN t2 ON ev.user_id = t2.user_id
+    WHERE event_type = 'purchase' AND ts_us > t2
+    GROUP BY ev.user_id
+),
+g AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_step1,
+           CAST(SUM(CASE WHEN t2.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_step2,
+           CAST(SUM(CASE WHEN t3.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_step3
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+)
+SELECT n_step1, n_step2, n_step3,
+       CAST(n_step2 AS DOUBLE) / n_step1 AS conv_12,
+       CAST(n_step3 AS DOUBLE) / n_step2 AS conv_23,
+       CAST(n_step3 AS DOUBLE) / n_step1 AS conv_13
+FROM g
+"""
+
+    ev_cohort = """
+WITH ev AS (
+    SELECT user_id, event_type,
+           epoch_us(ts) // 86400000000 AS day
+    FROM events
+),
+first AS (
+    SELECT user_id, MIN(day) AS cohort_day FROM ev
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, day FROM ev),
+cells AS (
+    SELECT cohort_day, day - cohort_day AS offset_days,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act JOIN first USING (user_id)
+    WHERE day >= cohort_day
+    GROUP BY cohort_day, offset_days
+),
+size AS (
+    SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM first GROUP BY cohort_day
+)
+SELECT cohort_day, offset_days, n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / cohort_size AS retention
+FROM cells JOIN size USING (cohort_day)
+"""
+
+    ev_transitions = """
+WITH ev AS (
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events
+),
+m AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS prev_type
+    FROM ev
+),
+pairs AS (
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM m WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+),
+tot AS (SELECT CAST(SUM(n_trans) AS BIGINT) AS n_total FROM pairs)
+SELECT prev_type, event_type, n_trans,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_trans DESC, prev_type, event_type)
+           AS BIGINT) AS rnk,
+       CAST(n_trans AS DOUBLE) / n_total AS frac
+FROM pairs, tot
+"""
+
     det_proba_median = f"""
 {C.TOKEN_SQL_CTE},
 stats AS (
@@ -5593,6 +5707,9 @@ FROM agg
         "ev_counter_1h": ev_counter_1h,
         "ev_time_weight": ev_time_weight,
         "ev_leadlag": ev_leadlag,
+        "ev_funnel": ev_funnel,
+        "ev_cohort": ev_cohort,
+        "ev_transitions": ev_transitions,
         "gapfill_interp": gapfill_interp,
         "rollup_topk_tokens": rollup_topk_tokens,
         "rollup_hist_merge": rollup_hist_merge,

@@ -473,3 +473,148 @@ def leadlag_pairs(events: DataFrame, max_lag: int = 5) -> DataFrame:
         .select("a_type", "b_type",
                 F.col("lag").cast("long").alias("best_lag"), "n", "corr")
     )
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Strict-order funnel: signup → (first click AFTER the signup) →
+    (first purchase AFTER that click), the product-analytics
+    conversion query. Each step is a per-user MIN-timestamp aggregate
+    over events later than the previous step's timestamp — the
+    textbook decorrelation of the ``MIN(ts) WHERE ts > prev`` chain.
+
+    Output: one KPI row (n_step1, n_step2, n_step3, conv_12, conv_23,
+    conv_13) — integer user counts, shared-float ratios.
+
+    Scale shape: every per-step aggregate and every step-to-step join
+    is keyed on user_id, so the whole chain runs inside ONE hash
+    partitioning (Exchange reuse); the step frames shrink
+    monotonically, and the final KPI is a 1-row fold. Ties
+    (click at exactly the signup microsecond) are NOT counted as
+    after — strict >, microsecond-exact in integer epoch_us."""
+    ev = events.select(
+        "user_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts_us").alias("t1"))
+        # lazy checkpoint: t1 feeds BOTH the t2 join and the final KPI
+        # join — without it the signup aggregate's whole subtree (scan +
+        # user shuffle) plans twice
+        .localCheckpoint(eager=False)
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t3"))
+    )
+    g = (
+        t1.join(t2.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_step1"),
+            F.sum(F.coalesce(F.col("s2"), F.lit(0))).cast("long").alias("n_step2"),
+            F.sum(F.coalesce(F.col("s3"), F.lit(0))).cast("long").alias("n_step3"),
+        )
+    )
+    return g.select(
+        "n_step1", "n_step2", "n_step3",
+        F.expr("CAST(n_step2 AS DOUBLE) / n_step1").alias("conv_12"),
+        F.expr("CAST(n_step3 AS DOUBLE) / n_step2").alias("conv_23"),
+        F.expr("CAST(n_step3 AS DOUBLE) / n_step1").alias("conv_13"),
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Day-cohort retention matrix: cohort = the user's first SIGNUP
+    day; a (cohort, offset) cell counts the cohort's users active (ANY
+    event) exactly ``offset`` days after their cohort day — the
+    classic warehouse retention triangle.
+
+    Output: (cohort_day, offset_days, n_active, cohort_size,
+    retention) — integer counts, shared-float rate; offset 0 always
+    includes the signup itself (retention 1.0 by construction).
+
+    Scale shape: the user→cohort map and the distinct (user, day)
+    activity set are both user_id-keyed aggregates (one partitioning
+    shared through the join); the retention matrix itself is bounded
+    by |cohorts| x |offsets| (days², not users), and the cohort-size
+    frame that joins onto it is broadcast-tiny."""
+    ev = events.select(
+        "user_id", "event_type",
+        F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+        ).alias("day"),
+    )
+    first = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        # lazy checkpoint: the cohort map feeds both the activity join
+        # and the cohort-size aggregate
+        .localCheckpoint(eager=False)
+    )
+    act = ev.select("user_id", "day").distinct()
+    cells = (
+        act.join(first, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days")
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    size = first.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(size), "cohort_day").select(
+        "cohort_day", "offset_days", "n_active", "cohort_size",
+        F.expr("CAST(n_active AS DOUBLE) / cohort_size").alias("retention"),
+    )
+
+
+def type_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type transition counts (the Markov/path-
+    analysis table behind sankey funnels): for each user's
+    time-ordered event stream, count (prev_type → type) pairs, then
+    rank globally. ONE lag window over the (user_id, ts, event_id)
+    order + one pair aggregate — the window partitioning is user_id,
+    so the shuffle is the same user-keyed exchange every op in this
+    module uses. Deterministic total order: microsecond ts, then
+    event_id (unique) breaks ties; rank over the bounded |types|²
+    pair table breaks count ties by pair name.
+
+    Output: (prev_type, event_type, n_trans, rnk, frac) — counts,
+    global rank, and the row's share of all transitions."""
+    ev = events.select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    marked = ev.withColumn(
+        "prev_type",
+        F.expr(
+            "lag(event_type) OVER (PARTITION BY user_id"
+            " ORDER BY ts_us, event_id)"
+        ),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = marked.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("long").alias("n_trans")
+    ).localCheckpoint(eager=False)  # |types|² rows, shared by total + output
+    total = pairs.agg(F.sum("n_trans").alias("n_total"))
+    w = Window.orderBy(
+        F.col("n_trans").desc(), F.col("prev_type"), F.col("event_type")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "prev_type", "event_type", "n_trans",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.expr("CAST(n_trans AS DOUBLE) / n_total").alias("frac"),
+        )
+    )

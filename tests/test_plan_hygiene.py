@@ -210,6 +210,12 @@ EXCHANGE_BOUNDS = [
                                    # self-join; brand keys broadcast
     ("rel_q19_disjunct", 1),       # broadcast part probe + 1-row agg
     ("rel_q22_no_orders", 2),      # anti-join shuffle + segment agg
+    ("ev_funnel", 4),              # three per-step user_id aggregates
+                                   # (checkpointed chain) + 1-row KPI
+    ("ev_cohort", 3),              # cohort map + distinct activity +
+                                   # days²-bounded cell aggregate
+    ("ev_transitions", 2),         # user lag window + pair aggregate;
+                                   # rank runs on |types|² checkpointed
 ]
 
 
