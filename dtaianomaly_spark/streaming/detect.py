@@ -730,3 +730,128 @@ def stateful_acf(
         if state_ttl_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# --------------------------------------------------------------- trend
+# Streaming twin of operators/windows.py:trend_report — after every
+# micro-batch it emits the prefix-series OLS trend snapshot (slope,
+# intercept, R², linear forecast), bit-equal to the batch operator over
+# the same prefix. State per series is O(1): the six int64 moments
+# (n, St, Stt, Sy, Syy, Sty) — pos is the regressor, so nothing else
+# is needed; every float below repeats the batch SQL's exact DOUBLE
+# expression shape (cast-from-exact-int64, one op at a time).
+
+TREND_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n", LongType(), False),
+        StructField("slope", DoubleType(), False),
+        StructField("intercept", DoubleType(), False),
+        StructField("r2", DoubleType(), True),
+        StructField("forecast", DoubleType(), False),
+    ]
+)
+
+TREND_STATE_SCHEMA = StructType(
+    [
+        StructField("cnt", LongType(), True),
+        StructField("st", LongType(), True),
+        StructField("stt", LongType(), True),
+        StructField("sy", LongType(), True),
+        StructField("syy", LongType(), True),
+        StructField("sty", LongType(), True),
+    ]
+)
+
+
+def _make_trend_update(horizon: int, ttl_ms: int | None):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            cnt, st, stt, sy, syy, sty = (int(v) for v in state.get)
+        else:
+            cnt = st = stt = sy = syy = sty = 0
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        batch = pd.concat(chunks).sort_values("pos")
+        vals = batch["value"].to_numpy(dtype=np.int64)
+        poss = batch["pos"].to_numpy(dtype=np.int64)
+        expected = cnt + np.arange(vals.shape[0])
+        if not np.array_equal(poss, expected):
+            raise ValueError(
+                f"streaming trend requires in-order contiguous points"
+                f" from pos 0; series {doc_id!r} expected pos {cnt},"
+                f" got {poss[:5].tolist()}..."
+            )
+        cnt += int(vals.shape[0])
+        st += int(poss.sum())
+        stt += int((poss * poss).sum())
+        sy += int(vals.sum())
+        syy += int((vals * vals).sum())
+        sty += int((poss * vals).sum())
+        state.update((cnt, st, stt, sy, syy, sty))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+        if cnt < 2:
+            return
+        # the batch operator's exact float sequence (windows.py
+        # trend_report): each CAST is from an exact int64, each op its
+        # own IEEE double step
+        num = cnt * sty - st * sy
+        den = cnt * stt - st * st
+        slope = float(num) / float(den)
+        intercept = (float(sy) - slope * float(st)) / float(cnt)
+        vy = cnt * syy - sy * sy
+        r2 = (float(num) * float(num)) / (float(den) * float(vy)) \
+            if vy > 0 else None
+        forecast = intercept + slope * float(cnt - 1 + horizon)
+        yield pd.DataFrame(
+            {
+                "doc_id": [doc_id],
+                "n": np.asarray([cnt], dtype=np.int64),
+                "slope": np.asarray([slope], dtype=np.float64),
+                "intercept": np.asarray([intercept], dtype=np.float64),
+                # nullable Float64 so a constant series' r2=None lands
+                # as a true SQL NULL (np.float64 would coerce to NaN)
+                "r2": pd.array([r2], dtype="Float64"),
+                "forecast": np.asarray([forecast], dtype=np.float64),
+            }
+        )
+
+    return update
+
+
+def stateful_trend(
+    stream_long_form, horizon: int = 64,
+    state_ttl_ms: int | None = STATE_TTL_MS,
+):
+    """(doc_id, pos, value) stream -> append stream of prefix-series OLS
+    trend snapshots (slope / intercept / R² / linear forecast), each
+    bit-equal to the batch ``trend_report`` over the same prefix. State
+    per series: SIX int64 moments — the smallest state of any twin in
+    this module; the merge is pure addition, so late replays of whole
+    chunks are detectable by the contiguity guard and the operator
+    scales to any series length without growing state."""
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_trend_update(horizon, state_ttl_ms),
+        TREND_OUT_SCHEMA,
+        TREND_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -545,3 +545,79 @@ def test_streamed_acf_contiguity_and_validation():
 
     with pytest.raises(ValueError):
         stateful_acf(None, nlags=0)
+
+
+def test_streamed_trend_snapshots_equal_batch_operator(spark, tmp_path):
+    """O(1)-state streaming OLS trend: after EVERY micro-batch the
+    emitted snapshot is bit-equal to the batch trend_report over the
+    same prefix — six int64 moments carry the whole regression. One
+    series is CONSTANT to pin the r2 NULL (not NaN) contract."""
+    from dtaianomaly_spark.operators.windows import trend_report
+    from dtaianomaly_spark.streaming.detect import stateful_trend
+
+    rng = np.random.default_rng(29)
+    n, n_docs = 96, 3
+    rows = []
+    for d in range(n_docs):
+        if d == 2:
+            vals = np.full(n, 7)  # constant: zero y-variance, r2 NULL
+        else:
+            vals = rng.integers(-105, 106, n) + np.arange(n) * (d + 1)
+        rows += [(f"doc-{d}", p, int(v)) for p, v in enumerate(vals)]
+    schema = "doc_id string, pos long, value long"
+    lf = spark.createDataFrame(rows, schema)
+
+    src = str(tmp_path / "trend_src")
+    bounds = np.linspace(0, n, 5).astype(int)
+    seen: set = set()
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        lf.filter(f"pos >= {lo} AND pos < {hi}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base, base))
+                seen.add(p)
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "trend_out")
+    q = (
+        stateful_trend(stream, horizon=64, state_ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "trend_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 4 * n_docs  # one snapshot per (doc, chunk)
+    got = {
+        (r["doc_id"], r["n"]):
+            (r["slope"], r["intercept"], r["r2"], r["forecast"])
+        for r in out
+    }
+    for hi in bounds[1:]:
+        prefix = lf.filter(f"pos < {hi}")
+        batch = {
+            (r["doc_id"], int(hi)):
+                (r["slope"], r["intercept"], r["r2"], r["forecast"])
+            for r in trend_report(prefix, 64).collect()
+        }
+        snap = {k: v for k, v in got.items() if k[1] == int(hi)}
+        assert snap == batch  # bit-equal floats; r2 None==None
+    # the constant series really exercised the NULL branch
+    assert got[("doc-2", n)][2] is None
+
+
+def test_streamed_trend_validation():
+    from dtaianomaly_spark.streaming.detect import stateful_trend
+
+    with pytest.raises(ValueError):
+        stateful_trend(None, horizon=-1)
