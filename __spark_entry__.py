@@ -674,6 +674,15 @@ def _ws_select(mode):
     return q
 
 
+def _q_pp_periodogram(spark, sf_dir):
+    """Per-series spectral report: top-3 periodogram peaks (freq index,
+    period, power) + normalized spectral entropy. Rows-only (FFT);
+    kernel pinned vs a naive O(n²) DFT and an analytic pure tone."""
+    from dtaianomaly_spark.operators import windows as W
+
+    return W.periodogram_report(C.token_arrays(spark, sf_dir), 3)
+
+
 _q_ws_select_fft = _ws_select("fft")
 _q_ws_select_acf = _ws_select("acf")
 _q_ws_select_mwf = _ws_select("mwf")
@@ -2597,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_ljungbox": _q_pp_ljungbox,
         "pp_trend": _q_pp_trend,
         "pp_pacf": _q_pp_pacf,
+        "pp_periodogram": _q_pp_periodogram,
         "pp_decompose": _q_pp_decompose,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,

@@ -329,3 +329,48 @@ def pacf_from_acf(rho: np.ndarray) -> np.ndarray:
         pacf[k - 1] = a
         denom *= 1.0 - a * a
     return pacf
+
+
+def periodogram(x: np.ndarray) -> np.ndarray:
+    """One-sided raw periodogram of a real series at the positive
+    Fourier frequencies k = 1..n//2 (DC excluded — the series is mean-
+    centered first, so bin 0 is identically 0 and carries no period):
+
+        P[k-1] = |FFT(x - mean)[k]|^2 / n
+
+    The scaling follows the classical Schuster periodogram (the same
+    I(ω) statsmodels/scipy report up to their density conventions);
+    only relative magnitudes matter to the consumers here (peak
+    ranking, normalized spectral entropy), so no density factor."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n < 4:
+        raise ValueError(f"need n >= 4 points, got {n}")
+    c = np.fft.rfft(x - x.mean())
+    p = (c.real * c.real + c.imag * c.imag) / n
+    return p[1 : n // 2 + 1]
+
+
+def spectral_peaks(p: np.ndarray, topk: int) -> np.ndarray:
+    """Indices (0-based into the k=1.. grid) of the ``topk`` largest
+    periodogram ordinates, deterministic: power DESC, then smaller k
+    (longer period) first on exact float ties."""
+    order = np.lexsort((np.arange(p.shape[0]), -p))
+    return order[: min(topk, p.shape[0])]
+
+
+def spectral_entropy(p: np.ndarray) -> float:
+    """Normalized Shannon entropy of the periodogram distribution
+    (Pincus-style regularity feature, as in tsfresh/catch22): powers
+    normalized to a pmf, entropy / log(m) so 1.0 = white noise,
+    0.0 = single pure tone. Zero bins contribute 0 (lim p->0 p log p);
+    an all-zero spectrum (constant series) returns NULL upstream —
+    here it raises."""
+    s = float(p.sum())
+    if s <= 0.0:
+        raise ValueError("all-zero spectrum (constant series)")
+    q = p / s
+    nz = q[q > 0.0]
+    h = float(-(nz * np.log(nz)).sum())
+    m = p.shape[0]
+    return h / float(np.log(m)) if m > 1 else 0.0

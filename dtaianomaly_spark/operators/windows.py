@@ -517,3 +517,72 @@ def pacf_report(long_form: DataFrame, nlags: int = 8) -> DataFrame:
             })
 
     return m.mapInPandas(run, schema)
+
+
+def periodogram_report(arrays: DataFrame, topk: int = 3) -> DataFrame:
+    """Per-series spectral report: the ``topk`` dominant periodogram
+    peaks (frequency index, period in samples, power) plus the series'
+    normalized spectral entropy — the seasonality-diagnostics sibling
+    of the fft window-size selector (which keeps only argmax) and the
+    Box-Jenkins triad (pp_acf/pp_pacf/pp_ljungbox). Deterministic:
+    peaks rank by power DESC then longer period first on exact ties;
+    constant series (all-zero spectrum) report NULL entropy and no
+    peak rows... except they emit a single rank-0 row so every series
+    stays visible in the output.
+
+    Rows-only (FFT — transcendental, not SQL-expressible); the kernel
+    is pinned in pytest against a naive O(n²) DFT and an analytic
+    pure-tone case.
+
+    Scale shape: map-only Arrow pass over the per-row token arrays
+    (the one exchange is token_arrays' corpus repartition); O(n log n)
+    per series, one bounded output group per series."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("rnk", LongType(), False),
+            StructField("freq_k", LongType(), True),
+            StructField("period", DoubleType(), True),
+            StructField("power", DoubleType(), True),
+            StructField("spec_entropy", DoubleType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            doc_l, rnk_l, k_l, per_l, pow_l, ent_l = [], [], [], [], [], []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                n = x.shape[0]
+                p = KW.periodogram(x)
+                if float(p.sum()) <= 0.0:
+                    doc_l.append(doc_id); rnk_l.append(0)
+                    k_l.append(None); per_l.append(None)
+                    pow_l.append(None); ent_l.append(None)
+                    continue
+                ent = KW.spectral_entropy(p)
+                for r, i in enumerate(KW.spectral_peaks(p, topk), 1):
+                    k = int(i) + 1
+                    doc_l.append(doc_id); rnk_l.append(r)
+                    k_l.append(k); per_l.append(float(n) / float(k))
+                    pow_l.append(float(p[i])); ent_l.append(ent)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(doc_l, dtype="object"),
+                "rnk": pd.Series(rnk_l, dtype="int64"),
+                "freq_k": pd.Series(k_l, dtype="Int64"),
+                "period": pd.Series(per_l, dtype="Float64"),
+                "power": pd.Series(pow_l, dtype="Float64"),
+                "spec_entropy": pd.Series(ent_l, dtype="Float64"),
+            })
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)

@@ -216,6 +216,8 @@ EXCHANGE_BOUNDS = [
                                    # days²-bounded cell aggregate
     ("ev_transitions", 2),         # user lag window + pair aggregate;
                                    # rank runs on |types|² checkpointed
+    ("pp_periodogram", 2),         # token-array rebuild + corpus
+                                   # repartition; FFT stage is map-only
 ]
 
 

@@ -282,3 +282,48 @@ def test_pacf_white_noise_near_zero_and_ar1_spike():
     assert np.all(np.abs(p[1:]) < 0.06)
     with pytest.raises(ValueError):
         W.pacf_from_acf(np.array([1.0]))
+
+
+class TestPeriodogram:
+    def test_matches_naive_dft(self):
+        """FFT periodogram == the textbook O(n²) DFT sum, bin by bin."""
+        rng = np.random.default_rng(31)
+        for n in (16, 37, 128):
+            x = rng.normal(0, 3, n)
+            p = W.periodogram(x)
+            xc = x - x.mean()
+            t = np.arange(n)
+            for k in range(1, n // 2 + 1):
+                re = float((xc * np.cos(2 * np.pi * k * t / n)).sum())
+                im = float((xc * np.sin(2 * np.pi * k * t / n)).sum())
+                naive = (re * re + im * im) / n
+                assert p[k - 1] == pytest.approx(naive, rel=1e-9, abs=1e-9)
+
+    def test_pure_tone_peak_analytic(self):
+        """A pure cosine at Fourier frequency k0 concentrates ALL power
+        in bin k0 with the analytic value n·A²/4."""
+        n, k0, amp = 256, 8, 5.0
+        t = np.arange(n)
+        x = amp * np.cos(2 * np.pi * k0 * t / n)
+        p = W.periodogram(x)
+        assert int(W.spectral_peaks(p, 1)[0]) + 1 == k0
+        assert p[k0 - 1] == pytest.approx(n * amp * amp / 4, rel=1e-9)
+        others = np.delete(p, k0 - 1)
+        assert np.all(others < 1e-6 * p[k0 - 1])
+        # single tone -> entropy ~ 0; white noise -> near 1
+        assert W.spectral_entropy(p) < 1e-6
+        rng = np.random.default_rng(7)
+        assert W.spectral_entropy(
+            W.periodogram(rng.normal(0, 1, n))
+        ) > 0.8
+
+    def test_peak_ordering_deterministic_on_ties(self):
+        p = np.array([2.0, 5.0, 5.0, 1.0])
+        # equal powers: smaller k (longer period) ranks first
+        assert W.spectral_peaks(p, 3).tolist() == [1, 2, 0]
+
+    def test_guards(self):
+        with pytest.raises(ValueError):
+            W.periodogram(np.ones(3))
+        with pytest.raises(ValueError):
+            W.spectral_entropy(np.zeros(8))
