@@ -366,6 +366,16 @@ def _q_pp_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PP.classical_decompose(_spark_long_form(spark, sf_dir), 32)
 
 
+def _q_pp_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman trend/seasonal STRENGTH per series (F_T / F_S over the
+    period-32 classical decomposition): population variances from
+    deterministic sorted folds, strengths one shared float formula —
+    bit-exact vs the DuckDB oracle."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return PP.strength_report(_spark_long_form(spark, sf_dir), 32)
+
+
 def _q_pp_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAX symbolization (Lin et al. 2003, alphabet 4, 32-pos segments):
     series-z-normalized segment means quantized at Gaussian equiprobable
@@ -2608,6 +2618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_pacf": _q_pp_pacf,
         "pp_periodogram": _q_pp_periodogram,
         "pp_decompose": _q_pp_decompose,
+        "pp_strength": _q_pp_strength,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,
         "tx_source_drift": _q_tx_source_drift,
@@ -3001,6 +3012,75 @@ sz AS (
 SELECT dt.doc_id, dt.pos, dt.value, dt.trend, sz.seasonal,
        CAST(dt.value AS DOUBLE) - dt.trend - sz.seasonal AS remainder
 FROM dt LEFT JOIN sz ON dt.doc_id = sz.doc_id AND dt.phase = sz.phase
+"""
+
+    _VAR = "({ss} / n_used - ({s} / n_used) * ({s} / n_used))"
+    _V_R = _VAR.format(ss="srr", s="sr")
+    _V_DS = _VAR.format(ss="sdss", s="sds")
+    _V_DT = _VAR.format(ss="sdts", s="sdt")
+    _STRENGTH = (
+        "CASE WHEN {den} > 0 THEN"
+        " greatest(CAST(0 AS DOUBLE), 1 - {num} / {den})"
+        " ELSE NULL END"
+    )
+    pp_strength = f"""
+{C.TOKEN_SQL_CTE},
+st AS (
+    SELECT doc_id, pos, value, pos % 32 AS phase,
+           CAST(COUNT(value) OVER w AS BIGINT) AS cnt,
+           CAST(SUM(value) OVER w AS BIGINT) AS sum
+    FROM long_form
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 16 PRECEDING AND 16 FOLLOWING)
+),
+tr AS (
+    SELECT doc_id, pos, value, phase,
+           CASE WHEN cnt = 33 THEN {_MEAN} ELSE NULL END AS trend
+    FROM st
+),
+dt AS (SELECT *, CAST(value AS DOUBLE) - trend AS detr FROM tr),
+pm AS (
+    SELECT doc_id, phase,
+           list_reduce(list(detr ORDER BY pos), (a, b) -> a + b) AS _psum,
+           CAST(COUNT(*) AS BIGINT) AS _pcnt
+    FROM dt WHERE detr IS NOT NULL GROUP BY doc_id, phase
+),
+pr AS (SELECT doc_id, phase, _psum / _pcnt AS _praw FROM pm),
+ct AS (
+    SELECT doc_id,
+           list_reduce(list(_praw ORDER BY phase), (a, b) -> a + b)
+               / COUNT(*) AS _center
+    FROM pr GROUP BY doc_id
+),
+sz AS (
+    SELECT pr.doc_id, pr.phase, _praw - _center AS seasonal
+    FROM pr JOIN ct ON pr.doc_id = ct.doc_id
+),
+comp AS (
+    SELECT dt.doc_id, dt.pos,
+           CAST(dt.value AS DOUBLE) - dt.trend - sz.seasonal AS r,
+           CAST(dt.value AS DOUBLE) - sz.seasonal AS ds,
+           CAST(dt.value AS DOUBLE) - dt.trend AS dtd
+    FROM dt JOIN sz ON dt.doc_id = sz.doc_id AND dt.phase = sz.phase
+    WHERE dt.trend IS NOT NULL
+),
+g AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_used,
+           list_reduce(list(r ORDER BY pos), (a, b) -> a + b) AS sr,
+           list_reduce(list(r * r ORDER BY pos), (a, b) -> a + b) AS srr,
+           list_reduce(list(ds ORDER BY pos), (a, b) -> a + b) AS sds,
+           list_reduce(list(ds * ds ORDER BY pos), (a, b) -> a + b) AS sdss,
+           list_reduce(list(dtd ORDER BY pos), (a, b) -> a + b) AS sdt,
+           list_reduce(list(dtd * dtd ORDER BY pos), (a, b) -> a + b) AS sdts
+    FROM comp GROUP BY doc_id
+)
+SELECT doc_id, n_used,
+       {_V_R} AS var_rem,
+       {_V_DS} AS var_deseason,
+       {_V_DT} AS var_detrend,
+       {_STRENGTH.format(num=_V_R, den=_V_DS)} AS f_trend,
+       {_STRENGTH.format(num=_V_R, den=_V_DT)} AS f_seas
+FROM g
 """
 
     _F1 = ("CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 "
@@ -5679,6 +5759,7 @@ FROM agg
         "pp_ljungbox": pp_ljungbox,
         "pp_trend": pp_trend,
         "pp_decompose": decompose,
+        "pp_strength": pp_strength,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,

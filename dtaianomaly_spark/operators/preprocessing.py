@@ -506,3 +506,69 @@ def _m4_agg(bucketed: DataFrame) -> DataFrame:
         F.col("vmax.pos").alias("pos_max"),
         F.col("vmax.value").alias("v_max"),
     )
+
+
+def strength_report(
+    long_form: DataFrame, period: int, half_window: int | None = None
+) -> DataFrame:
+    """Trend / seasonal STRENGTH per series (Hyndman & Athanasopoulos,
+    *Forecasting: Principles and Practice* §STL features; the same
+    F_T / F_S the tsfeatures package reports):
+
+        F_trend = max(0, 1 − Var(R) / Var(value − seasonal))
+        F_seas  = max(0, 1 − Var(R) / Var(value − trend))
+
+    computed over the rows where :func:`classical_decompose` defines
+    the full (trend, seasonal, remainder) triple. Oracle-exact: the
+    decomposition is already bit-reproducible, and every variance here
+    is derived from deterministic SORTED FOLDS of each component's
+    (x, x²) in pos order — float addition is not associative, so a
+    plain SUM would not reproduce across engines — with the population
+    variance and the two strength ratios as single shared float
+    formulas. Zero-variance denominators report NULL strength.
+
+    Output: (doc_id, n_used, var_rem, var_deseason, var_detrend,
+    f_trend, f_seas).
+
+    Scale shape: the decompose DAG (one window pass + two doc-keyed
+    aggregates) plus ONE more doc-keyed aggregate holding six folds —
+    all on the same doc_id partitioning; per-series fold arrays are
+    bounded by series length, exactly like the decompose stage they
+    extend."""
+    dec = classical_decompose(long_form, period, half_window)
+    rows = dec.filter(F.col("remainder").isNotNull()).select(
+        "doc_id", "pos",
+        F.col("remainder").alias("r"),
+        F.expr("CAST(value AS DOUBLE) - seasonal").alias("ds"),
+        F.expr("CAST(value AS DOUBLE) - trend").alias("dt"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(pos, {x}))),"
+        " s -> {term}), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    g = rows.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.expr(fold.format(x="r", term="s.r")).alias("sr"),
+        F.expr(fold.format(x="r", term="s.r * s.r")).alias("srr"),
+        F.expr(fold.format(x="ds", term="s.ds")).alias("sds"),
+        F.expr(fold.format(x="ds", term="s.ds * s.ds")).alias("sdss"),
+        F.expr(fold.format(x="dt", term="s.dt")).alias("sdt"),
+        F.expr(fold.format(x="dt", term="s.dt * s.dt")).alias("sdts"),
+    )
+    var = "({ss} / n_used - ({s} / n_used) * ({s} / n_used))"
+    v_r = var.format(ss="srr", s="sr")
+    v_ds = var.format(ss="sdss", s="sds")
+    v_dt = var.format(ss="sdts", s="sdt")
+    strength = (
+        "CASE WHEN {den} > 0 THEN"
+        " greatest(CAST(0 AS DOUBLE), 1 - {num} / {den})"
+        " ELSE NULL END"
+    )
+    return g.select(
+        "doc_id", "n_used",
+        F.expr(v_r).alias("var_rem"),
+        F.expr(v_ds).alias("var_deseason"),
+        F.expr(v_dt).alias("var_detrend"),
+        F.expr(strength.format(num=v_r, den=v_ds)).alias("f_trend"),
+        F.expr(strength.format(num=v_r, den=v_dt)).alias("f_seas"),
+    )

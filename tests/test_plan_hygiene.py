@@ -218,6 +218,9 @@ EXCHANGE_BOUNDS = [
                                    # rank runs on |types|² checkpointed
     ("pp_periodogram", 2),         # token-array rebuild + corpus
                                    # repartition; FFT stage is map-only
+    ("pp_strength", 4),            # decompose's 3 (window + phase +
+                                   # center aggs) + ONE more doc-keyed
+                                   # six-fold variance aggregate
 ]
 
 
