@@ -684,6 +684,15 @@ def _ws_select(mode):
     return q
 
 
+def _q_pp_asap(spark, sf_dir):
+    """ASAP auto-smoothing report (Rong & Bailis 2017): per series the
+    roughness-minimizing kurtosis-preserving SMA window + before/after
+    kurtosis and roughness. Rows-only; kernel pinned vs brute force."""
+    from dtaianomaly_spark.operators import windows as W
+
+    return W.asap_report(C.token_arrays(spark, sf_dir), 0.1)
+
+
 def _q_pp_periodogram(spark, sf_dir):
     """Per-series spectral report: top-3 periodogram peaks (freq index,
     period, power) + normalized spectral entropy. Rows-only (FFT);
@@ -2617,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_trend": _q_pp_trend,
         "pp_pacf": _q_pp_pacf,
         "pp_periodogram": _q_pp_periodogram,
+        "pp_asap": _q_pp_asap,
         "pp_decompose": _q_pp_decompose,
         "pp_strength": _q_pp_strength,
         "pp_lttb": _q_pp_lttb,

@@ -374,3 +374,59 @@ def spectral_entropy(p: np.ndarray) -> float:
     h = float(-(nz * np.log(nz)).sum())
     m = p.shape[0]
     return h / float(np.log(m)) if m > 1 else 0.0
+
+
+def _moments_kurtosis(x: np.ndarray) -> float:
+    """Population excess-kurtosis-free kurtosis m4/m2² (the plain
+    Pearson kurtosis ASAP compares — 3.0 for a normal)."""
+    mu = x.mean()
+    d = x - mu
+    m2 = float((d * d).sum()) / d.shape[0]
+    if m2 <= 0.0:
+        return float("nan")
+    m4 = float((d * d * d * d).sum()) / d.shape[0]
+    return m4 / (m2 * m2)
+
+
+def _sma(x: np.ndarray, w: int) -> np.ndarray:
+    """Simple moving average with window w (valid positions only)."""
+    c = np.concatenate([[0.0], np.cumsum(x)])
+    return (c[w:] - c[:-w]) / w
+
+
+def _roughness(x: np.ndarray) -> float:
+    """ASAP's roughness: std of the first differences."""
+    d = np.diff(x)
+    if d.shape[0] < 1:
+        return float("nan")
+    return float(d.std())
+
+
+def asap_window(x: np.ndarray, max_frac: float = 0.1) -> tuple:
+    """ASAP smoothing parameter search (Rong & Bailis, VLDB 2017,
+    "ASAP: Prioritizing Attention via Time Series Smoothing"),
+    simplified to the exhaustive grid the paper's pruned search
+    approximates: over SMA windows w = 1..floor(n*max_frac), choose the
+    w whose smoothed series has the LOWEST roughness (std of first
+    differences) among those that PRESERVE kurtosis (smoothed kurtosis
+    >= original kurtosis — the paper's spike-preservation criterion);
+    ties break to the smallest w. w=1 (identity) always qualifies, so
+    the search never comes back empty.
+
+    Returns (w, orig_kurt, smooth_kurt, orig_rough, smooth_rough)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n < 8:
+        raise ValueError(f"need n >= 8 points, got {n}")
+    ok = _moments_kurtosis(x)
+    orough = _roughness(x)
+    max_w = max(1, int(n * max_frac))
+    best = (1, ok, orough)
+    for w in range(2, max_w + 1):
+        s = _sma(x, w)
+        k = _moments_kurtosis(s)
+        if not np.isnan(k) and k >= ok:
+            r = _roughness(s)
+            if r < best[2]:
+                best = (w, k, r)
+    return best[0], ok, best[1], orough, best[2]

@@ -586,3 +586,58 @@ def periodogram_report(arrays: DataFrame, topk: int = 3) -> DataFrame:
     return arrays.select(
         F.col("doc_id").cast("string").alias("doc_id"), "tokens"
     ).mapInPandas(run, schema)
+
+
+def asap_report(arrays: DataFrame, max_frac: float = 0.1) -> DataFrame:
+    """Per-series ASAP auto-smoothing report (Rong & Bailis 2017): the
+    SMA window that minimizes roughness subject to kurtosis
+    preservation, plus the before/after kurtosis and roughness — the
+    "how much should a dashboard smooth this series" analytic
+    completing the visualization-downsample family (LTTB picks points,
+    M4 picks extremes, ASAP picks the smoothing bandwidth).
+
+    Rows-only (an argmin over a window grid — not SQL-expressible);
+    kernel pinned in pytest against a brute-force reimplementation and
+    a noisy-sine sanity case.
+
+    Scale shape: map-only Arrow pass over per-row token arrays (the
+    one exchange is the token-array rebuild); O(n · n·max_frac) per
+    series, bounded output of one row per series."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    if not 0.0 < max_frac <= 0.5:
+        raise ValueError(f"max_frac must be in (0, 0.5], got {max_frac}")
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("asap_window", LongType(), False),
+            StructField("orig_kurt", DoubleType(), True),
+            StructField("smooth_kurt", DoubleType(), True),
+            StructField("orig_rough", DoubleType(), True),
+            StructField("smooth_rough", DoubleType(), True),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                w, ok, sk, orr, sr = KW.asap_window(x, max_frac)
+                out.append((doc_id, int(w), ok, sk, orr, sr))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "doc_id", "asap_window", "orig_kurt",
+                        "smooth_kurt", "orig_rough", "smooth_rough",
+                    ],
+                )
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)

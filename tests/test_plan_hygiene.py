@@ -221,6 +221,8 @@ EXCHANGE_BOUNDS = [
     ("pp_strength", 4),            # decompose's 3 (window + phase +
                                    # center aggs) + ONE more doc-keyed
                                    # six-fold variance aggregate
+    ("pp_asap", 2),                # token-array rebuild + corpus
+                                   # repartition; grid search map-only
 ]
 
 

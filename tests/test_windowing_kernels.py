@@ -327,3 +327,57 @@ class TestPeriodogram:
             W.periodogram(np.ones(3))
         with pytest.raises(ValueError):
             W.spectral_entropy(np.zeros(8))
+
+
+class TestAsap:
+    def test_matches_bruteforce(self):
+        """Grid-search kernel == an independent brute-force replay."""
+        rng = np.random.default_rng(41)
+        for n in (64, 200):
+            x = rng.normal(0, 2, n) + np.sin(np.arange(n) / 5) * 3
+            w, ok, sk, orr, sr = W.asap_window(x, 0.1)
+
+            def kurt(v):
+                d = v - v.mean()
+                m2 = (d * d).mean()
+                return (d ** 4).mean() / (m2 * m2)
+
+            def rough(v):
+                return float(np.diff(v).std())
+
+            best_w, best_r, best_k = 1, rough(x), kurt(x)
+            for cand in range(2, int(n * 0.1) + 1):
+                s = np.convolve(x, np.ones(cand) / cand, "valid")
+                if kurt(s) >= kurt(x) and rough(s) < best_r:
+                    best_w, best_r, best_k = cand, rough(s), kurt(s)
+            assert w == best_w
+            assert sr == pytest.approx(best_r, rel=1e-9)
+            assert sk == pytest.approx(best_k, rel=1e-9)
+            assert ok == pytest.approx(kurt(x), rel=1e-12)
+
+    def test_wide_anomaly_smooths_noise_keeps_dip(self):
+        """The paper's showcase regime: a wide anomaly survives the
+        SMA while the noise shrinks, so kurtosis is preserved and a
+        large window qualifies with far lower roughness. (A noisy
+        SINE, by contrast, correctly refuses to smooth: averaging
+        toward a sine LOWERS kurtosis, so no window qualifies.)"""
+        rng = np.random.default_rng(43)
+        n = 400
+        x = rng.normal(0, 2, n)
+        x[150:180] -= 10  # 30-point dip: wide enough to survive w<=40
+        w, ok, sk, orr, sr = W.asap_window(x, 0.1)
+        assert w > 10 and sr < orr / 5 and sk >= ok
+        sine = 10 * np.sin(2 * np.pi * np.arange(n) / 100)
+        sine += rng.normal(0, 1, n)
+        assert W.asap_window(sine, 0.1)[0] == 1  # refuses, by design
+        with pytest.raises(ValueError):
+            W.asap_window(np.ones(4))
+
+    def test_smoothing_never_qualifies_without_kurtosis(self):
+        """A two-sided spike train: heavy smoothing kills the spikes'
+        kurtosis, so qualifying windows stay small."""
+        x = np.zeros(200)
+        x[::50] = 100.0
+        x[25::50] = -100.0
+        w, ok, sk, _, _ = W.asap_window(x, 0.25)
+        assert sk >= ok  # the preservation constraint held
