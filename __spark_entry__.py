@@ -684,6 +684,15 @@ def _ws_select(mode):
     return q
 
 
+def _q_pp_robust_trend(spark, sf_dir):
+    """Mann-Kendall S/tau/z + Theil-Sen slope per series — the
+    nonparametric trend toolkit next to pp_trend's OLS. Rows-only;
+    S is integer-exact, kernels pinned vs explicit O(n²) loops."""
+    from dtaianomaly_spark.operators import windows as W
+
+    return W.robust_trend_report(C.token_arrays(spark, sf_dir))
+
+
 def _q_pp_asap(spark, sf_dir):
     """ASAP auto-smoothing report (Rong & Bailis 2017): per series the
     roughness-minimizing kurtosis-preserving SMA window + before/after
@@ -2627,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_pacf": _q_pp_pacf,
         "pp_periodogram": _q_pp_periodogram,
         "pp_asap": _q_pp_asap,
+        "pp_robust_trend": _q_pp_robust_trend,
         "pp_decompose": _q_pp_decompose,
         "pp_strength": _q_pp_strength,
         "pp_lttb": _q_pp_lttb,

@@ -430,3 +430,78 @@ def asap_window(x: np.ndarray, max_frac: float = 0.1) -> tuple:
             if r < best[2]:
                 best = (w, k, r)
     return best[0], ok, best[1], orough, best[2]
+
+
+def mann_kendall_s(x: np.ndarray, block: int = 256) -> int:
+    """Mann-Kendall S statistic: S = Σ_{i<j} sign(x_j − x_i), the
+    integer concordance count behind the classic nonparametric trend
+    test (Mann 1945, Kendall 1975). Blocked pairwise evaluation keeps
+    peak memory at block·n int8s regardless of series length."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    s = 0
+    for lo in range(0, n - 1, block):
+        hi = min(lo + block, n - 1)
+        # rows i in [lo, hi): compare against all j > i
+        seg = x[lo:hi]
+        diffs = x[np.newaxis, lo + 1:] - seg[:, np.newaxis]
+        # mask j <= i within the rectangle
+        jidx = np.arange(lo + 1, n)[np.newaxis, :]
+        iidx = np.arange(lo, hi)[:, np.newaxis]
+        valid = jidx > iidx
+        s += int(np.sign(diffs[valid]).sum())
+    return s
+
+
+def mann_kendall_report(x: np.ndarray) -> tuple:
+    """(S, tau, z): tau is the tie-adjusted tau-b denominator form
+    (Kendall 1975), z the normal approximation with the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the ±1
+    continuity correction; z = 0 when Var = 0 (all values tied)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n < 8:
+        raise ValueError(f"need n >= 8 points, got {n}")
+    s = mann_kendall_s(x)
+    _, counts = np.unique(x, return_counts=True)
+    t = counts[counts > 1].astype(np.int64)
+    n0 = n * (n - 1) // 2
+    tie_pairs = int((t * (t - 1) // 2).sum())
+    den = float(np.sqrt(float(n0) * float(n0 - tie_pairs)))
+    tau = float(s) / den if den > 0 else 0.0
+    var = (n * (n - 1) * (2 * n + 5)
+           - int((t * (t - 1) * (2 * t + 5)).sum())) / 18.0
+    if var <= 0:
+        return s, tau, 0.0
+    if s > 0:
+        z = (s - 1) / np.sqrt(var)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var)
+    else:
+        z = 0.0
+    return s, tau, float(z)
+
+
+def theil_sen_slope(x: np.ndarray, block: int = 256) -> float:
+    """Theil-Sen slope over (t, x_t): the median of all pairwise slopes
+    (x_j − x_i)/(j − i), i<j (Theil 1950, Sen 1968) — the classic
+    breakdown-point-0.29 robust alternative to OLS. Positions are the
+    regressor (unit spacing), so no dx=0 pairs exist. Blocked to bound
+    peak memory; the slopes ARE materialized once for the exact median
+    (n ≤ a few thousand per series here — ~n²/2 doubles, the same
+    budget as the matrix-profile kernels)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n < 2:
+        raise ValueError(f"need n >= 2 points, got {n}")
+    chunks = []
+    for lo in range(0, n - 1, block):
+        hi = min(lo + block, n - 1)
+        seg = x[lo:hi]
+        jidx = np.arange(lo + 1, n)[np.newaxis, :]
+        iidx = np.arange(lo, hi)[:, np.newaxis]
+        valid = jidx > iidx
+        dx = (jidx - iidx)[valid].astype(np.float64)
+        dy = (x[np.newaxis, lo + 1:] - seg[:, np.newaxis])[valid]
+        chunks.append(dy / dx)
+    return float(np.median(np.concatenate(chunks)))

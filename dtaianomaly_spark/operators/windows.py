@@ -641,3 +641,56 @@ def asap_report(arrays: DataFrame, max_frac: float = 0.1) -> DataFrame:
     return arrays.select(
         F.col("doc_id").cast("string").alias("doc_id"), "tokens"
     ).mapInPandas(run, schema)
+
+
+def robust_trend_report(arrays: DataFrame) -> DataFrame:
+    """Per-series ROBUST trend analytics — the nonparametric sibling of
+    :func:`trend_report` (OLS): Mann-Kendall S (integer-exact pairwise
+    concordance), tie-adjusted tau-b, the tie-corrected normal z, and
+    the Theil-Sen median-of-pairwise-slopes estimate. The pair answers
+    "is there a monotonic trend, and how steep, without believing in
+    Gaussian residuals" — the standard hydrology/climatology toolkit
+    (Mann 1945, Sen 1968) next to the OLS report's PromQL shape.
+
+    Rows-only (pairwise medians are not SQL-expressible at this
+    cardinality); kernels pinned in pytest against explicit O(n²)
+    loops; S is INTEGER-exact so the column doubles as a cheap
+    cross-engine invariant.
+
+    Scale shape: map-only Arrow pass (the one exchange is the
+    token-array rebuild); O(n²/block) memory-bounded pairwise blocks
+    per series — the same per-task budget as the matrix-profile
+    kernels, embarrassingly parallel across series."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("mk_s", LongType(), False),
+            StructField("mk_tau", DoubleType(), False),
+            StructField("mk_z", DoubleType(), False),
+            StructField("ts_slope", DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
+                x = np.asarray(tokens, dtype=np.float64)
+                s, tau, z = KW.mann_kendall_report(x)
+                slope = KW.theil_sen_slope(x)
+                out.append((doc_id, int(s), tau, z, slope))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_id", "mk_s", "mk_tau", "mk_z", "ts_slope"],
+                )
+
+    return arrays.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "tokens"
+    ).mapInPandas(run, schema)

@@ -223,6 +223,8 @@ EXCHANGE_BOUNDS = [
                                    # six-fold variance aggregate
     ("pp_asap", 2),                # token-array rebuild + corpus
                                    # repartition; grid search map-only
+    ("pp_robust_trend", 2),        # token-array rebuild + corpus
+                                   # repartition; pairwise blocks map-only
 ]
 
 

@@ -381,3 +381,41 @@ class TestAsap:
         x[25::50] = -100.0
         w, ok, sk, _, _ = W.asap_window(x, 0.25)
         assert sk >= ok  # the preservation constraint held
+
+
+class TestRobustTrend:
+    def test_matches_explicit_loops(self):
+        rng = np.random.default_rng(47)
+        for n, drift in ((60, 0.1), (157, -0.05), (100, 0.0)):
+            x = rng.normal(0, 1, n) + drift * np.arange(n)
+            x[::9] = np.round(x[::9])  # inject some exact ties
+            s_brute = sum(
+                int(np.sign(x[j] - x[i]))
+                for i in range(n) for j in range(i + 1, n)
+            )
+            assert W.mann_kendall_s(x, block=13) == s_brute
+            slopes = [
+                (x[j] - x[i]) / (j - i)
+                for i in range(n) for j in range(i + 1, n)
+            ]
+            assert W.theil_sen_slope(x, block=13) == pytest.approx(
+                float(np.median(slopes)), rel=1e-12
+            )
+
+    def test_report_analytics(self):
+        n = 64
+        up = np.arange(n, dtype=float) * 2 + 5
+        s, tau, z = W.mann_kendall_report(up)
+        assert s == n * (n - 1) // 2 and tau == 1.0 and z > 8
+        assert W.theil_sen_slope(up) == pytest.approx(2.0)
+        const = np.full(n, 3.0)
+        s, tau, z = W.mann_kendall_report(const)
+        assert s == 0 and tau == 0.0 and z == 0.0
+        assert W.theil_sen_slope(const) == 0.0
+        # tie-corrected variance: z with ties stays finite and sane
+        rng = np.random.default_rng(3)
+        tied = rng.integers(0, 4, 200).astype(float)
+        _, tau_t, z_t = W.mann_kendall_report(tied)
+        assert abs(tau_t) < 0.2 and abs(z_t) < 4
+        with pytest.raises(ValueError):
+            W.mann_kendall_report(np.ones(5))
