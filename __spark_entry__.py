@@ -1420,6 +1420,14 @@ def _q_ev_leadlag(spark, sf_dir):
     return EVT.leadlag_pairs(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_sliding_users(spark, sf_dir):
+    """Sliding 30-minute distinct-user count per active minute (exact
+    rolling NDV via dedup-first interval expansion)."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.sliding_distinct_users(EVT.load_events(spark, sf_dir))
+
+
 def _q_ev_funnel(spark, sf_dir):
     """Strict-order signup→click→purchase funnel: per-user MIN-after-
     previous-step chain, every join user_id-co-keyed, 1-row KPI."""
@@ -2684,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_counter_1h": _q_ev_counter_1h,
         "ev_time_weight": _q_ev_time_weight,
         "ev_leadlag": _q_ev_leadlag,
+        "ev_sliding_users": _q_ev_sliding_users,
         "ev_funnel": _q_ev_funnel,
         "ev_cohort": _q_ev_cohort,
         "ev_transitions": _q_ev_transitions,
@@ -4823,6 +4832,22 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_type, b_type
                            ORDER BY corr DESC, abs(lag), lag) = 1
 """
 
+    ev_sliding_users = """
+WITH pairs AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS m FROM events
+),
+active AS (SELECT DISTINCT m FROM pairs),
+fanned AS (
+    SELECT DISTINCT user_id, m + off AS t
+    FROM pairs, UNNEST(range(0, 30)) AS u(off)
+),
+kept AS (
+    SELECT t, user_id FROM fanned WHERE t IN (SELECT m FROM active)
+)
+SELECT t, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM kept GROUP BY t
+"""
+
     ev_funnel = """
 WITH ev AS (
     SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
@@ -5818,6 +5843,7 @@ FROM agg
         "ev_counter_1h": ev_counter_1h,
         "ev_time_weight": ev_time_weight,
         "ev_leadlag": ev_leadlag,
+        "ev_sliding_users": ev_sliding_users,
         "ev_funnel": ev_funnel,
         "ev_cohort": ev_cohort,
         "ev_transitions": ev_transitions,

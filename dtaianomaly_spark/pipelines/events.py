@@ -618,3 +618,52 @@ def type_transitions(events: DataFrame) -> DataFrame:
             F.expr("CAST(n_trans AS DOUBLE) / n_total").alias("frac"),
         )
     )
+
+
+def sliding_distinct_users(events: DataFrame, window_min: int = 30) -> DataFrame:
+    """Sliding-window distinct users: for every ACTIVE minute t, the
+    number of distinct users with any event in the trailing
+    ``window_min``-minute window (t − w + 1 .. t] — the live-audience /
+    rolling-MAU-style NDV query that grouped rollups cannot answer
+    (distinct does not sum across buckets).
+
+    Exact and oracle-checkable: the (user, minute) activity set is
+    deduplicated FIRST (the corpus-sized step — one hash aggregate over
+    pairs, a tiny fraction of raw events), each pair then fans out to
+    the ≤ w windows it can serve, the fan-out is deduplicated on
+    (window, user), and the per-window count is exact. Emitted windows
+    are restricted to minutes that actually have events (left-semi
+    against the distinct-minute set), so quiet gaps produce no rows.
+
+    Scale shape at 100 TB: the only corpus-sized stage is the first
+    dedup; everything after operates on |users|·|active minutes| pairs
+    × w fan-out with keyed hash aggregates — the standard interval-
+    expansion trade (w× more rows, zero self-joins). Window length is
+    the knob: the fan-out is linear in w, never quadratic."""
+    if window_min < 1:
+        raise ValueError(f"window_min must be >= 1, got {window_min}")
+    pairs = (
+        events.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000"
+            ).alias("m"),
+        )
+        .distinct()
+        # shared by the fan-out AND the active-minute set
+        .localCheckpoint(eager=False)
+    )
+    active = pairs.select("m").distinct()
+    fanned = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(m, m + {int(window_min) - 1})")
+            ).alias("t"),
+        )
+        .distinct()
+        .join(active.select(F.col("m").alias("t")), "t", "left_semi")
+    )
+    return fanned.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_users")
+    )

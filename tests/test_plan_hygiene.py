@@ -225,6 +225,8 @@ EXCHANGE_BOUNDS = [
                                    # repartition; grid search map-only
     ("pp_robust_trend", 2),        # token-array rebuild + corpus
                                    # repartition; pairwise blocks map-only
+    ("ev_sliding_users", 3),       # pair dedup + fan-out dedup + per-
+                                   # window count; active set broadcast
 ]
 
 
