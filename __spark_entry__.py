@@ -366,6 +366,14 @@ def _q_pp_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PP.classical_decompose(_spark_long_form(spark, sf_dir), 32)
 
 
+def _q_pp_seasonal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer p10/p50/p90 per (series, phase mod 32) — the
+    seasonal band analytic; ceil-rank selection, oracle bit-equal."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return PP.seasonal_bands(_spark_long_form(spark, sf_dir), 32)
+
+
 def _q_pp_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyndman trend/seasonal STRENGTH per series (F_T / F_S over the
     period-32 classical decomposition): population variances from
@@ -2647,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_robust_trend": _q_pp_robust_trend,
         "pp_decompose": _q_pp_decompose,
         "pp_strength": _q_pp_strength,
+        "pp_seasonal_bands": _q_pp_seasonal_bands,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,
         "tx_source_drift": _q_tx_source_drift,
@@ -3041,6 +3050,19 @@ sz AS (
 SELECT dt.doc_id, dt.pos, dt.value, dt.trend, sz.seasonal,
        CAST(dt.value AS DOUBLE) - dt.trend - sz.seasonal AS remainder
 FROM dt LEFT JOIN sz ON dt.doc_id = sz.doc_id AND dt.phase = sz.phase
+"""
+
+    pp_seasonal_bands = f"""
+{C.TOKEN_SQL_CTE}
+SELECT doc_id, pos % 32 AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(list_extract(list(value ORDER BY value),
+            CAST((1 * COUNT(*) + 9) // 10 AS INT)) AS BIGINT) AS p10,
+       CAST(list_extract(list(value ORDER BY value),
+            CAST((1 * COUNT(*) + 1) // 2 AS INT)) AS BIGINT) AS p50,
+       CAST(list_extract(list(value ORDER BY value),
+            CAST((9 * COUNT(*) + 9) // 10 AS INT)) AS BIGINT) AS p90
+FROM long_form GROUP BY doc_id, phase
 """
 
     _VAR = "({ss} / n_used - ({s} / n_used) * ({s} / n_used))"
@@ -5805,6 +5827,7 @@ FROM agg
         "pp_trend": pp_trend,
         "pp_decompose": decompose,
         "pp_strength": pp_strength,
+        "pp_seasonal_bands": pp_seasonal_bands,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,

@@ -572,3 +572,44 @@ def strength_report(
         F.expr(strength.format(num=v_r, den=v_ds)).alias("f_trend"),
         F.expr(strength.format(num=v_r, den=v_dt)).alias("f_seas"),
     )
+
+
+def seasonal_bands(
+    long_form: DataFrame, period: int,
+    quantiles: tuple = ((1, 10), (1, 2), (9, 10)),
+) -> DataFrame:
+    """Seasonal percentile bands: per series and phase p = pos % period,
+    the EXACT p10/p50/p90 of the integer values observed at that phase —
+    the band chart a seasonal-threshold detector alarms against ("this
+    minute-of-day is usually between a and b"). Quantile rule is the
+    engine's fixed ceil-rank convention (rank = ceil(q·n), 1-indexed
+    into the sorted values — integer arithmetic, no interpolation), so
+    every output is an int64 the oracle matches bit-for-bit.
+
+    Output: (doc_id, phase, n, p10, p50, p90).
+
+    Scale shape: ONE hash aggregate on (doc_id, phase) — the per-group
+    sorted array is bounded by series_length / period, and the phase
+    key fans the series' positions out across the cluster (finer
+    parallelism than per-series ops, same single exchange)."""
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    names = ("p10", "p50", "p90")
+    sel = [
+        F.expr(
+            f"element_at(arr, CAST(({num} * size(arr) + {den} - 1)"
+            f" DIV {den} AS INT))"
+        ).cast("long").alias(nm)
+        for nm, (num, den) in zip(names, quantiles)
+    ]
+    return (
+        long_form.groupBy(
+            "doc_id", F.expr(f"pos % {int(period)}").alias("phase")
+        )
+        .agg(F.expr("array_sort(collect_list(value))").alias("arr"))
+        .select(
+            "doc_id", "phase",
+            F.expr("CAST(size(arr) AS BIGINT)").alias("n"),
+            *sel,
+        )
+    )

@@ -227,6 +227,7 @@ EXCHANGE_BOUNDS = [
                                    # repartition; pairwise blocks map-only
     ("ev_sliding_users", 3),       # pair dedup + fan-out dedup + per-
                                    # window count; active set broadcast
+    ("pp_seasonal_bands", 1),      # ONE (doc_id, phase) hash aggregate
 ]
 
 
