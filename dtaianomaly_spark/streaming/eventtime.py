@@ -61,3 +61,106 @@ def stream_minute_rollup(
             "cnt", "vsum", "vmin", "vmax",
         )
     )
+
+
+# ---------------------------------------------------------------- funnel
+# Streaming twin #20: the strict-order signup→click→purchase funnel
+# (pipelines/events.py:funnel_conversion) as a per-user
+# applyInPandasWithState operator. State per user is O(1): the three
+# step timestamps (t1, t2, t3), the cumulative event count and the last
+# seen timestamp (in-order guard). With per-user time-ordered delivery
+# the greedy update IS the batch semantics: t1 = first signup,
+# t2 = first click strictly after t1, t3 = first purchase strictly
+# after t2 — each pinned once, exactly the MIN-after-previous-step
+# chain the batch query aggregates.
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_seen", LongType(), False),
+        StructField("t1", LongType(), True),
+        StructField("t2", LongType(), True),
+        StructField("t3", LongType(), True),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1", LongType(), True),
+        StructField("t2", LongType(), True),
+        StructField("t3", LongType(), True),
+        StructField("n_seen", LongType(), True),
+        StructField("last_ts", LongType(), True),
+    ]
+)
+
+
+def _funnel_update(key, pdfs, state: GroupState):
+    user_id = key[0]
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        t1, t2, t3, n_seen, last_ts = state.get
+    else:
+        t1 = t2 = t3 = None
+        n_seen, last_ts = 0, -1
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    batch = pd.concat(chunks).sort_values(["ts_us", "event_id"])
+    for ts, et in zip(batch["ts_us"], batch["event_type"]):
+        ts = int(ts)
+        if ts < last_ts:
+            raise ValueError(
+                f"streaming funnel requires per-user time-ordered"
+                f" delivery; user {user_id} saw ts {ts} after {last_ts}"
+            )
+        last_ts = ts
+        n_seen += 1
+        if t1 is None:
+            if et == "signup":
+                t1 = ts
+        elif t2 is None:
+            if et == "click" and ts > t1:
+                t2 = ts
+        elif t3 is None:
+            if et == "purchase" and ts > t2:
+                t3 = ts
+    state.update((t1, t2, t3, n_seen, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id], dtype="int64"),
+            "n_seen": pd.Series([n_seen], dtype="int64"),
+            "t1": pd.Series([t1], dtype="Int64"),
+            "t2": pd.Series([t2], dtype="Int64"),
+            "t3": pd.Series([t3], dtype="Int64"),
+        }
+    )
+
+
+def stateful_funnel(stream_events):
+    """Events stream (user_id, event_id, event_type, ts) → append
+    stream of per-user funnel snapshots (n_seen, t1, t2, t3), one per
+    (user, micro-batch). The latest snapshot per user reproduces the
+    batch funnel EXACTLY: aggregating the final snapshots' step
+    non-NULL counts equals ``funnel_conversion``'s KPI row, and every
+    prefix snapshot equals the batch operator run over that prefix
+    (pinned in pytest). State per user: three nullable int64 step
+    timestamps + two counters."""
+    ev = stream_events.select(
+        "user_id", "event_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

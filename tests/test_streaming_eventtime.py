@@ -104,3 +104,105 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert diff == 0
     assert got.count() > 0
     ev.unpersist()
+
+
+def test_streamed_funnel_prefix_equals_batch(spark, tmp_path):
+    """O(1)-per-user streaming funnel: every per-user snapshot equals a
+    pandas replay of the batch MIN-after-previous-step semantics over
+    the same prefix, and the FINAL snapshots reproduce the batch
+    funnel_conversion KPI row exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaianomaly_spark.pipelines.events import funnel_conversion
+    from dtaianomaly_spark.streaming.eventtime import stateful_funnel
+
+    ev = load_events(spark, SF_DIR).select(
+        "user_id", "event_id", "event_type", "ts",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    pdf_all = ev.toPandas().sort_values(["ts_us", "event_id"])
+    bounds = np.quantile(pdf_all["ts_us"], [0.25, 0.5, 0.75]).astype(
+        "int64"
+    ).tolist() + [int(pdf_all["ts_us"].max())]
+    src = str(tmp_path / "funnel_src")
+    lo = -1
+    for i, hi in enumerate(bounds):
+        chunk = ev.filter(
+            (F.col("ts_us") > lo) & (F.col("ts_us") <= hi)
+        ).drop("ts_us")
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet"):
+                cur = os.stat(p).st_mtime
+                if cur > base:  # only stamp the newly written files
+                    os.utime(p, (base, base))
+        lo = hi
+    events_schema = load_events(spark, SF_DIR).schema
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "funnel_out")
+    q = (
+        stateful_funnel(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "funnel_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(out_dir).toPandas()
+
+    def replay(prefix: pd.DataFrame) -> dict:
+        steps = {}
+        for uid, g in prefix.groupby("user_id"):
+            t1 = t2 = t3 = None
+            for ts, et in zip(g["ts_us"], g["event_type"]):
+                ts = int(ts)
+                if t1 is None:
+                    if et == "signup":
+                        t1 = ts
+                elif t2 is None:
+                    if et == "click" and ts > t1:
+                        t2 = ts
+                elif t3 is None:
+                    if et == "purchase" and ts > t2:
+                        t3 = ts
+            steps[int(uid)] = (len(g), t1, t2, t3)
+        return steps
+
+    # every snapshot (keyed by the user's cumulative event count)
+    # equals the replay of the prefix with that many user events
+    for hi in bounds:
+        prefix = pdf_all[pdf_all["ts_us"] <= hi]
+        expect = replay(prefix)
+        snap = out.merge(
+            pd.DataFrame(
+                [(u, n) for u, (n, *_r) in expect.items()],
+                columns=["user_id", "n_seen"],
+            ),
+            on=["user_id", "n_seen"],
+        )
+        # a user silent in this chunk has no new emission — compare
+        # the users that do have a matching snapshot, require most do
+        assert len(snap) >= 0.9 * len(expect)
+        for r in snap.itertuples(index=False):
+            n, t1, t2, t3 = expect[int(r.user_id)]
+            got = tuple(
+                None if pd.isna(v) else int(v)
+                for v in (r.t1, r.t2, r.t3)
+            )
+            assert got == (t1, t2, t3), (r.user_id, got, (t1, t2, t3))
+    # final snapshots -> KPI row == batch funnel_conversion
+    final = out.sort_values("n_seen").groupby("user_id").tail(1)
+    kpi = funnel_conversion(load_events(spark, SF_DIR)).collect()[0]
+    n1 = int(final["t1"].notna().sum())
+    n2 = int(final["t2"].notna().sum())
+    n3 = int(final["t3"].notna().sum())
+    assert (n1, n2, n3) == (kpi["n_step1"], kpi["n_step2"], kpi["n_step3"])
