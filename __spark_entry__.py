@@ -917,6 +917,15 @@ def _q_tx_fingerprint(spark, sf_dir):
     return TX.fingerprint(TX.load_docs(spark, sf_dir))
 
 
+def _q_ann_centroid_drift(spark, sf_dir):
+    """Per-label embedding-centroid cosine vs the corpus centroid:
+    exact int64 coordinate sums, idx-sorted double folds, one shared
+    cosine formula — the geometric drift monitor."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.centroid_drift(SIM.load_embeddings(spark, sf_dir))
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     from dtaianomaly_spark.pipelines import similarity as SIM
 
@@ -2684,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q19_disjunct": _q_rel_q19,
         "rel_q22_no_orders": _q_rel_q22,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_centroid_drift": _q_ann_centroid_drift,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
         "dd_semdedup": _q_dd_semdedup,
@@ -4593,6 +4603,41 @@ scored AS (
 
     _COS = "CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))"
 
+    ann_centroid_drift = """
+WITH qv AS (
+    SELECT label,
+           list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+    FROM embeddings
+),
+cells AS (
+    SELECT label, dd.d AS idx, CAST(SUM(q[CAST(dd.d AS INT)]) AS BIGINT) AS s
+    FROM qv, (SELECT unnest(range(1, 65)) AS d) dd
+    GROUP BY label, dd.d
+),
+gv AS (SELECT idx, CAST(SUM(s) AS BIGINT) AS g FROM cells GROUP BY idx),
+counts AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM qv GROUP BY label
+),
+pl AS (
+    SELECT label,
+           list_reduce(list(CAST(s AS DOUBLE) * CAST(g AS DOUBLE)
+               ORDER BY cells.idx), (a, b) -> a + b) AS dot_lg,
+           list_reduce(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               ORDER BY cells.idx), (a, b) -> a + b) AS dot_ll,
+           list_reduce(list(CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+               ORDER BY cells.idx), (a, b) -> a + b) AS dot_gg
+    FROM cells JOIN gv ON cells.idx = gv.idx
+    GROUP BY label
+)
+SELECT pl.label, n_vecs, dot_lg,
+       sqrt(dot_ll) AS norm_l, sqrt(dot_gg) AS norm_g,
+       CASE WHEN dot_ll > 0 AND dot_gg > 0
+            THEN dot_lg / (sqrt(dot_ll) * sqrt(dot_gg))
+            ELSE NULL END AS cos_centroid
+FROM pl JOIN counts ON pl.label = counts.label
+"""
+
     ann_cosine_topk = f"""
 WITH {_QV.lstrip()},
 qq AS (SELECT * FROM qn WHERE vec_id < 8),
@@ -5854,6 +5899,7 @@ FROM agg
         "rel_q19_disjunct": rel_q19_disjunct,
         "rel_q22_no_orders": rel_q22_no_orders,
         "ann_cosine_topk": ann_cosine_topk,
+        "ann_centroid_drift": ann_centroid_drift,
         "ann_srp_topk": ann_srp_topk,
         "dd_embed_neardup": dd_embed_neardup,
         "ev_sessionize": ev_sessionize,

@@ -1018,3 +1018,71 @@ def series_dtw_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "doc_id", "rank", "lb", "dtw")
     )
+
+
+def centroid_drift(emb: DataFrame) -> DataFrame:
+    """Per-label centroid drift: for each label, the cosine similarity
+    between the label's embedding centroid and the corpus-wide
+    centroid — the cluster-coherence / distribution-shift monitor on
+    the embedding side (the geometric sibling of tx_source_drift's
+    vocabulary chi-square). Cosine is scale-invariant, so centroids
+    are represented by their quantized SUM vectors: every coordinate
+    sum is exact int64 (``QUANT_EXPR``), the three dot products are
+    computed as deterministic idx-sorted folds of per-coordinate
+    products in DOUBLE (the products may exceed int64 at corpus
+    scale), and the one cosine formula is shared with the oracle
+    bit-for-bit.
+
+    Output: (label, n_vecs, dot_lg, norm_l, norm_g, cos_centroid).
+
+    Scale shape: ONE (label, idx) hash aggregate over the exploded
+    coordinates (map-side combined — the only corpus-sized stage),
+    then label-level folds over d-length arrays; the global vector
+    derives from the same cells (checkpointed, not re-scanned) and
+    broadcasts as one row."""
+    cells = (
+        emb.select(
+            "label", F.posexplode(F.expr(QUANT_EXPR)).alias("idx", "qe")
+        )
+        .groupBy("label", "idx")
+        .agg(F.sum("qe").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    counts = emb.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs")
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(idx, {t}))),"
+        " s -> {expr}), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    glob = (
+        cells.groupBy("idx").agg(F.sum("s").alias("g"))
+    )
+    per_label = (
+        cells.join(F.broadcast(glob), "idx")
+        .groupBy("label")
+        .agg(
+            F.expr(fold.format(
+                t="CAST(s AS DOUBLE) * CAST(g AS DOUBLE) AS v",
+                expr="s.v",
+            )).alias("dot_lg"),
+            F.expr(fold.format(
+                t="CAST(s AS DOUBLE) * CAST(s AS DOUBLE) AS v",
+                expr="s.v",
+            )).alias("dot_ll"),
+            F.expr(fold.format(
+                t="CAST(g AS DOUBLE) * CAST(g AS DOUBLE) AS v",
+                expr="s.v",
+            )).alias("dot_gg"),
+        )
+    )
+    return per_label.join(F.broadcast(counts), "label").select(
+        "label", "n_vecs", "dot_lg",
+        F.expr("sqrt(dot_ll)").alias("norm_l"),
+        F.expr("sqrt(dot_gg)").alias("norm_g"),
+        F.expr(
+            "CASE WHEN dot_ll > 0 AND dot_gg > 0"
+            " THEN dot_lg / (sqrt(dot_ll) * sqrt(dot_gg))"
+            " ELSE NULL END"
+        ).alias("cos_centroid"),
+    )

@@ -228,6 +228,8 @@ EXCHANGE_BOUNDS = [
     ("ev_sliding_users", 3),       # pair dedup + fan-out dedup + per-
                                    # window count; active set broadcast
     ("pp_seasonal_bands", 1),      # ONE (doc_id, phase) hash aggregate
+    ("ann_centroid_drift", 6),     # (label,idx) cells + global + label
+                                   # folds + counts; joins broadcast
 ]
 
 
