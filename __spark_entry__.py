@@ -926,6 +926,15 @@ def _q_ann_centroid_drift(spark, sf_dir):
     return SIM.centroid_drift(SIM.load_embeddings(spark, sf_dir))
 
 
+def _q_ann_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per embedding label:
+    exact integer dots, shared double distance formula, idx-sorted
+    mean fold — clustering-quality report, oracle bit-equal."""
+    from dtaianomaly_spark.pipelines import similarity as SIM
+
+    return SIM.label_silhouette(SIM.load_embeddings(spark, sf_dir))
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     from dtaianomaly_spark.pipelines import similarity as SIM
 
@@ -2694,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q22_no_orders": _q_rel_q22,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_centroid_drift": _q_ann_centroid_drift,
+        "ann_silhouette": _q_ann_silhouette,
         "ann_srp_topk": _q_ann_srp_topk,
         "dd_embed_neardup": _q_dd_embed_neardup,
         "dd_semdedup": _q_dd_semdedup,
@@ -4638,6 +4648,60 @@ SELECT pl.label, n_vecs, dot_lg,
 FROM pl JOIN counts ON pl.label = counts.label
 """
 
+    ann_silhouette = """
+WITH qv AS (
+    SELECT vec_id, label,
+           list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 10000) AS BIGINT)) AS q
+    FROM embeddings
+),
+coords AS (
+    SELECT vec_id, label AS own, dd.d AS idx, q[CAST(dd.d AS INT)] AS xq
+    FROM qv, (SELECT unnest(range(1, 65)) AS d) dd
+),
+cells AS (
+    SELECT label, dd.d AS idx, CAST(SUM(q[CAST(dd.d AS INT)]) AS BIGINT) AS s
+    FROM qv, (SELECT unnest(range(1, 65)) AS d) dd
+    GROUP BY label, dd.d
+),
+lstats AS (SELECT label, CAST(SUM(s * s) AS BIGINT) AS ss FROM cells GROUP BY label),
+ln AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM qv GROUP BY label),
+xx AS (
+    SELECT vec_id, own, CAST(SUM(xq * xq) AS BIGINT) AS xx
+    FROM coords GROUP BY vec_id, own
+),
+dots AS (
+    SELECT vec_id, own, cells.label AS label, CAST(SUM(xq * s) AS BIGINT) AS dot
+    FROM coords JOIN cells ON coords.idx = cells.idx
+    GROUP BY vec_id, own, cells.label
+),
+dist AS (
+    SELECT vec_id, own, dots.label,
+           CAST(xx AS DOUBLE) - 2 * CAST(dot AS DOUBLE) / n
+               + CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS d2
+    FROM dots
+    JOIN lstats ON dots.label = lstats.label
+    JOIN ln ON dots.label = ln.label
+    JOIN xx USING (vec_id, own)
+),
+ab AS (
+    SELECT vec_id, own,
+           MIN(CASE WHEN label = own THEN d2 END) AS a,
+           MIN(CASE WHEN label != own THEN d2 END) AS b
+    FROM dist GROUP BY vec_id, own
+),
+sil AS (
+    SELECT vec_id, own,
+           CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+                ELSE CAST(0 AS DOUBLE) END AS sil
+    FROM ab
+)
+SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       list_reduce(list(sil ORDER BY vec_id), (a, b) -> a + b)
+           / COUNT(*) AS mean_sil
+FROM sil GROUP BY own
+"""
+
     ann_cosine_topk = f"""
 WITH {_QV.lstrip()},
 qq AS (SELECT * FROM qn WHERE vec_id < 8),
@@ -5900,6 +5964,7 @@ FROM agg
         "rel_q22_no_orders": rel_q22_no_orders,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_centroid_drift": ann_centroid_drift,
+        "ann_silhouette": ann_silhouette,
         "ann_srp_topk": ann_srp_topk,
         "dd_embed_neardup": dd_embed_neardup,
         "ev_sessionize": ev_sessionize,

@@ -1086,3 +1086,100 @@ def centroid_drift(emb: DataFrame) -> DataFrame:
             " ELSE NULL END"
         ).alias("cos_centroid"),
     )
+
+
+def label_silhouette(emb: DataFrame) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label — the
+    clustering-quality report over the embedding labels: for each
+    vector, a = squared distance to its OWN label centroid, b = the
+    minimum squared distance to any OTHER label centroid, and the
+    silhouette s = (b − a) / max(a, b); the report is each label's
+    mean silhouette. The centroid form (Hruschka et al.'s simplified
+    silhouette) replaces the O(n²) pairwise original with per-centroid
+    distances — the variant that scales, and the one whose arithmetic
+    can stay exact: with centroid c_j = s_j / n_j,
+
+        dist²(x, j) = x·x − 2·(x·s_j)/n_j + (s_j·s_j)/n_j²
+
+    where x·x, x·s_j and s_j·s_j are EXACT int64 dots of quantized
+    vectors; the double formula above is shared with the oracle term
+    by term, so every distance — and therefore every min, every
+    silhouette and every idx-sorted mean fold — reproduces
+    bit-for-bit.
+
+    Output: (label, n_vecs, mean_sil).
+
+    Scale shape: the only corpus-sized SHUFFLE is the (label, idx)
+    centroid aggregate; scoring is a map-side pass — the ≤ |labels|
+    centroid-array table broadcasts, each vector computes its
+    |labels| exact integer dots inside the row via zip_with folds
+    (integer addition is order-free, so no sorted fold is needed
+    there), and only the |vecs|·1 silhouette rows and the final
+    label fold shuffle. No vector ever meets another vector."""
+    qv = emb.select(
+        "vec_id", "label", F.expr(QUANT_EXPR).alias("q")
+    )
+    cells = (
+        qv.select("label", F.posexplode("q").alias("idx", "qe"))
+        .groupBy("label", "idx")
+        .agg(F.sum("qe").alias("s"))
+    )
+    cent = (
+        cells.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, s))),"
+                " t -> t.s)"
+            ).alias("sv"),
+            F.sum(F.expr("s * s")).alias("ss"),
+        )
+        .join(
+            qv.groupBy("label").agg(
+                F.count("*").cast("long").alias("n")
+            ),
+            "label",
+        )
+        .select(
+            F.col("label").alias("clabel"), "sv", "ss", "n"
+        )
+    )
+    scored = (
+        qv.join(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "clabel", "ss", "n",
+            F.expr(
+                "aggregate(zip_with(q, sv, (x, y) -> x * y),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(transform(q, x -> x * x),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ).alias("xx"),
+        )
+        .select(
+            "vec_id", "label", "clabel",
+            F.expr(
+                "CAST(xx AS DOUBLE) - 2 * CAST(dot AS DOUBLE) / n"
+                " + CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * n)"
+            ).alias("d2"),
+        )
+    )
+    ab = scored.groupBy("vec_id", F.col("label").alias("own")).agg(
+        F.min(F.expr("CASE WHEN clabel = label THEN d2 END")).alias("a"),
+        F.min(F.expr("CASE WHEN clabel != label THEN d2 END")).alias("b"),
+    )
+    sil = ab.select(
+        "vec_id", "own",
+        F.expr(
+            "CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)"
+            " ELSE CAST(0 AS DOUBLE) END"
+        ).alias("sil"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(vec_id,"
+        " sil))), s -> s.sil), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    return sil.groupBy(F.col("own").alias("label")).agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.expr(f"{fold} / count(*)").alias("mean_sil"),
+    )

@@ -230,6 +230,9 @@ EXCHANGE_BOUNDS = [
     ("pp_seasonal_bands", 1),      # ONE (doc_id, phase) hash aggregate
     ("ann_centroid_drift", 6),     # (label,idx) cells + global + label
                                    # folds + counts; joins broadcast
+    ("ann_silhouette", 5),         # centroid cells + label arrays +
+                                   # counts + per-vec min + label fold;
+                                   # scoring is a broadcast map pass
 ]
 
 
