@@ -1127,6 +1127,14 @@ def _q_rel_q22(spark, sf_dir):
     )
 
 
+def _q_tx_novelty_curve(spark, sf_dir):
+    """Per-doc fraction of 8-gram shingles unseen in earlier docs —
+    the marginal-novelty curation signal; inverted-index shape."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.novelty_curve(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_dup_ngram_rate(spark, sf_dir):
     """Per-doc duplicate-8-gram fraction (substring-dedup signal)."""
     from dtaianomaly_spark.pipelines import text as TX
@@ -1444,6 +1452,14 @@ def _q_ev_leadlag(spark, sf_dir):
     from dtaianomaly_spark.pipelines import events as EVT
 
     return EVT.leadlag_pairs(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_interarrival(spark, sf_dir):
+    """Exact per-type inter-arrival stats: integer-microsecond gaps,
+    ceil-rank p50/p90/p99, shared-float mean — oracle bit-equal."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.interarrival_stats(EVT.load_events(spark, sf_dir))
 
 
 def _q_ev_sliding_users(spark, sf_dir):
@@ -2647,6 +2663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_token_count": _q_tx_token_count,
         "tx_fingerprint": _q_tx_fingerprint,
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
+        "tx_novelty_curve": _q_tx_novelty_curve,
         "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_substring_spans": _q_tx_substring_spans,
         "tx_bigram_fluency": _q_tx_bigram_fluency,
@@ -2722,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_time_weight": _q_ev_time_weight,
         "ev_leadlag": _q_ev_leadlag,
         "ev_sliding_users": _q_ev_sliding_users,
+        "ev_interarrival": _q_ev_interarrival,
         "ev_funnel": _q_ev_funnel,
         "ev_cohort": _q_ev_cohort,
         "ev_transitions": _q_ev_transitions,
@@ -3623,6 +3641,21 @@ sig AS (
     FROM shr, LATERAL (SELECT UNNEST(range(0, 16)) AS seed) sd
     GROUP BY doc_id, sd.seed
 )"""
+
+    tx_novelty_curve = f"""
+WITH {_SHINGLES_LONG.lstrip()},
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+per AS (
+    SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc < sh.doc_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_prior
+    FROM sh JOIN first ON sh.s = first.s
+    GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_prior,
+       1 - CAST(n_prior AS DOUBLE) / n_shingles AS novelty
+FROM per
+"""
 
     dd_exact = """
 SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id,
@@ -4963,6 +4996,30 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_type, b_type
                            ORDER BY corr DESC, abs(lag), lag) = 1
 """
 
+    ev_interarrival = """
+WITH g AS (
+    SELECT event_type,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+           ) AS gap
+    FROM events
+),
+k AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+a AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+           list(gap ORDER BY gap) AS arr
+    FROM k GROUP BY event_type
+)
+SELECT event_type, n_gaps, sum_gap_us,
+       CAST(list_extract(arr, CAST((1 * n_gaps + 1) // 2 AS INT)) AS BIGINT) AS p50_us,
+       CAST(list_extract(arr, CAST((9 * n_gaps + 9) // 10 AS INT)) AS BIGINT) AS p90_us,
+       CAST(list_extract(arr, CAST((99 * n_gaps + 99) // 100 AS INT)) AS BIGINT) AS p99_us,
+       CAST(sum_gap_us AS DOUBLE) / n_gaps AS mean_us
+FROM a
+"""
+
     ev_sliding_users = """
 WITH pairs AS (
     SELECT DISTINCT user_id, epoch_us(ts) // 60000000 AS m FROM events
@@ -5925,6 +5982,7 @@ FROM agg
         "tx_token_count": tx_token_count,
         "tx_fingerprint": tx_fingerprint,
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
+        "tx_novelty_curve": tx_novelty_curve,
         "tx_substring_dedup": tx_substring_dedup,
         "tx_substring_spans": tx_substring_spans,
         "tx_bigram_fluency": tx_bigram_fluency,
@@ -5978,6 +6036,7 @@ FROM agg
         "ev_time_weight": ev_time_weight,
         "ev_leadlag": ev_leadlag,
         "ev_sliding_users": ev_sliding_users,
+        "ev_interarrival": ev_interarrival,
         "ev_funnel": ev_funnel,
         "ev_cohort": ev_cohort,
         "ev_transitions": ev_transitions,

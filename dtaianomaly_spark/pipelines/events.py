@@ -667,3 +667,55 @@ def sliding_distinct_users(events: DataFrame, window_min: int = 30) -> DataFrame
     return fanned.groupBy("t").agg(
         F.count("*").cast("long").alias("n_users")
     )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Exact inter-arrival-time statistics per event type: consecutive
+    event gaps in integer microseconds (one lag window on the
+    event-type partitioning), then exact p50/p90/p99 via the engine's
+    ceil-rank sorted-array selection plus the exact integer mean parts
+    — the operational latency/burstiness report (the events-table twin
+    of the token tiers' quantile summaries, but exact).
+
+    Output: (event_type, n_gaps, sum_gap_us, p50_us, p90_us, p99_us,
+    mean_us) — integers except the one shared-float mean.
+
+    Scale shape: ONE event_type hash partitioning shared by the lag
+    window and the aggregate; per-type sorted arrays are bounded by
+    the type's event count — at 100 TB swap the exact tail for the
+    qsummary tier; this operator is the exact-tier member."""
+    gaps = events.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        "event_id",
+    ).withColumn(
+        "gap",
+        F.expr(
+            "ts_us - lag(ts_us) OVER (PARTITION BY event_type"
+            " ORDER BY ts_us, event_id)"
+        ),
+    ).filter(F.col("gap").isNotNull())
+    sel = {
+        "p50_us": (1, 2), "p90_us": (9, 10), "p99_us": (99, 100),
+    }
+    cols = [
+        F.expr(
+            f"CAST(element_at(arr, CAST(({num} * size(arr) + {den} - 1)"
+            f" DIV {den} AS INT)) AS BIGINT)"
+        ).alias(nm)
+        for nm, (num, den) in sel.items()
+    ]
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sum_gap_us"),
+            F.expr("array_sort(collect_list(gap))").alias("arr"),
+        )
+        .select(
+            "event_type", "n_gaps", "sum_gap_us", *cols,
+            F.expr(
+                "CAST(sum_gap_us AS DOUBLE) / n_gaps"
+            ).alias("mean_us"),
+        )
+    )

@@ -2178,3 +2178,43 @@ def mix_plan(
             ).alias("capped"),
         )
     )
+
+
+def novelty_curve(docs: DataFrame) -> DataFrame:
+    """Corpus novelty curve: per document (in doc_id ingestion order),
+    the fraction of its DISTINCT 8-gram shingles never seen in any
+    EARLIER document — the marginal-novelty signal behind "is this
+    snapshot still adding new content" curation decisions (the
+    per-doc form of the vocabulary-growth ladder, at shingle
+    granularity). Exact integer counts + one shared float formula.
+
+    Output: (doc_id, n_shingles, n_prior, novelty).
+
+    Scale shape: the standard inverted-index pair — a gram-keyed
+    MIN(doc_id) aggregate (map-side combined) joined back to the
+    per-doc gram stream, then a doc-keyed rollup; the gram text never
+    shuffles (int64 hashes), no pairwise joins anywhere. The MIN is
+    order-free, so 'earlier' needs no global sort — ingestion order
+    IS the doc_id order."""
+    all_long = doc_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    first = all_long.groupBy("s").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per = (
+        all_long.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.expr("CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END")
+            ).cast("long").alias("n_prior"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_shingles", "n_prior",
+        F.expr(
+            "1 - CAST(n_prior AS DOUBLE) / n_shingles"
+        ).alias("novelty"),
+    )

@@ -233,6 +233,10 @@ EXCHANGE_BOUNDS = [
     ("ann_silhouette", 5),         # centroid cells + label arrays +
                                    # counts + per-vec min + label fold;
                                    # scoring is a broadcast map pass
+    ("ev_interarrival", 1),        # lag window + per-type agg share
+                                   # one event_type partitioning
+    ("tx_novelty_curve", 4),       # gram MIN(doc) agg + index join +
+                                   # per-doc rollup (inverted index)
 ]
 
 
