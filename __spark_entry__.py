@@ -1043,6 +1043,14 @@ def _q_rel_q18(spark, sf_dir):
     )
 
 
+def _q_rel_month_share(spark, sf_dir):
+    """Running + year-window revenue per (month, status): cumulative
+    frame over the bounded month grid, exact cents, shared ratios."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.running_month_share(R.load(spark, sf_dir, "orders"))
+
+
 def _q_rel_q6(spark, sf_dir):
     """TPC-H Q6-shape forecast revenue change (pure pushdown scan-agg:
     date/discount/quantity predicates all reach the parquet reader)."""
@@ -2711,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q10_returns": _q_rel_q10,
         "rel_q18_volume": _q_rel_q18,
         "rel_q6_forecast": _q_rel_q6,
+        "rel_month_share": _q_rel_month_share,
         "rel_q4_priority": _q_rel_q4,
         "rel_q8_share": _q_rel_q8,
         "rel_q14_promo": _q_rel_q14,
@@ -4471,6 +4480,26 @@ SELECT month, o_orderstatus, n_orders, sum_price,
 FROM g
 """
 
+    rel_month_share = """
+WITH g AS (
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS month,
+           o_orderstatus,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY month, o_orderstatus
+)
+SELECT month, o_orderstatus, rev, n_orders,
+       CAST(SUM(rev) OVER (PARTITION BY o_orderstatus ORDER BY month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_rev,
+       CAST(SUM(rev) OVER (PARTITION BY o_orderstatus, month // 100)
+           AS BIGINT) AS year_rev,
+       CAST(rev AS DOUBLE)
+           / SUM(rev) OVER (PARTITION BY o_orderstatus, month // 100)
+           AS share_of_year
+FROM g
+"""
+
     rel_q6_forecast = """
 SELECT CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)
                 * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue,
@@ -6013,6 +6042,7 @@ FROM agg
         "rel_q10_returns": rel_q10_returns,
         "rel_q18_volume": rel_q18_volume,
         "rel_q6_forecast": rel_q6_forecast,
+        "rel_month_share": rel_month_share,
         "rel_q4_priority": rel_q4_priority,
         "rel_q8_share": rel_q8_share,
         "rel_q14_promo": rel_q14_promo,

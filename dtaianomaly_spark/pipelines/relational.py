@@ -584,3 +584,42 @@ def q22_no_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
             "CAST(totacctbal_cents AS DOUBLE) / numcust"
         ).alias("avg_acctbal_cents"),
     )
+
+
+def running_month_share(orders: DataFrame) -> DataFrame:
+    """Cumulative-window analytics over the month rollup: per order
+    status, the month's exact revenue cents, the RUNNING cumulative
+    revenue since the start of history (an unbounded-preceding window
+    over the bounded month grid), and the month's share of its
+    calendar year — the year-to-date dashboard shape the suite's other
+    relational queries don't exercise (cumulative frame + two-level
+    ratio). All sums exact int64; the two ratios shared float
+    formulas.
+
+    Scale shape: ONE hash aggregate over orders to the (month, status)
+    grid (map-side combined — months × statuses is bounded), then
+    windows/joins on that tiny grid only."""
+    g = orders.groupBy(
+        F.expr(
+            "CAST(date_format(CAST(o_orderdate AS TIMESTAMP), 'yyyyMM')"
+            " AS BIGINT)"
+        ).alias("month"),
+        "o_orderstatus",
+    ).agg(
+        F.sum(F.expr(_CENTS.format(col="o_totalprice"))).alias("rev"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w_run = (
+        Window.partitionBy("o_orderstatus").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_year = Window.partitionBy("o_orderstatus", F.expr("month DIV 100"))
+    return g.select(
+        "month", "o_orderstatus", "rev", "n_orders",
+        F.sum("rev").over(w_run).alias("run_rev"),
+        F.sum("rev").over(w_year).alias("year_rev"),
+    ).select(
+        "month", "o_orderstatus", "rev", "n_orders", "run_rev",
+        "year_rev",
+        F.expr("CAST(rev AS DOUBLE) / year_rev").alias("share_of_year"),
+    )

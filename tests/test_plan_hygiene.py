@@ -237,6 +237,8 @@ EXCHANGE_BOUNDS = [
                                    # one event_type partitioning
     ("tx_novelty_curve", 4),       # gram MIN(doc) agg + index join +
                                    # per-doc rollup (inverted index)
+    ("rel_month_share", 2),        # month-grid agg + one status
+                                   # partitioning for both windows
 ]
 
 
