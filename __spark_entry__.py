@@ -1691,6 +1691,18 @@ def _q_mm_wav_stats(spark, sf_dir):
     )
 
 
+def _q_mm_wav_spectral(spark, sf_dir):
+    """Channel-0 spectral features over decoded WAV clips (dominant
+    bin, centroid, 85% rolloff, spectral entropy) via the shared
+    periodogram kernel. Rows-only; assembly pinned by NumPy replay."""
+    from dtaianomaly_spark.pipelines import audio as AU
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return AU.wav_spectral_decoded(
+        AU.with_wav_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
 def _q_mm_wav_energy(spark, sf_dir):
     """Framed short-time energy over decoded WAV clips (the zeroth
     MFCC/VAD stage): 16-sample non-overlapping frames, exact integer
@@ -2763,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_jpeg_stats": _q_mm_jpeg_stats,
         "mm_wav_stats": _q_mm_wav_stats,
         "mm_wav_energy": _q_mm_wav_energy,
+        "mm_wav_spectral": _q_mm_wav_spectral,
         "mm_avi_stats": _q_mm_avi_stats,
         "mm_avi_motion": _q_mm_avi_motion,
         "mm_wav_zcr": _q_mm_wav_zcr,

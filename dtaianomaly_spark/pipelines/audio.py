@@ -30,7 +30,9 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StructField, StructType,
+)
 
 # ---------------------------------------------------------- WAV codec
 # RIFF/WAVE layout: 12-byte RIFF header ("RIFF", riff_size, "WAVE"),
@@ -303,4 +305,61 @@ def frame_energy_decoded(payloads: DataFrame, frame_len: int = 16) -> DataFrame:
 
     return payloads.select("doc_id", "payload").mapInPandas(
         run, FRAME_ENERGY_SCHEMA
+    )
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("dom_k", LongType(), False),
+        StructField("dom_freq", DoubleType(), False),
+        StructField("centroid_hz", DoubleType(), False),
+        StructField("rolloff_hz", DoubleType(), False),
+        StructField("spec_entropy", DoubleType(), True),
+    ]
+)
+
+
+def wav_spectral_decoded(payloads: DataFrame) -> DataFrame:
+    """DECODE each WAV payload and emit channel-0 spectral features —
+    the audio-curation sibling of pp_periodogram: dominant frequency
+    bin (ties to the longer period, as spectral_peaks), spectral
+    centroid (power-weighted mean frequency), 85% spectral rolloff
+    and normalized spectral entropy, all from the shared
+    ``kernels.windowing.periodogram``. Map-only Arrow pass; payload
+    bytes never shuffle. Rows-only: the FFT kernel is pinned in
+    test_windowing_kernels against a naive DFT; this operator's
+    assembly is pinned by a direct NumPy replay in test_pipelines."""
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_audio(bytes(payload))
+                x = samples[:, 0].astype(np.float64)
+                n = x.shape[0]
+                p = KW.periodogram(x)
+                total = float(p.sum())
+                if total <= 0.0:
+                    out.append((int(doc_id), n, rate, 0, 0.0, 0.0, 0.0,
+                                None))
+                    continue
+                dom = int(KW.spectral_peaks(p, 1)[0]) + 1
+                ks = np.arange(1, p.shape[0] + 1, dtype=np.float64)
+                hz = rate / float(n)
+                centroid = float((ks * p).sum()) / total * hz
+                cum = np.cumsum(p)
+                roll_k = int(np.searchsorted(cum, 0.85 * total)) + 1
+                out.append((
+                    int(doc_id), n, rate, dom, dom * hz, centroid,
+                    roll_k * hz, KW.spectral_entropy(p),
+                ))
+            if out:
+                yield pd.DataFrame(out, columns=SPECTRAL_SCHEMA.names)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, SPECTRAL_SCHEMA
     )

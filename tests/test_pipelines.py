@@ -1828,3 +1828,32 @@ def test_series_corr_pairs_exact_pearson_and_recall(spark):
     assert len(got) / len(true_pairs) > 0.5, (len(got), len(true_pairs))
     with pytest.raises(ValueError, match="n_buckets"):
         series_corr_pairs(lf, n_buckets=1)
+
+
+def test_wav_spectral_matches_numpy_replay(spark):
+    """mm_wav_spectral's assembly == a direct NumPy replay of the
+    decode → periodogram → centroid/rolloff/entropy chain."""
+    import numpy as np
+
+    from dtaianomaly_spark.kernels import windowing as KW
+    from dtaianomaly_spark.pipelines import audio as AU
+    from dtaianomaly_spark.pipelines import text as TX
+
+    docs = TX.load_docs(spark, "/root/testdata/sf0.001").limit(24)
+    out = AU.wav_spectral_decoded(AU.with_wav_payload(docs)).collect()
+    assert len(out) == 24
+    for r in out:
+        d = int(r["doc_id"])
+        n, ch, rate = AU._audio_dims(d)
+        x = AU._audio_clip(d, n, ch)[:, 0].astype(np.float64)
+        p = KW.periodogram(x)
+        total = float(p.sum())
+        assert r["n_samples"] == n and r["sample_rate"] == rate
+        dom = int(KW.spectral_peaks(p, 1)[0]) + 1
+        assert r["dom_k"] == dom
+        hz = rate / float(n)
+        ks = np.arange(1, p.shape[0] + 1, dtype=np.float64)
+        assert r["centroid_hz"] == float((ks * p).sum()) / total * hz
+        roll_k = int(np.searchsorted(np.cumsum(p), 0.85 * total)) + 1
+        assert r["rolloff_hz"] == roll_k * hz
+        assert r["spec_entropy"] == KW.spectral_entropy(p)

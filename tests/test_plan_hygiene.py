@@ -239,6 +239,7 @@ EXCHANGE_BOUNDS = [
                                    # per-doc rollup (inverted index)
     ("rel_month_share", 2),        # month-grid agg + one status
                                    # partitioning for both windows
+    ("mm_wav_spectral", 1),        # map-only Arrow decode+FFT
 ]
 
 
