@@ -1135,6 +1135,15 @@ def _q_rel_q22(spark, sf_dir):
     )
 
 
+def _q_tx_lz_complexity(spark, sf_dir):
+    """LZ78 phrase-count compressibility per doc — the structural
+    quality signal (boilerplate compresses, prose doesn't). Rows-only;
+    kernel pinned on closed-form and ordering cases."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.lz_complexity(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_novelty_curve(spark, sf_dir):
     """Per-doc fraction of 8-gram shingles unseen in earlier docs —
     the marginal-novelty curation signal; inverted-index shape."""
@@ -2684,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_fingerprint": _q_tx_fingerprint,
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_novelty_curve": _q_tx_novelty_curve,
+        "tx_lz_complexity": _q_tx_lz_complexity,
         "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_substring_spans": _q_tx_substring_spans,
         "tx_bigram_fluency": _q_tx_bigram_fluency,

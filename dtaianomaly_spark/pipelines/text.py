@@ -2218,3 +2218,76 @@ def novelty_curve(docs: DataFrame) -> DataFrame:
             "1 - CAST(n_prior AS DOUBLE) / n_shingles"
         ).alias("novelty"),
     )
+
+
+def _lz78_phrases(s: str) -> int:
+    """LZ78 phrase count (Lempel & Ziv 1978): greedily split ``s`` into
+    phrases, each = longest already-seen phrase + one new char. The
+    count is the classic compressibility measure — low for repetitive
+    text, ~n/log n for incompressible text."""
+    seen: set = set()
+    count = 0
+    cur = ""
+    for ch in s:
+        cur += ch
+        if cur not in seen:
+            seen.add(cur)
+            count += 1
+            cur = ""
+    if cur:
+        count += 1  # ragged final phrase (already seen)
+    return count
+
+
+def lz_complexity(docs: DataFrame) -> DataFrame:
+    """Per-document LZ78 compressibility report: phrase count and the
+    normalized complexity n_phrases / n_chars — the "gzip-ability"
+    quality signal (boilerplate and templated spam compress far better
+    than natural prose; near-random noise compresses worse). The
+    curation-filter sibling of tx_quality's surface ratios and
+    tx_char_rarity's distributional score, measuring STRUCTURE rather
+    than composition.
+
+    Output: (doc_id, n_chars, n_phrases, lz_ratio).
+
+    Rows-only (the greedy dictionary parse is inherently sequential
+    per document); the kernel is pinned in pytest on closed-form
+    cases (the all-same-char string yields the triangular-number
+    phrase count) and on the repetitive < prose < noise ordering.
+
+    Scale shape: map-only Arrow pass over (doc_id, text) — O(n)
+    phrases per doc with a per-doc hash dictionary, embarrassingly
+    parallel, zero shuffle beyond the scan."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_chars", LongType(), False),
+            StructField("n_phrases", LongType(), False),
+            StructField("lz_ratio", DoubleType(), True),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                np_ = _lz78_phrases(t)
+                n = len(t)
+                out.append((
+                    int(doc_id), n, np_,
+                    (np_ / n) if n else None,
+                ))
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=["doc_id", "n_chars", "n_phrases", "lz_ratio"],
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema)

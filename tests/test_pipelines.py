@@ -1857,3 +1857,28 @@ def test_wav_spectral_matches_numpy_replay(spark):
         roll_k = int(np.searchsorted(np.cumsum(p), 0.85 * total)) + 1
         assert r["rolloff_hz"] == roll_k * hz
         assert r["spec_entropy"] == KW.spectral_entropy(p)
+
+
+def test_lz78_kernel_closed_forms_and_ordering(spark):
+    from dtaianomaly_spark.pipelines.text import _lz78_phrases, lz_complexity
+
+    # all-same-char: phrases a, aa, aaa ... triangular closure
+    for k in (1, 3, 6):
+        n = k * (k + 1) // 2
+        assert _lz78_phrases("a" * n) == k
+    assert _lz78_phrases("a" * 7) == 4  # 1+2+3 then ragged "a"
+    assert _lz78_phrases("") == 0
+    assert _lz78_phrases("abcd") == 4  # all-new single chars
+    # repetitive < prose-ish < near-random per-char complexity
+    import numpy as np
+    rng = np.random.default_rng(11)
+    rep = "the cat sat " * 60
+    rand = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, len(rep)))
+    assert _lz78_phrases(rep) / len(rep) < _lz78_phrases(rand) / len(rand)
+    # operator end-to-end over real docs
+    from dtaianomaly_spark.pipelines.text import load_docs
+
+    out = lz_complexity(load_docs(spark, "/root/testdata/sf0.001").limit(8)).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r["n_phrases"] >= 1 and 0 < r["lz_ratio"] <= 1

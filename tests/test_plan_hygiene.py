@@ -240,6 +240,8 @@ EXCHANGE_BOUNDS = [
     ("rel_month_share", 2),        # month-grid agg + one status
                                    # partitioning for both windows
     ("mm_wav_spectral", 1),        # map-only Arrow decode+FFT
+    ("tx_lz_complexity", 1),       # map-only Arrow LZ78 parse (+ the
+                                   # corpus repartition)
 ]
 
 
