@@ -795,6 +795,19 @@ def _q_dd_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q_dd_pagerank(spark, sf_dir):
+    """Damped power iteration (6 rounds — ranking-stable on this graph
+    diameter) over the LSH dup-pair graph: centrality-based
+    canonical/crawl signal. Rows-only; sorted-fold contributions,
+    NumPy replay pinned in pytest (at 10 rounds)."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    pairs = TX.lsh_pairs_from_signatures(
+        TX.minhash_from_shingles(_shared_shingles(spark, sf_dir))
+    )
+    return TX.dup_pagerank(TX.load_docs(spark, sf_dir), pairs, iters=6)
+
+
 def _q_dd_simhash(spark, sf_dir):
     from dtaianomaly_spark.pipelines import text as TX
 
@@ -2682,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash": _q_dd_minhash,
         "dd_lsh_pairs": _q_dd_lsh_pairs,
         "dd_simhash": _q_dd_simhash,
+        "dd_pagerank": _q_dd_pagerank,
         "dd_jaccard": _q_dd_jaccard,
         "dd_dup_clusters": _q_dd_dup_clusters,
         "dd_source_matrix": _q_dd_source_matrix,

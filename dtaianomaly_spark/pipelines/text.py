@@ -2291,3 +2291,95 @@ def lz_complexity(docs: DataFrame) -> DataFrame:
                 )
 
     return docs.select("doc_id", "text").mapInPandas(run, schema)
+
+
+def dup_pagerank(
+    docs: DataFrame, pairs: DataFrame, iters: int = 10,
+    damping_num: int = 85, damping_den: int = 100,
+) -> DataFrame:
+    """PageRank over the near-duplicate candidate graph: nodes are ALL
+    documents, undirected edges the LSH candidate pairs — rank mass
+    concentrates on documents embedded in large duplicate
+    neighborhoods, a centrality-based canonical-selection /
+    crawl-frontier signal that counting degrees misses (a doc bridging
+    two dup clusters outranks a doc inside one). The engine's
+    iterative-linear-algebra representative beyond the connected-
+    components fixpoint: ``iters`` rounds of the damped power
+    iteration r' = (1−d)/N + d·(A_deg⁻¹)ᵀ r, expressed as join +
+    aggregate per round.
+
+    Determinism discipline: the per-target contribution sum is a
+    SORTED FOLD over (source, contribution) — float addition order is
+    pinned, so the distributed result is bit-reproducible at any
+    partitioning (and the pytest NumPy replay reproduces it term by
+    term). Isolated docs are dangling nodes: they keep the
+    teleport term only ((1−d)/N exactly — asserted in pytest) and
+    their mass is NOT redistributed, the GraphX convention (total rank
+    sums below 1 when the graph has isolated nodes; rank_x_n stays
+    comparable within a corpus). Damping is a rational (85/100) so the constant folds to
+    the same double everywhere.
+
+    Output: (doc_id, degree, rank, rank_x_n) — rank_x_n = rank·N, the
+    scale-free form (1.0 = average).
+
+    Scale shape: per round ONE shuffle (the target-keyed contribution
+    aggregate; the rank-side join is co-keyed on source by the same
+    hash). Lineage is truncated with localCheckpoint(eager=False)
+    every THIRD round (and on the last) — every round would pay a full
+    materialization job per round for a ≤3-join plan that Catalyst
+    handles fine, the dup-cluster fixpoint lesson applied with a
+    lighter cadence."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    nodes = docs.select("doc_id").localCheckpoint(eager=False)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    n_docs = nodes.count()  # bounded driver scalar (node count)
+    base = f"CAST({damping_den - damping_num} AS DOUBLE) / ({damping_den} * CAST({n_docs} AS BIGINT))"
+    damp = f"(CAST({damping_num} AS DOUBLE) / {damping_den})"
+    rank = nodes.select(
+        "doc_id",
+        F.expr(f"CAST(1 AS DOUBLE) / CAST({n_docs} AS BIGINT)").alias("rank"),
+    )
+    fold = (
+        "aggregate(transform(array_sort(collect_list(struct(src, c))),"
+        " s -> s.c), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    for it in range(iters):
+        contrib = (
+            edges.join(rank, edges.src == rank.doc_id)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("doc_id"), "src",
+                F.expr("rank / deg").alias("c"),
+            )
+        )
+        summed = contrib.groupBy("doc_id").agg(F.expr(fold).alias("s"))
+        rank = nodes.join(summed, "doc_id", "left").select(
+            "doc_id",
+            F.expr(
+                f"{base} + {damp} * coalesce(s, CAST(0 AS DOUBLE))"
+            ).alias("rank"),
+        )
+        if it % 3 == 2 or it == iters - 1:
+            rank = rank.localCheckpoint(eager=False)
+    return (
+        rank.join(
+            deg.select(F.col("src").alias("doc_id"), "deg"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            "rank",
+            F.expr(f"rank * CAST({n_docs} AS BIGINT)").alias("rank_x_n"),
+        )
+    )

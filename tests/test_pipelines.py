@@ -1882,3 +1882,49 @@ def test_lz78_kernel_closed_forms_and_ordering(spark):
     assert len(out) == 8
     for r in out:
         assert r["n_phrases"] >= 1 and 0 < r["lz_ratio"] <= 1
+
+
+def test_dup_pagerank_matches_numpy_replay(spark):
+    """Distributed damped power iteration == a NumPy replay folding
+    per-target contributions in the SAME sorted-source order; isolated
+    nodes keep exactly the teleport rank."""
+    import numpy as np
+
+    from dtaianomaly_spark.pipelines.text import dup_pagerank
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id long"
+    )
+    #  triangle 0-1-2, chain 3-4, star 5->6 ... node 7 isolated
+    raw = [(0, 1), (1, 2), (0, 2), (3, 4), (5, 6)]
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: (r["degree"], r["rank"])
+        for r in dup_pagerank(docs, pairs, iters=10).collect()
+    }
+    # numpy replay with identical float op order
+    n = 8
+    edges = sorted(
+        [(a, b) for a, b in raw] + [(b, a) for a, b in raw]
+    )
+    deg = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = np.float64(15) / (100 * n)
+    damp = np.float64(85) / 100
+    rank = {i: np.float64(1) / n for i in range(8)}
+    for _ in range(10):
+        contribs = {}
+        for s, d in edges:  # sorted by (src, dst); regroup per dst
+            contribs.setdefault(d, []).append((s, rank[s] / deg[s]))
+        new = {}
+        for i in range(8):
+            acc = np.float64(0)
+            for _, c in sorted(contribs.get(i, [])):
+                acc = acc + c
+            new[i] = base + damp * acc
+        rank = new
+    for i in range(8):
+        assert out[i][1] == rank[i], (i, out[i][1], rank[i])
+    assert out[7] == (0, base)  # isolated: teleport only, degree 0
+    assert out[0][0] == 2 and out[3][0] == 1
