@@ -1484,6 +1484,15 @@ def _q_ev_leadlag(spark, sf_dir):
     return EVT.leadlag_pairs(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_rolling_corr(spark, sf_dir):
+    """Rolling 60-minute Pearson per event-type pair on the dense
+    zero-filled minute grid — time-varying correlation; exact integer
+    window moments, one shared float formula."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.rolling_corr_pairs(EVT.load_events(spark, sf_dir))
+
+
 def _q_ev_interarrival(spark, sf_dir):
     """Exact per-type inter-arrival stats: integer-microsecond gaps,
     ceil-rank p50/p90/p99, shared-float mean — oracle bit-equal."""
@@ -2785,6 +2794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_leadlag": _q_ev_leadlag,
         "ev_sliding_users": _q_ev_sliding_users,
         "ev_interarrival": _q_ev_interarrival,
+        "ev_rolling_corr": _q_ev_rolling_corr,
         "ev_funnel": _q_ev_funnel,
         "ev_cohort": _q_ev_cohort,
         "ev_transitions": _q_ev_transitions,
@@ -5062,6 +5072,65 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_type, b_type
                            ORDER BY corr DESC, abs(lag), lag) = 1
 """
 
+    ev_rolling_corr = """
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) // 60000000 AS m FROM events
+),
+cnts AS (
+    SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev GROUP BY event_type, m
+),
+bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM cnts),
+grid AS (
+    SELECT t.event_type, gs.idx
+    FROM (SELECT DISTINCT event_type FROM cnts) t,
+         bounds,
+         LATERAL (SELECT UNNEST(range(0, mx - mn + 1)) AS idx) gs
+),
+dense AS (
+    SELECT g.event_type, g.idx,
+           COALESCE(c.c, 0) AS c
+    FROM grid g
+    LEFT JOIN (SELECT event_type, m - mn AS idx, c FROM cnts, bounds) c
+      ON g.event_type = c.event_type AND g.idx = c.idx
+),
+typ AS (
+    SELECT event_type, idx,
+           CAST(SUM(c) OVER w AS BIGINT) AS s,
+           CAST(SUM(c * c) OVER w AS BIGINT) AS ss,
+           COUNT(*) OVER w AS f
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY idx
+                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+),
+typf AS (SELECT * FROM typ WHERE f = 60),
+prod AS (
+    SELECT a.event_type AS a_type, b.event_type AS b_type, a.idx,
+           a.c * b.c AS cab
+    FROM dense a JOIN dense b
+      ON a.idx = b.idx AND a.event_type < b.event_type
+),
+pr AS (
+    SELECT a_type, b_type, idx,
+           CAST(SUM(cab) OVER w AS BIGINT) AS sxy,
+           COUNT(*) OVER w AS f
+    FROM prod
+    WINDOW w AS (PARTITION BY a_type, b_type ORDER BY idx
+                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+),
+prf AS (SELECT * FROM pr WHERE f = 60)
+SELECT a_type, b_type, prf.idx, CAST(60 AS BIGINT) AS n,
+       CASE WHEN 60 * ta.ss - ta.s * ta.s > 0
+                 AND 60 * tb.ss - tb.s * tb.s > 0
+            THEN CAST(60 * sxy - ta.s * tb.s AS DOUBLE)
+                 / sqrt(CAST(60 * ta.ss - ta.s * ta.s AS DOUBLE)
+                        * CAST(60 * tb.ss - tb.s * tb.s AS DOUBLE))
+            ELSE NULL END AS corr
+FROM prf
+JOIN typf ta ON prf.a_type = ta.event_type AND prf.idx = ta.idx
+JOIN typf tb ON prf.b_type = tb.event_type AND prf.idx = tb.idx
+"""
+
     ev_interarrival = """
 WITH g AS (
     SELECT event_type,
@@ -6104,6 +6173,7 @@ FROM agg
         "ev_leadlag": ev_leadlag,
         "ev_sliding_users": ev_sliding_users,
         "ev_interarrival": ev_interarrival,
+        "ev_rolling_corr": ev_rolling_corr,
         "ev_funnel": ev_funnel,
         "ev_cohort": ev_cohort,
         "ev_transitions": ev_transitions,

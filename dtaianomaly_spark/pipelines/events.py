@@ -719,3 +719,106 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
             ).alias("mean_us"),
         )
     )
+
+
+def rolling_corr_pairs(events: DataFrame, window_min: int = 60) -> DataFrame:
+    """TIME-VARYING correlation — the rolling sibling of
+    :func:`leadlag_pairs`' whole-history CCF: for every unordered
+    event-type pair, Pearson corr over a trailing ``window_min``-minute
+    window at every full-window minute of the dense zero-filled grid.
+    The "did these metrics decouple this hour" drill-down a single
+    whole-span coefficient cannot answer.
+
+    Exactness: grid counts are integers; per-type rolling (s, ss) and
+    per-pair rolling cross-product sums are exact int64 window sums;
+    Pearson is the ONE shared double formula (``LEADLAG_R_SQL``).
+    Zero-variance windows emit NULL corr (kept — a flat window is
+    information, not noise).
+
+    Output: (a_type, b_type, idx, n, corr) for idx ≥ window−1.
+
+    Scale shape: per-type moments need ONE event_type-partitioned
+    running window over the bounded grid; the pair stage joins the
+    grid to itself on the single equi-key idx (co-partitioned), then
+    runs the same running window per pair — |pairs| × grid rows, still
+    span-bounded, never event-bounded. The final three-way join is
+    idx-keyed and AQE-handled."""
+    if window_min < 2:
+        raise ValueError(f"window_min must be >= 2, got {window_min}")
+    ev = events.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("m"),
+    )
+    cnts = ev.groupBy("event_type", "m").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bounds = cnts.groupBy().agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    )
+    cnts_n = cnts.crossJoin(F.broadcast(bounds)).select(
+        "event_type", F.expr("m - mn").alias("idx"), "c"
+    )
+    grid = (
+        cnts.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(0, mx - mn)")).alias("idx"),
+        )
+    )
+    dense = (
+        grid.join(cnts_n, ["event_type", "idx"], "left")
+        .select("event_type", "idx", F.expr("coalesce(c, 0)").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w = int(window_min)
+    wt = (
+        Window.partitionBy("event_type").orderBy("idx")
+        .rowsBetween(-(w - 1), 0)
+    )
+    typ = dense.select(
+        "event_type", "idx",
+        F.sum("c").over(wt).alias("s"),
+        F.sum(F.expr("c * c")).over(wt).alias("ss"),
+        F.count("*").over(wt).alias("full"),
+    ).filter(F.col("full") == w)
+    prod = (
+        dense.alias("a")
+        .join(dense.alias("b"), "idx")
+        .filter(F.expr("a.event_type < b.event_type"))
+        .select(
+            F.expr("a.event_type").alias("a_type"),
+            F.expr("b.event_type").alias("b_type"),
+            "idx",
+            F.expr("a.c * b.c").alias("cab"),
+        )
+    )
+    wp = (
+        Window.partitionBy("a_type", "b_type").orderBy("idx")
+        .rowsBetween(-(w - 1), 0)
+    )
+    pr = prod.select(
+        "a_type", "b_type", "idx",
+        F.sum("cab").over(wp).alias("sxy"),
+        F.count("*").over(wp).alias("full"),
+    ).filter(F.col("full") == w)
+    ta = typ.select(
+        F.col("event_type").alias("a_type"), "idx",
+        F.col("s").alias("sx"), F.col("ss").alias("sxx"),
+    )
+    tb = typ.select(
+        F.col("event_type").alias("b_type"), "idx",
+        F.col("s").alias("sy"), F.col("ss").alias("syy"),
+    )
+    return (
+        pr.join(ta, ["a_type", "idx"])
+        .join(tb, ["b_type", "idx"])
+        .select(
+            "a_type", "b_type", "idx",
+            F.lit(w).cast("long").alias("n"),
+            F.expr(
+                "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+                f" THEN {LEADLAG_R_SQL} ELSE NULL END"
+            ).alias("corr"),
+        )
+    )

@@ -242,6 +242,9 @@ EXCHANGE_BOUNDS = [
     ("mm_wav_spectral", 1),        # map-only Arrow decode+FFT
     ("tx_lz_complexity", 1),       # map-only Arrow LZ78 parse (+ the
                                    # corpus repartition)
+    ("ev_rolling_corr", 9),        # minute agg + checkpointed dense
+                                   # grid + type window + pair window +
+                                   # three idx-keyed joins
 ]
 
 
