@@ -1148,6 +1148,14 @@ def _q_rel_q22(spark, sf_dir):
     )
 
 
+def _q_tx_collocations(spark, sf_dir):
+    """Top-50 collocations by lift (= monotone-in-PMI, all-integer
+    ranking): bigram/unigram hash aggs, broadcast joins, exact."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.collocations_topk(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_lz_complexity(spark, sf_dir):
     """LZ78 phrase-count compressibility per doc — the structural
     quality signal (boilerplate compresses, prose doesn't). Rows-only;
@@ -2717,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_dup_ngram_rate": _q_tx_dup_ngram_rate,
         "tx_novelty_curve": _q_tx_novelty_curve,
         "tx_lz_complexity": _q_tx_lz_complexity,
+        "tx_collocations": _q_tx_collocations,
         "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_substring_spans": _q_tx_substring_spans,
         "tx_bigram_fluency": _q_tx_bigram_fluency,
@@ -3697,6 +3706,29 @@ sig AS (
     FROM shr, LATERAL (SELECT UNNEST(range(0, 16)) AS seed) sd
     GROUP BY doc_id, sd.seed
 )"""
+
+    tx_collocations = """
+WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bigrams AS (
+    SELECT w[i] AS a, w[i + 1] AS b
+    FROM ws, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) g
+    WHERE len(w) >= 2
+),
+words AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM words),
+pairs AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+    FROM bigrams GROUP BY a, b HAVING COUNT(*) >= 5
+)
+SELECT a, b, pair_cnt, ua.c AS cnt_a, ub.c AS cnt_b,
+       CAST(n_total AS DOUBLE) * pair_cnt
+           / (CAST(ua.c AS DOUBLE) * ub.c) AS lift
+FROM pairs
+JOIN uni ua ON pairs.a = ua.w
+JOIN uni ub ON pairs.b = ub.w, tot
+ORDER BY lift DESC, a, b LIMIT 50
+"""
 
     tx_novelty_curve = f"""
 WITH {_SHINGLES_LONG.lstrip()},
@@ -6118,6 +6150,7 @@ FROM agg
         "tx_fingerprint": tx_fingerprint,
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_novelty_curve": tx_novelty_curve,
+        "tx_collocations": tx_collocations,
         "tx_substring_dedup": tx_substring_dedup,
         "tx_substring_spans": tx_substring_spans,
         "tx_bigram_fluency": tx_bigram_fluency,

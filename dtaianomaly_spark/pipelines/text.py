@@ -2383,3 +2383,65 @@ def dup_pagerank(
             F.expr(f"rank * CAST({n_docs} AS BIGINT)").alias("rank_x_n"),
         )
     )
+
+
+def collocations_topk(docs: DataFrame, k: int = 50, min_count: int = 5) -> DataFrame:
+    """Corpus collocations by LIFT — the classic PMI collocation miner
+    with the log dropped: lift(a,b) = N·c(a,b) / (c(a)·c(b)) is a
+    strictly monotone transform of PMI (PMI = log lift), so ranking by
+    lift IS ranking by PMI while every comparison stays a ratio of
+    exact int64 products — no transcendental ever enters, and the
+    oracle reproduces ranks and the one float division bit-for-bit.
+    ``min_count`` drops hapax pairs (the standard PMI-sparsity fix).
+
+    Output: top-``k`` rows (a, b, pair_cnt, cnt_a, cnt_b, lift),
+    deterministic ties (lift DESC, a, b).
+
+    Scale shape: bigram and unigram counts are map-side-combined hash
+    aggregates on reduced keys (the inverted-index discipline of the
+    fluency models); unigram counts broadcast onto the surviving
+    (count ≥ min_count) pair table; top-k via sort+limit →
+    TakeOrderedAndProject. Ranking by a rational avoids both libm
+    divergence AND the float-tie ambiguity a log-space sort risks."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ws = docs.select("doc_id", F.expr("split(text, ' ')").alias("ws"))
+    bigrams = ws.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN"
+                " transform(sequence(1, size(ws) - 1),"
+                " i -> struct(ws[i - 1] AS a, ws[i] AS b))"
+                " ELSE array() END"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    words = docs.select(
+        F.explode(F.expr("split(text, ' ')")).alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    total = words.agg(F.count("*").cast("long").alias("n_total"))
+    pairs = (
+        bigrams.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("w").alias("a"),
+                                   F.col("c").alias("cnt_a"))), "a")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("b"),
+                                   F.col("c").alias("cnt_b"))), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a", "b", "pair_cnt", "cnt_a", "cnt_b",
+            F.expr(
+                "CAST(n_total AS DOUBLE) * pair_cnt"
+                " / (CAST(cnt_a AS DOUBLE) * cnt_b)"
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.col("a"), F.col("b")
+    ).limit(k)

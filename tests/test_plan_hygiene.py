@@ -245,6 +245,8 @@ EXCHANGE_BOUNDS = [
     ("ev_rolling_corr", 9),        # minute agg + checkpointed dense
                                    # grid + type window + pair window +
                                    # three idx-keyed joins
+    ("tx_collocations", 8),        # bigram + unigram + total aggs,
+                                   # broadcast joins, TakeOrdered top-k
 ]
 
 
