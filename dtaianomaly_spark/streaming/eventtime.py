@@ -77,7 +77,9 @@ def stream_minute_rollup(
 import pandas as pd
 
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+)
 
 FUNNEL_OUT_SCHEMA = StructType(
     [
@@ -161,6 +163,111 @@ def stateful_funnel(stream_events):
         _funnel_update,
         FUNNEL_OUT_SCHEMA,
         FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# --------------------------------------------------------- rolling corr
+# Streaming twin #21: the rolling-window Pearson of
+# pipelines/events.py:rolling_corr_pairs as a per-pair
+# applyInPandasWithState operator. State per (a_type, b_type): the ring
+# of the last ``window`` (ca, cb) integer pairs + the next expected idx —
+# window sums are recomputed from the ring in EXACT integer arithmetic,
+# so the one shared float formula reproduces the batch operator
+# bit-for-bit at every emitted index.
+
+RCORR_OUT_SCHEMA = StructType(
+    [
+        StructField("a_type", StringType(), False),
+        StructField("b_type", StringType(), False),
+        StructField("idx", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("corr", DoubleType(), True),
+    ]
+)
+
+RCORR_STATE_SCHEMA = StructType(
+    [
+        StructField("ring_a", ArrayType(LongType()), True),
+        StructField("ring_b", ArrayType(LongType()), True),
+        StructField("nxt", LongType(), True),
+    ]
+)
+
+
+def _make_rcorr_update(window: int):
+    import numpy as np
+
+    def update(key, pdfs, state: GroupState):
+        a_type, b_type = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ring_a, ring_b, nxt = state.get
+            ring_a, ring_b = list(ring_a), list(ring_b)
+        else:
+            ring_a, ring_b, nxt = [], [], 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = pd.concat(chunks).sort_values("idx")
+        idxs = batch["idx"].to_numpy(dtype=np.int64)
+        cas = batch["ca"].to_numpy(dtype=np.int64)
+        cbs = batch["cb"].to_numpy(dtype=np.int64)
+        if not np.array_equal(idxs, nxt + np.arange(idxs.shape[0])):
+            raise ValueError(
+                f"streaming rolling corr requires contiguous idx from 0;"
+                f" pair ({a_type},{b_type}) expected {nxt},"
+                f" got {idxs[:5].tolist()}..."
+            )
+        out_i, out_c = [], []
+        for i, ca, cb in zip(idxs, cas, cbs):
+            ring_a.append(int(ca)); ring_b.append(int(cb))
+            if len(ring_a) > window:
+                ring_a.pop(0); ring_b.pop(0)
+            if len(ring_a) == window:
+                sx = sum(ring_a); sy = sum(ring_b)
+                sxx = sum(v * v for v in ring_a)
+                syy = sum(v * v for v in ring_b)
+                sxy = sum(x * y for x, y in zip(ring_a, ring_b))
+                n = window
+                vx = n * sxx - sx * sx
+                vy = n * syy - sy * sy
+                corr = (
+                    float(n * sxy - sx * sy)
+                    / np.sqrt(float(vx) * float(vy))
+                    if vx > 0 and vy > 0 else None
+                )
+                out_i.append(int(i)); out_c.append(corr)
+        nxt = int(idxs[-1]) + 1
+        state.update((ring_a, ring_b, nxt))
+        if out_i:
+            yield pd.DataFrame({
+                "a_type": np.repeat(a_type, len(out_i)),
+                "b_type": np.repeat(b_type, len(out_i)),
+                "idx": pd.Series(out_i, dtype="int64"),
+                "n": pd.Series([window] * len(out_i), dtype="int64"),
+                "corr": pd.array(out_c, dtype="Float64"),
+            })
+
+    return update
+
+
+def stateful_rolling_corr(stream_pairs, window: int = 60):
+    """(a_type, b_type, idx, ca, cb) stream (the dense-grid pair rows
+    the batch operator windows over) → append stream of rolling
+    Pearson values, bit-equal to ``rolling_corr_pairs`` at every full
+    window. State per pair: the ``window``-length integer ring — the
+    sums are recomputed per step from exact ints, so no accumulation
+    drift is possible by construction."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    return stream_pairs.groupBy("a_type", "b_type").applyInPandasWithState(
+        _make_rcorr_update(window),
+        RCORR_OUT_SCHEMA,
+        RCORR_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -206,3 +206,85 @@ def test_streamed_funnel_prefix_equals_batch(spark, tmp_path):
     n2 = int(final["t2"].notna().sum())
     n3 = int(final["t3"].notna().sum())
     assert (n1, n2, n3) == (kpi["n_step1"], kpi["n_step2"], kpi["n_step3"])
+
+
+def test_streamed_rolling_corr_equals_batch(spark, tmp_path):
+    """Ring-state streaming rolling Pearson == the batch
+    rolling_corr_pairs at every emitted (pair, idx), bit-equal —
+    integer window sums recomputed from the ring feed the same shared
+    float formula."""
+    import numpy as np
+    import pandas as pd
+
+    from dtaianomaly_spark.pipelines.events import rolling_corr_pairs
+    from dtaianomaly_spark.streaming.eventtime import stateful_rolling_corr
+
+    events = load_events(spark, SF_DIR)
+    W = 30  # smaller window: sf0.001's span still yields many windows
+    batch = rolling_corr_pairs(events, window_min=W).toPandas()
+
+    # reconstruct the dense pair rows the batch operator windows over
+    ev = events.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("m"),
+    ).toPandas()
+    ev["c"] = 1
+    cnts = ev.groupby(["event_type", "m"]).size().reset_index(name="c")
+    mn, mx = int(cnts["m"].min()), int(cnts["m"].max())
+    types = sorted(cnts["event_type"].unique())
+    idx = np.arange(0, mx - mn + 1, dtype=np.int64)
+    dense = {}
+    for t in types:
+        sub = cnts[cnts["event_type"] == t]
+        arr = np.zeros(idx.shape[0], dtype=np.int64)
+        arr[(sub["m"].to_numpy() - mn).astype(np.int64)] = sub["c"].to_numpy()
+        dense[t] = arr
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            for t in idx:
+                rows.append((a, b, int(t), int(dense[a][t]), int(dense[b][t])))
+    pdf = pd.DataFrame(
+        rows, columns=["a_type", "b_type", "idx", "ca", "cb"]
+    )
+    schema = "a_type string, b_type string, idx long, ca long, cb long"
+    src = str(tmp_path / "rc_src")
+    bounds = np.linspace(0, idx.shape[0], 4).astype(int)
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        chunk = spark.createDataFrame(
+            pdf[(pdf["idx"] >= lo) & (pdf["idx"] < hi)], schema
+        )
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and os.stat(p).st_mtime > base:
+                os.utime(p, (base, base))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "rc_out")
+    q = (
+        stateful_rolling_corr(stream, window=W)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "rc_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == len(batch) > 1000
+    gm = {
+        (r.a_type, r.b_type, r.idx): r.corr
+        for r in got.itertuples(index=False)
+    }
+    for r in batch.itertuples(index=False):
+        g = gm[(r.a_type, r.b_type, r.idx)]
+        if r.corr is None or (isinstance(r.corr, float) and np.isnan(r.corr)):
+            assert g is None or (isinstance(g, float) and np.isnan(g))
+        else:
+            assert g == r.corr, ((r.a_type, r.b_type, r.idx), g, r.corr)
