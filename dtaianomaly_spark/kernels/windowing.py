@@ -453,16 +453,13 @@ def mann_kendall_s(x: np.ndarray, block: int = 256) -> int:
     return s
 
 
-def mann_kendall_report(x: np.ndarray) -> tuple:
-    """(S, tau, z): tau is the tie-adjusted tau-b denominator form
-    (Kendall 1975), z the normal approximation with the tie-corrected
-    variance Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the ±1
-    continuity correction; z = 0 when Var = 0 (all values tied)."""
+def mann_kendall_report_from_s(x: np.ndarray, s: int) -> tuple:
+    """(S, tau, z) from a PRE-COMPUTED S (the fused-sweep path) — the
+    tie corrections need only the value multiset."""
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
     if n < 8:
         raise ValueError(f"need n >= 8 points, got {n}")
-    s = mann_kendall_s(x)
     _, counts = np.unique(x, return_counts=True)
     t = counts[counts > 1].astype(np.int64)
     n0 = n * (n - 1) // 2
@@ -480,6 +477,45 @@ def mann_kendall_report(x: np.ndarray) -> tuple:
     else:
         z = 0.0
     return s, tau, float(z)
+
+
+def mann_kendall_report(x: np.ndarray) -> tuple:
+    """(S, tau, z): tau is the tie-adjusted tau-b denominator form
+    (Kendall 1975), z the normal approximation with the tie-corrected
+    variance Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 and the ±1
+    continuity correction; z = 0 when Var = 0 (all values tied)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n < 8:
+        raise ValueError(f"need n >= 8 points, got {n}")
+    return mann_kendall_report_from_s(x, mann_kendall_s(x))
+
+
+def mk_and_theil_sen(x: np.ndarray, block: int = 256) -> tuple:
+    """Fused single sweep over the i<j pairs: Mann-Kendall S and the
+    Theil-Sen slope share the pairwise differences (dx > 0 always, so
+    sign(slope) == sign(dy) and S falls out of the same blocks the
+    slopes come from — computing them separately would double the
+    O(n²) work, the pp_robust_trend hot path). Bit-identical to
+    calling :func:`mann_kendall_s` and :func:`theil_sen_slope`
+    separately (pinned in pytest)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n < 2:
+        raise ValueError(f"need n >= 2 points, got {n}")
+    s = 0
+    chunks = []
+    for lo in range(0, n - 1, block):
+        hi = min(lo + block, n - 1)
+        seg = x[lo:hi]
+        jidx = np.arange(lo + 1, n)[np.newaxis, :]
+        iidx = np.arange(lo, hi)[:, np.newaxis]
+        valid = jidx > iidx
+        dy = (x[np.newaxis, lo + 1:] - seg[:, np.newaxis])[valid]
+        s += int(np.sign(dy).sum())
+        dx = (jidx - iidx)[valid].astype(np.float64)
+        chunks.append(dy / dx)
+    return s, float(np.median(np.concatenate(chunks)))
 
 
 def theil_sen_slope(x: np.ndarray, block: int = 256) -> float:

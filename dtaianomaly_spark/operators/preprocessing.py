@@ -542,18 +542,29 @@ def strength_report(
         F.expr("CAST(value AS DOUBLE) - seasonal").alias("ds"),
         F.expr("CAST(value AS DOUBLE) - trend").alias("dt"),
     )
-    fold = (
-        "aggregate(transform(array_sort(collect_list(struct(pos, {x}))),"
-        " s -> {term}), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    # collect each component's pos-sorted array ONCE; both folds (sum
+    # and sum-of-squares) then run over the same array in a post-agg
+    # projection — identical float order to folding during the agg,
+    # at half the collect_list volume (the pp_strength hot path)
+    arr = (
+        "transform(array_sort(collect_list(struct(pos, {x}))),"
+        " s -> s.{x})"
     )
+    fsum = "aggregate({a}, CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    fsq = "aggregate({a}, CAST(0 AS DOUBLE), (a, x) -> a + x * x)"
     g = rows.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_used"),
-        F.expr(fold.format(x="r", term="s.r")).alias("sr"),
-        F.expr(fold.format(x="r", term="s.r * s.r")).alias("srr"),
-        F.expr(fold.format(x="ds", term="s.ds")).alias("sds"),
-        F.expr(fold.format(x="ds", term="s.ds * s.ds")).alias("sdss"),
-        F.expr(fold.format(x="dt", term="s.dt")).alias("sdt"),
-        F.expr(fold.format(x="dt", term="s.dt * s.dt")).alias("sdts"),
+        F.expr(arr.format(x="r")).alias("ar"),
+        F.expr(arr.format(x="ds")).alias("ads"),
+        F.expr(arr.format(x="dt")).alias("adt"),
+    ).select(
+        "doc_id", "n_used",
+        F.expr(fsum.format(a="ar")).alias("sr"),
+        F.expr(fsq.format(a="ar")).alias("srr"),
+        F.expr(fsum.format(a="ads")).alias("sds"),
+        F.expr(fsq.format(a="ads")).alias("sdss"),
+        F.expr(fsum.format(a="adt")).alias("sdt"),
+        F.expr(fsq.format(a="adt")).alias("sdts"),
     )
     var = "({ss} / n_used - ({s} / n_used) * ({s} / n_used))"
     v_r = var.format(ss="srr", s="sr")

@@ -682,8 +682,9 @@ def robust_trend_report(arrays: DataFrame) -> DataFrame:
             out = []
             for doc_id, tokens in zip(pdf["doc_id"], pdf["tokens"]):
                 x = np.asarray(tokens, dtype=np.float64)
-                s, tau, z = KW.mann_kendall_report(x)
-                slope = KW.theil_sen_slope(x)
+                # fused pairwise sweep: S and the slopes share blocks
+                s, slope = KW.mk_and_theil_sen(x)
+                _, tau, z = KW.mann_kendall_report_from_s(x, s)
                 out.append((doc_id, int(s), tau, z, slope))
             if out:
                 yield pd.DataFrame(

@@ -419,3 +419,13 @@ class TestRobustTrend:
         assert abs(tau_t) < 0.2 and abs(z_t) < 4
         with pytest.raises(ValueError):
             W.mann_kendall_report(np.ones(5))
+
+
+def test_fused_mk_theil_sen_equals_separate():
+    rng = np.random.default_rng(53)
+    for n in (64, 311):
+        x = rng.normal(0, 2, n) + 0.02 * np.arange(n)
+        s, slope = W.mk_and_theil_sen(x, block=29)
+        assert s == W.mann_kendall_s(x)
+        assert slope == W.theil_sen_slope(x)
+        assert W.mann_kendall_report_from_s(x, s) == W.mann_kendall_report(x)
