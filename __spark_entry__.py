@@ -356,6 +356,14 @@ def _q_det_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DET.cusum_scores(_spark_long_form(spark, sf_dir), 60, 300)
 
 
+def _q_det_mad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD z-score per observation: exact integer
+    ceil-rank medians, one shared float divide — oracle bit-equal."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.mad_zscore(_spark_long_form(spark, sf_dir))
+
+
 def _q_pp_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition (period 32, centered
     33-point trend MA): trend/seasonal/remainder per position, edges
@@ -2735,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_bm25_topk": _q_tx_bm25_topk,
         "tx_hard_negatives": _q_tx_hard_negatives,
         "det_cusum": _q_det_cusum,
+        "det_mad_zscore": _q_det_mad_zscore,
         "det_spectral_residual": _q_det_spectral_residual,
         "det_shesd_report": _q_det_shesd_report,
         "det_hw_error": _q_det_hw_error,
@@ -3153,6 +3162,31 @@ sz AS (
 SELECT dt.doc_id, dt.pos, dt.value, dt.trend, sz.seasonal,
        CAST(dt.value AS DOUBLE) - dt.trend - sz.seasonal AS remainder
 FROM dt LEFT JOIN sz ON dt.doc_id = sz.doc_id AND dt.phase = sz.phase
+"""
+
+    det_mad_zscore = f"""
+{C.TOKEN_SQL_CTE},
+med AS (
+    SELECT doc_id,
+           CAST(list_extract(list(value ORDER BY value),
+               CAST((COUNT(*) + 1) // 2 AS INT)) AS BIGINT) AS med
+    FROM long_form GROUP BY doc_id
+),
+dev AS (
+    SELECT lf.doc_id, lf.pos, lf.value, med.med,
+           abs(lf.value - med.med) AS ad
+    FROM long_form lf JOIN med ON lf.doc_id = med.doc_id
+),
+mad AS (
+    SELECT doc_id,
+           CAST(list_extract(list(ad ORDER BY ad),
+               CAST((COUNT(*) + 1) // 2 AS INT)) AS BIGINT) AS mad
+    FROM dev GROUP BY doc_id
+)
+SELECT dev.doc_id, dev.pos, dev.value, dev.med, mad.mad,
+       CASE WHEN mad.mad > 0 THEN CAST(dev.ad AS DOUBLE) / mad.mad
+            ELSE NULL END AS score
+FROM dev JOIN mad ON dev.doc_id = mad.doc_id
 """
 
     pp_seasonal_bands = f"""
@@ -6163,6 +6197,7 @@ FROM agg
         "pp_decompose": decompose,
         "pp_strength": pp_strength,
         "pp_seasonal_bands": pp_seasonal_bands,
+        "det_mad_zscore": det_mad_zscore,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,

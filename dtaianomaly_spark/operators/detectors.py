@@ -1371,3 +1371,56 @@ def exceed_confidence_scores(
         return KD.exceed_confidence(s, s, contamination)
 
     return _score_map(arrays, per_series)
+
+
+def mad_zscore(long_form: DataFrame) -> DataFrame:
+    """Robust (median/MAD) z-score per observation — the
+    outlier-resistant twin of StandardScaler-then-threshold: score =
+    |x − median| / MAD with MAD = median(|x − median|), the classic
+    Hampel/robust-statistics detector a single extreme point cannot
+    poison (unlike mean/std, both of which it drags).
+
+    Exactness: both medians are EXACT ceil-rank selections from
+    per-series sorted integer arrays (median of ints is an int; the
+    absolute deviations are ints, so MAD is an int too) — the float
+    enters once, in the shared score divide. MAD = 0 (over half the
+    series constant) yields NULL scores, the documented degenerate
+    case. Output: (doc_id, pos, value, med, mad, score).
+
+    Scale shape: TWO doc_id-keyed aggregates (value median, then
+    deviation median) and two co-keyed joins — all on the rollup
+    partitioning; per-series sorted arrays bounded by series length,
+    exactly like pp_seasonal_bands."""
+    med = (
+        long_form.groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(value))").alias("arr"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"
+                " AS BIGINT)"
+            ).alias("med"),
+        )
+    )
+    dev = long_form.join(med, "doc_id").select(
+        "doc_id", "pos", "value", "med",
+        F.expr("abs(value - med)").alias("ad"),
+    )
+    mad = (
+        dev.groupBy("doc_id")
+        .agg(F.expr("array_sort(collect_list(ad))").alias("arr"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"
+                " AS BIGINT)"
+            ).alias("mad"),
+        )
+    )
+    return dev.join(mad, "doc_id").select(
+        "doc_id", "pos", "value", "med", "mad",
+        F.expr(
+            "CASE WHEN mad > 0 THEN CAST(ad AS DOUBLE) / mad"
+            " ELSE NULL END"
+        ).alias("score"),
+    )

@@ -247,6 +247,8 @@ EXCHANGE_BOUNDS = [
                                    # three idx-keyed joins
     ("tx_collocations", 8),        # bigram + unigram + total aggs,
                                    # broadcast joins, TakeOrdered top-k
+    ("det_mad_zscore", 4),         # two doc-keyed median aggregates +
+                                   # two co-keyed joins
 ]
 
 
