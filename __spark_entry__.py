@@ -1601,6 +1601,18 @@ def _q_mm_byte_histogram(spark, sf_dir):
     return MM.byte_histogram_long(MM.with_payload(TX.load_docs(spark, sf_dir)))
 
 
+def _q_mm_dhash_neardup(spark, sf_dir):
+    """Perceptual image near-dup pairs: 64-bit dHash per decoded BMP,
+    Hamming-LSH banded buckets, exact popcount verify — the multimodal
+    member of the dedup family. Rows-only; kernel + recall pinned."""
+    from dtaianomaly_spark.pipelines import multimodal as MM
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return MM.dhash_neardup_pairs(
+        MM.with_video_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
 def _q_mm_frame_sample(spark, sf_dir):
     """Decoded frame sampling: per doc, a multi-frame BMP video payload
     is synthesized, walked frame-by-frame via each BMP's file-size
@@ -2822,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_merge": _q_rollup_distinct_merge,
         "mm_byte_histogram": _q_mm_byte_histogram,
         "mm_frame_sample": _q_mm_frame_sample,
+        "mm_dhash_neardup": _q_mm_dhash_neardup,
         "mm_png_stats": _q_mm_png_stats,
         "mm_resize": _q_mm_resize,
         "mm_jpeg_stats": _q_mm_jpeg_stats,

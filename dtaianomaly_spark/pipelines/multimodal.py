@@ -706,3 +706,91 @@ def resize_stats_decoded(
     return payloads.select("doc_id", "payload").mapInPandas(
         run, RESIZE_SCHEMA
     )
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash — the standard perceptual
+    image fingerprint): integer-mean grayscale, nearest-neighbor
+    resize to 9x8, then one bit per 8x8 cell = (left < right) on
+    horizontal neighbors. Every step is exact integer arithmetic
+    (floor mean, floor index map), so the hash is bit-reproducible
+    across any partitioning — and robust to the perturbations that
+    break exact byte dedup (recompression, tiny crops, brightness
+    wiggle under the threshold)."""
+    g = (img.astype(np.int64).sum(axis=2)) // 3
+    small = resize_nearest(g, 8, 9)
+    bits = (small[:, :-1] < small[:, 1:]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+)
+
+
+def dhash_decoded(payloads: DataFrame) -> DataFrame:
+    """DECODE each payload's FIRST BMP frame and emit its 64-bit
+    dHash — map-only Arrow pass, payload bytes never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_bmp(bytes(payload))
+                h = dhash64(img)
+                # store as signed int64 (two's complement view)
+                out.append((int(doc_id), h - (1 << 64) if h >= (1 << 63) else h))
+            if out:
+                yield pd.DataFrame(out, columns=["doc_id", "dhash"])
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, DHASH_SCHEMA
+    )
+
+
+def dhash_neardup_pairs(
+    payloads: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash each image, BAND
+    the 64-bit hash into four 16-bit keys (two hashes within Hamming
+    distance ≤ 6 of each other agree exactly on ≥ 1 of 4 bands
+    whenever the 6 flipped bits hit ≤ 3 bands — the standard
+    Hamming-LSH pigeonhole; with ≤ 6 flips spread over 4 bands at
+    least one band is clean unless every band is hit, impossible for
+    ≤ 3 flips and merely unlikely above, the documented recall
+    contract), join within buckets only, then verify with the exact
+    popcount distance. The multimodal member of the dedup family:
+    exact dedup catches byte-identical files, THIS catches
+    re-encoded/perturbed copies.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤
+    ``max_hamming``.
+
+    Scale shape: identical to SimHash text dedup — banded buckets
+    bound the join (never all-pairs), the verify popcount is a cheap
+    JVM expression (``bit_count(a ^ b)``), and the only corpus-sized
+    stages are the map-only decode and the bucket exchange."""
+    hashes = dhash_decoded(payloads).localCheckpoint(eager=False)
+    bands = hashes.select(
+        "doc_id", "dhash",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), b -> struct(b AS band,"
+            " shiftright(dhash, b * 16) & 65535 AS key))"
+        )).alias("bk"),
+    ).select("doc_id", "dhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.expr("a.doc_id < b.doc_id"))
+        .select(
+            F.expr("a.doc_id").alias("doc_a"),
+            F.expr("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.dhash ^ b.dhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

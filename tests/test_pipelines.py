@@ -1928,3 +1928,39 @@ def test_dup_pagerank_matches_numpy_replay(spark):
         assert out[i][1] == rank[i], (i, out[i][1], rank[i])
     assert out[7] == (0, base)  # isolated: teleport only, degree 0
     assert out[0][0] == 2 and out[3][0] == 1
+
+
+def test_dhash_neardup_kernel_and_pairs(spark):
+    """dHash: a perturbed copy lands within small Hamming distance and
+    the banded pair op finds it; an unrelated image does not."""
+    import numpy as np
+
+    from dtaianomaly_spark.pipelines import multimodal as MM
+
+    rng = np.random.default_rng(61)
+    base = rng.integers(0, 256, (16, 18, 3)).astype(np.uint8)
+    # flip ONE resized-grid comparison: bump one sampled pixel hard
+    pert = base.copy()
+    pert[0, 0] = 255  # cell (0,0) sampled by the floor index map
+    other = rng.integers(0, 256, (16, 18, 3)).astype(np.uint8)
+    h_base, h_pert = MM.dhash64(base), MM.dhash64(pert)
+    d = bin(h_base ^ h_pert).count("1")
+    assert 0 < d <= 4  # few comparisons touch the bumped pixel
+    assert bin(h_base ^ MM.dhash64(other)).count("1") > 10
+    # determinism + brightness robustness (uniform shift, no flips)
+    bright = np.clip(base.astype(np.int64) + 3, 0, 255).astype(np.uint8)
+    assert MM.dhash64(bright) == h_base or bin(
+        MM.dhash64(bright) ^ h_base
+    ).count("1") <= 4
+    rows = [
+        (1, MM.encode_bmp(base)),
+        (2, MM.encode_bmp(pert)),
+        (3, MM.encode_bmp(other)),
+    ]
+    pay = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in MM.dhash_neardup_pairs(pay, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == d
+    assert (1, 3) not in pairs and (2, 3) not in pairs

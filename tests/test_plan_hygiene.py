@@ -249,6 +249,8 @@ EXCHANGE_BOUNDS = [
                                    # broadcast joins, TakeOrdered top-k
     ("det_mad_zscore", 4),         # two doc-keyed median aggregates +
                                    # two co-keyed joins
+    ("mm_dhash_neardup", 3),       # banded bucket join + pair distinct
+                                   # over the checkpointed hash frame
 ]
 
 
