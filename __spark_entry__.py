@@ -803,6 +803,15 @@ def _q_dd_lsh_pairs(spark, sf_dir):
     )
 
 
+def _q_dd_containment(spark, sf_dir):
+    """Asymmetric shingle containment (|A∩B|/|A| ≥ 4/5, exact integer
+    cross-multiplied filter): the subset/quote detector Jaccard
+    misses. Shares the persisted informative-shingle stage."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.containment_pairs(_shared_shingles(spark, sf_dir))
+
+
 def _q_dd_pagerank(spark, sf_dir):
     """Damped power iteration (6 rounds — ranking-stable on this graph
     diameter) over the LSH dup-pair graph: centrality-based
@@ -2733,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_pairs": _q_dd_lsh_pairs,
         "dd_simhash": _q_dd_simhash,
         "dd_pagerank": _q_dd_pagerank,
+        "dd_containment": _q_dd_containment,
         "dd_jaccard": _q_dd_jaccard,
         "dd_dup_clusters": _q_dd_dup_clusters,
         "dd_source_matrix": _q_dd_source_matrix,
@@ -3850,6 +3860,33 @@ FROM inter i
 JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.inter AS DOUBLE) / (sa.nsh + sb.nsh - i.inter) >= 0.2
+"""
+
+    dd_containment = f"""
+WITH {_SHINGLES_LONG.lstrip()},
+{_RARE.lstrip()},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM shr GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+bt AS (
+    SELECT doc_a, doc_b, inter, sa.nsh AS na, sb.nsh AS nb
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.doc_id
+    JOIN sizes sb ON inter.doc_b = sb.doc_id
+),
+directed AS (
+    SELECT doc_a AS doc_small, doc_b AS doc_big, inter,
+           na AS n_small, nb AS n_big FROM bt
+    UNION ALL
+    SELECT doc_b AS doc_small, doc_a AS doc_big, inter,
+           nb AS n_small, na AS n_big FROM bt
+)
+SELECT doc_small, doc_big, inter, n_small, n_big,
+       CAST(inter AS DOUBLE) / n_small AS containment
+FROM directed WHERE 5 * inter >= 4 * n_small
 """
 
     dd_dup_clusters = f"""
@@ -6190,6 +6227,7 @@ FROM agg
         "dd_simhash": dd_simhash,
         "dd_jaccard": dd_jaccard,
         "dd_dup_clusters": dd_dup_clusters,
+        "dd_containment": dd_containment,
         "tx_curation_funnel": tx_curation_funnel,
         "tx_lang_id": tx_lang_id,
         "tx_quality": tx_quality,

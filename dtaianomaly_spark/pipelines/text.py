@@ -2445,3 +2445,62 @@ def collocations_topk(docs: DataFrame, k: int = 50, min_count: int = 5) -> DataF
     return scored.orderBy(
         F.desc("lift"), F.col("a"), F.col("b")
     ).limit(k)
+
+
+def containment_pairs(
+    long: DataFrame, threshold_num: int = 4, threshold_den: int = 5
+) -> DataFrame:
+    """ASYMMETRIC containment over informative shingle sets:
+    containment(A in B) = |A∩B| / |A| — the quote/aggregator/subset
+    detector Jaccard structurally misses (a short doc fully contained
+    in a long one has tiny Jaccard but containment 1.0; Broder 1997
+    defined both for exactly this reason). Emits each ordered
+    direction whose containment ≥ threshold, so (small ⊂ big) and
+    (big ⊂ small) report independently.
+
+    The threshold is applied as an EXACT integer cross-multiplication
+    (den·inter ≥ num·n_small — no float enters the filter) and the
+    reported float is derived from the exact (inter, na, nb) triple —
+    the oracle reproduces both bit-for-bit.
+
+    Output: (doc_small, doc_big, inter, n_small, n_big, containment).
+
+    Scale shape: identical to jaccard_pairs (the same inverted-index
+    join on the shingle hash, the same df-cap guarantees), ONE extra
+    projection — the unordered pair table fans out to at most two
+    ordered rows."""
+    sizes = long.groupBy("doc_id").agg(F.count("*").cast("long").alias("nsh"))
+    a, b = long.alias("a"), long.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    both = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("nsh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("nsh", "nb"), "doc_b")
+    )
+    directed = both.select(
+        F.col("doc_a").alias("doc_small"), F.col("doc_b").alias("doc_big"),
+        "inter", F.col("na").alias("n_small"), F.col("nb").alias("n_big"),
+    ).unionByName(
+        both.select(
+            F.col("doc_b").alias("doc_small"),
+            F.col("doc_a").alias("doc_big"),
+            "inter", F.col("nb").alias("n_small"),
+            F.col("na").alias("n_big"),
+        )
+    )
+    return (
+        directed.filter(
+            F.expr(f"{threshold_den} * inter >= {threshold_num} * n_small")
+        )
+        .select(
+            "doc_small", "doc_big", "inter", "n_small", "n_big",
+            F.expr("CAST(inter AS DOUBLE) / n_small").alias("containment"),
+        )
+    )
