@@ -1509,6 +1509,14 @@ def _q_ev_leadlag(spark, sf_dir):
     return EVT.leadlag_pairs(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per active day: exact distinct counts on
+    both windows via dedup-first interval expansion."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.stickiness_daily(EVT.load_events(spark, sf_dir))
+
+
 def _q_ev_rolling_corr(spark, sf_dir):
     """Rolling 60-minute Pearson per event-type pair on the dense
     zero-filled minute grid — time-varying correlation; exact integer
@@ -2835,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sliding_users": _q_ev_sliding_users,
         "ev_interarrival": _q_ev_interarrival,
         "ev_rolling_corr": _q_ev_rolling_corr,
+        "ev_stickiness": _q_ev_stickiness,
         "ev_funnel": _q_ev_funnel,
         "ev_cohort": _q_ev_cohort,
         "ev_transitions": _q_ev_transitions,
@@ -5188,6 +5197,26 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_type, b_type
                            ORDER BY corr DESC, abs(lag), lag) = 1
 """
 
+    ev_stickiness = """
+WITH pairs AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+),
+active AS (SELECT DISTINCT d FROM pairs),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM pairs GROUP BY d),
+fanned AS (
+    SELECT DISTINCT user_id, d + off AS t
+    FROM pairs, UNNEST(range(0, 30)) AS u(off)
+),
+mau AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS mau
+    FROM fanned WHERE t IN (SELECT d FROM active)
+    GROUP BY t
+)
+SELECT dau.d, dau.dau, mau.mau,
+       CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+FROM dau JOIN mau ON dau.d = mau.t
+"""
+
     ev_rolling_corr = """
 WITH ev AS (
     SELECT event_type, epoch_us(ts) // 60000000 AS m FROM events
@@ -6293,6 +6322,7 @@ FROM agg
         "ev_sliding_users": ev_sliding_users,
         "ev_interarrival": ev_interarrival,
         "ev_rolling_corr": ev_rolling_corr,
+        "ev_stickiness": ev_stickiness,
         "ev_funnel": ev_funnel,
         "ev_cohort": ev_cohort,
         "ev_transitions": ev_transitions,

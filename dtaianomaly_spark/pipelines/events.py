@@ -822,3 +822,52 @@ def rolling_corr_pairs(events: DataFrame, window_min: int = 60) -> DataFrame:
             ).alias("corr"),
         )
     )
+
+
+def stickiness_daily(events: DataFrame, mau_days: int = 30) -> DataFrame:
+    """DAU / MAU stickiness per active day — the canonical engagement
+    KPI: daily active users over trailing-``mau_days`` active users,
+    exact on both sides (no sketches at this tier; the qsummary family
+    is the approximate tier). The same dedup-first interval-expansion
+    shape as :func:`sliding_distinct_users`, at day granularity, with
+    the DAU side read off the un-fanned pairs.
+
+    Output: (day, dau, mau, stickiness).
+
+    Scale shape: ONE corpus-sized dedup to (user, day) pairs
+    (checkpointed, shared by both sides and the active-day set); the
+    MAU fan-out is linear in ``mau_days``; both counts are keyed hash
+    aggregates; the final join is day-keyed over |days| rows."""
+    if mau_days < 1:
+        raise ValueError(f"mau_days must be >= 1, got {mau_days}")
+    pairs = (
+        events.select(
+            "user_id",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    active = pairs.select("d").distinct()
+    dau = pairs.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    mau = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(d, d + {int(mau_days) - 1})")
+            ).alias("t"),
+        )
+        .distinct()
+        .join(active.select(F.col("d").alias("t")), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.d == mau.t)
+        .select(
+            "d", "dau", "mau",
+            F.expr("CAST(dau AS DOUBLE) / mau").alias("stickiness"),
+        )
+    )
