@@ -1165,6 +1165,14 @@ def _q_rel_q22(spark, sf_dir):
     )
 
 
+def _q_tx_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per doc: rational tf·N/df score (monotone
+    in tf-idf) from exact int64 counts, deterministic per-doc window."""
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return TX.tfidf_keywords(TX.load_docs(spark, sf_dir))
+
+
 def _q_tx_collocations(spark, sf_dir):
     """Top-50 collocations by lift (= monotone-in-PMI, all-integer
     ranking): bigram/unigram hash aggs, broadcast joins, exact."""
@@ -1507,6 +1515,14 @@ def _q_ev_leadlag(spark, sf_dir):
     from dtaianomaly_spark.pipelines import events as EVT
 
     return EVT.leadlag_pairs(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_funnel_latency(spark, sf_dir):
+    """Funnel conversion-latency distribution: exact integer gaps with
+    ceil-rank p50/p90 and the shared-float mean, per step."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.funnel_latency(EVT.load_events(spark, sf_dir))
 
 
 def _q_ev_stickiness(spark, sf_dir):
@@ -2764,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_novelty_curve": _q_tx_novelty_curve,
         "tx_lz_complexity": _q_tx_lz_complexity,
         "tx_collocations": _q_tx_collocations,
+        "tx_tfidf_keywords": _q_tx_tfidf_keywords,
         "tx_substring_dedup": _q_tx_substring_dedup,
         "tx_substring_spans": _q_tx_substring_spans,
         "tx_bigram_fluency": _q_tx_bigram_fluency,
@@ -2844,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_interarrival": _q_ev_interarrival,
         "ev_rolling_corr": _q_ev_rolling_corr,
         "ev_stickiness": _q_ev_stickiness,
+        "ev_funnel_latency": _q_ev_funnel_latency,
         "ev_funnel": _q_ev_funnel,
         "ev_cohort": _q_ev_cohort,
         "ev_transitions": _q_ev_transitions,
@@ -3772,6 +3790,30 @@ sig AS (
     FROM shr, LATERAL (SELECT UNNEST(range(0, 16)) AS seed) sd
     GROUP BY doc_id, sd.seed
 )"""
+
+    tx_tfidf_keywords = """
+WITH words AS (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+    SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM words GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, tf.w AS word, tf, df,
+           CAST(tf AS DOUBLE) * n_docs / df AS score
+    FROM tf JOIN dfreq ON tf.w = dfreq.w, tot
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, word) AS rnk
+    FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, tf, df, score
+FROM r WHERE rnk <= 3
+"""
 
     tx_collocations = """
 WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -5197,6 +5239,44 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY a_type, b_type
                            ORDER BY corr DESC, abs(lag), lag) = 1
 """
 
+    ev_funnel_latency = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+t1 AS (
+    SELECT user_id, MIN(ts_us) AS t1 FROM ev
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+    SELECT ev.user_id, MIN(ts_us) AS t2
+    FROM ev JOIN t1 ON ev.user_id = t1.user_id
+    WHERE event_type = 'click' AND ts_us > t1 GROUP BY ev.user_id
+),
+t3 AS (
+    SELECT ev.user_id, MIN(ts_us) AS t3
+    FROM ev JOIN t2 ON ev.user_id = t2.user_id
+    WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY ev.user_id
+),
+gaps AS (
+    SELECT 'signup_to_click' AS step, t2 - t1 AS gap
+    FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+    UNION ALL
+    SELECT 'click_to_purchase' AS step, t3 - t2 AS gap
+    FROM t2 JOIN t3 ON t2.user_id = t3.user_id
+),
+a AS (
+    SELECT step, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+           list(gap ORDER BY gap) AS arr
+    FROM gaps GROUP BY step
+)
+SELECT step, n_users, sum_gap_us,
+       CAST(list_extract(arr, CAST((n_users + 1) // 2 AS INT)) AS BIGINT) AS p50_us,
+       CAST(list_extract(arr, CAST((9 * n_users + 9) // 10 AS INT)) AS BIGINT) AS p90_us,
+       CAST(sum_gap_us AS DOUBLE) / n_users AS mean_us
+FROM a
+"""
+
     ev_stickiness = """
 WITH pairs AS (
     SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
@@ -6265,6 +6345,7 @@ FROM agg
         "tx_dup_ngram_rate": tx_dup_ngram_rate,
         "tx_novelty_curve": tx_novelty_curve,
         "tx_collocations": tx_collocations,
+        "tx_tfidf_keywords": tx_tfidf_keywords,
         "tx_substring_dedup": tx_substring_dedup,
         "tx_substring_spans": tx_substring_spans,
         "tx_bigram_fluency": tx_bigram_fluency,
@@ -6323,6 +6404,7 @@ FROM agg
         "ev_interarrival": ev_interarrival,
         "ev_rolling_corr": ev_rolling_corr,
         "ev_stickiness": ev_stickiness,
+        "ev_funnel_latency": ev_funnel_latency,
         "ev_funnel": ev_funnel,
         "ev_cohort": ev_cohort,
         "ev_transitions": ev_transitions,

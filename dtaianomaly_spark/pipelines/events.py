@@ -871,3 +871,71 @@ def stickiness_daily(events: DataFrame, mau_days: int = 30) -> DataFrame:
             F.expr("CAST(dau AS DOUBLE) / mau").alias("stickiness"),
         )
     )
+
+
+def funnel_latency(events: DataFrame) -> DataFrame:
+    """Conversion-latency distribution for the strict-order funnel:
+    exact integer-microsecond gaps t2−t1 (signup→first click) and
+    t3−t2 (click→first purchase) across converting users, summarized
+    with the engine's ceil-rank exact percentiles + shared-float mean
+    — "how long does conversion take", the companion KPI to
+    :func:`funnel_conversion`'s "how many convert".
+
+    Output: one row per step gap: (step, n_users, p50_us, p90_us,
+    mean_us, sum_gap_us).
+
+    Scale shape: the funnel chain's user-keyed aggregates (identical
+    partitioning reuse), then a 2-group aggregate over |users| rows
+    with bounded sorted arrays."""
+    ev = events.select(
+        "user_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts_us").alias("t1"))
+        .localCheckpoint(eager=False)
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t2"))
+        .localCheckpoint(eager=False)
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts_us").alias("t3"))
+    )
+    gaps = (
+        t1.join(t2, "user_id")
+        .select(F.lit("signup_to_click").alias("step"),
+                F.expr("t2 - t1").alias("gap"))
+        .unionByName(
+            t2.join(t3, "user_id")
+            .select(F.lit("click_to_purchase").alias("step"),
+                    F.expr("t3 - t2").alias("gap"))
+        )
+    )
+    return (
+        gaps.groupBy("step")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("gap").cast("long").alias("sum_gap_us"),
+            F.expr("array_sort(collect_list(gap))").alias("arr"),
+        )
+        .select(
+            "step", "n_users", "sum_gap_us",
+            F.expr(
+                "CAST(element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT))"
+                " AS BIGINT)"
+            ).alias("p50_us"),
+            F.expr(
+                "CAST(element_at(arr, CAST((9 * size(arr) + 9) DIV 10"
+                " AS INT)) AS BIGINT)"
+            ).alias("p90_us"),
+            F.expr("CAST(sum_gap_us AS DOUBLE) / n_users").alias("mean_us"),
+        )
+    )

@@ -2504,3 +2504,50 @@ def containment_pairs(
             F.expr("CAST(inter AS DOUBLE) / n_small").alias("containment"),
         )
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document. Ranking discipline: for
+    a fixed document, tf·idf with idf = log(N/df) orders candidates
+    identically to the RATIONAL score tf·N/df (log is monotone and
+    tf > 0), so no transcendental is needed — the score column is that
+    rational computed as ONE double from exact int64 counts (identical
+    in the oracle, so ranks and floats both reproduce bit-for-bit),
+    with the word as the deterministic tie-break. df = number of
+    documents containing the word.
+
+    Output: (doc_id, rnk, word, tf, df, score).
+
+    Scale shape: tf is a (doc, word) hash aggregate; df folds the tf
+    table (never the corpus); df broadcasts onto tf; the per-doc top-k
+    is a bounded window over each doc's vocabulary."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    words = docs.select(
+        "doc_id", F.explode(F.expr("split(text, ' ')")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count("*").cast("long").alias("tf")
+    ).localCheckpoint(eager=False)
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    total = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", F.col("w").alias("word"), "tf", "df",
+            F.expr(
+                "CAST(tf AS DOUBLE) * n_docs / df"
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("word")
+    )
+    return (
+        scored.select(
+            "doc_id", F.row_number().over(win).cast("long").alias("rnk"),
+            "word", "tf", "df", "score",
+        )
+        .filter(F.col("rnk") <= k)
+    )
