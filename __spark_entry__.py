@@ -356,6 +356,15 @@ def _q_det_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DET.cusum_scores(_spark_long_form(spark, sf_dir), 60, 300)
 
 
+def _q_det_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold hysteresis alarm via the last-crossing identity:
+    two conditional running-max windows on ONE partition order — the
+    relational Schmitt trigger, exact integers, oracle bit-equal."""
+    from dtaianomaly_spark.operators import detectors as DET
+
+    return DET.hysteresis_alarm(_spark_long_form(spark, sf_dir), 380, 250)
+
+
 def _q_det_mad_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust median/MAD z-score per observation: exact integer
     ceil-rank medians, one shared float divide — oracle bit-equal."""
@@ -1468,6 +1477,15 @@ def _q_ev_range_join(spark, sf_dir):
     from dtaianomaly_spark.pipelines import events as EVT
 
     return EVT.alert_window_counts(EVT.load_events(spark, sf_dir))
+
+
+def _q_ev_asof_tol(spark, sf_dir):
+    """As-of join with a 10-minute tolerance (merge_asof parity):
+    matches staler than the cutoff null out — post-match null-out on
+    the same one-shuffle operator, never a second join."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.asof_view_tolerance(EVT.load_events(spark, sf_dir))
 
 
 def _q_ev_asof_fwd(spark, sf_dir):
@@ -2791,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_hard_negatives": _q_tx_hard_negatives,
         "det_cusum": _q_det_cusum,
         "det_mad_zscore": _q_det_mad_zscore,
+        "det_hysteresis": _q_det_hysteresis,
         "det_spectral_residual": _q_det_spectral_residual,
         "det_shesd_report": _q_det_shesd_report,
         "det_hw_error": _q_det_hw_error,
@@ -2852,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_rate_anomaly": _q_ev_rate_anomaly,
         "ev_asof_join": _q_ev_asof_join,
         "ev_asof_fwd": _q_ev_asof_fwd,
+        "ev_asof_tol": _q_ev_asof_tol,
         "ev_asof_skew": _q_ev_asof_skew,
         "ev_counter_agg": _q_ev_counter_agg,
         "ev_counter_1h": _q_ev_counter_1h,
@@ -3212,6 +3232,29 @@ sz AS (
 SELECT dt.doc_id, dt.pos, dt.value, dt.trend, sz.seasonal,
        CAST(dt.value AS DOUBLE) - dt.trend - sz.seasonal AS remainder
 FROM dt LEFT JOIN sz ON dt.doc_id = sz.doc_id AND dt.phase = sz.phase
+"""
+
+    det_hysteresis = f"""
+{C.TOKEN_SQL_CTE},
+m AS (
+    SELECT doc_id, pos, value,
+           MAX(CASE WHEN value > 380 THEN pos ELSE -1 END) OVER w AS last_hi,
+           MAX(CASE WHEN value <= 250 THEN pos ELSE -1 END) OVER w AS last_lo
+    FROM long_form
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+a AS (
+    SELECT doc_id, pos, value,
+           CAST(CASE WHEN last_hi > last_lo THEN 1 ELSE 0 END AS BIGINT)
+               AS alarm
+    FROM m
+)
+SELECT doc_id, pos, value, alarm,
+       CAST(CASE WHEN alarm != COALESCE(lag(alarm) OVER (
+            PARTITION BY doc_id ORDER BY pos), 0) THEN 1 ELSE 0 END
+           AS BIGINT) AS edge
+FROM a
 """
 
     det_mad_zscore = f"""
@@ -5542,6 +5585,35 @@ seg AS (
 SELECT doc_id, SUM(dr * ptrap) AS auc_pr FROM seg GROUP BY doc_id
 """
 
+    ev_asof_tol = """
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(floor(value * 1000) AS BIGINT) AS mval
+    FROM events
+),
+p AS (SELECT event_id, user_id, ts_us, mval FROM e WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts_us, mval FROM e WHERE event_type = 'view'),
+best AS (
+    SELECT p.event_id, MAX(v.ts_us) AS m_ts
+    FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts_us <= p.ts_us
+    GROUP BY p.event_id
+),
+mm AS (
+    SELECT p.event_id, p.user_id, p.ts_us, p.mval,
+           b.m_ts, ARG_MAX(v2.mval, v2.event_id) AS m_mval
+    FROM p
+    JOIN best b ON p.event_id = b.event_id
+    LEFT JOIN v v2 ON v2.user_id = p.user_id AND v2.ts_us = b.m_ts
+    GROUP BY p.event_id, p.user_id, p.ts_us, p.mval, b.m_ts
+)
+SELECT event_id, user_id, ts_us, mval,
+       CASE WHEN ts_us - m_ts <= 600000000 THEN m_ts END AS view_ts_us,
+       CASE WHEN ts_us - m_ts <= 600000000 THEN m_mval END AS view_mval,
+       CASE WHEN ts_us - m_ts <= 600000000 THEN ts_us - m_ts END AS gap_us
+FROM mm
+"""
+
     ev_asof_join = """
 WITH e AS (
     SELECT event_id, user_id, event_type,
@@ -6359,6 +6431,7 @@ FROM agg
         "pp_strength": pp_strength,
         "pp_seasonal_bands": pp_seasonal_bands,
         "det_mad_zscore": det_mad_zscore,
+        "det_hysteresis": det_hysteresis,
         "tx_source_drift": tx_source_drift,
         "tx_source_mix": tx_source_mix,
         "tx_lang_eval": tx_lang_eval,
@@ -6395,6 +6468,7 @@ FROM agg
         "ev_rate_anomaly": ev_rate_anomaly,
         "ev_asof_join": ev_asof_join,
         "ev_asof_fwd": ev_asof_fwd,
+        "ev_asof_tol": ev_asof_tol,
         "ev_asof_skew": ev_asof_join,
         "ev_counter_agg": ev_counter_agg,
         "ev_counter_1h": ev_counter_1h,

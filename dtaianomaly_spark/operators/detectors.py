@@ -1424,3 +1424,51 @@ def mad_zscore(long_form: DataFrame) -> DataFrame:
             " ELSE NULL END"
         ).alias("score"),
     )
+
+
+def hysteresis_alarm(
+    long_form: DataFrame, hi: int, lo: int
+) -> DataFrame:
+    """Two-threshold hysteresis alarm (Schmitt trigger — the
+    alerting-rule semantic behind Grafana/Kapacitor dual-threshold
+    rules): the alarm RAISES when value > ``hi`` and stays raised
+    until value <= ``lo`` (lo < hi), suppressing the flapping a single
+    threshold produces on noisy series.
+
+    The state machine looks sequential, but the last-crossing identity
+    makes it RELATIONAL: alarm_i ⟺ the most recent value > hi is more
+    recent than the most recent value <= lo —
+
+        alarm_i = max_{j<=i}(pos_j · [v_j > hi]) > max_{j<=i}(pos_j · [v_j <= lo])
+
+    (with −1 defaults), i.e. TWO conditional running MAX windows over
+    one (doc_id, pos) partition order — ONE exchange, zero UDF, exact
+    integers end to end. Output: (doc_id, pos, value, alarm) plus the
+    per-transition flag (raise/clear edges) for alert routing."""
+    if lo >= hi:
+        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    marked = long_form.select(
+        "doc_id", "pos", "value",
+        F.max(
+            F.expr(f"CASE WHEN value > {int(hi)} THEN pos ELSE -1 END")
+        ).over(w).alias("last_hi"),
+        F.max(
+            F.expr(f"CASE WHEN value <= {int(lo)} THEN pos ELSE -1 END")
+        ).over(w).alias("last_lo"),
+    ).select(
+        "doc_id", "pos", "value",
+        F.expr("CAST(last_hi > last_lo AS INT)").cast("long").alias("alarm"),
+    )
+    w1 = W.partitionBy("doc_id").orderBy("pos")
+    return marked.select(
+        "doc_id", "pos", "value", "alarm",
+        F.expr(
+            "CAST(alarm != coalesce(lag(alarm) OVER (PARTITION BY doc_id"
+            " ORDER BY pos), 0) AS INT)"
+        ).cast("long").alias("edge"),
+    )

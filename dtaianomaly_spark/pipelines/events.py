@@ -939,3 +939,35 @@ def funnel_latency(events: DataFrame) -> DataFrame:
             F.expr("CAST(sum_gap_us AS DOUBLE) / n_users").alias("mean_us"),
         )
     )
+
+
+ASOF_TOL_US = 600 * 1_000_000  # 10-minute staleness cutoff
+
+
+def asof_view_tolerance(events: DataFrame, tol_us: int = ASOF_TOL_US) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    parity): each purchase is enriched with the most recent view
+    at-or-before it ONLY IF that view is within ``tol_us``
+    microseconds — a stale match is as bad as no match for "what did
+    the user last see before buying" attribution, so it nulls out.
+    Same one-shuffle union-window operator as the base as-of; the
+    tolerance is a post-match null-out, never a second join."""
+    from dtaianomaly_spark.operators.temporal_joins import asof_join
+
+    e = _typed(events)
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "mval"
+    )
+    build = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us", "mval"
+    )
+    out = asof_join(
+        probe, build, on="user_id", ts="ts_us",
+        build_cols=["mval"], order_col="event_id", prefix="view_",
+        tolerance=int(tol_us),
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "mval",
+        F.col("view_ts_us"), F.col("view_mval"),
+        (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )

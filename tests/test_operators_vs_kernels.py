@@ -848,3 +848,37 @@ def test_pacf_report_matches_exact_acf_plus_kernel(spark):
     from dtaianomaly_spark.operators.windows import pacf_report as PR
     with pytest.raises(ValueError):
         PR(lf, 0)
+
+
+def test_hysteresis_identity_equals_sequential_replay(spark):
+    """The last-crossing identity == the sequential Schmitt-trigger
+    state machine, raise/clear edges included."""
+    import numpy as np
+
+    from dtaianomaly_spark.operators.detectors import hysteresis_alarm
+
+    rng = np.random.default_rng(67)
+    rows = []
+    for d in range(4):
+        vals = rng.integers(0, 520, 300)
+        rows += [(f"d{d}", p, int(v)) for p, v in enumerate(vals)]
+    lf = spark.createDataFrame(rows, "doc_id string, pos long, value long")
+    hi, lo = 380, 250
+    out = {
+        (r["doc_id"], r["pos"]): (r["alarm"], r["edge"])
+        for r in hysteresis_alarm(lf, hi, lo).collect()
+    }
+    fired = 0
+    for d in range(4):
+        alarm_prev = 0
+        series = [v for (doc, p, v) in rows if doc == f"d{d}"]
+        for p, v in enumerate(series):
+            if alarm_prev == 0:
+                alarm = 1 if v > hi else 0
+            else:
+                alarm = 0 if v <= lo else 1
+            edge = 1 if alarm != alarm_prev else 0
+            assert out[(f"d{d}", p)] == (alarm, edge), (d, p, v)
+            fired += alarm
+            alarm_prev = alarm
+    assert fired > 0  # thresholds actually exercise both states
