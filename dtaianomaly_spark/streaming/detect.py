@@ -855,3 +855,101 @@ def stateful_trend(
         if state_ttl_ms is None
         else GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ----------------------------------------------------------- hysteresis
+# Streaming twin of operators/detectors.py:hysteresis_alarm — the
+# Schmitt-trigger alarm as an O(1)-state operator: one alarm bit (plus
+# the contiguity cursor) per series. The sequential recurrence IS the
+# natural streaming form; the batch operator's last-crossing identity
+# and this recurrence are proven equal in
+# test_operators_vs_kernels.test_hysteresis_identity_equals_sequential_replay,
+# and the twin is byte-matched against the batch operator per prefix.
+
+HYST_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("value", LongType(), False),
+        StructField("alarm", LongType(), False),
+        StructField("edge", LongType(), False),
+    ]
+)
+
+HYST_STATE_SCHEMA = StructType(
+    [
+        StructField("alarm", LongType(), True),
+        StructField("nxt", LongType(), True),
+    ]
+)
+
+
+def _make_hyst_update(hi: int, lo: int, ttl_ms: int | None):
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            alarm, nxt = (int(v) for v in state.get)
+        else:
+            alarm, nxt = 0, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            if state.exists and ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            return
+        batch = pd.concat(chunks).sort_values("pos")
+        vals = batch["value"].to_numpy(dtype=np.int64)
+        poss = batch["pos"].to_numpy(dtype=np.int64)
+        if not np.array_equal(poss, nxt + np.arange(vals.shape[0])):
+            raise ValueError(
+                f"streaming hysteresis requires contiguous points from"
+                f" pos 0; series {doc_id!r} expected pos {nxt},"
+                f" got {poss[:5].tolist()}..."
+            )
+        alarms = np.empty(vals.shape[0], dtype=np.int64)
+        edges = np.empty(vals.shape[0], dtype=np.int64)
+        for i, v in enumerate(vals):
+            new = (1 if v > hi else 0) if alarm == 0 \
+                else (0 if v <= lo else 1)
+            edges[i] = 1 if new != alarm else 0
+            alarms[i] = new
+            alarm = new
+        nxt = int(poss[-1]) + 1
+        state.update((alarm, nxt))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({
+            "doc_id": np.repeat(doc_id, vals.shape[0]),
+            "pos": poss, "value": vals,
+            "alarm": alarms, "edge": edges,
+        })
+
+    return update
+
+
+def stateful_hysteresis(
+    stream_long_form, hi: int, lo: int,
+    state_ttl_ms: int | None = STATE_TTL_MS,
+):
+    """(doc_id, pos, value) stream -> append stream of Schmitt-trigger
+    alarm rows, byte-equal to the batch ``hysteresis_alarm`` over any
+    prefix. State per series: ONE alarm bit + the contiguity cursor —
+    the smallest possible alerting state, which is the point: the
+    dual-threshold rule needs no history replay to resume."""
+    if lo >= hi:
+        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
+    return stream_long_form.groupBy("doc_id").applyInPandasWithState(
+        _make_hyst_update(int(hi), int(lo), state_ttl_ms),
+        HYST_OUT_SCHEMA,
+        HYST_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
+    )

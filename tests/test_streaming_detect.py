@@ -621,3 +621,59 @@ def test_streamed_trend_validation():
 
     with pytest.raises(ValueError):
         stateful_trend(None, horizon=-1)
+
+
+def test_streamed_hysteresis_equals_batch_operator(spark, tmp_path):
+    """One-bit-state streaming Schmitt trigger: the streamed alarm/edge
+    rows byte-match the batch last-crossing-identity operator over the
+    full series, across chunk boundaries."""
+    from dtaianomaly_spark.operators.detectors import hysteresis_alarm
+    from dtaianomaly_spark.streaming.detect import stateful_hysteresis
+
+    rng = np.random.default_rng(71)
+    n, n_docs, hi, lo = 160, 3, 380, 250
+    rows = []
+    for d in range(n_docs):
+        vals = rng.integers(0, 520, n)
+        rows += [(f"doc-{d}", p, int(v)) for p, v in enumerate(vals)]
+    schema = "doc_id string, pos long, value long"
+    lf = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "hyst_src")
+    bounds = np.linspace(0, n, 5).astype(int)
+    seen: set = set()
+    for i, (lo_b, hi_b) in enumerate(zip(bounds, bounds[1:])):
+        lf.filter(f"pos >= {lo_b} AND pos < {hi_b}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        base = 1_600_000_000 + i * 10
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (base, base))
+                seen.add(p)
+    stream = (
+        spark.readStream.schema(lf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "hyst_out")
+    q = (
+        stateful_hysteresis(stream, hi, lo, state_ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "hyst_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["pos"]): (r["value"], r["alarm"], r["edge"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["doc_id"], r["pos"]): (r["value"], r["alarm"], r["edge"])
+        for r in hysteresis_alarm(lf, hi, lo).collect()
+    }
+    assert got == batch and len(got) == n * n_docs
+    assert sum(a for (_, a, _e) in got.values()) > 0
