@@ -1082,6 +1082,22 @@ def _q_rel_q18(spark, sf_dir):
     )
 
 
+def _q_rel_status_rollup(spark, sf_dir):
+    """SQL ROLLUP grouping sets in one pass (Expand + single hash
+    aggregate): (status, year) / (status) / () with grouping ids."""
+    from dtaianomaly_spark.pipelines import relational as R
+
+    return R.status_year_rollup(R.load(spark, sf_dir, "orders"))
+
+
+def _q_ev_pivot_minutes(spark, sf_dir):
+    """PIVOT over the fixed event-type domain: wide per-minute counts,
+    one conditional-count hash aggregate."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.minute_type_pivot(EVT.load_events(spark, sf_dir))
+
+
 def _q_rel_month_share(spark, sf_dir):
     """Running + year-window revenue per (month, status): cumulative
     frame over the bounded month grid, exact cents, shared ratios."""
@@ -2849,6 +2865,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q18_volume": _q_rel_q18,
         "rel_q6_forecast": _q_rel_q6,
         "rel_month_share": _q_rel_month_share,
+        "rel_status_rollup": _q_rel_status_rollup,
+        "ev_pivot_minutes": _q_ev_pivot_minutes,
         "rel_q4_priority": _q_rel_q4,
         "rel_q8_share": _q_rel_q8,
         "rel_q14_promo": _q_rel_q14,
@@ -4737,6 +4755,40 @@ SELECT month, o_orderstatus, n_orders, sum_price,
 FROM g
 """
 
+    rel_status_rollup = """
+WITH g AS (
+    SELECT o_orderstatus,
+           CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+r AS (
+    SELECT o_orderstatus, o_year,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_year) AS BIGINT)
+               AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_price_cents
+    FROM g GROUP BY ROLLUP (o_orderstatus, o_year)
+)
+SELECT o_orderstatus, o_year, lvl, n_orders, sum_price_cents,
+       CAST(sum_price_cents AS DOUBLE) / n_orders AS avg_price
+FROM r
+"""
+
+    ev_pivot_minutes = """
+WITH ev AS (
+    SELECT epoch_us(ts) // 60000000 AS m, event_type FROM events
+)
+SELECT m,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM ev GROUP BY m
+"""
+
     rel_month_share = """
 WITH g AS (
     SELECT CAST(strftime(o_orderdate, '%Y%m') AS BIGINT) AS month,
@@ -6451,6 +6503,8 @@ FROM agg
         "rel_q18_volume": rel_q18_volume,
         "rel_q6_forecast": rel_q6_forecast,
         "rel_month_share": rel_month_share,
+        "rel_status_rollup": rel_status_rollup,
+        "ev_pivot_minutes": ev_pivot_minutes,
         "rel_q4_priority": rel_q4_priority,
         "rel_q8_share": rel_q8_share,
         "rel_q14_promo": rel_q14_promo,

@@ -971,3 +971,34 @@ def asof_view_tolerance(events: DataFrame, tol_us: int = ASOF_TOL_US) -> DataFra
         F.col("view_ts_us"), F.col("view_mval"),
         (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def minute_type_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT the minute rollup: one row per minute, one count column
+    per event type (the wide layout dashboards and correlation
+    consumers want) — Spark's relational pivot over the FIXED type
+    domain (a pivot over an unknown domain needs a collect; pinning
+    the domain keeps the plan one hash aggregate with conditional
+    counts, which is also exactly how the oracle expresses it).
+
+    Output: (m, click, error, purchase, signup, view, total)."""
+    ev = events.select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 60000000").alias("m"),
+        "event_type",
+    )
+    p = (
+        ev.groupBy("m")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside pivot
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+        for t in EVENT_TYPES
+    ]
+    return p.select("m", *cols).select(
+        "m", *[F.col(t) for t in EVENT_TYPES],
+        F.expr(" + ".join(EVENT_TYPES)).cast("long").alias("total"),
+    )

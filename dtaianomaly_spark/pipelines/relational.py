@@ -623,3 +623,34 @@ def running_month_share(orders: DataFrame) -> DataFrame:
         "year_rev",
         F.expr("CAST(rev AS DOUBLE) / year_rev").alias("share_of_year"),
     )
+
+
+def status_year_rollup(orders: DataFrame) -> DataFrame:
+    """Multi-granularity aggregate via SQL ROLLUP — the construct the
+    engine's tier system generalizes, exercised in its native
+    relational form: order counts + exact cent sums at (status, year),
+    (status) and () granularities in ONE pass (Spark plans an Expand +
+    single hash aggregate; no re-scan per level). ``lvl`` is the
+    grouping-set id (0 = finest), NULL dimension values mark rolled-up
+    levels, exactly as GROUPING SETS defines.
+
+    Output: (o_orderstatus, o_year, lvl, n_orders, sum_price_cents,
+    avg_price) — integers + the one shared float mean."""
+    g = orders.select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(date_format(CAST(o_orderdate AS TIMESTAMP), 'yyyy')"
+            " AS BIGINT)"
+        ).alias("o_year"),
+        F.expr(_CENTS.format(col="o_totalprice")).alias("cents"),
+    ).rollup("o_orderstatus", "o_year").agg(
+        F.expr("CAST(grouping_id() AS BIGINT)").alias("lvl"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").alias("sum_price_cents"),
+    )
+    return g.select(
+        "o_orderstatus", "o_year", "lvl", "n_orders", "sum_price_cents",
+        F.expr(
+            "CAST(sum_price_cents AS DOUBLE) / n_orders"
+        ).alias("avg_price"),
+    )
