@@ -383,6 +383,14 @@ def _q_pp_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PP.classical_decompose(_spark_long_form(spark, sf_dir), 32)
 
 
+def _q_pp_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest equal-value run per series (gaps-and-islands window,
+    all integers): the stuck-sensor / degenerate-repetition signal."""
+    from dtaianomaly_spark.operators import preprocessing as PP
+
+    return PP.longest_run(_spark_long_form(spark, sf_dir))
+
+
 def _q_pp_seasonal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer p10/p50/p90 per (series, phase mod 32) — the
     seasonal band analytic; ceil-rank selection, oracle bit-equal."""
@@ -2844,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pp_decompose": _q_pp_decompose,
         "pp_strength": _q_pp_strength,
         "pp_seasonal_bands": _q_pp_seasonal_bands,
+        "pp_longest_run": _q_pp_longest_run,
         "pp_lttb": _q_pp_lttb,
         "pp_m4": _q_pp_m4,
         "tx_source_drift": _q_tx_source_drift,
@@ -3298,6 +3307,28 @@ SELECT dev.doc_id, dev.pos, dev.value, dev.med, mad.mad,
        CASE WHEN mad.mad > 0 THEN CAST(dev.ad AS DOUBLE) / mad.mad
             ELSE NULL END AS score
 FROM dev JOIN mad ON dev.doc_id = mad.doc_id
+"""
+
+    pp_longest_run = f"""
+{C.TOKEN_SQL_CTE},
+isl AS (
+    SELECT doc_id, pos, value,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id, value
+                                    ORDER BY pos) AS grp
+    FROM long_form
+),
+runs AS (
+    SELECT doc_id, value, grp,
+           CAST(COUNT(*) AS BIGINT) AS run_len,
+           MIN(pos) AS start_pos
+    FROM isl GROUP BY doc_id, value, grp
+),
+r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY run_len DESC, start_pos) AS rk
+    FROM runs
+)
+SELECT doc_id, value, run_len, start_pos FROM r WHERE rk = 1
 """
 
     pp_seasonal_bands = f"""
@@ -6482,6 +6513,7 @@ FROM agg
         "pp_decompose": decompose,
         "pp_strength": pp_strength,
         "pp_seasonal_bands": pp_seasonal_bands,
+        "pp_longest_run": pp_longest_run,
         "det_mad_zscore": det_mad_zscore,
         "det_hysteresis": det_hysteresis,
         "tx_source_drift": tx_source_drift,

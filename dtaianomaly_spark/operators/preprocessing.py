@@ -624,3 +624,38 @@ def seasonal_bands(
             *sel,
         )
     )
+
+
+def longest_run(long_form: DataFrame) -> DataFrame:
+    """Longest run of equal consecutive values per series — the
+    degenerate-repetition signal (a generation stuck emitting one
+    token, a sensor stuck at one reading). Classic gaps-and-islands:
+    ``pos − row_number() over (doc, value order pos)`` is constant
+    exactly within a run, so runs materialize as ONE window pass + a
+    grouped count, all integers. Ties (several runs of the max length)
+    resolve to the earliest start.
+
+    Output: (doc_id, value, run_len, start_pos).
+
+    Scale shape: one (doc_id) window partitioning shared by the island
+    id and the final per-series argmax (min_by over the bounded island
+    table); no self-joins."""
+    isl = long_form.select(
+        "doc_id", "pos", "value",
+        F.expr(
+            "pos - row_number() OVER (PARTITION BY doc_id, value"
+            " ORDER BY pos)"
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("doc_id", "value", "grp").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.min("pos").alias("start_pos"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("run_len"), F.col("start_pos")
+    )
+    return (
+        runs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "value", "run_len", "start_pos")
+    )
