@@ -1825,6 +1825,18 @@ def _q_mm_wav_stats(spark, sf_dir):
     )
 
 
+def _q_mm_audio_neardup(spark, sf_dir):
+    """Audio near-dup groups by spectral-shape fingerprint (sign bits
+    of adjacent periodogram ordinates — gain-invariant). Rows-only;
+    invariance + discrimination pinned in pytest."""
+    from dtaianomaly_spark.pipelines import audio as AU
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return AU.audio_neardup_groups(
+        AU.with_wav_payload(TX.load_docs(spark, sf_dir))
+    )
+
+
 def _q_mm_wav_spectral(spark, sf_dir):
     """Channel-0 spectral features over decoded WAV clips (dominant
     bin, centroid, 85% rolloff, spectral entropy) via the shared
@@ -2925,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_stats": _q_mm_wav_stats,
         "mm_wav_energy": _q_mm_wav_energy,
         "mm_wav_spectral": _q_mm_wav_spectral,
+        "mm_audio_neardup": _q_mm_audio_neardup,
         "mm_avi_stats": _q_mm_avi_stats,
         "mm_avi_motion": _q_mm_avi_motion,
         "mm_wav_zcr": _q_mm_wav_zcr,

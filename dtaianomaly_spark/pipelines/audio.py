@@ -30,6 +30,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, DoubleType, LongType, StructField, StructType,
 )
@@ -362,4 +363,58 @@ def wav_spectral_decoded(payloads: DataFrame) -> DataFrame:
 
     return payloads.select("doc_id", "payload").mapInPandas(
         run, SPECTRAL_SCHEMA
+    )
+
+
+AFP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("afp", LongType(), False),
+        StructField("n_bits", LongType(), False),
+    ]
+)
+
+
+def audio_fingerprint_decoded(payloads: DataFrame, n_bits: int = 16) -> DataFrame:
+    """Spectral-shape audio fingerprint per decoded clip: the sign
+    bits of adjacent periodogram ordinates (P[k+1] > P[k]) over the
+    first ``n_bits``+1 frequency bins of channel 0 — the
+    Haitsma-Kalker-style sub-fingerprint idea reduced to one frame
+    (these clips are sub-second), robust to uniform gain (periodogram
+    ratios are gain-invariant) and exactly reproducible (integer PCM →
+    one FFT → boolean compares). Map-only Arrow pass."""
+    from dtaianomaly_spark.kernels import windowing as KW
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = decode_audio(bytes(payload))
+                x = samples[:, 0].astype(np.float64)
+                p = KW.periodogram(x)
+                m = min(n_bits, p.shape[0] - 1)
+                bits = (p[1:m + 1] > p[:m]).astype(np.uint64)
+                afp = int((bits << np.arange(m, dtype=np.uint64)).sum())
+                out.append((int(doc_id), afp, m))
+            if out:
+                yield pd.DataFrame(out, columns=AFP_SCHEMA.names)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        run, AFP_SCHEMA
+    )
+
+
+def audio_neardup_groups(payloads: DataFrame, n_bits: int = 16) -> DataFrame:
+    """Audio near-duplicate GROUPS by exact fingerprint match (same
+    spectral shape under gain changes): groupBy the fingerprint —
+    embarrassingly parallel, the audio member of the dedup family.
+    Output: (afp, n_bits, n_clips, keep_doc_id) for groups of ≥ 2."""
+    fp = audio_fingerprint_decoded(payloads, n_bits)
+    return (
+        fp.groupBy("afp", "n_bits")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_clips") >= 2)
     )

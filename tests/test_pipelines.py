@@ -1964,3 +1964,31 @@ def test_dhash_neardup_kernel_and_pairs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] == d
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_audio_fingerprint_gain_invariance_and_groups(spark):
+    """The spectral-shape fingerprint is invariant to uniform gain and
+    discriminates different clips; the group op clusters matches."""
+    import numpy as np
+
+    from dtaianomaly_spark.pipelines import audio as AU
+
+    rng = np.random.default_rng(73)
+    base = rng.integers(-1500, 1500, (60, 1)).astype(np.int16)
+    gained = np.clip(base.astype(np.int64) * 2, -32768, 32767).astype(
+        np.int16
+    )
+    other = rng.integers(-1500, 1500, (60, 1)).astype(np.int16)
+    rows = [
+        (1, AU.encode_wav(base, 8000)),
+        (2, AU.encode_wav(gained, 8000)),
+        (3, AU.encode_wav(other, 8000)),
+    ]
+    pay = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = {r["doc_id"]: r["afp"]
+          for r in AU.audio_fingerprint_decoded(pay).collect()}
+    assert fp[1] == fp[2]      # gain-invariant (P scales by 4 everywhere)
+    assert fp[1] != fp[3]      # different content -> different shape
+    groups = AU.audio_neardup_groups(pay).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_clips"] == 2 and groups[0]["keep_doc_id"] == 1
