@@ -1503,6 +1503,15 @@ def _q_ev_range_join(spark, sf_dir):
     return EVT.alert_window_counts(EVT.load_events(spark, sf_dir))
 
 
+def _q_ev_attribution(spark, sf_dir):
+    """Linear multi-touch attribution (1-hour lookback): each
+    qualifying view shares the conversion credit 1/n equally — the
+    complement of the as-of join's last-touch model."""
+    from dtaianomaly_spark.pipelines import events as EVT
+
+    return EVT.linear_attribution(EVT.load_events(spark, sf_dir))
+
+
 def _q_ev_asof_tol(spark, sf_dir):
     """As-of join with a 10-minute tolerance (merge_asof parity):
     matches staler than the cutoff null out — post-match null-out on
@@ -2911,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_asof_join": _q_ev_asof_join,
         "ev_asof_fwd": _q_ev_asof_fwd,
         "ev_asof_tol": _q_ev_asof_tol,
+        "ev_attribution": _q_ev_attribution,
         "ev_asof_skew": _q_ev_asof_skew,
         "ev_counter_agg": _q_ev_counter_agg,
         "ev_counter_1h": _q_ev_counter_1h,
@@ -5681,6 +5691,31 @@ seg AS (
 SELECT doc_id, SUM(dr * ptrap) AS auc_pr FROM seg GROUP BY doc_id
 """
 
+    ev_attribution = """
+WITH e AS (
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+),
+p AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'),
+v AS (SELECT user_id AS v_user, ts_us AS v_ts FROM e WHERE event_type = 'view'),
+g AS (
+    SELECT p.event_id, p.user_id, p.ts_us,
+           CAST(COUNT(v.v_ts) AS BIGINT) AS n_touches,
+           MIN(v.v_ts) AS first_touch_us,
+           MAX(v.v_ts) AS last_touch_us
+    FROM p LEFT JOIN v
+      ON p.user_id = v.v_user
+     AND v.v_ts <= p.ts_us AND v.v_ts > p.ts_us - 3600000000
+    GROUP BY p.event_id, p.user_id, p.ts_us
+)
+SELECT event_id, user_id, ts_us, n_touches, first_touch_us,
+       last_touch_us,
+       CASE WHEN n_touches > 0 THEN CAST(1 AS DOUBLE) / n_touches END
+           AS credit_per_touch
+FROM g
+"""
+
     ev_asof_tol = """
 WITH e AS (
     SELECT event_id, user_id, event_type,
@@ -6568,6 +6603,7 @@ FROM agg
         "ev_asof_join": ev_asof_join,
         "ev_asof_fwd": ev_asof_fwd,
         "ev_asof_tol": ev_asof_tol,
+        "ev_attribution": ev_attribution,
         "ev_asof_skew": ev_asof_join,
         "ev_counter_agg": ev_counter_agg,
         "ev_counter_1h": ev_counter_1h,

@@ -1002,3 +1002,54 @@ def minute_type_pivot(events: DataFrame) -> DataFrame:
         "m", *[F.col(t) for t in EVENT_TYPES],
         F.expr(" + ".join(EVENT_TYPES)).cast("long").alias("total"),
     )
+
+
+ATTR_WINDOW_US = 3600 * 1_000_000  # 1-hour attribution lookback
+
+
+def linear_attribution(
+    events: DataFrame, window_us: int = ATTR_WINDOW_US
+) -> DataFrame:
+    """LINEAR multi-touch attribution: every view within the lookback
+    window before a purchase shares the conversion credit equally —
+    the marketing-analytics complement of the as-of join's last-touch
+    model (which gives the final view everything). Credit per touch is
+    the exact rational 1/n_touches materialized as one shared float;
+    touch counts and window bounds are exact integers.
+
+    Output: one row per purchase: (event_id, user_id, ts_us,
+    n_touches, first_touch_us, last_touch_us, credit_per_touch).
+
+    Scale shape: the purchase↔view join is user_id-keyed with the
+    window predicate applied post-join on co-located rows (the
+    standard decorrelated range join; per-user event counts bound the
+    pair fan-out), then one purchase-keyed aggregate. Zero-touch
+    purchases keep NULL bounds and NULL credit — visible, not
+    dropped."""
+    e = _typed(events)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts_us").alias("v_ts")
+    )
+    joined = p.join(
+        v,
+        (p.user_id == v.v_user)
+        & (F.col("v_ts") <= p.ts_us)
+        & (F.col("v_ts") > p.ts_us - int(window_us)),
+        "left",
+    )
+    g = joined.groupBy("event_id", "user_id", "ts_us").agg(
+        F.count("v_ts").cast("long").alias("n_touches"),
+        F.min("v_ts").alias("first_touch_us"),
+        F.max("v_ts").alias("last_touch_us"),
+    )
+    return g.select(
+        "event_id", "user_id", "ts_us", "n_touches",
+        "first_touch_us", "last_touch_us",
+        F.expr(
+            "CASE WHEN n_touches > 0 THEN CAST(1 AS DOUBLE) / n_touches"
+            " ELSE NULL END"
+        ).alias("credit_per_touch"),
+    )
