@@ -1090,6 +1090,39 @@ def _q_rel_q18(spark, sf_dir):
     )
 
 
+def _q_dq_report(spark, sf_dir):
+    """Deequ-style declarative data-quality suite over orders/lineitem:
+    completeness, uniqueness, range, set membership and referential
+    integrity COMPILED into one aggregate pass + one semi-join —
+    integer metrics, cross-multiplied verdicts, oracle bit-equal."""
+    from dtaianomaly_spark.pipelines import quality as DQ
+    from dtaianomaly_spark.pipelines import relational as R
+
+    orders = R.load(spark, sf_dir, "orders")
+    lineitem = R.load(spark, sf_dir, "lineitem")
+    checks = [
+        ("c_cust_complete", "completeness",
+         {"col": "o_custkey", "threshold": (1, 1)}),
+        ("c_key_unique", "uniqueness",
+         {"col": "o_orderkey", "threshold": (1, 1)}),
+        ("c_price_range", "in_range",
+         {"col": "o_totalprice",
+          "expr": "CAST(floor(o_totalprice * 100) AS BIGINT)",
+          "lo": 1, "hi": 100000000, "threshold": (999, 1000)}),
+        ("c_status_domain", "in_set",
+         {"col": "o_orderstatus", "values": ["F", "O", "P"],
+          "threshold": (1, 1)}),
+    ]
+    base = DQ.dq_report(orders, checks)
+    ref = DQ.dq_report(
+        lineitem,
+        [("c_li_orders_fk", "referential",
+          {"col": "l_orderkey", "ref": orders, "ref_col": "o_orderkey",
+           "threshold": (1, 1)})],
+    )
+    return base.unionByName(ref)
+
+
 def _q_rel_status_rollup(spark, sf_dir):
     """SQL ROLLUP grouping sets in one pass (Expand + single hash
     aggregate): (status, year) / (status) / () with grouping ids."""
@@ -2896,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_q6_forecast": _q_rel_q6,
         "rel_month_share": _q_rel_month_share,
         "rel_status_rollup": _q_rel_status_rollup,
+        "dq_report": _q_dq_report,
         "ev_pivot_minutes": _q_ev_pivot_minutes,
         "rel_q4_priority": _q_rel_q4,
         "rel_q8_share": _q_rel_q8,
@@ -4809,6 +4843,51 @@ SELECT month, o_orderstatus, n_orders, sum_price,
 FROM g
 """
 
+    dq_report = """
+WITH base AS (
+    SELECT
+        CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS ok_cust,
+        CAST(COUNT(*) AS BIGINT) AS tot,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ok_uniq,
+        CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS tot_uniq,
+        CAST(SUM(CASE WHEN CAST(floor(o_totalprice * 100) AS BIGINT)
+            BETWEEN 1 AND 100000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS ok_range,
+        CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+            THEN 1 ELSE 0 END) AS BIGINT) AS ok_set
+    FROM orders
+),
+fk AS (
+    SELECT CAST(SUM(CASE WHEN l_orderkey IN
+               (SELECT o_orderkey FROM orders) THEN 1 ELSE 0 END)
+               AS BIGINT) AS ok_fk,
+           CAST(COUNT(*) AS BIGINT) AS tot_fk
+    FROM lineitem
+)
+SELECT 'c_cust_complete' AS check_id, 'completeness' AS kind,
+       'o_custkey' AS column, ok_cust AS n_ok, tot AS n_total,
+       CAST(ok_cust AS DOUBLE) / tot AS metric,
+       CAST(1 * ok_cust >= 1 * tot AS BIGINT) AS passed FROM base
+UNION ALL
+SELECT 'c_key_unique', 'uniqueness', 'o_orderkey', ok_uniq, tot_uniq,
+       CAST(ok_uniq AS DOUBLE) / tot_uniq,
+       CAST(1 * ok_uniq >= 1 * tot_uniq AS BIGINT) FROM base
+UNION ALL
+SELECT 'c_price_range', 'in_range', 'o_totalprice', ok_range, tot,
+       CAST(ok_range AS DOUBLE) / tot,
+       CAST(1000 * ok_range >= 999 * tot AS BIGINT) FROM base
+UNION ALL
+SELECT 'c_status_domain', 'in_set', 'o_orderstatus', ok_set, tot,
+       CAST(ok_set AS DOUBLE) / tot,
+       CAST(1 * ok_set >= 1 * tot AS BIGINT) FROM base
+UNION ALL
+SELECT 'c_li_orders_fk', 'referential', 'l_orderkey', ok_fk, tot_fk,
+       CAST(ok_fk AS DOUBLE) / tot_fk,
+       CAST(1 * ok_fk >= 1 * tot_fk AS BIGINT) FROM fk
+"""
+
     rel_status_rollup = """
 WITH g AS (
     SELECT o_orderstatus,
@@ -6584,6 +6663,7 @@ FROM agg
         "rel_q6_forecast": rel_q6_forecast,
         "rel_month_share": rel_month_share,
         "rel_status_rollup": rel_status_rollup,
+        "dq_report": dq_report,
         "ev_pivot_minutes": ev_pivot_minutes,
         "rel_q4_priority": rel_q4_priority,
         "rel_q8_share": rel_q8_share,

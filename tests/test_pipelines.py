@@ -1992,3 +1992,50 @@ def test_audio_fingerprint_gain_invariance_and_groups(spark):
     groups = AU.audio_neardup_groups(pay).collect()
     assert len(groups) == 1
     assert groups[0]["n_clips"] == 2 and groups[0]["keep_doc_id"] == 1
+
+
+def test_dq_engine_verdicts_and_single_pass(spark):
+    """The declarative DQ engine: correct integer verdicts (including
+    a deliberately failing threshold), unknown kinds raise, and all
+    row-level checks compile into ONE aggregate over the table."""
+    import re
+
+    from dtaianomaly_spark.pipelines import quality as DQ
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 50), (2, None, 500), (4, "a", -3)],
+        "k long, s string, v long",
+    )
+    ref = spark.createDataFrame([(1,), (2,)], "rk long")
+    checks = [
+        ("comp", "completeness", {"col": "s", "threshold": (3, 4)}),
+        ("uniq", "uniqueness", {"col": "k", "threshold": (1, 1)}),
+        ("rng", "in_range", {"col": "v", "lo": 0, "hi": 100,
+                             "threshold": (3, 4)}),
+        ("dom", "in_set", {"col": "s", "values": ["a", "b"],
+                           "threshold": (3, 4)}),
+    ]
+    out = {r["check_id"]: r for r in DQ.dq_report(df, checks).collect()}
+    assert out["comp"]["n_ok"] == 3 and out["comp"]["passed"] == 1
+    assert out["uniq"]["n_ok"] == 3 and out["uniq"]["n_total"] == 4 \
+        and out["uniq"]["passed"] == 0  # duplicate k=2 fails 1/1
+    assert out["rng"]["n_ok"] == 2 and out["rng"]["passed"] == 0
+    assert out["dom"]["n_ok"] == 3 and out["dom"]["passed"] == 1
+    fk = DQ.dq_report(
+        df, [("fk", "referential",
+              {"col": "k", "ref": ref, "ref_col": "rk",
+               "threshold": (1, 1)})]
+    ).collect()[0]
+    assert fk["n_ok"] == 3 and fk["n_total"] == 4 and fk["passed"] == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown check kind"):
+        DQ.dq_report(df, [("x", "nope", {})])
+    # single-pass claim: the aggregate runs ONCE at the checkpoint
+    # boundary; every union branch then reads the materialized 1-row
+    # frame, so the final plan contains NO aggregate at all and no
+    # scan of the input table — only checkpoint-RDD reads
+    rep = DQ.dq_report(df, checks)
+    plan = rep._sc._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    assert "HashAggregate" not in plan and "LocalTableScan" not in plan
