@@ -1090,6 +1090,19 @@ def _q_rel_q18(spark, sf_dir):
     )
 
 
+def _q_dq_profile(spark, sf_dir):
+    """One-pass column profiler over documents (counts, nulls, exact
+    distincts, string length stats) — the profiling half of the DQ
+    engine; stacked from one checkpointed aggregate row."""
+    from dtaianomaly_spark.pipelines import quality as DQ
+    from dtaianomaly_spark.pipelines import text as TX
+
+    return DQ.dq_profile(
+        TX.load_docs(spark, sf_dir),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
 def _q_dq_report(spark, sf_dir):
     """Deequ-style declarative data-quality suite over orders/lineitem:
     completeness, uniqueness, range, set membership and referential
@@ -2930,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_month_share": _q_rel_month_share,
         "rel_status_rollup": _q_rel_status_rollup,
         "dq_report": _q_dq_report,
+        "dq_profile": _q_dq_profile,
         "ev_pivot_minutes": _q_ev_pivot_minutes,
         "rel_q4_priority": _q_rel_q4,
         "rel_q8_share": _q_rel_q8,
@@ -4843,6 +4857,49 @@ SELECT month, o_orderstatus, n_orders, sum_price,
 FROM g
 """
 
+    dq_profile = """
+WITH base AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_doc_id,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+        CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_text,
+        CAST(COUNT(DISTINCT text) AS BIGINT) AS nd_text,
+        CAST(MIN(length(text)) AS BIGINT) AS lmin_text,
+        CAST(MAX(length(text)) AS BIGINT) AS lmax_text,
+        CAST(SUM(length(text)) AS BIGINT) AS lsum_text,
+        CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_lang,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd_lang,
+        CAST(MIN(length(lang)) AS BIGINT) AS lmin_lang,
+        CAST(MAX(length(lang)) AS BIGINT) AS lmax_lang,
+        CAST(SUM(length(lang)) AS BIGINT) AS lsum_lang,
+        CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_source,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_source,
+        CAST(MIN(length(source)) AS BIGINT) AS lmin_source,
+        CAST(MAX(length(source)) AS BIGINT) AS lmax_source,
+        CAST(SUM(length(source)) AS BIGINT) AS lsum_source,
+        CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_n_chars,
+        CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nd_n_chars
+    FROM documents
+)
+SELECT 'doc_id' AS column, n AS n_rows, nul_doc_id AS n_nulls,
+       nd_doc_id AS n_distinct, CAST(NULL AS BIGINT) AS len_min,
+       CAST(NULL AS BIGINT) AS len_max, CAST(NULL AS BIGINT) AS len_sum,
+       CAST(NULL AS DOUBLE) AS len_mean FROM base
+UNION ALL
+SELECT 'text', n, nul_text, nd_text, lmin_text, lmax_text, lsum_text,
+       CAST(lsum_text AS DOUBLE) / (n - nul_text) FROM base
+UNION ALL
+SELECT 'lang', n, nul_lang, nd_lang, lmin_lang, lmax_lang, lsum_lang,
+       CAST(lsum_lang AS DOUBLE) / (n - nul_lang) FROM base
+UNION ALL
+SELECT 'source', n, nul_source, nd_source, lmin_source, lmax_source,
+       lsum_source, CAST(lsum_source AS DOUBLE) / (n - nul_source) FROM base
+UNION ALL
+SELECT 'n_chars', n, nul_n_chars, nd_n_chars, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM base
+"""
+
     dq_report = """
 WITH base AS (
     SELECT
@@ -6664,6 +6721,7 @@ FROM agg
         "rel_month_share": rel_month_share,
         "rel_status_rollup": rel_status_rollup,
         "dq_report": dq_report,
+        "dq_profile": dq_profile,
         "ev_pivot_minutes": ev_pivot_minutes,
         "rel_q4_priority": rel_q4_priority,
         "rel_q8_share": rel_q8_share,

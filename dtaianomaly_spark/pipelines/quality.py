@@ -137,3 +137,56 @@ def dq_report(df: DataFrame, checks: list) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def dq_profile(df: DataFrame, columns: list) -> DataFrame:
+    """Column profiler (the Deequ/GE profiling half that FEEDS check
+    authoring): per column — row count, nulls, exact distinct count,
+    and for string columns the length min/max and exact integer length
+    sum (mean via the shared divide). ONE aggregate pass computes
+    every column's counters side by side (column-stacked output via a
+    checkpointed 1-row frame, like :func:`dq_report`); the distinct
+    counts ride the same pass as Expand-planned distinct aggregates.
+
+    Output: (column, n_rows, n_nulls, n_distinct, len_min, len_max,
+    len_sum, len_mean) — length fields NULL for non-string columns."""
+    if not columns:
+        raise ValueError("need at least one column")
+    str_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    }
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in columns:
+        aggs.append(F.sum(
+            F.expr(f"CASE WHEN {c} IS NULL THEN 1 ELSE 0 END")
+        ).cast("long").alias(f"nul_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+        if c in str_cols:
+            aggs.append(F.min(F.length(c)).cast("long").alias(f"lmin_{c}"))
+            aggs.append(F.max(F.length(c)).cast("long").alias(f"lmax_{c}"))
+            aggs.append(F.sum(F.length(c)).cast("long").alias(f"lsum_{c}"))
+    base = df.agg(*aggs).localCheckpoint(eager=False)
+    rows = []
+    for c in columns:
+        if c in str_cols:
+            lmin, lmax, lsum = f"lmin_{c}", f"lmax_{c}", f"lsum_{c}"
+            lmean = (
+                f"CAST({lsum} AS DOUBLE) / (_n - nul_{c})"
+            )
+        else:
+            lmin = lmax = lsum = "CAST(NULL AS BIGINT)"
+            lmean = "CAST(NULL AS DOUBLE)"
+        rows.append(base.select(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"nul_{c}").alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.expr(lmin).alias("len_min"),
+            F.expr(lmax).alias("len_max"),
+            F.expr(lsum).alias("len_sum"),
+            F.expr(lmean).alias("len_mean"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
